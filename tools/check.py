@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query in oracle_sql.json: register each parquet table as a
+DuckDB view, run the oracle SQL, load the Spark parquet result, sort
+columns by name, sort rows, and compare cell-by-cell (exact for
+non-floats, exact-bits for floats so we see hash risk early).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracles.items()):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); continue
+        try:
+            oracle = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}"); continue
+        spark = pd.read_parquet(res_dir)
+        if sorted(oracle.columns) != sorted(spark.columns):
+            print(f"FAIL {name}: cols oracle={sorted(oracle.columns)} spark={sorted(spark.columns)}"); continue
+        o, s = norm(oracle), norm(spark)
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); continue
+        bad = []
+        for c in o.columns:
+            ov, sv = o[c].values, s[c].values
+            if np.issubdtype(o[c].dtype, np.floating) or np.issubdtype(s[c].dtype, np.floating):
+                ov = ov.astype(np.float64); sv = sv.astype(np.float64)
+                neq = ~((ov == sv) | (pd.isna(ov) & pd.isna(sv)))
+                if neq.any():
+                    i = int(np.argmax(neq))
+                    bad.append(f"{c}[{i}]: {ov[i]!r} vs {sv[i]!r} (maxdiff={np.nanmax(np.abs(ov-sv))})")
+            else:
+                ovs, svs = pd.Series(ov).astype(str), pd.Series(sv).astype(str)
+                neq = ovs != svs
+                if neq.any():
+                    i = int(np.argmax(neq.values))
+                    bad.append(f"{c}[{i}]: {ovs[i]!r} vs {svs[i]!r}")
+        if bad:
+            print(f"FAIL {name}: {bad[:3]}")
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(o)} rows)")
+    print(f"{n_ok}/{len(oracles)} ok")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
