@@ -133,6 +133,112 @@ object Queries {
       |UNION ALL
       |SELECT s_suppkey, 'nation_key_d', CAST(s_nationkey AS DOUBLE) FROM supplier""".stripMargin
 
+  // ------------------------------------------------------- CDC (#9-11)
+
+  /** CDC change feed mapped onto lineitem: key←l_orderkey, op←
+    * l_returnflag (N→I, A→U, R→D), last_updated←l_shipdate, tiebreak←
+    * l_linenumber, payload←l_extendedprice. */
+  def changes(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey").as("order_key"),
+      col("l_linenumber").as("line_no"),
+      col("l_shipdate").as("last_updated"),
+      when(col("l_returnflag") === "N", "I")
+        .when(col("l_returnflag") === "A", "U")
+        .otherwise("D").as("op"),
+      col("l_extendedprice").as("new_price"))
+
+  private val changesSql =
+    """SELECT l_orderkey AS order_key, l_linenumber AS line_no,
+      |  l_shipdate AS last_updated,
+      |  CASE l_returnflag WHEN 'N' THEN 'I' WHEN 'A' THEN 'U' ELSE 'D' END AS op,
+      |  l_extendedprice AS new_price
+      |FROM lineitem""".stripMargin
+
+  private val latestSql =
+    s"""changes AS ($changesSql),
+       |latest AS (
+       |  SELECT order_key, line_no, last_updated, op, new_price FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY order_key
+       |      ORDER BY last_updated DESC, line_no DESC, new_price DESC, op DESC) AS rn
+       |    FROM changes) WHERE rn = 1)""".stripMargin
+
+  private def cdcTarget(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey").as("order_key"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderstatus").as("status"))
+
+  private val cdcTargetSql =
+    """target AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+      |  o_orderstatus AS status FROM orders)""".stripMargin
+
+  def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Cdc.latestPerKey(changes(spark, dir), "order_key",
+      Seq("last_updated", "line_no", "new_price", "op"))
+
+  private val cdcLatestPerKeySql =
+    s"WITH $latestSql SELECT * FROM latest"
+
+  def cdcMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val latest = cdcLatestPerKey(spark, dir).select(
+      col("order_key"), col("op"),
+      col("new_price").as("total_price"), lit("NEW").as("status"))
+    Cdc.mergeApply(cdcTarget(spark, dir), latest, "order_key")
+  }
+
+  private val cdcMergeApplySql =
+    s"""WITH $latestSql,
+       |cdc AS (SELECT order_key, op, new_price AS total_price, 'NEW' AS status FROM latest),
+       |$cdcTargetSql
+       |SELECT coalesce(t.order_key, c.order_key) AS order_key,
+       |  CASE WHEN t.order_key IS NOT NULL AND c.order_key IS NOT NULL AND c.op = 'U'
+       |         THEN c.total_price
+       |       WHEN t.order_key IS NULL THEN c.total_price
+       |       ELSE t.total_price END AS total_price,
+       |  CASE WHEN t.order_key IS NOT NULL AND c.order_key IS NOT NULL AND c.op = 'U'
+       |         THEN c.status
+       |       WHEN t.order_key IS NULL THEN c.status
+       |       ELSE t.status END AS status
+       |FROM target t FULL JOIN cdc c ON t.order_key = c.order_key
+       |WHERE c.order_key IS NULL
+       |   OR (t.order_key IS NOT NULL AND c.op IN ('U','I'))
+       |   OR (t.order_key IS NULL AND c.op = 'I')""".stripMargin
+
+  def upsertOnConflict(spark: SparkSession, dir: String): DataFrame = {
+    val updates = cdcLatestPerKey(spark, dir).where(col("op") === "U").select(
+      col("order_key"), col("new_price").as("total_price"),
+      lit("UPD").as("status"))
+    Cdc.upsert(cdcTarget(spark, dir), updates, "order_key")
+  }
+
+  private val upsertOnConflictSql =
+    s"""WITH $latestSql,
+       |updates AS (SELECT order_key, new_price AS total_price, 'UPD' AS status
+       |  FROM latest WHERE op = 'U'),
+       |$cdcTargetSql
+       |SELECT coalesce(u.order_key, t.order_key) AS order_key,
+       |  CASE WHEN u.order_key IS NOT NULL THEN u.total_price ELSE t.total_price END AS total_price,
+       |  CASE WHEN u.order_key IS NOT NULL THEN u.status ELSE t.status END AS status
+       |FROM target t FULL JOIN updates u ON t.order_key = u.order_key""".stripMargin
+
+  // ---------------------------------------------------------------- #8
+  /** Year/month lake-layout summary (the write itself is spec-tested in
+    * SourcesSpec — queries must stay read-only for Verify). */
+  def partitionLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("year"),
+               month(col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(20,4)"))
+             .cast("double").as("total_price"))
+
+  private val partitionLayoutSql =
+    """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,7 +247,11 @@ object Queries {
     "scan_incremental"         -> (scanIncremental _),
     "derive_recipe"            -> (deriveRecipe _),
     "agg_groupby_sum"          -> (aggGroupbySum _),
-    "unpivot_melt"             -> (unpivotMelt _)
+    "unpivot_melt"             -> (unpivotMelt _),
+    "cdc_latest_per_key"       -> (cdcLatestPerKey _),
+    "cdc_merge_apply"          -> (cdcMergeApply _),
+    "upsert_on_conflict"       -> (upsertOnConflict _),
+    "partition_layout"         -> (partitionLayout _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -150,6 +260,10 @@ object Queries {
     "scan_incremental"         -> scanIncrementalSql,
     "derive_recipe"            -> deriveRecipeSql,
     "agg_groupby_sum"          -> aggGroupbySumSql,
-    "unpivot_melt"             -> unpivotMeltSql
+    "unpivot_melt"             -> unpivotMeltSql,
+    "cdc_latest_per_key"       -> cdcLatestPerKeySql,
+    "cdc_merge_apply"          -> cdcMergeApplySql,
+    "upsert_on_conflict"       -> upsertOnConflictSql,
+    "partition_layout"         -> partitionLayoutSql
   )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture operators.
+  *
+  * Reference behavior:
+  *  - `/root/reference/mnt/dags/unused_02retail_stage.py:100-143` —
+  *    MERGE from a staging table: dedupe to the latest change per key
+  *    (`first_value(...) OVER (PARTITION BY id ORDER BY last_updated
+  *    DESC)`), then `when not matched and op='I' then insert / when
+  *    matched and op='D' then delete / when matched and op='U' then
+  *    update`.
+  *  - `/root/reference/mnt/dags/unused_pipeline_sourcecode.py:329-350`
+  *    — `INSERT … ON CONFLICT DO UPDATE` upsert.
+  *
+  * Spark-first realization: latest-per-key is a `row_number` window
+  * (one shuffle on the key); merge/upsert are a single full-outer join
+  * + `when` resolution. At scale the change set is typically a small
+  * fraction of the target, so AQE converts the join to broadcast when
+  * the deltas fit; both sides are pre-partitioned on the key, so a
+  * bucketed target table would make the merge shuffle-free.
+  */
+object Cdc {
+
+  /** Latest change per key. Equivalent to the reference's first_value
+    * window. `ordering` must make the sort total in VALUE terms — pass
+    * every payload column after the timestamp so ties between
+    * physically-duplicate rows can't make the result nondeterministic
+    * across engines/runs. */
+  def latestPerKey(changes: DataFrame, key: String,
+                   ordering: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(ordering.map(col(_).desc): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Apply I/U/D changes to a target. `latestChanges` must have the
+    * target's schema plus an `op` column ('I'|'U'|'D') and at most one
+    * row per key.
+    *
+    * MERGE semantics (matching the reference exactly):
+    *   matched + 'U' → replace value columns; matched + 'D' → delete;
+    *   matched + 'I' → keep target row; not-matched + 'I' → insert;
+    *   not-matched + 'U'/'D' → no-op.
+    */
+  def mergeApply(target: DataFrame, latestChanges: DataFrame,
+                 key: String, op: String = "op"): DataFrame = {
+    val valueCols = target.columns.filterNot(_ == key).toSeq
+    val t = target.alias("t")
+    val c = latestChanges.alias("c")
+    val tKey = col(s"t.$key"); val cKey = col(s"c.$key")
+    val matched = tKey.isNotNull && cKey.isNotNull
+    val insertOnly = tKey.isNull && cKey.isNotNull
+    t.join(c, tKey === cKey, "full_outer")
+      .where(cKey.isNull ||
+             (matched && col(s"c.$op").isin("U", "I")) ||
+             (insertOnly && col(s"c.$op") === "I"))
+      .select(coalesce(tKey, cKey).as(key) +:
+        valueCols.map { v =>
+          when(matched && col(s"c.$op") === "U", col(s"c.$v"))
+            .when(insertOnly, col(s"c.$v"))
+            .otherwise(col(s"t.$v")).as(v)
+        }: _*)
+  }
+
+  /** INSERT … ON CONFLICT DO UPDATE: every update lands; non-conflicting
+    * target rows survive. `updates` must have the target's schema and at
+    * most one row per key. */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val valueCols = target.columns.filterNot(_ == key).toSeq
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    t.join(u, col(s"t.$key") === col(s"u.$key"), "full_outer")
+      .select(coalesce(col(s"u.$key"), col(s"t.$key")).as(key) +:
+        valueCols.map(v =>
+          when(col(s"u.$key").isNotNull, col(s"u.$v"))
+            .otherwise(col(s"t.$v")).as(v)): _*)
+  }
+}

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Datalake layout: year/month-partitioned parquet.
+  *
+  * Reference behavior: `/root/reference/mnt/dags/
+  * 02datalake_to_datawarehouse.py:525-543` writes one CSV per day under
+  * `src/session/%Y/%m/…_{ds}.csv`, and the warehouse gets one table per
+  * month (`table_material_demand_{Y_m}`, README.md:766-786).
+  *
+  * Spark-first: `partitionBy(year, month)` parquet is the same layout
+  * with partition-pruned reads for free — an incremental consumer reads
+  * exactly one directory, and "one table per month" is just one
+  * partition directory. At 100 TB, day-grain files from upstream
+  * compact into month partitions sized by `maxRecordsPerFile` instead
+  * of one file per day.
+  */
+object Lake {
+
+  /** Write `df` partitioned by year/month derived from `dateCol`. */
+  def writePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.withColumn("year", year(col(dateCol)))
+      .withColumn("month", month(col(dateCol)))
+      .write.mode("overwrite")
+      .partitionBy("year", "month")
+      .parquet(path)
+
+  /** Partition-pruned read of one month — touches one directory only. */
+  def readMonth(spark: SparkSession, path: String, y: Int, m: Int): DataFrame =
+    spark.read.parquet(path).where(col("year") === y && col("month") === m)
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Cdc
+
+class CdcSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def target() = {
+    import spark.implicits._
+    Seq((1L, 10.0, "O"), (2L, 20.0, "O"), (3L, 30.0, "F"))
+      .toDF("order_key", "total_price", "status")
+  }
+
+  test("latestPerKey keeps exactly the newest change, ties broken deterministically") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 1, "2023-01-01", "U", 11.0),
+      (1L, 2, "2023-01-02", "D", 12.0), // newest for key 1
+      (2L, 1, "2023-01-05", "U", 21.0),
+      (2L, 2, "2023-01-05", "I", 22.0)  // same ts, higher line_no wins
+    ).toDF("order_key", "line_no", "last_updated", "op", "new_price")
+      .withColumn("last_updated", to_timestamp(col("last_updated")))
+    val got = Cdc.latestPerKey(ch, "order_key",
+        Seq("last_updated", "line_no", "new_price", "op"))
+      .select("order_key", "op").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "D"), (2L, "I")))
+  }
+
+  test("mergeApply implements reference MERGE semantics (I/U/D)") {
+    import spark.implicits._
+    val latest = Seq(
+      (1L, "U", 99.0, "NEW"),  // matched U → update
+      (2L, "D", 0.0, "NEW"),   // matched D → delete
+      (3L, "I", 0.0, "NEW"),   // matched I → keep target row
+      (4L, "I", 44.0, "NEW"),  // unmatched I → insert
+      (5L, "U", 55.0, "NEW"),  // unmatched U → no-op
+      (6L, "D", 66.0, "NEW")   // unmatched D → no-op
+    ).toDF("order_key", "op", "total_price", "status")
+    val got = Cdc.mergeApply(target(), latest, "order_key")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set((1L, 99.0, "NEW"), (3L, 30.0, "F"), (4L, 44.0, "NEW")))
+  }
+
+  test("upsert: conflicts update, non-conflicts insert, rest survive") {
+    import spark.implicits._
+    val updates = Seq((2L, 222.0, "UPD"), (9L, 999.0, "UPD"))
+      .toDF("order_key", "total_price", "status")
+    val got = Cdc.upsert(target(), updates, "order_key")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set(
+      (1L, 10.0, "O"), (2L, 222.0, "UPD"), (3L, 30.0, "F"), (9L, 999.0, "UPD")))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{Csv, Lake}
+
+class SourcesSpec extends SparkSpec {
+
+  test("Lake round-trips year/month partitions and prunes reads") {
+    val tmp = Files.createTempDirectory("lake").toString
+    val orders = Tables.orders(spark, sfDir)
+    Lake.writePartitioned(orders, tmp, "o_orderdate")
+
+    // layout on disk is the reference's %Y/%m sessioning
+    val dirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("year="))
+    assert(dirs.nonEmpty)
+
+    val month = Lake.readMonth(spark, tmp, 1995, 3)
+    val expected = orders.where(year(col("o_orderdate")) === 1995 &&
+                                month1(col("o_orderdate")) === 3).count()
+    assert(month.count() === expected)
+    // partition filter must prune, not scan-and-filter
+    val scan = month.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || !scan.contains("year="))
+  }
+
+  private def month1(c: org.apache.spark.sql.Column) = month(c)
+
+  test("Csv round-trips with explicit schema and quarantines corrupt rows") {
+    val tmp = Files.createTempDirectory("csv").toString
+    val schema = StructType(Seq(
+      StructField("shop_id", StringType),
+      StructField("demand_kg", DoubleType)))
+    import spark.implicits._
+    val df = Seq(("s1", 1.5), ("s2", 2.5)).toDF("shop_id", "demand_kg")
+    Csv.write(df, s"$tmp/out")
+    // cache first: Spark disallows raw-CSV queries whose referenced
+    // columns are only the corrupt-record column
+    val back = Csv.read(spark, s"$tmp/out", schema).cache()
+    assert(back.where(col(Csv.CorruptCol).isNull).count() === 2)
+    assert(back.agg(sum("demand_kg")).first().getDouble(0) === 4.0)
+    back.unpersist()
+  }
+}
