@@ -239,6 +239,126 @@ object Queries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ analytics (#16-22)
+
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Relational.pricingSummary(Tables.lineitem(spark, dir), "2001-09-01")
+
+  private val q1PricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    Relational.shippingPriority(
+      Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), "BUILDING", "1998-01-01", "1997-01-01")
+
+  private val q3ShippingPrioritySql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < '1998-01-01' AND l_shipdate > '1997-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  def q5LocalVolume(spark: SparkSession, dir: String): DataFrame =
+    Relational.localSupplierVolume(
+      Tables.region(spark, dir), Tables.nation(spark, dir),
+      Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      "ASIA", "1996-01-01", "1997-01-01")
+
+  private val q5LocalVolumeSql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  def topkOrdersPerCust(spark: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").desc), 3)
+
+  private val topkOrdersPerCustSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+      |  FROM orders) t WHERE rk <= 3""".stripMargin
+
+  def ordersWoLineitems(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+            col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  private val ordersWoLineitemsSql =
+    """SELECT o_orderkey, o_totalprice FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+
+  def rollupVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"),
+              col("o_orderpriority").as("prio"), col("o_totalprice"))
+      .rollup(col("y"), col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+           Relational.dsum(col("o_totalprice")).as("total_price"),
+           grouping(col("y")).as("gy"), grouping(col("prio")).as("gp"))
+      .select(
+        when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("year"),
+        when(col("gp") === 1, lit("ALL")).otherwise(col("prio")).as("priority"),
+        col("n_orders"), col("total_price"))
+
+  private val rollupVolumeSql =
+    """SELECT
+      |  CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS year,
+      |  CASE WHEN GROUPING(prio) = 1 THEN 'ALL' ELSE prio END AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM (SELECT year(o_orderdate) AS y, o_orderpriority AS prio, o_totalprice
+      |      FROM orders) t
+      |GROUP BY ROLLUP(y, prio)""".stripMargin
+
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.timeBucketed(Tables.events(spark, dir), "hour")
+
+  private val eventsHourlySql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.gapSessions(Tables.events(spark, dir), 30)
+
+  private val eventsSessionizeSql =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (SELECT user_id, event_id, ts,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |             + INTERVAL 30 MINUTE
+      |       THEN 1 ELSE 0 END AS is_new FROM e),
+      |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS session_no FROM g)
+      |SELECT user_id, session_no, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,7 +371,15 @@ object Queries {
     "cdc_latest_per_key"       -> (cdcLatestPerKey _),
     "cdc_merge_apply"          -> (cdcMergeApply _),
     "upsert_on_conflict"       -> (upsertOnConflict _),
-    "partition_layout"         -> (partitionLayout _)
+    "partition_layout"         -> (partitionLayout _),
+    "q1_pricing_summary"       -> (q1PricingSummary _),
+    "q3_shipping_priority"     -> (q3ShippingPriority _),
+    "q5_local_volume"          -> (q5LocalVolume _),
+    "topk_orders_per_cust"     -> (topkOrdersPerCust _),
+    "orders_wo_lineitems"      -> (ordersWoLineitems _),
+    "rollup_volume"            -> (rollupVolume _),
+    "events_hourly"            -> (eventsHourly _),
+    "events_sessionize"        -> (eventsSessionize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -264,6 +392,14 @@ object Queries {
     "cdc_latest_per_key"       -> cdcLatestPerKeySql,
     "cdc_merge_apply"          -> cdcMergeApplySql,
     "upsert_on_conflict"       -> upsertOnConflictSql,
-    "partition_layout"         -> partitionLayoutSql
+    "partition_layout"         -> partitionLayoutSql,
+    "q1_pricing_summary"       -> q1PricingSummarySql,
+    "q3_shipping_priority"     -> q3ShippingPrioritySql,
+    "q5_local_volume"          -> q5LocalVolumeSql,
+    "topk_orders_per_cust"     -> topkOrdersPerCustSql,
+    "orders_wo_lineitems"      -> ordersWoLineitemsSql,
+    "rollup_volume"            -> rollupVolumeSql,
+    "events_hourly"            -> eventsHourlySql,
+    "events_sessionize"        -> eventsSessionizeSql
   )
 }
