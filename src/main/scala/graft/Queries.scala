@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.functions.TextFunctions
 
 /** Registry of every operator's runnable query + its DuckDB oracle.
   *
@@ -359,6 +360,109 @@ object Queries {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  // ------------------------------------------- text analysis (#30-33)
+
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("n_ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  private val textTokenCountSql =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+
+  private val textLangIdSql =
+    """SELECT doc_id,
+      |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM (SELECT doc_id, text,
+      |  len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS s_en,
+      |  len(regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b')) AS s_de,
+      |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+      |  len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr
+      |FROM documents) t""".stripMargin
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  private val textQualitySql =
+    """SELECT doc_id, alpha_ratio, punct_ratio, stopword_ratio,
+      |  alpha_ratio * 0.5 + stopword_ratio * 0.3 + (1.0 - punct_ratio) * 0.2 AS quality
+      |FROM (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |    / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS stopword_ratio
+      |FROM documents) t""".stripMargin
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- dedup/ANN (#23-29)
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val dedupExactSql =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  min(doc_id) AS keeper_id, count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
+
+  def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** ids-only oracle: cosine ranking recomputed by DuckDB's
+    * list_cosine_similarity; both engines accumulate in doubles in
+    * array order, and ties break on neighbor_id. */
+  private val annBruteforceTopkSql =
+    """SELECT query_id, neighbor_id, rk FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |               c.vec_id) AS rk
+      |  FROM embeddings q, embeddings c WHERE q.vec_id < 10) t
+      |WHERE rk <= 5""".stripMargin
+
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -379,7 +483,17 @@ object Queries {
     "orders_wo_lineitems"      -> (ordersWoLineitems _),
     "rollup_volume"            -> (rollupVolume _),
     "events_hourly"            -> (eventsHourly _),
-    "events_sessionize"        -> (eventsSessionize _)
+    "events_sessionize"        -> (eventsSessionize _),
+    "text_token_count"         -> (textTokenCount _),
+    "text_lang_id"             -> (textLangId _),
+    "text_quality"             -> (textQuality _),
+    "text_fingerprint"         -> (textFingerprint _),
+    "dedup_exact"              -> (dedupExact _),
+    "dedup_minhash_pairs"      -> (dedupMinhashPairs _),
+    "dedup_simhash"            -> (dedupSimhash _),
+    "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
+    "ann_bruteforce_topk"      -> (annBruteforceTopk _),
+    "ann_lsh_topk"             -> (annLshTopk _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -400,6 +514,14 @@ object Queries {
     "orders_wo_lineitems"      -> ordersWoLineitemsSql,
     "rollup_volume"            -> rollupVolumeSql,
     "events_hourly"            -> eventsHourlySql,
-    "events_sessionize"        -> eventsSessionizeSql
+    "events_sessionize"        -> eventsSessionizeSql,
+    "text_token_count"         -> textTokenCountSql,
+    "text_lang_id"             -> textLangIdSql,
+    "text_quality"             -> textQualitySql,
+    "text_fingerprint"         -> textFingerprintSql,
+    "dedup_exact"              -> dedupExactSql,
+    "ann_bruteforce_topk"      -> annBruteforceTopkSql
+    // minhash/simhash/embedding-cosine/lsh-ann are not SQL-expressible
+    // → rows-only check; ScalaTest carries their oracles (DedupSpec)
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication family for training-data pipelines: exact, MinHash-LSH
+  * (+ exact n-gram-Jaccard verification), SimHash, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: every candidate-generation step is LSH-bucketed so the
+  * self-join is on (band/chunk/bucket) keys — never an O(n²) cross
+  * join. Exact verification (jaccard / hamming / cosine) runs only
+  * inside buckets. All signatures are built from higher-order-function
+  * expressions over built-in hashes (`xxhash64`) — codegen'd, no UDFs,
+  * deterministic across runs and engines.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup via normalized-text fingerprint: one group per
+    * distinct content, keeper = min doc_id (deterministic). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  // ------------------------------------------------------- minhash-LSH
+
+  /** Distinct word n-gram shingles of the normalized text. Documents
+    * shorter than n shingle to their whole text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(TextFunctions.normalize(text), " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** k-permutation MinHash signature: hash_j(doc) = min over shingles
+    * of xxhash64(j, shingle). */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(sh, s => xxhash64(lit(j), s)))): _*)
+
+  /** Band hashes for LSH: signature split into `bands` bands of `rows`
+    * hashes; docs sharing any band hash become candidates. */
+  def bandHashes(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
+
+  /** Near-duplicate pairs: MinHash-LSH candidates verified with exact
+    * n-gram Jaccard >= tau. Output: (doc_a, doc_b, jaccard). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, numHashes: Int = 24, bands: Int = 8,
+                   tau: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val withShingles = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val banded = withShingles
+      .select(col("id"),
+        posexplode(bandHashes(minhashSignature(col("sh"), numHashes), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cands
+      .join(withShingles.select(col("id"), col("sh").as("sh_a")),
+            col("doc_a") === col("id")).drop("id")
+      .join(withShingles.select(col("id"), col("sh").as("sh_b")),
+            col("doc_b") === col("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over whitespace tokens, as a pure HOF expression:
+    * per-bit vote counts from each token's xxhash64, then sign bits. */
+  def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .selectExpr("id",
+        """aggregate(toks, array_repeat(0L, 64),
+          |  (acc, t) -> zip_with(acc,
+          |    transform(sequence(0, 63), i -> (shiftright(xxhash64(t), i) & 1) * 2 - 1),
+          |    (a, b) -> a + b)) AS bitcounts""".stripMargin)
+      .selectExpr("id",
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, i) -> acc + if(element_at(bitcounts, i + 1) > 0L,
+          |                       shiftleft(1L, i), 0L)) AS simhash""".stripMargin)
+
+  /** Near-dup pairs with hamming(simhash) <= maxHamming. Pigeonhole
+    * bucketing: 4 16-bit chunks — any pair within hamming 3 shares at
+    * least one chunk, so candidates come from a chunk-equality join. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sims = withSimhash(docs, idCol, textCol)
+    val chunked = sims.selectExpr("id", "simhash",
+      "posexplode(transform(sequence(0, 3), j -> (shiftright(simhash, j * 16) & 65535L))) AS (chunk_idx, chunk_val)")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------- embedding cosine
+
+  /** Exact cosine between two float-array columns, accumulated in
+    * double, sequential order (engine-stable). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+                lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  private[operators] def hyperplanes(m: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: m sign bits of hyperplane dot products. */
+  def withBucket(embeddings: DataFrame, idCol: String, vecCol: String,
+                 m: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = typedLit(hyperplanes(m, dim))
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("planes", planes)
+      .selectExpr("id", "vec",
+        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, i) ->
+           |  acc + if(aggregate(zip_with(vec, element_at(planes, i + 1),
+           |                     (x, y) -> cast(x AS double) * y), 0D,
+           |                     (a, v) -> a + v) > 0D,
+           |           shiftleft(1L, i), 0L)) AS bucket""".stripMargin)
+  }
+
+  /** Banded sign-LSH: the m = bands*rows bucket bits split into bands;
+    * vectors sharing ANY band value become candidates (OR-construction,
+    * same shape as MinHash banding — recall tunable via bands/rows).
+    * Vectors are NOT carried through the explode; join them back by id
+    * so the banded shuffle moves only (id, band) pairs. */
+  def bandedBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+                    bands: Int, rows: Int, dim: Int): DataFrame = {
+    val mask = (1L << rows) - 1
+    withBucket(embeddings, idCol, vecCol, bands * rows, dim)
+      .selectExpr("id",
+        s"""posexplode(transform(sequence(0, ${bands - 1}),
+           |  j -> shiftright(bucket, j * $rows) & $mask))
+           |AS (band_idx, band_val)""".stripMargin)
+  }
+
+  /** Embedding near-dup pairs: banded sign-LSH candidates verified with
+    * exact cosine >= tau. Output: (id_a, id_b, cos). */
+  def embeddingCosinePairs(embeddings: DataFrame, idCol: String,
+                           vecCol: String, tau: Double = 0.4,
+                           bands: Int = 6, rows: Int = 3,
+                           dim: Int = 64): DataFrame = {
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(vecs.select(col("id"), col("vec").as("vec_a")), col("id_a") === col("id")).drop("id")
+      .join(vecs.select(col("id"), col("vec").as("vec_b")), col("id_b") === col("id")).drop("id")
+      .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= tau)
+  }
+}

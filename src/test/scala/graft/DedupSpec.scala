@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+  private def docs() = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),          // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals and shuffle exchanges"),
+    (4L, base),                                    // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized content, keeper = min id") {
+    val out = Dedup.exact(docs(), "doc_id", "text")
+      .select("keeper_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash-LSH finds planted near-dups, exact jaccard verified, no false positives") {
+    val pairs = Dedup.minhashPairs(docs(), "doc_id", "text", tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // exact dup pair must verify at jaccard 1.0
+    val j14 = Dedup.minhashPairs(docs(), "doc_id", "text", tau = 0.5)
+      .where(col("doc_a") === 1 && col("doc_b") === 4)
+      .select("jaccard").as[Double].head()
+    assert(j14 === 1.0)
+  }
+
+  test("simhash hamming distance: 0 for dups, small for near-dups, large across topics") {
+    val sims = Dedup.withSimhash(docs(), "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) === sims(4L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 12)
+    val pairs = Dedup.simhashPairs(docs(), "doc_id", "text", maxHamming = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("cosine is exact on hand-built vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+              Dedup.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(c((1L, 3L)) === 1.0)
+    assert(c((1L, 2L)) === 0.0)
+  }
+
+  test("banded sign-LSH catches planted near-identical embeddings") {
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val noise = (0 until 50).map(i => (10L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = (Seq((1L, v), (2L, vNear)) ++ noise).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", tau = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("brute-force ANN: self is rank-1 with cosine 1; k respected") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, 5)
+    val r1 = out.where(col("rk") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(r1 === Set((0L, 0L), (1L, 1L), (2L, 2L)))
+    assert(out.groupBy("query_id").count().agg(max("count")).head().getLong(0) <= 5)
+  }
+
+  test("LSH ANN returns a subset ranking consistent with brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 3)
+    val lsh = Similarity.lshTopK(q, emb, 5)
+    // self always lands in its own bucket → rank-1 survives
+    val r1 = lsh.where(col("rk") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(r1 === Set((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+}
