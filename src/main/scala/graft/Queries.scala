@@ -463,6 +463,19 @@ object Queries {
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
   }
 
+  // --------------------------------------------------- multimodal (#34)
+
+  /** Typed decode+feature pipeline over binary media columns (stubbed
+    * codec, real plumbing) — rows-only check; MultimodalSpec asserts
+    * determinism and shapes. */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.attachBlob(Tables.documents(spark, dir))
+    val meta = Multimodal.decodeMeta(spark, blobs).toDF()
+    val feats = Multimodal.extractFeatures(spark, blobs).toDF()
+      .select(col("doc_id"), size(col("features")).as("n_features"))
+    meta.join(feats, "doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -493,7 +506,8 @@ object Queries {
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
-    "ann_lsh_topk"             -> (annLshTopk _)
+    "ann_lsh_topk"             -> (annLshTopk _),
+    "multimodal_meta"          -> (multimodalMeta _)
   )
 
   def oracles: Map[String, String] = Map(

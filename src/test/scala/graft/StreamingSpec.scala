@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def eventCols(df: org.apache.spark.sql.DataFrame) =
+    df.select("event_id", "ts", "user_id", "event_type", "value")
+
+  test("streaming hourly counts equal the batch rollup (complete mode)") {
+    val tmp = Files.createTempDirectory("stream-hourly").toString
+    eventCols(Tables.events(spark, sfDir)).write.parquet(s"$tmp/in")
+    val stream = EventsStream.fromParquetDir(spark, s"$tmp/in",
+      eventCols(Tables.events(spark, sfDir)))
+    val q = EventsStream.hourlyCounts(stream).writeStream
+      .format("memory").queryName("hourly_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_t")
+      .select("bucket", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Sessionize
+      .timeBucketed(Tables.events(spark, sfDir), "hour")
+      .select("bucket", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming sessionize with keyed state matches batch gap sessions") {
+    val tmp = Files.createTempDirectory("stream-sess").toString
+    val cp = s"$tmp/cp"
+    val base = eventCols(Tables.events(spark, sfDir))
+    base.write.parquet(s"$tmp/in")
+
+    // run 1: real events only — closes all but each user's last session.
+    // file sink (memory sink can't recover from a checkpoint).
+    def run(): Unit = {
+      val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+      val q = EventsStream.sessionize(spark, stream, 30).writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    run()
+
+    // run 2 (same checkpoint → state carries over): one sentinel per
+    // user 2h after that user's last event closes the open sessions
+    base.groupBy("user_id")
+      .agg(max("ts").as("maxts"), max("event_id").as("maxid"))
+      .select((col("maxid") + 1000000L).as("event_id"),
+              (col("maxts") + expr("INTERVAL 2 HOURS")).as("ts"),
+              col("user_id"), lit("sentinel").as("event_type"), lit(0.0).as("value"))
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+
+    // sentinel sessions themselves may close via event-time timeout
+    // (users whose sentinel is behind the global watermark) — exclude
+    val sentinelStarts = base.groupBy("user_id")
+      .agg((max("ts") + expr("INTERVAL 2 HOURS")).as("sts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .filterNot(s => sentinelStarts.contains((s._1, s._2))).toSet
+    val batch = graft.operators.Sessionize
+      .gapSessions(Tables.events(spark, sfDir), 30)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val missing = batch -- streamed
+    val extra = streamed -- batch
+    assert(streamed === batch,
+      s"\nmissing(${missing.size}): ${missing.take(5)}\nextra(${extra.size}): ${extra.take(5)}")
+  }
+}
