@@ -36,11 +36,19 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** k-permutation MinHash signature: hash_j(doc) = min over shingles
-    * of xxhash64(j, shingle). */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(j =>
-      array_min(transform(sh, s => xxhash64(lit(j), s)))): _*)
+  /** k-permutation MinHash signature via double hashing: only TWO
+    * string hashes per shingle; permutation j is h1 ^ rotl(h2, j) —
+    * pure bitwise mixing (ANSI-safe: h1 + j*h2 overflows under Spark's
+    * default ANSI arithmetic), k× fewer string hashes than hashing
+    * each shingle k times. `h1`/`h2` must be the pre-materialized hash
+    * arrays (see minhashPairs). */
+  def minhashSignatureFromHashes(h1: Column, h2: Column,
+                                 numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      val rot = j % 63 + 1
+      array_min(zip_with(h1, h2, (a, b) =>
+        a.bitwiseXOR(shiftleft(b, rot).bitwiseOR(shiftrightunsigned(b, 64 - rot)))))
+    }: _*)
 
   /** Band hashes for LSH: signature split into `bands` bands of `rows`
     * hashes; docs sharing any band hash become candidates. */
@@ -50,15 +58,28 @@ object Dedup {
 
   /** Near-duplicate pairs: MinHash-LSH candidates verified with exact
     * n-gram Jaccard >= tau. Output: (doc_a, doc_b, jaccard). */
+  /** Default params: 16 hashes in 4 bands of 4 — band-match probability
+    * j^4 per band (j=jaccard): ~0.66 any-band at j=0.6, >0.99 at
+    * j=0.9, while 4-hash bands keep false candidates ~j^4-rare (r=3
+    * bands over a small-vocab corpus produced quadratic candidate
+    * explosions). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, numHashes: Int = 24, bands: Int = 8,
+                   n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    tau: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
+    // cached: feeds both sides of the band self-join AND the jaccard
+    // verification joins — shingling+hashing would otherwise run 4×
     val withShingles = docs
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .cache()
     val banded = withShingles
       .select(col("id"),
-        posexplode(bandHashes(minhashSignature(col("sh"), numHashes), bands, rows))
+        transform(col("sh"), s => xxhash64(s)).as("h1"),
+        transform(col("sh"), s => xxhash64(lit(1), s)).as("h2"))
+      .select(col("id"),
+        posexplode(bandHashes(
+          minhashSignatureFromHashes(col("h1"), col("h2"), numHashes),
+          bands, rows))
           .as(Seq("band_idx", "band_hash")))
     val cands = banded.as("a")
       .join(banded.as("b"),
@@ -81,52 +102,54 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash over whitespace tokens, as a pure HOF expression:
-    * per-bit vote counts from each token's xxhash64, then sign bits. */
+  /** 64-bit SimHash over whitespace tokens. Token hashes are computed
+    * ONCE, then each bit's vote is an allocation-free integer aggregate
+    * (the naive per-token 64-array zip_with allocates two arrays per
+    * token and was the dominant cost at sf0.1). Bit set ⇔ more than
+    * half the tokens have that hash bit set. */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
         split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .selectExpr("id", "transform(toks, t -> xxhash64(t)) AS hashes")
       .selectExpr("id",
-        """aggregate(toks, array_repeat(0L, 64),
-          |  (acc, t) -> zip_with(acc,
-          |    transform(sequence(0, 63), i -> (shiftright(xxhash64(t), i) & 1) * 2 - 1),
-          |    (a, b) -> a + b)) AS bitcounts""".stripMargin)
-      .selectExpr("id",
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, i) -> acc + if(element_at(bitcounts, i + 1) > 0L,
-          |                       shiftleft(1L, i), 0L)) AS simhash""".stripMargin)
+        """aggregate(sequence(0, 63), 0L, (acc, i) ->
+          |  acc + if(2 * aggregate(hashes, 0,
+          |             (a, h) -> a + int(shiftright(h, i) & 1)) > size(hashes),
+          |           shiftleft(1L, i), 0L)) AS simhash""".stripMargin)
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming. Pigeonhole
     * bucketing: 4 16-bit chunks — any pair within hamming 3 shares at
     * least one chunk, so candidates come from a chunk-equality join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sims = withSimhash(docs, idCol, textCol)
+    // cache: the signature table is tiny (one long per doc) but feeds
+    // both sides of the self-join — recomputing it doubles the cost
+    val sims = withSimhash(docs, idCol, textCol).cache()
     val chunked = sims.selectExpr("id", "simhash",
       "posexplode(transform(sequence(0, 3), j -> (shiftright(simhash, j * 16) & 65535L))) AS (chunk_idx, chunk_val)")
+    // hamming filter BEFORE distinct: bit_count of two longs is ~free,
+    // and near-dup clusters in real corpora make the raw candidate set
+    // quadratic — distinct-ing it first shuffles millions of pairs that
+    // the filter would drop anyway
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-              col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+              expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   // -------------------------------------------------- embedding cosine
 
-  /** Exact cosine between two float-array columns, accumulated in
-    * double, sequential order (engine-stable). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-                lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Exact cosine between two float-array columns — the native
+    * codegen'd DotProduct expression (sequential double accumulation,
+    * engine-stable, no per-row allocation). Callers must have
+    * registered GraftFunctions on the session. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(a, b)
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
   private[operators] def hyperplanes(m: Int, dim: Int): Seq[Seq[Double]] = {
@@ -134,17 +157,18 @@ object Dedup {
     Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: m sign bits of hyperplane dot products. */
+  /** Sign-LSH bucket id: m sign bits of hyperplane dot products
+    * (native graft_dot per plane — the HOF zip_with version allocated
+    * an intermediate array per plane per row). */
   def withBucket(embeddings: DataFrame, idCol: String, vecCol: String,
                  m: Int = 12, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val planes = typedLit(hyperplanes(m, dim))
     embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("planes", planes)
       .selectExpr("id", "vec",
         s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, i) ->
-           |  acc + if(aggregate(zip_with(vec, element_at(planes, i + 1),
-           |                     (x, y) -> cast(x AS double) * y), 0D,
-           |                     (a, v) -> a + v) > 0D,
+           |  acc + if(graft_dot(vec, element_at(planes, i + 1)) > 0D,
            |           shiftleft(1L, i), 0L)) AS bucket""".stripMargin)
   }
 
@@ -167,8 +191,9 @@ object Dedup {
     * exact cosine >= tau. Output: (id_a, id_b, cos). */
   def embeddingCosinePairs(embeddings: DataFrame, idCol: String,
                            vecCol: String, tau: Double = 0.4,
-                           bands: Int = 6, rows: Int = 3,
+                           bands: Int = 4, rows: Int = 5,
                            dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
     banded.as("a")

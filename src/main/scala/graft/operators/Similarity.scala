@@ -20,6 +20,7 @@ object Similarity {
     * expect |queries| << |corpus|. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
                                      col("embedding").as("qvec")))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
@@ -38,7 +39,8 @@ object Similarity {
     * 2^rows per band instead of everything. Same output shape as
     * bruteForceTopK; recall < 1 by design, tunable via bands/rows. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              bands: Int = 6, rows: Int = 3, dim: Int = 64): DataFrame = {
+              bands: Int = 4, rows: Int = 5, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val qb = Dedup.bandedBuckets(queries, "vec_id", "embedding", bands, rows, dim)
       .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
     val cb = Dedup.bandedBuckets(corpus, "vec_id", "embedding", bands, rows, dim)
