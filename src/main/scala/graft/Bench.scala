@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at SPARK_GRAFT_SF_DIR,
+  * prints ONE JSON line. A small untimed warmup first — the first
+  * query in a fresh JVM otherwise pays ~5s of classloading + codegen
+  * that has nothing to do with the query being measured. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,9 +13,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // warmup: exercise scan, shuffle, window, codegen paths once
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      Tables.lineitem(spark, sfDir).limit(1000)
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

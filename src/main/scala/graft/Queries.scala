@@ -463,6 +463,44 @@ object Queries {
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
   }
 
+  // ---------------------------------------- JSON + LIKE-filter queries
+
+  /** Semi-structured extraction: the events feed carries a JSON props
+    * column; parse server-side, no UDF. */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("k_sum"),
+           max(col("k")).as("k_max"))
+
+  private val eventsJsonExtractSql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** TPC-H Q14-style conditional aggregate over a LIKE-filtered
+    * broadcast-joined dim. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(Relational.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  private val promoRevenueSql =
+    """SELECT p_type,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |GROUP BY p_type""".stripMargin
+
   // --------------------------------------------------- multimodal (#34)
 
   /** Typed decode+feature pipeline over binary media columns (stubbed
@@ -507,7 +545,9 @@ object Queries {
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
     "ann_lsh_topk"             -> (annLshTopk _),
-    "multimodal_meta"          -> (multimodalMeta _)
+    "multimodal_meta"          -> (multimodalMeta _),
+    "events_json_extract"      -> (eventsJsonExtract _),
+    "promo_revenue"            -> (promoRevenue _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -534,7 +574,9 @@ object Queries {
     "text_quality"             -> textQualitySql,
     "text_fingerprint"         -> textFingerprintSql,
     "dedup_exact"              -> dedupExactSql,
-    "ann_bruteforce_topk"      -> annBruteforceTopkSql
+    "ann_bruteforce_topk"      -> annBruteforceTopkSql,
+    "events_json_extract"      -> eventsJsonExtractSql,
+    "promo_revenue"            -> promoRevenueSql
     // minhash/simhash/embedding-cosine/lsh-ann are not SQL-expressible
     // → rows-only check; ScalaTest carries their oracles (DedupSpec)
   )

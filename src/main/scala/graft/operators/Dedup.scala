@@ -28,13 +28,30 @@ object Dedup {
   // ------------------------------------------------------- minhash-LSH
 
   /** Distinct word n-gram shingles of the normalized text. Documents
-    * shorter than n shingle to their whole text. */
+    * shorter than n shingle to their whole text. (Debug/reference
+    * form — the hot path uses [[shingleHashes]], which never
+    * materializes shingle strings.) */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(TextFunctions.normalize(text), " ")
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
+
+  private def rotl(h: Column, r: Int): Column =
+    shiftleft(h, r).bitwiseOR(shiftrightunsigned(h, 64 - r))
+
+  /** 64-bit hash per word n-gram, straight from per-token hashes —
+    * no shingle strings, no array_distinct (min is duplicate-
+    * insensitive and the jaccard set-ops dedupe): position j of the
+    * window contributes rotl(tokenHash, f(j)) into an XOR mix, so
+    * "a b c" ≠ "c b a". Tail windows clamp to the last token. */
+  def shingleHashes(tokHashes: Column, n: Int): Column =
+    transform(sequence(lit(0), greatest(size(tokHashes) - n, lit(0))), i =>
+      (0 until n).map { j =>
+        val h = element_at(tokHashes, least(i + lit(j + 1), size(tokHashes)))
+        rotl(h, (n - j) * 17 % 63 + 1)
+      }.reduce(_ bitwiseXOR _))
 
   /** k-permutation MinHash signature via double hashing: only TWO
     * string hashes per shingle; permutation j is h1 ^ rotl(h2, j) —
@@ -67,18 +84,21 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    tau: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
-    // cached: feeds both sides of the band self-join AND the jaccard
-    // verification joins — shingling+hashing would otherwise run 4×
+    val toks = split(TextFunctions.normalize(col(textCol)), " ")
+    // two independent shingle-hash families (double hashing); cached —
+    // feeds both sides of the band self-join AND the jaccard joins
     val withShingles = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol).as("id"),
+        transform(toks, t => xxhash64(t)).as("t1"),
+        transform(toks, t => xxhash64(lit(1), t)).as("t2"))
+      .select(col("id"),
+        shingleHashes(col("t1"), n).as("sh1"),
+        shingleHashes(col("t2"), n).as("sh2"))
       .cache()
     val banded = withShingles
       .select(col("id"),
-        transform(col("sh"), s => xxhash64(s)).as("h1"),
-        transform(col("sh"), s => xxhash64(lit(1), s)).as("h2"))
-      .select(col("id"),
         posexplode(bandHashes(
-          minhashSignatureFromHashes(col("h1"), col("h2"), numHashes),
+          minhashSignatureFromHashes(col("sh1"), col("sh2"), numHashes),
           bands, rows))
           .as(Seq("band_idx", "band_hash")))
     val cands = banded.as("a")
@@ -88,10 +108,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+    // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
+    // to string-shingle jaccard modulo 64-bit collisions
     cands
-      .join(withShingles.select(col("id"), col("sh").as("sh_a")),
+      .join(withShingles.select(col("id"), col("sh1").as("sh_a")),
             col("doc_a") === col("id")).drop("id")
-      .join(withShingles.select(col("id"), col("sh").as("sh_b")),
+      .join(withShingles.select(col("id"), col("sh1").as("sh_b")),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -22,13 +22,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash-LSH finds planted near-dups, exact jaccard verified, no false positives") {
-    val pairs = Dedup.minhashPairs(docs(), "doc_id", "text", numHashes = 16, bands = 8, tau = 0.5)
+    val pairs = Dedup.minhashPairs(docs(), "doc_id", "text", numHashes = 16, bands = 16, tau = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
     // exact dup pair must verify at jaccard 1.0
-    val j14 = Dedup.minhashPairs(docs(), "doc_id", "text", numHashes = 16, bands = 8, tau = 0.5)
+    val j14 = Dedup.minhashPairs(docs(), "doc_id", "text", numHashes = 16, bands = 16, tau = 0.5)
       .where(col("doc_a") === 1 && col("doc_b") === 4)
       .select("jaccard").as[Double].head()
     assert(j14 === 1.0)
