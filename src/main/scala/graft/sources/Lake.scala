@@ -30,4 +30,16 @@ object Lake {
   /** Partition-pruned read of one month — touches one directory only. */
   def readMonth(spark: SparkSession, path: String, y: Int, m: Int): DataFrame =
     spark.read.parquet(path).where(col("year") === y && col("month") === m)
+
+  /** Write a table bucketed on a join key. Two tables bucketed the same
+    * way join WITHOUT any exchange — at 100 TB that removes the
+    * dominant shuffle of fact-fact joins (orders ⋈ lineitem). Requires
+    * saveAsTable (bucketing metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }
