@@ -501,6 +501,135 @@ object Queries {
       |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
       |GROUP BY p_type""".stripMargin
 
+  // --------------------------------------- SQL interface + more windows
+
+  /** The reference's own SQL (unused_pipeline_sourcecode.py:37-99
+    * `table_demand_sql`) run VERBATIM (modulo table mapping) through
+    * spark.sql over a temp view — the engine speaks the reference's
+    * dialect directly. */
+  def sqlMaterialDemand(spark: SparkSession, dir: String): DataFrame = {
+    productDemand(spark, dir).createOrReplaceTempView("product_demand_v")
+    spark.sql(
+      """WITH raw_material AS (
+        |  SELECT shop_id, date,
+        |    CASE WHEN product_name = 'cheap' THEN CAST(demand AS DECIMAL(20,4)) * 20
+        |         WHEN product_name = 'medium' THEN CAST(demand AS DECIMAL(20,4)) * 10
+        |         ELSE 0 END AS local_arabica,
+        |    CASE WHEN product_name = 'cheap' THEN 0
+        |         WHEN product_name = 'medium' THEN CAST(demand AS DECIMAL(20,4)) * 10
+        |         ELSE CAST(demand AS DECIMAL(20,4)) * 10 END AS foreign_arabica,
+        |    CASE WHEN product_name = 'cheap' THEN 0
+        |         WHEN product_name = 'medium' THEN 0
+        |         ELSE CAST(demand AS DECIMAL(20,4)) * 10 END AS robusta
+        |  FROM product_demand_v)
+        |SELECT date, shop_id, material_name,
+        |  CAST(SUM(quantity) AS DOUBLE) AS quantity_g
+        |FROM (
+        |  SELECT shop_id, date, 'local_arabica' AS material_name, local_arabica AS quantity FROM raw_material
+        |  UNION ALL
+        |  SELECT shop_id, date, 'foreign_arabica', foreign_arabica FROM raw_material
+        |  UNION ALL
+        |  SELECT shop_id, date, 'robusta', robusta FROM raw_material) AS unpivoted
+        |GROUP BY date, shop_id, material_name
+        |ORDER BY date, shop_id, material_name""".stripMargin)
+  }
+
+  private val sqlMaterialDemandSql =
+    s"""WITH product_demand AS ($productDemandSql),
+       |raw_material AS (
+       |  SELECT shop_id, date,
+       |    CASE WHEN product_name = 'cheap' THEN CAST(demand AS DECIMAL(20,4)) * 20
+       |         WHEN product_name = 'medium' THEN CAST(demand AS DECIMAL(20,4)) * 10
+       |         ELSE 0 END AS local_arabica,
+       |    CASE WHEN product_name = 'cheap' THEN 0
+       |         WHEN product_name = 'medium' THEN CAST(demand AS DECIMAL(20,4)) * 10
+       |         ELSE CAST(demand AS DECIMAL(20,4)) * 10 END AS foreign_arabica,
+       |    CASE WHEN product_name = 'cheap' THEN 0
+       |         WHEN product_name = 'medium' THEN 0
+       |         ELSE CAST(demand AS DECIMAL(20,4)) * 10 END AS robusta
+       |  FROM product_demand)
+       |SELECT date, shop_id, material_name,
+       |  CAST(SUM(quantity) AS DOUBLE) AS quantity_g
+       |FROM (
+       |  SELECT shop_id, date, 'local_arabica' AS material_name, local_arabica AS quantity FROM raw_material
+       |  UNION ALL
+       |  SELECT shop_id, date, 'foreign_arabica', foreign_arabica FROM raw_material
+       |  UNION ALL
+       |  SELECT shop_id, date, 'robusta', robusta FROM raw_material) AS unpivoted
+       |GROUP BY date, shop_id, material_name""".stripMargin
+
+  /** Exact distinct-count aggregation. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+
+  private val distinctAggSql =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** HAVING-style post-aggregation filter (Q18 shape): big spenders. */
+  def havingBigSpenders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Relational.dsum(col("o_totalprice")).as("total_spend"),
+           count(lit(1)).as("n_orders"))
+      .where(col("total_spend") > 1000000.0)
+
+  private val havingBigSpendersSql =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spend,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey
+      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) > 1000000.0""".stripMargin
+
+  /** Running total per customer (ROWS frame, value-total ordering). */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("order_date"),
+              sum(col("o_totalprice").cast("decimal(25,6)")).over(w)
+                .cast("double").as("running_spend"))
+  }
+
+  private val runningTotalSql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin
+
+  /** Exact unigram-set jaccard over a bounded candidate set — the
+    * n-gram-Jaccard verifier (#26) standalone, oracle-checkable since
+    * word SETS (not hashes) are computable in both engines. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"),
+        array_distinct(split(TextFunctions.normalize(col("text")), " ")).as("toks"))
+    toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+          .as("jaccard"))
+  }
+
+  private val ngramJaccardSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id""".stripMargin
+
   // --------------------------------------------------- multimodal (#34)
 
   /** Typed decode+feature pipeline over binary media columns (stubbed
@@ -547,7 +676,12 @@ object Queries {
     "ann_lsh_topk"             -> (annLshTopk _),
     "multimodal_meta"          -> (multimodalMeta _),
     "events_json_extract"      -> (eventsJsonExtract _),
-    "promo_revenue"            -> (promoRevenue _)
+    "promo_revenue"            -> (promoRevenue _),
+    "sql_material_demand"      -> (sqlMaterialDemand _),
+    "distinct_agg"             -> (distinctAgg _),
+    "having_big_spenders"      -> (havingBigSpenders _),
+    "running_total"            -> (runningTotal _),
+    "dedup_ngram_jaccard"      -> (ngramJaccard _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -576,7 +710,12 @@ object Queries {
     "dedup_exact"              -> dedupExactSql,
     "ann_bruteforce_topk"      -> annBruteforceTopkSql,
     "events_json_extract"      -> eventsJsonExtractSql,
-    "promo_revenue"            -> promoRevenueSql
+    "promo_revenue"            -> promoRevenueSql,
+    "sql_material_demand"      -> sqlMaterialDemandSql,
+    "distinct_agg"             -> distinctAggSql,
+    "having_big_spenders"      -> havingBigSpendersSql,
+    "running_total"            -> runningTotalSql,
+    "dedup_ngram_jaccard"      -> ngramJaccardSql
     // minhash/simhash/embedding-cosine/lsh-ann are not SQL-expressible
     // → rows-only check; ScalaTest carries their oracles (DedupSpec)
   )
