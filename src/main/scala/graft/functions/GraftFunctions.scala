@@ -2,26 +2,48 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64}
 
 /** Registration of graft's native Catalyst expressions into a session's
-  * function registry, so they're usable from both the Column API
-  * (via [[dot]]) and SQL. Idempotent per session. */
+  * function registry, so they're usable from both the Column API and
+  * SQL. Idempotent per session. */
 object GraftFunctions {
 
   val DotName = "graft_dot"
+  val SimHashName = "graft_simhash"
+  val MinHashName = "graft_minhash"
+
+  private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    (DotName, classOf[DotProduct],
+      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    (SimHashName, classOf[SimHash64],
+      (c: Seq[Expression]) => SimHash64(c(0))),
+    (MinHashName, classOf[MinHashSignature],
+      (c: Seq[Expression]) => MinHashSignature(c(0), c(1),
+        c(2).asInstanceOf[Literal].value.asInstanceOf[Int])))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier(DotName)
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[DotProduct].getName, DotName),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    builders.foreach { case (name, cls, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!registry.functionExists(id)) {
+        registry.registerFunction(id, new ExpressionInfo(cls.getName, name), builder)
+      }
     }
+  }
+
+  /** 64-bit SimHash of an array<bigint> of token hashes (codegen'd). */
+  def simhash(tokenHashes: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(SimHashName, tokenHashes)
+  }
+
+  /** k-permutation MinHash signature from two hash arrays (codegen'd). */
+  def minhashSignature(h1: Column, h2: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(MinHashName, h1, h2, lit(k))
   }
 
   /** Codegen'd dot product. Registers on the active session if needed

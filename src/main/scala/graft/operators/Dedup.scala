@@ -55,17 +55,11 @@ object Dedup {
 
   /** k-permutation MinHash signature via double hashing: only TWO
     * string hashes per shingle; permutation j is h1 ^ rotl(h2, j) —
-    * pure bitwise mixing (ANSI-safe: h1 + j*h2 overflows under Spark's
-    * default ANSI arithmetic), k× fewer string hashes than hashing
-    * each shingle k times. `h1`/`h2` must be the pre-materialized hash
-    * arrays (see minhashPairs). */
+    * pure bitwise mixing, computed by the native codegen'd
+    * MinHashSignature expression in one fused pass. */
   def minhashSignatureFromHashes(h1: Column, h2: Column,
                                  numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      val rot = j % 63 + 1
-      array_min(zip_with(h1, h2, (a, b) =>
-        a.bitwiseXOR(shiftleft(b, rot).bitwiseOR(shiftrightunsigned(b, 64 - rot)))))
-    }: _*)
+    graft.functions.GraftFunctions.minhashSignature(h1, h2, numHashes)
 
   /** Band hashes for LSH: signature split into `bands` bands of `rows`
     * hashes; docs sharing any band hash become candidates. */
@@ -124,20 +118,16 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash over whitespace tokens. Token hashes are computed
-    * ONCE, then each bit's vote is an allocation-free integer aggregate
-    * (the naive per-token 64-array zip_with allocates two arrays per
-    * token and was the dominant cost at sf0.1). Bit set ⇔ more than
-    * half the tokens have that hash bit set. */
+  /** 64-bit SimHash over whitespace tokens: one xxhash64 per token,
+    * then the native codegen'd SimHash64 expression (single pass,
+    * 64-int vote table, no allocation). Bit set ⇔ more than half the
+    * tokens have that hash bit set. */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
-      .selectExpr("id", "transform(toks, t -> xxhash64(t)) AS hashes")
-      .selectExpr("id",
-        """aggregate(sequence(0, 63), 0L, (acc, i) ->
-          |  acc + if(2 * aggregate(hashes, 0,
-          |             (a, h) -> a + int(shiftright(h, i) & 1)) > size(hashes),
-          |           shiftleft(1L, i), 0L)) AS simhash""".stripMargin)
+        transform(split(TextFunctions.normalize(col(textCol)), " "),
+          t => xxhash64(t)).as("hashes"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.simhash(col("hashes")).as("simhash"))
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming. Pigeonhole
     * bucketing: 4 16-bit chunks — any pair within hamming 3 shares at

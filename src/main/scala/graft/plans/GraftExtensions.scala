@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
 import graft.functions.GraftFunctions
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions hook so cluster deploys get graft's native
   * expressions without code changes:
@@ -23,5 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, GraftFunctions.DotName),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHashName),
+      new ExpressionInfo(classOf[SimHash64].getName, GraftFunctions.SimHashName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MinHashName),
+      new ExpressionInfo(classOf[MinHashSignature].getName, GraftFunctions.MinHashName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSignature(children(0), children(1),
+          children(2).asInstanceOf[Literal].value.asInstanceOf[Int])))
   }
 }
