@@ -95,6 +95,13 @@ object Dedup {
           minhashSignatureFromHashes(col("sh1"), col("sh2"), numHashes),
           bands, rows))
           .as(Seq("band_idx", "band_hash")))
+    // distinct BEFORE verification: jaccard on ~70-element arrays costs
+    // ~µs per pair, so the 4×-duplicated raw band stream must be
+    // deduped first (the opposite trade from embeddingCosinePairs,
+    // whose codegen'd 64-dim dot is ~60ns and runs inline). The
+    // distinct shuffles only (id, id) longs; the shingle payloads then
+    // come from BROADCAST joins — the pair stream never shuffles with
+    // payload attached.
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -105,9 +112,9 @@ object Dedup {
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
     cands
-      .join(withShingles.select(col("id"), col("sh1").as("sh_a")),
+      .join(broadcast(withShingles.select(col("id"), col("sh1").as("sh_a"))),
             col("doc_a") === col("id")).drop("id")
-      .join(withShingles.select(col("id"), col("sh1").as("sh_b")),
+      .join(broadcast(withShingles.select(col("id"), col("sh1").as("sh_b"))),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -193,7 +200,7 @@ object Dedup {
                     bands: Int, rows: Int, dim: Int): DataFrame = {
     val mask = (1L << rows) - 1
     withBucket(embeddings, idCol, vecCol, bands * rows, dim)
-      .selectExpr("id",
+      .selectExpr("id", "bucket",
         s"""posexplode(transform(sequence(0, ${bands - 1}),
            |  j -> shiftright(bucket, j * $rows) & $mask))
            |AS (band_idx, band_val)""".stripMargin)
@@ -203,21 +210,33 @@ object Dedup {
     * exact cosine >= tau. Output: (id_a, id_b, cos). */
   def embeddingCosinePairs(embeddings: DataFrame, idCol: String,
                            vecCol: String, tau: Double = 0.4,
-                           bands: Int = 4, rows: Int = 5,
+                           bands: Int = 5, rows: Int = 6,
                            dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    // no distinct on the (possibly quadratic) raw candidate stream:
+    // 1. free prefilter — sign-bucket hamming rides along with the
+    //    banded rows (one long), and cos >= tau implies the expected
+    //    differing-bit fraction acos(tau)/pi, so pairs far above it
+    //    can't verify; threshold has 40% slack
+    // 2. broadcast the vector table, verify cosine inline with the
+    //    codegen'd dot while pipelined, distinct only the survivors
+    val m = bands * rows
+    val maxDiffBits = math.ceil(m * (math.acos(tau) / math.Pi) * 1.4).toInt
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-      .join(vecs.select(col("id"), col("vec").as("vec_a")), col("id_a") === col("id")).drop("id")
-      .join(vecs.select(col("id"), col("vec").as("vec_b")), col("id_b") === col("id")).drop("id")
+      .join(broadcast(vecs.select(col("id"), col("vec").as("vec_a"))),
+            col("id_a") === col("id")).drop("id")
+      .join(broadcast(vecs.select(col("id"), col("vec").as("vec_b"))),
+            col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= tau)
+      .distinct()
   }
 }
