@@ -630,6 +630,15 @@ object Queries {
       |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
       |FROM t a JOIN t b ON a.doc_id < b.doc_id""".stripMargin
 
+  /** Sketch aggregates (HLL distinct, quantile sketch) — approximate
+    * by design → rows-only check; SketchSpec bounds the error vs exact. */
+  def sketchStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"),
+           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+             .as("median_price"))
+
   // --------------------------------------------------- multimodal (#34)
 
   /** Typed decode+feature pipeline over binary media columns (stubbed
@@ -681,7 +690,8 @@ object Queries {
     "distinct_agg"             -> (distinctAgg _),
     "having_big_spenders"      -> (havingBigSpenders _),
     "running_total"            -> (runningTotal _),
-    "dedup_ngram_jaccard"      -> (ngramJaccard _)
+    "dedup_ngram_jaccard"      -> (ngramJaccard _),
+    "sketch_stats"             -> (sketchStats _)
   )
 
   def oracles: Map[String, String] = Map(

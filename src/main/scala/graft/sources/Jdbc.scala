@@ -42,8 +42,11 @@ object Jdbc {
   def readIncremental(spark: SparkSession, url: String, table: String,
                       dateCol: String, fromDate: String, toDate: String,
                       props: Map[String, String] = Map.empty): DataFrame = {
-    val q = s"(SELECT * FROM $table WHERE $dateCol >= '$fromDate' " +
-      s"AND $dateCol < '$toDate') AS __incr"
+    // ANSI-quoted column (Spark's JDBC writer creates case-sensitive
+    // quoted identifiers); plain alias — engines like Derby reject
+    // leading '_'
+    val q = s"""(SELECT * FROM $table WHERE "$dateCol" >= '$fromDate' """ +
+      s"""AND "$dateCol" < '$toDate') AS graft_incr"""
     val r = spark.read.format("jdbc")
       .option("url", url).option("dbtable", q).option("fetchsize", 10000)
     props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()

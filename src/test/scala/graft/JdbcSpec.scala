@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Jdbc
+
+/** Exercises the JDBC source/sink end-to-end against embedded Derby
+  * (ships with Spark) — same code path as Postgres, different URL. */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("write, parallel range-partitioned read, and incremental read round-trip") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+              to_date(col("o_orderdate")).as("o_orderdate"))
+    val n = orders.count()
+    Jdbc.write(orders, url, "orders_jdbc", props)
+
+    val maxKey = orders.agg(max("o_orderkey")).first().getLong(0)
+    val back = Jdbc.read(spark, url, "orders_jdbc", "o_orderkey",
+      0, maxKey + 1, numPartitions = 4, props)
+    assert(back.count() === n)
+    assert(back.rdd.getNumPartitions === 4)
+    // values survive the round trip exactly
+    val sumIn = orders.agg(sum(col("o_totalprice").cast("decimal(25,6)"))).first().getDecimal(0)
+    val sumOut = back.agg(sum(col("o_totalprice").cast("decimal(25,6)"))).first().getDecimal(0)
+    assert(sumIn === sumOut)
+
+    // incremental read: WHERE runs on the database side
+    val incr = Jdbc.readIncremental(spark, url, "orders_jdbc",
+      "o_orderdate", "1996-01-01", "1997-01-01", props)
+    val expected = orders.where(
+      col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01").count()
+    assert(incr.count() === expected)
+    assert(expected > 0)
+  }
+}
