@@ -463,6 +463,11 @@ object Queries {
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
   }
 
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10), emb, 5)
+  }
+
   // ---------------------------------------- JSON + LIKE-filter queries
 
   /** Semi-structured extraction: the events feed carries a JSON props
@@ -691,7 +696,8 @@ object Queries {
     "having_big_spenders"      -> (havingBigSpenders _),
     "running_total"            -> (runningTotal _),
     "dedup_ngram_jaccard"      -> (ngramJaccard _),
-    "sketch_stats"             -> (sketchStats _)
+    "sketch_stats"             -> (sketchStats _),
+    "ann_ivf_topk"             -> (annIvfTopk _)
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -55,6 +57,48 @@ object Similarity {
     cands
       .join(broadcast(qv), "query_id")
       .join(cv, "neighbor_id")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  /** IVF-style ANN: k-means learns `cells` centroids (on a sample —
+    * centroid quality doesn't need the full corpus), every corpus
+    * vector is assigned to its nearest cell once, and each query
+    * scores only the vectors in its own `nprobe` nearest cells.
+    * Search cost ≈ |corpus| * nprobe / cells per query. */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession,
+              queries: DataFrame, corpus: DataFrame, k: Int,
+              cells: Int = 16, nprobe: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = corpus.select(col("vec_id"),
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10)
+      .fit(vecs.sample(withReplacement = false, 1.0, seed = 42))
+    // one pass assigns corpus vectors to cells (a scan-side transform)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id").as("neighbor_id"), col("prediction").as("cell"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("cvec")), "neighbor_id")
+    // queries probe their nprobe nearest centroids (tiny, broadcast)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centroidDf = broadcast(
+      spark.createDataFrame(centroids).toDF("cell", "centroid"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probes = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .crossJoin(centroidDf)
+        .withColumn("centroid_cos", Dedup.cosine(col("qvec"), col("centroid")))
+        .withColumn("prk", row_number().over(probeW))
+        .where(col("prk") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("cell")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, "cell")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)

@@ -88,6 +88,15 @@ object EventsStream extends Serializable {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Streaming exact dedup on event_id: duplicates arriving within the
+    * watermark horizon are dropped, state self-expires with the
+    * watermark (bounded memory — a plain dropDuplicates would grow
+    * state forever on an unbounded stream). */
+  def dedupStream(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source stream over a parquet directory (the lake as a feed). */
   def fromParquetDir(spark: SparkSession, dir: String,
                      schemaFrom: DataFrame): DataFrame =

@@ -75,4 +75,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch,
       s"\nmissing(${missing.size}): ${missing.take(5)}\nextra(${extra.size}): ${extra.take(5)}")
   }
+
+  test("streaming dedup drops within-watermark duplicates with bounded state") {
+    val tmp = Files.createTempDirectory("stream-dedup").toString
+    val base = eventCols(Tables.events(spark, sfDir))
+    // every event twice → stream must emit each exactly once
+    base.union(base).write.parquet(s"$tmp/in")
+    val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+    val q = EventsStream.dedupStream(stream, "1 hour").writeStream
+      .format("memory").queryName("dedup_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_t").count()
+    assert(n === base.count())
+    assert(spark.table("dedup_t").select("event_id").distinct().count() === n)
+  }
 }
