@@ -635,6 +635,49 @@ object Queries {
       |    / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) AS jaccard
       |FROM t a JOIN t b ON a.doc_id < b.doc_id""".stripMargin
 
+  /** Pivot long→wide — the inverse of the reference's melt (README
+    * L229): material rows back to one column per material. */
+  def pivotMaterial(spark: SparkSession, dir: String): DataFrame =
+    pipelineMaterialDemand(spark, dir)
+      .groupBy(col("date"), col("shop_id"))
+      .pivot("raw_material",
+        Seq("local_arabica", "foreign_arabica", "robusta"))
+      .agg(first(col("demand_kg")))
+
+  private val pivotMaterialSql =
+    s"""WITH long AS ($pipelineMaterialDemandSql)
+       |SELECT date, shop_id,
+       |  MAX(CASE WHEN raw_material = 'local_arabica' THEN demand_kg END) AS local_arabica,
+       |  MAX(CASE WHEN raw_material = 'foreign_arabica' THEN demand_kg END) AS foreign_arabica,
+       |  MAX(CASE WHEN raw_material = 'robusta' THEN demand_kg END) AS robusta
+       |FROM long GROUP BY date, shop_id""".stripMargin
+
+  /** Set operations: suppliers in ASIA minus those with open orders —
+    * EXCEPT/INTERSECT surface. */
+  def setOpsSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val asian = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("s_suppkey"))
+    val withOpen = Tables.lineitem(spark, dir)
+      .where(col("l_linestatus") === "O")
+      .select(col("l_suppkey").as("s_suppkey")).distinct()
+    asian.exceptAll(asian.intersect(withOpen))
+  }
+
+  private val setOpsSuppliersSql =
+    """WITH asian AS (
+      |  SELECT s_suppkey FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |with_open AS (SELECT DISTINCT l_suppkey AS s_suppkey FROM lineitem
+      |  WHERE l_linestatus = 'O')
+      |SELECT s_suppkey FROM asian
+      |EXCEPT SELECT s_suppkey FROM (
+      |  SELECT s_suppkey FROM asian INTERSECT SELECT s_suppkey FROM with_open) t""".stripMargin
+
   /** Sketch aggregates (HLL distinct, quantile sketch) — approximate
     * by design → rows-only check; SketchSpec bounds the error vs exact. */
   def sketchStats(spark: SparkSession, dir: String): DataFrame =
@@ -697,7 +740,9 @@ object Queries {
     "running_total"            -> (runningTotal _),
     "dedup_ngram_jaccard"      -> (ngramJaccard _),
     "sketch_stats"             -> (sketchStats _),
-    "ann_ivf_topk"             -> (annIvfTopk _)
+    "ann_ivf_topk"             -> (annIvfTopk _),
+    "pivot_material"           -> (pivotMaterial _),
+    "setops_suppliers"         -> (setOpsSuppliers _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -731,8 +776,11 @@ object Queries {
     "distinct_agg"             -> distinctAggSql,
     "having_big_spenders"      -> havingBigSpendersSql,
     "running_total"            -> runningTotalSql,
-    "dedup_ngram_jaccard"      -> ngramJaccardSql
-    // minhash/simhash/embedding-cosine/lsh-ann are not SQL-expressible
-    // → rows-only check; ScalaTest carries their oracles (DedupSpec)
+    "dedup_ngram_jaccard"      -> ngramJaccardSql,
+    "pivot_material"           -> pivotMaterialSql,
+    "setops_suppliers"         -> setOpsSuppliersSql
+    // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
+    // are not SQL-expressible → rows-only check; ScalaTest carries
+    // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
   )
 }
