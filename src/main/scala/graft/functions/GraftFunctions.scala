@@ -54,9 +54,13 @@ object GraftFunctions {
     call_function(DotName, a, b)
   }
 
-  /** Cosine similarity on top of the native dot product. */
+  /** Cosine similarity on top of the native dot product. NULL for
+    * zero-norm vectors — under ANSI mode (Spark 4 default) a plain
+    * division would kill the whole job with DIVIDE_BY_ZERO on the
+    * first degenerate vector. */
   def cosine(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import org.apache.spark.sql.functions.{nullif, lit, sqrt}
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    dot(a, b) / nullif(denom, lit(0.0))
   }
 }

@@ -68,6 +68,16 @@ object Cdc {
         }: _*)
   }
 
+  /** Query-based CDC (reference `images/CDC_query_based.png` +
+    * `unused_postgres_hooks_V02.py`): the change feed is whatever rows
+    * moved past the checkpoint — poll with `changes.where(ts > ckpt)`,
+    * apply, advance the checkpoint to the new max. Pure pushed-down
+    * filter; at 100 TB the source is partition-pruned on the ts
+    * column. */
+  def changesSince(changes: DataFrame, tsCol: String,
+                   checkpoint: java.sql.Timestamp): DataFrame =
+    changes.where(col(tsCol) > lit(checkpoint))
+
   /** INSERT … ON CONFLICT DO UPDATE: every update lands; non-conflicting
     * target rows survive. `updates` must have the target's schema and at
     * most one row per key. */
