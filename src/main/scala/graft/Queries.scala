@@ -223,6 +223,35 @@ object Queries {
        |  CASE WHEN u.order_key IS NOT NULL THEN u.status ELSE t.status END AS status
        |FROM target t FULL JOIN updates u ON t.order_key = u.order_key""".stripMargin
 
+  // ------------------------------------------------------------- SCD2
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("order_key"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderdate").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"),
+      lit(true).as("is_current"))
+    val updates = cdcLatestPerKey(spark, dir).where(col("op") === "U").select(
+      col("order_key"), col("new_price").as("total_price"),
+      col("last_updated").as("changed_at"))
+    Cdc.scd2Apply(target, updates, "order_key")
+  }
+
+  private val scd2DimensionSql =
+    s"""WITH $latestSql,
+       |updates AS (SELECT order_key, new_price AS total_price,
+       |  last_updated AS changed_at FROM latest WHERE op = 'U'),
+       |target AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price,
+       |  o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+       |  TRUE AS is_current FROM orders),
+       |closed AS (SELECT t.order_key, t.total_price, t.valid_from,
+       |  CASE WHEN u.order_key IS NOT NULL THEN u.changed_at ELSE t.valid_to END AS valid_to,
+       |  u.order_key IS NULL AS is_current
+       |  FROM target t LEFT JOIN updates u ON t.order_key = u.order_key),
+       |fresh AS (SELECT order_key, total_price, changed_at AS valid_from,
+       |  CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current FROM updates)
+       |SELECT * FROM closed UNION ALL SELECT * FROM fresh""".stripMargin
+
   // ---------------------------------------------------------------- #8
   /** Year/month lake-layout summary (the write itself is spec-tested in
     * SourcesSpec — queries must stay read-only for Verify). */
@@ -742,7 +771,11 @@ object Queries {
     "sketch_stats"             -> (sketchStats _),
     "ann_ivf_topk"             -> (annIvfTopk _),
     "pivot_material"           -> (pivotMaterial _),
-    "setops_suppliers"         -> (setOpsSuppliers _)
+    "setops_suppliers"         -> (setOpsSuppliers _),
+    "scd2_dimension"           -> (scd2Dimension _),
+    "multimodal_frames"        -> ((s: SparkSession, d: String) =>
+      Multimodal.frameSample(
+        Multimodal.attachBlob(Tables.documents(s, d)), 4, 2))
   )
 
   def oracles: Map[String, String] = Map(
@@ -778,7 +811,8 @@ object Queries {
     "running_total"            -> runningTotalSql,
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
     "pivot_material"           -> pivotMaterialSql,
-    "setops_suppliers"         -> setOpsSuppliersSql
+    "setops_suppliers"         -> setOpsSuppliersSql,
+    "scd2_dimension"           -> scd2DimensionSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)

@@ -78,6 +78,40 @@ object Cdc {
                    checkpoint: java.sql.Timestamp): DataFrame =
     changes.where(col(tsCol) > lit(checkpoint))
 
+  /** SCD Type 2: apply a batch of changes to a versioned dimension.
+    * `target` rows carry (key, payload…, valid_from, valid_to,
+    * is_current); `latestChanges` carry (key, payload…, changed_at),
+    * one row per key. Current rows with an incoming change close
+    * (valid_to = changed_at, is_current = false) and the change
+    * appends as the new current version; unknown keys insert.
+    *
+    * One shuffle (the join on key); history rows pass through
+    * untouched — at warehouse scale, partition the dimension on
+    * is_current so the join only reads the current slice. */
+  def scd2Apply(target: DataFrame, latestChanges: DataFrame, key: String,
+                changedAt: String = "changed_at"): DataFrame = {
+    val payload = target.columns
+      .filterNot(Set(key, "valid_from", "valid_to", "is_current")).toSeq
+    val current = target.where(col("is_current"))
+    val history = target.where(!col("is_current"))
+    val c = latestChanges.alias("c")
+    val closed = current.alias("t")
+      .join(c, col(s"t.$key") === col(s"c.$key"), "left")
+      .select(
+        Seq(col(s"t.$key").as(key)) ++
+          payload.map(p => col(s"t.$p").as(p)) ++ Seq(
+          col("t.valid_from").as("valid_from"),
+          when(col(s"c.$key").isNotNull, col(s"c.$changedAt"))
+            .otherwise(col("t.valid_to")).as("valid_to"),
+          col(s"c.$key").isNull.as("is_current")): _*)
+    val fresh = latestChanges.select(
+      Seq(col(key)) ++ payload.map(col) ++ Seq(
+        col(changedAt).as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    history.unionByName(closed).unionByName(fresh)
+  }
+
   /** INSERT … ON CONFLICT DO UPDATE: every update lands; non-conflicting
     * target rows survive. `updates` must have the target's schema and at
     * most one row per key. */

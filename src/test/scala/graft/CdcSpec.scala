@@ -41,6 +41,34 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((1L, 99.0, "NEW"), (3L, 30.0, "F"), (4L, 44.0, "NEW")))
   }
 
+  test("scd2: closes current versions, appends new ones, keeps history") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val target = Seq(
+      // key 1: one historical + one current version
+      (1L, 10.0, ts("2024-01-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), false),
+      (1L, 11.0, ts("2024-02-01 00:00:00"), None, true),
+      // key 2: current only, no incoming change
+      (2L, 20.0, ts("2024-01-15 00:00:00"), None, true)
+    ).toDF("order_key", "total_price", "valid_from", "valid_to", "is_current")
+    val changes = Seq(
+      (1L, 12.0, ts("2024-03-01 00:00:00")),  // update key 1
+      (9L, 90.0, ts("2024-03-02 00:00:00"))   // brand-new key
+    ).toDF("order_key", "total_price", "changed_at")
+
+    val out = Cdc.scd2Apply(target, changes, "order_key")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1L, 10.0, Some("2024-01-01 00:00:00.0" ).map(_ => "2024-02-01 00:00:00.0"), false), // history untouched
+      (1L, 11.0, Some("2024-03-01 00:00:00.0"), false),  // closed at change time
+      (1L, 12.0, None, true),                            // new current
+      (2L, 20.0, None, true),                            // unchanged current
+      (9L, 90.0, None, true)                             // fresh insert
+    ))
+  }
+
   test("upsert: conflicts update, non-conflicts insert, rest survive") {
     import spark.implicits._
     val updates = Seq((2L, 222.0, "UPD"), (9L, 999.0, "UPD"))
