@@ -707,6 +707,45 @@ object Queries {
       |EXCEPT SELECT s_suppkey FROM (
       |  SELECT s_suppkey FROM asian INTERSECT SELECT s_suppkey FROM with_open) t""".stripMargin
 
+  /** Time-RANGE window frame: 7-day trailing revenue per customer —
+    * the frame is bounded by event-time distance, not row count. */
+  def rolling7dRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val days = 7 * 86400L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-days, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("order_date"),
+              sum(col("o_totalprice").cast("decimal(25,6)")).over(w)
+                .cast("double").as("trailing_7d_spend"))
+  }
+
+  private val rolling7dRevenueSql =
+    """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_7d_spend
+      |FROM orders""".stripMargin
+
+  /** Schema'd JSON parsing (from_json → struct), not just string-path
+    * extraction. */
+  def eventsJsonStruct(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+              from_json(col("props"), schema).getField("k").as("k"))
+      .where(col("k") > 50)
+  }
+
+  private val eventsJsonStructSql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""".stripMargin
+
   /** Sketch aggregates (HLL distinct, quantile sketch) — approximate
     * by design → rows-only check; SketchSpec bounds the error vs exact. */
   def sketchStats(spark: SparkSession, dir: String): DataFrame =
@@ -773,6 +812,8 @@ object Queries {
     "pivot_material"           -> (pivotMaterial _),
     "setops_suppliers"         -> (setOpsSuppliers _),
     "scd2_dimension"           -> (scd2Dimension _),
+    "rolling_7d_revenue"       -> (rolling7dRevenue _),
+    "events_json_struct"       -> (eventsJsonStruct _),
     "multimodal_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(
         Multimodal.attachBlob(Tables.documents(s, d)), 4, 2))
@@ -812,7 +853,9 @@ object Queries {
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
     "pivot_material"           -> pivotMaterialSql,
     "setops_suppliers"         -> setOpsSuppliersSql,
-    "scd2_dimension"           -> scd2DimensionSql
+    "scd2_dimension"           -> scd2DimensionSql,
+    "rolling_7d_revenue"       -> rolling7dRevenueSql,
+    "events_json_struct"       -> eventsJsonStructSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
