@@ -21,8 +21,22 @@ object GraftFunctions {
     (SimHashName, classOf[SimHash64],
       (c: Seq[Expression]) => SimHash64(c(0))),
     (MinHashName, classOf[MinHashSignature],
-      (c: Seq[Expression]) => MinHashSignature(c(0), c(1),
-        c(2).asInstanceOf[Literal].value.asInstanceOf[Int])))
+      (c: Seq[Expression]) => MinHashSignature(c(0), c(1), evalK(c(2)))))
+
+  /** The k argument must be a foldable int — accept INT/BIGINT
+    * literals and constant expressions, reject the rest with a clear
+    * message (a blind Literal cast threw ClassCastException on
+    * `graft_minhash(a, b, 16L)`). */
+  private def evalK(e: Expression): Int = {
+    require(e.foldable, s"$MinHashName: k must be a constant, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$MinHashName: k must be an integer constant, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -41,10 +41,16 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  // mismatched dimensions → NULL, never a silently-truncated partial
+  // dot: a 32-dim vector against a 64-dim one would otherwise produce
+  // a plausible wrong similarity that passes tau filters
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
@@ -65,12 +71,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -16,6 +16,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSignature(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
+  // rotations repeat at 63, so permutations j and j+63 would be
+  // identical — silently capping the signature's independence
+  require(k >= 1 && k <= 63,
+    s"graft_minhash supports 1 <= k <= 63 independent permutations, got $k")
+
   override def nullIntolerant: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

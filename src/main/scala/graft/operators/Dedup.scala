@@ -215,13 +215,16 @@ object Dedup {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // no distinct on the (possibly quadratic) raw candidate stream:
     // 1. free prefilter — sign-bucket hamming rides along with the
-    //    banded rows (one long), and cos >= tau implies the expected
-    //    differing-bit fraction acos(tau)/pi, so pairs far above it
-    //    can't verify; threshold has 40% slack
+    //    banded rows (one long). cos >= tau pairs flip each bit with
+    //    p = acos(tau)/pi, so diff-bits ~ Binomial(m, p); cut at
+    //    mean + 4σ — a statistical bound (≈3e-5 miss rate), not the
+    //    bare expectation, which would shave ~4% of true pairs
     // 2. broadcast the vector table, verify cosine inline with the
     //    codegen'd dot while pipelined, distinct only the survivors
     val m = bands * rows
-    val maxDiffBits = math.ceil(m * (math.acos(tau) / math.Pi) * 1.4).toInt
+    val p = math.acos(tau) / math.Pi
+    val maxDiffBits =
+      math.ceil(m * p + 4.0 * math.sqrt(m * p * (1 - p))).toInt
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
     banded.as("a")

@@ -77,8 +77,14 @@ object Multimodal {
   def frameSample(blobs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     blobs.where(col("media_type") === "video")
       .select(col("doc_id"),
+        // guard short blobs: sequence(0, -1) is Spark's DESCENDING
+        // [0, -1], which would emit a partial frame 0 plus a wrapped
+        // frame -1 — blobs under one frame must yield zero rows
         posexplode(expr(
-          s"""filter(transform(sequence(0, int(length(bytes) / $frameBytes) - 1),
+          s"""filter(transform(
+             |  if(length(bytes) >= $frameBytes,
+             |     sequence(0, int(length(bytes) / $frameBytes) - 1),
+             |     array()),
              |  i -> named_struct('idx', i,
              |                    'frame', substring(bytes, i * $frameBytes + 1, $frameBytes))),
              |  f -> f.idx % $stride = 0)""".stripMargin)).as(Seq("pos", "f")))

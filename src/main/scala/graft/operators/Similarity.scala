@@ -74,19 +74,25 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val vecs = corpus.select(col("vec_id"),
       array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10)
-      .fit(vecs.sample(withReplacement = false, 1.0, seed = 42))
-    // one pass assigns corpus vectors to cells (a scan-side transform)
-    val assigned = model.transform(vecs)
-      .select(col("vec_id").as("neighbor_id"), col("prediction").as("cell"))
-      .join(corpus.select(col("vec_id").as("neighbor_id"),
-                          col("embedding").as("cvec")), "neighbor_id")
-    // queries probe their nprobe nearest centroids (tiny, broadcast)
+    // k-means only LEARNS the centroids; both corpus assignment and
+    // query probing rank by COSINE against them — mixing Euclidean
+    // assignment (model.transform) with cosine probing opens a
+    // systematic recall hole for unnormalized vectors
+    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(vecs)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
     val centroidDf = broadcast(
       spark.createDataFrame(centroids).toDF("cell", "centroid"))
+    val assignW = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("assign_cos").desc, col("cell"))
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+      .crossJoin(centroidDf)
+      .withColumn("assign_cos", Dedup.cosine(col("cvec"), col("centroid")))
+      .withColumn("ark", row_number().over(assignW))
+      .where(col("ark") === 1)
+      .select(col("neighbor_id"), col("cvec"), col("cell"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centroid_cos").desc, col("cell"))
     val probes = broadcast(

@@ -39,14 +39,22 @@ object Jdbc {
 
   /** Incremental extract: remote-side WHERE (the reference's
     * `date >= ds AND date < next_ds` runs in Postgres, not in Spark). */
+  private val Identifier = "^[A-Za-z][A-Za-z0-9_.]*$".r
+
   def readIncremental(spark: SparkSession, url: String, table: String,
                       dateCol: String, fromDate: String, toDate: String,
                       props: Map[String, String] = Map.empty): DataFrame = {
+    // the pieces are interpolated into remote SQL — validate
+    // identifiers and escape quotes so caller-forwarded values can't
+    // rewrite the pushed-down WHERE clause (SQL injection) or break it
+    require(Identifier.matches(table), s"invalid table identifier: $table")
+    require(Identifier.matches(dateCol), s"invalid column identifier: $dateCol")
+    def esc(s: String) = s.replace("'", "''")
     // ANSI-quoted column (Spark's JDBC writer creates case-sensitive
     // quoted identifiers); plain alias — engines like Derby reject
     // leading '_'
-    val q = s"""(SELECT * FROM $table WHERE "$dateCol" >= '$fromDate' """ +
-      s"""AND "$dateCol" < '$toDate') AS graft_incr"""
+    val q = s"""(SELECT * FROM $table WHERE "$dateCol" >= '${esc(fromDate)}' """ +
+      s"""AND "$dateCol" < '${esc(toDate)}') AS graft_incr"""
     val r = spark.read.format("jdbc")
       .option("url", url).option("dbtable", q).option("fetchsize", 10000)
     props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()

@@ -43,42 +43,41 @@ object EventsStream extends Serializable {
       .select(col("window.start").as("bucket"), col("event_type"),
               col("n_events"), col("value_sum"))
 
-  /** Gap sessionization with keyed state: a session closes when a
-    * later event for the same user arrives more than `gapMinutes`
-    * after it, or when the event-time timeout fires. Emits only CLOSED
-    * sessions (append semantics). */
+  /** Gap sessionization with keyed state. State holds ALL open
+    * sessions inside the watermark horizon (not just the latest one):
+    * out-of-order events within the watermark merge correctly — an
+    * event EARLIER than an open session's start can lower the start or
+    * split off its own session, exactly like the batch twin. A session
+    * emits (append semantics) only once the watermark passes its
+    * end + gap, so no later in-watermark event can still extend it. */
   def sessionize(spark: SparkSession, events: DataFrame,
                  gapMinutes: Int): Dataset[Session] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
 
     def fn(userId: Long, it: Iterator[Event],
-           state: GroupState[OpenSession]): Iterator[Session] = {
-      if (state.hasTimedOut) {
-        val s = state.get
-        state.remove()
-        return Iterator(Session(userId, instant(s.start), instant(s.end), s.n))
-      }
-      val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-      var open = state.getOption
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
-        val t = micros(e.ts)
-        open match {
-          case Some(s) if t > s.end + gapUs =>
-            closed += Session(userId, instant(s.start), instant(s.end), s.n)
-            open = Some(OpenSession(t, t, 1))
-          case Some(s) =>
-            open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1))
-          case None =>
-            open = Some(OpenSession(t, t, 1))
+           state: GroupState[List[OpenSession]]): Iterator[Session] = {
+      val incoming = it.toSeq.map(e => OpenSession(micros(e.ts), micros(e.ts), 1))
+      val all = (state.getOption.getOrElse(Nil) ++ incoming)
+        .sortBy(s => (s.start, s.end))
+      // merge chain: neighbors within gap collapse
+      val merged = all.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case head :: tail if s.start <= head.end + gapUs =>
+            OpenSession(head.start, math.max(head.end, s.end), head.n + s.n) :: tail
+          case _ => s :: acc
         }
+      }.reverse
+      val watermarkUs = state.getCurrentWatermarkMs() * 1000L
+      val (done, open) = merged.partition(s => s.end + gapUs < watermarkUs)
+      if (open.nonEmpty) {
+        state.update(open)
+        state.setTimeoutTimestamp((open.map(_.end).min + gapUs) / 1000L + 1)
+      } else {
+        state.remove()
       }
-      open.foreach { s =>
-        state.update(s)
-        state.setTimeoutTimestamp((s.end + gapUs) / 1000L) // timeout is ms-grain
-      }
-      closed.result().iterator
+      done.iterator.map(s =>
+        Session(userId, instant(s.start), instant(s.end), s.n))
     }
 
     events.withWatermark("ts", "30 minutes")
