@@ -707,6 +707,64 @@ object Queries {
       |EXCEPT SELECT s_suppkey FROM (
       |  SELECT s_suppkey FROM asian INTERSECT SELECT s_suppkey FROM with_open) t""".stripMargin
 
+  /** TPC-H Q7-style: trade volume between two nations by year — two
+    * independent dim paths (supplier→nation, customer→nation) onto the
+    * same fact rows, both broadcast. */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+               year(col("l_shipdate")).as("ship_year"))
+      .agg(Relational.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+             .as("volume"))
+  }
+
+  private val q7NationTradeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS ship_year,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
+
+  /** Customers spending above twice their priority group's average —
+    * window aggregate compared against row values (correlated-agg
+    * shape without a self-join). */
+  def aboveGroupAvg(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(Relational.dsum(col("o_totalprice")).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+    spend
+      .withColumn("grp_avg", avg(col("spend")).over(w))
+      .where(col("spend") > col("grp_avg") * 2)
+      .select(col("o_custkey"), col("o_orderpriority"), col("spend"))
+  }
+
+  private val aboveGroupAvgSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey, o_orderpriority)
+      |SELECT o_custkey, o_orderpriority, spend FROM (
+      |  SELECT *, avg(spend) OVER (PARTITION BY o_orderpriority) AS grp_avg
+      |  FROM spend) t
+      |WHERE spend > grp_avg * 2""".stripMargin
+
   /** Time-RANGE window frame: 7-day trailing revenue per customer —
     * the frame is bounded by event-time distance, not row count. */
   def rolling7dRevenue(spark: SparkSession, dir: String): DataFrame = {
@@ -814,6 +872,8 @@ object Queries {
     "scd2_dimension"           -> (scd2Dimension _),
     "rolling_7d_revenue"       -> (rolling7dRevenue _),
     "events_json_struct"       -> (eventsJsonStruct _),
+    "q7_nation_trade"          -> (q7NationTrade _),
+    "above_group_avg"          -> (aboveGroupAvg _),
     "multimodal_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(
         Multimodal.attachBlob(Tables.documents(s, d)), 4, 2))
@@ -855,7 +915,9 @@ object Queries {
     "setops_suppliers"         -> setOpsSuppliersSql,
     "scd2_dimension"           -> scd2DimensionSql,
     "rolling_7d_revenue"       -> rolling7dRevenueSql,
-    "events_json_struct"       -> eventsJsonStructSql
+    "events_json_struct"       -> eventsJsonStructSql,
+    "q7_nation_trade"          -> q7NationTradeSql,
+    "above_group_avg"          -> aboveGroupAvgSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
