@@ -29,14 +29,16 @@ object Bench {
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case t: Throwable =>
+                 System.err.println(s"BENCH FAIL $name: $t"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // operator-internal caches, see Verify
-      name -> dt
+      name -> (if (ok) dt else -1.0) // -1 marks a failed query in the JSON
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

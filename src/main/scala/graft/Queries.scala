@@ -383,8 +383,8 @@ object Queries {
       |        OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |             + INTERVAL 30 MINUTE
       |       THEN 1 ELSE 0 END AS is_new FROM e),
-      |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |        ROWS UNBOUNDED PRECEDING) AS session_no FROM g)
+      |s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g)
       |SELECT user_id, session_no, COUNT(*) AS n_events,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM s GROUP BY user_id, session_no""".stripMargin
@@ -512,7 +512,7 @@ object Queries {
 
   private val eventsJsonExtractSql =
     """SELECT event_type, COUNT(*) AS n_events,
-      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
 
@@ -745,12 +745,18 @@ object Queries {
     * window aggregate compared against row values (correlated-agg
     * shape without a self-join). */
   def aboveGroupAvg(spark: SparkSession, dir: String): DataFrame = {
+    // Keep the per-customer sum DECIMAL through the window so the group
+    // average is order-independent (a double window-avg can differ from
+    // DuckDB by 1 ULP and flip rows near the spend > 2*avg boundary);
+    // the single double division at the end is IEEE-deterministic.
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"), col("o_orderpriority"))
-      .agg(Relational.dsum(col("o_totalprice")).as("spend"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("sdec"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
     spend
-      .withColumn("grp_avg", avg(col("spend")).over(w))
+      .withColumn("grp_avg",
+        sum(col("sdec")).over(w).cast("double") / count(lit(1)).over(w))
+      .withColumn("spend", col("sdec").cast("double"))
       .where(col("spend") > col("grp_avg") * 2)
       .select(col("o_custkey"), col("o_orderpriority"), col("spend"))
   }
@@ -758,12 +764,13 @@ object Queries {
   private val aboveGroupAvgSql =
     """WITH spend AS (
       |  SELECT o_custkey, o_orderpriority,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS sdec
       |  FROM orders GROUP BY o_custkey, o_orderpriority)
-      |SELECT o_custkey, o_orderpriority, spend FROM (
-      |  SELECT *, avg(spend) OVER (PARTITION BY o_orderpriority) AS grp_avg
+      |SELECT o_custkey, o_orderpriority, CAST(sdec AS DOUBLE) AS spend FROM (
+      |  SELECT *, CAST(SUM(sdec) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+      |            / COUNT(*) OVER (PARTITION BY o_orderpriority) AS grp_avg
       |  FROM spend) t
-      |WHERE spend > grp_avg * 2""".stripMargin
+      |WHERE CAST(sdec AS DOUBLE) > grp_avg * 2""".stripMargin
 
   /** Time-RANGE window frame: 7-day trailing revenue per customer —
     * the frame is bounded by event-time distance, not row count. */

@@ -27,7 +27,7 @@ object GraftFunctions {
     * literals and constant expressions, reject the rest with a clear
     * message (a blind Literal cast threw ClassCastException on
     * `graft_minhash(a, b, 16L)`). */
-  private def evalK(e: Expression): Int = {
+  private[graft] def evalK(e: Expression): Int = {
     require(e.foldable, s"$MinHashName: k must be a constant, got $e")
     e.eval() match {
       case i: Int => i

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.GraftFunctions
 import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64}
 
@@ -33,6 +33,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, GraftFunctions.MinHashName),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSignature(children(0), children(1),
-          children(2).asInstanceOf[Literal].value.asInstanceOf[Int])))
+          GraftFunctions.evalK(children(2)))))
   }
 }

@@ -80,7 +80,10 @@ object EventsStream extends Serializable {
         Session(userId, instant(s.start), instant(s.end), s.n))
     }
 
-    events.withWatermark("ts", "30 minutes")
+    // Lateness tolerance must cover the session gap: with a watermark
+    // shorter than the gap, an out-of-order event still inside the gap
+    // would be dropped and break parity with the batch twin.
+    events.withWatermark("ts", s"${math.max(gapMinutes, 30)} minutes")
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -49,7 +49,15 @@ def main(sf_dir, out_dir):
         bad = []
         for c in o.columns:
             ov, sv = o[c].values, s[c].values
-            if np.issubdtype(o[c].dtype, np.floating) or np.issubdtype(s[c].dtype, np.floating):
+            # Driver hashes native values: an int column vs a float column
+            # (e.g. DuckDB HUGEINT from SUM(BIGINT) -> pandas float64)
+            # hash-mismatches even when values are numerically equal.
+            o_f = np.issubdtype(o[c].dtype, np.floating)
+            s_f = np.issubdtype(s[c].dtype, np.floating)
+            if o_f != s_f:
+                bad.append(f"{c}: int/float dtype split oracle={o[c].dtype} spark={s[c].dtype}")
+                continue
+            if o_f or s_f:
                 ov = ov.astype(np.float64); sv = sv.astype(np.float64)
                 neq = ~((ov == sv) | (pd.isna(ov) & pd.isna(sv)))
                 if neq.any():
