@@ -833,6 +833,307 @@ object Queries {
     meta.join(feats, "doc_id")
   }
 
+  // ------------------------------- temporal joins (as-of / range)
+
+  /** As-of join: attribute each purchase event to the same user's most
+    * recent click at-or-before it (union-sort-window — one shuffle, no
+    * explosion; see Temporal.asofJoin). Right side pre-deduped per
+    * (user, ts) so the carried payload is deterministic. */
+  def asofClicks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    Temporal.asofJoin(purchases, clicks, "user_id", "purchase_ts", "click_ts")
+  }
+
+  private val asofClicksSql =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |             MAX(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts""".stripMargin
+
+  /** Range join: orders bucketed into 50k price bands via the binned
+    * equi-join (no BroadcastNestedLoopJoin — survives interval tables
+    * too big to broadcast). */
+  def rangeJoinBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(0, 10).select(
+      col("id").cast("int").as("band_id"),
+      (col("id") * lit(50000.0)).as("lo"),
+      ((col("id") + 1) * lit(50000.0)).as("hi"))
+    Temporal.binnedRangeJoin(Tables.orders(spark, dir), "o_totalprice",
+                             bands, "lo", "hi", 50000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+           Relational.dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  private val rangeJoinBandsSql =
+    """SELECT band_id, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN (SELECT CAST(range AS INT) AS band_id, range*50000.0 AS lo,
+      |             (range+1)*50000.0 AS hi FROM range(0,10)) b
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band_id""".stripMargin
+
+  // ----------------------------------- window-function extensions
+
+  /** ntile / percent_rank / cume_dist over per-priority spend ranking.
+    * Ordering is value-total (spend, custkey) so rank stats are
+    * deterministic; both rank ratios are single double divisions. */
+  def windowRankStats(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(Relational.dsum(col("o_totalprice")).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("spend"), col("o_custkey"))
+    spend.select(col("o_custkey"), col("o_orderpriority"), col("spend"),
+      ntile(10).over(w).as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  private val windowRankStatsSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey, o_orderpriority)
+      |SELECT o_custkey, o_orderpriority, spend,
+      |  CAST(ntile(10) OVER w AS INT) AS decile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM spend
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY spend, o_custkey)""".stripMargin
+
+  /** lead/lag: per-customer days since the previous order and the next
+    * order's key — one shuffle, both offsets over the same sort. */
+  def orderGapDays(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("order_date"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("order_date"))
+      .withColumn("gap_days", datediff(col("order_date"),
+                                       lag(col("order_date"), 1).over(w)))
+      .withColumn("next_orderkey", lead(col("o_orderkey"), 1).over(w))
+  }
+
+  private val orderGapDaysSql =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |             CAST(o_orderdate AS DATE) AS order_date FROM orders)
+      |SELECT o_custkey, o_orderkey, order_date,
+      |  CAST(datediff('day', lag(order_date) OVER w, order_date) AS INT) AS gap_days,
+      |  lead(o_orderkey) OVER w AS next_orderkey
+      |FROM o
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)""".stripMargin
+
+  /** CUBE aggregate — all four grouping combinations of (year,
+    * priority) in one pass (partial aggs; mirrors rollup_volume). */
+  def cubeVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"),
+              col("o_orderpriority").as("prio"), col("o_totalprice"))
+      .cube(col("y"), col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+           Relational.dsum(col("o_totalprice")).as("total_price"),
+           grouping(col("y")).as("gy"), grouping(col("prio")).as("gp"))
+      .select(
+        when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("order_year"),
+        when(col("gp") === 1, "ALL").otherwise(col("prio")).as("priority"),
+        col("n_orders"), col("total_price"))
+
+  private val cubeVolumeSql =
+    """SELECT
+      |  CAST(CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS INT) AS order_year,
+      |  CASE WHEN GROUPING(prio) = 1 THEN 'ALL' ELSE prio END AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM (SELECT year(o_orderdate) AS y, o_orderpriority AS prio, o_totalprice
+      |      FROM orders) t
+      |GROUP BY CUBE(y, prio)""".stripMargin
+
+  /** Exact median via the middle-rows window formulation — unlike
+    * interpolated percentile built-ins (whose lerp formula differs
+    * between engines), averaging the ≤2 middle rows through DECIMAL is
+    * bit-deterministic. One shuffle; the scalable exact-median shape. */
+  def medianPrice(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("(n + 2) DIV 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(col("o_totalprice").cast("decimal(25,6)")).cast("double")
+              / count(lit(1))).as("median_price"))
+  }
+
+  private val medianPriceSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      |    AS median_price
+      |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // --------------------- training-data ops: split / redact / vocab
+
+  /** Deterministic train/val/test split by md5 bucket — stable across
+    * runs, partitionings, and engines (rand()/sample() are neither). */
+  def splitTrainTest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Sampling.bucket16(col("doc_id")).as("bucket"),
+      Sampling.splitLabel(col("doc_id")).as("split"))
+
+  private val splitTrainTestSql =
+    """SELECT doc_id,
+      |  CAST(strpos('0123456789abcdef',
+      |       substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS INT) AS bucket,
+      |  CASE WHEN strpos('0123456789abcdef',
+      |              substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 12 THEN 'train'
+      |       WHEN strpos('0123456789abcdef',
+      |              substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 < 14 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** PII redaction: detect + mask emails/phone numbers (deterministic
+    * synthetic PII appended so the masking provably fires; the docs
+    * corpus itself is PII-free word soup). Pure per-row regex — no
+    * shuffle, codegen'd. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val phoneRe = "\\+[0-9][0-9-]+"
+    Tables.documents(spark, dir)
+      .withColumn("synth",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+               lit("@mail.example.com or +1-555-0"), col("doc_id").cast("string")))
+      .select(
+        col("doc_id"),
+        regexp_count(col("synth"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("synth"), lit(phoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("synth"), emailRe, "<EMAIL>"),
+                           phoneRe, "<PHONE>")).as("red_md5"))
+  }
+
+  private val piiRedactSql =
+    """WITH s AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |       || '@mail.example.com or +1-555-0' || CAST(doc_id AS VARCHAR) AS synth
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(synth, '\+[0-9][0-9-]+')) AS INT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(synth,
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+      |        '\+[0-9][0-9-]+', '<PHONE>', 'g')) AS red_md5
+      |FROM s""".stripMargin
+
+  /** Corpus vocabulary: top-20 words by frequency (explode → count →
+    * global top-k; the word-count groupBy is partial-aggregated so the
+    * exploded stream never shuffles raw tokens). */
+  def vocabTopWords(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
+  }
+
+  private val vocabTopWordsSql =
+    """WITH c AS (
+      |  SELECT word, COUNT(*) AS n_occurrences
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  GROUP BY word)
+      |SELECT word, n_occurrences,
+      |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, word) AS INT) AS rk
+      |FROM c QUALIFY rk <= 20""".stripMargin
+
+  /** TF-IDF-style top term per document: score = tf/df (rank-identical
+    * to tf·idf with reciprocal-df idf, and a single exact double
+    * division instead of engine-varying log()). The document-frequency
+    * side is vocabulary-sized → broadcast. */
+  def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  private val tfidfTopTermSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df
+      |          FROM (SELECT DISTINCT doc_id, term FROM tok) t GROUP BY 1)
+      |SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+      |FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |        row_number() OVER (PARTITION BY tf.doc_id
+      |          ORDER BY CAST(tf.tf AS DOUBLE) / dfreq.df DESC, tf.term) AS rk
+      |      FROM tf JOIN dfreq USING (term)) x
+      |WHERE rk = 1""".stripMargin
+
+  /** Embedding L2-normalize + int8 quantization. The squared norm is
+    * summed through DECIMAL(20,12) per element (order-independent,
+    * engine-portable); quantized components are exact integer math
+    * after one deterministic double division each. Pure per-row — no
+    * shuffle. */
+  def embeddingNormQuant(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("norm_sq", expr(
+        """CAST(aggregate(embedding, CAST(0 AS DECIMAL(24,12)),
+          |  (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+          |                             AS DECIMAL(20,12))
+          |              AS DECIMAL(24,12))) AS DOUBLE)""".stripMargin))
+      .withColumn("norm", sqrt(col("norm_sq")))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(round((127 * CAST(x AS DOUBLE)) / norm, 0) AS INT))"))
+      .select(col("vec_id"), col("norm"),
+              element_at(col("qv"), 1).as("q0"),
+              expr("aggregate(qv, 0L, (acc, y) -> acc + y)").as("qsum"))
+
+  private val embeddingNormQuantSql =
+    """WITH n AS (SELECT vec_id, embedding,
+      |  sqrt(CAST(list_sum(list_transform(embedding,
+      |         x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(20,12))))
+      |       AS DOUBLE)) AS norm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, norm,
+      |  list_transform(embedding,
+      |    x -> CAST(round((127 * CAST(x AS DOUBLE)) / norm) AS INT)) AS qv
+      |  FROM n)
+      |SELECT vec_id, norm, qv[1] AS q0, CAST(list_sum(qv) AS BIGINT) AS qsum
+      |FROM q""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -883,7 +1184,18 @@ object Queries {
     "above_group_avg"          -> (aboveGroupAvg _),
     "multimodal_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(
-        Multimodal.attachBlob(Tables.documents(s, d)), 4, 2))
+        Multimodal.attachBlob(Tables.documents(s, d)), 4, 2)),
+    "asof_clicks"              -> (asofClicks _),
+    "range_join_bands"         -> (rangeJoinBands _),
+    "window_rank_stats"        -> (windowRankStats _),
+    "order_gap_days"           -> (orderGapDays _),
+    "cube_volume"              -> (cubeVolume _),
+    "median_price"             -> (medianPrice _),
+    "split_train_test"         -> (splitTrainTest _),
+    "pii_redact"               -> (piiRedact _),
+    "vocab_top_words"          -> (vocabTopWords _),
+    "tfidf_top_term"           -> (tfidfTopTerm _),
+    "embedding_norm_quant"     -> (embeddingNormQuant _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -924,7 +1236,18 @@ object Queries {
     "rolling_7d_revenue"       -> rolling7dRevenueSql,
     "events_json_struct"       -> eventsJsonStructSql,
     "q7_nation_trade"          -> q7NationTradeSql,
-    "above_group_avg"          -> aboveGroupAvgSql
+    "above_group_avg"          -> aboveGroupAvgSql,
+    "asof_clicks"              -> asofClicksSql,
+    "range_join_bands"         -> rangeJoinBandsSql,
+    "window_rank_stats"        -> windowRankStatsSql,
+    "order_gap_days"           -> orderGapDaysSql,
+    "cube_volume"              -> cubeVolumeSql,
+    "median_price"             -> medianPriceSql,
+    "split_train_test"         -> splitTrainTestSql,
+    "pii_redact"               -> piiRedactSql,
+    "vocab_top_words"          -> vocabTopWordsSql,
+    "tfidf_top_term"           -> tfidfTopTermSql,
+    "embedding_norm_quant"     -> embeddingNormQuantSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins the built-in operator set lacks: as-of (most recent
+  * match at-or-before a timestamp) and interval range joins. The
+  * reference's CDC/warehouse feeds (latest-state-at-time lookups,
+  * date-banded rollups) are the motivating shapes.
+  *
+  * Scale design (100 TB):
+  *  - asofJoin is the union-sort-window formulation: ONE shuffle on the
+  *    join key, no row explosion, no nested-loop — each side is tagged,
+  *    co-sorted by (ts, side), and the right payload is carried forward
+  *    with last(ignoreNulls). This is how a 1000-executor cluster does
+  *    as-of without a cross product; skewed keys fall out of AQE like
+  *    any other sort-merge shuffle.
+  *  - binnedRangeJoin turns point-in-interval into an EQUI join on a
+  *    bin id (intervals exploded to the bins they overlap, points
+  *    hashed to their bin) + a residual filter — no
+  *    BroadcastNestedLoopJoin, which is the plan that dies at scale
+  *    when the interval side outgrows a broadcast.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single right row with the
+    * greatest `rightTs <= leftTs` for the same `key` (DuckDB
+    * `ASOF LEFT JOIN` semantics — unmatched left rows keep NULL
+    * payload).
+    *
+    * The right side must be unique per (key, rightTs) — pre-aggregate
+    * it otherwise, or the carried payload is nondeterministic.
+    * Column names other than `key` must not collide across sides.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.filterNot(c => c == key || c == leftTs).toSeq
+    val rCols = right.columns.filterNot(_ == key).toSeq // incl. rightTs
+    val nullOf: (DataFrame, String) => Column =
+      (df, c) => lit(null).cast(df.schema(c).dataType).as(c)
+
+    val lTagged = left.select(
+      (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        lCols.map(col)) ++ rCols.map(nullOf(right, _)): _*)
+    val rTagged = right.select(
+      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        lCols.map(nullOf(left, _))) ++ rCols.map(col): _*)
+
+    // side=0 sorts before side=1 at equal ts, so an exactly-coincident
+    // right row IS visible to the left row (>= semantics).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged.unionByName(rTagged)
+      .select(
+        (col(key) +: col("__ts") +: col("__side") +: lCols.map(col)) ++
+          rCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 1)
+      .withColumnRenamed("__ts", leftTs)
+      .drop("__side")
+  }
+
+  /** Point-in-interval range join as an equi join: intervals
+    * `[loCol, hiCol)` are exploded to every width-`binWidth` bin they
+    * overlap; points join on their own bin, then the exact residual
+    * predicate filters. Each point matches each covering interval
+    * exactly once (a point lives in exactly one bin). */
+  def binnedRangeJoin(points: DataFrame, ptCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+                       floor(col(hiCol) / binWidth).cast("long"))))
+    points
+      .withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+      .join(binned, "__bin")
+      .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

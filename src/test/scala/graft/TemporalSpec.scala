@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, Temporal}
+
+/** As-of and range joins verified against brute-force recomputation,
+  * plus determinism/fraction properties of the md5 sampling ops. */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the greatest right ts <= left ts, per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 09:00:00"), "c")
+    ).toDF("k", "lts", "lpay")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 200L),
+      (2L, ts("2024-01-01 09:30:00"), 300L) // after the only left row
+    ).toDF("k", "rts", "rpay")
+    val got = Temporal.asofJoin(left, right, "k", "lts", "rts")
+      .select("lpay", "rpay").as[(String, Option[Long])].collect().toMap
+    assert(got === Map("a" -> Some(100L), "b" -> Some(200L), "c" -> None))
+  }
+
+  test("asofJoin matches an exactly-coincident right row (>= semantics)") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "lts", "lpay")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("k", "rts", "rpay")
+    val got = Temporal.asofJoin(left, right, "k", "lts", "rts")
+      .select("rpay").as[Long].collect()
+    assert(got.toSeq === Seq(7L))
+  }
+
+  test("asofJoin equals brute-force max-below join on real events") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+    val fast = Temporal.asofJoin(purchases, clicks, "user_id", "pts", "cts")
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    // brute force: all-pairs join, keep max click ts per purchase
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        $"p.user_id" === $"c.user_id" && $"p.pts" >= $"c.cts", "left")
+      .groupBy($"p.event_id")
+      .agg(max_by(struct($"c.cts", $"c.click_id"), $"c.cts")("click_id")
+        .as("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast === brute)
+    assert(fast.nonEmpty)
+  }
+
+  test("binnedRangeJoin equals naive interval join, incl. unaligned bins") {
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 17.5), (4L, 99.0))
+      .toDF("id", "v")
+    val ivals = Seq((10L, 0.0, 10.0), (20L, 7.5, 18.0), (30L, 17.5, 60.0))
+      .toDF("iid", "lo", "hi")
+    // width 7 deliberately misaligned with every boundary
+    val fast = Temporal.binnedRangeJoin(points, "v", ivals, "lo", "hi", 7.0)
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivals, $"v" >= $"lo" && $"v" < $"hi")
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+    assert(fast === Set((1L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
+  }
+
+  test("hashSample is deterministic and near the requested fraction") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b) // partition-layout independent
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.1 && a.size < n * 0.45)
+  }
+
+  test("splitLabel covers every row and is stable across runs") {
+    val docs = Tables.documents(spark, sfDir)
+    val dist = docs.select(Sampling.splitLabel(col("doc_id")).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(dist.keySet === Set("train", "val", "test"))
+    assert(dist.values.sum === docs.count())
+    assert(dist("train") > dist("val") && dist("train") > dist("test"))
+  }
+}
