@@ -1077,8 +1077,9 @@ object Queries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency falls out of tf's (already-distinct) keys —
+    // no second explode over the raw token stream
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))

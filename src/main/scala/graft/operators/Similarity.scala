@@ -77,8 +77,13 @@ object Similarity {
     // k-means only LEARNS the centroids; both corpus assignment and
     // query probing rank by COSINE against them — mixing Euclidean
     // assignment (model.transform) with cosine probing opens a
-    // systematic recall hole for unnormalized vectors
-    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(vecs)
+    // systematic recall hole for unnormalized vectors.
+    // Train on a deterministic capped sample: centroid quality needs
+    // thousands of points, not the corpus — fitting on 100 TB of
+    // vectors would be all cost and no recall. TakeOrdered keeps the
+    // sample stable across runs and partitionings.
+    val train = vecs.orderBy(col("vec_id")).limit(math.max(cells * 256, 2048))
+    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(8).fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq

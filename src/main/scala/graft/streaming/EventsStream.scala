@@ -90,6 +90,29 @@ object EventsStream extends Serializable {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks within the preceding `windowMinutes`. Watermarks on
+    * BOTH sides plus the time-range predicate let the engine expire
+    * buffered rows — without them a stream-stream join buffers forever.
+    * State is sharded by user_id across executors like any keyed state. */
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+              col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+              col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") -
+            expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+              col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup on event_id: duplicates arriving within the
     * watermark horizon are dropped, state self-expires with the
     * watermark (bounded memory — a plain dropDuplicates would grow

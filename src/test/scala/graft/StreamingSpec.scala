@@ -76,6 +76,25 @@ class StreamingSpec extends SparkSpec {
       s"\nmissing(${missing.size}): ${missing.take(5)}\nextra(${extra.size}): ${extra.take(5)}")
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val tmp = Files.createTempDirectory("stream-join").toString
+    val base = eventCols(Tables.events(spark, sfDir))
+    base.write.parquet(s"$tmp/in")
+    val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+    val q = EventsStream.purchaseClickJoin(stream, 60).writeStream
+      .format("memory").queryName("ssjoin_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin_t")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventsStream.purchaseClickJoin(base, 60)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     val tmp = Files.createTempDirectory("stream-dedup").toString
     val base = eventCols(Tables.events(spark, sfDir))

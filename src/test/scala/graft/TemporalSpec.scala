@@ -70,6 +70,26 @@ class TemporalSpec extends SparkSpec {
     assert(fast === Set((1L, 10L), (2L, 20L), (3L, 20L), (3L, 30L)))
   }
 
+  test("asofJoin plan shuffles once; binnedRangeJoin plan has no nested loop") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.select(col("event_id"), col("user_id"), col("ts").as("lts"))
+    val r = ev.select(col("user_id"), col("ts").as("rts"),
+                      col("value").as("rv")).distinct()
+    val asofPlan = Temporal.asofJoin(l, r, "user_id", "lts", "rts")
+      .queryExecution.executedPlan.toString
+    // one exchange for the union's window partitioning (plus r's
+    // distinct); the join itself must not add a shuffle per side
+    assert(asofPlan.split("Exchange hashpartitioning\\(user_id").length - 1 === 2)
+    assert(!asofPlan.contains("NestedLoop") && !asofPlan.contains("CartesianProduct"))
+
+    val bands = spark.range(0, 10).select(col("id").as("iid"),
+      (col("id") * 100.0).as("lo"), ((col("id") + 1) * 100.0).as("hi"))
+    val rangePlan = Temporal.binnedRangeJoin(
+        Tables.orders(spark, sfDir), "o_totalprice", bands, "lo", "hi", 100.0)
+      .queryExecution.executedPlan.toString
+    assert(!rangePlan.contains("NestedLoop") && !rangePlan.contains("CartesianProduct"))
+  }
+
   test("hashSample is deterministic and near the requested fraction") {
     val docs = Tables.documents(spark, sfDir)
     val a = Sampling.hashSample(docs, col("doc_id"), 0.25)
