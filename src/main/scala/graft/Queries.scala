@@ -1135,6 +1135,107 @@ object Queries {
       |SELECT vec_id, norm, qv[1] AS q0, CAST(list_sum(qv) AS BIGINT) AS qsum
       |FROM q""".stripMargin
 
+  /** Repetition quality signals (Gopher/C4-style): duplicated-n-gram
+    * fractions (per-row HOF, no shuffle) + top-token fraction (explode →
+    * partial-agg — the only shuffle, at (doc,token) grain). High values
+    * flag boilerplate/spam for corpus filtering. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def grams(n: Int) = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    def dupFrac(g: Column) =
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+    val perRow = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      dupFrac(grams(2)).as("dup_2gram_frac"),
+      dupFrac(grams(3)).as("dup_3gram_frac"))
+    val tokStats = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
+             .as("top_token_frac"))
+    tokStats.join(perRow, "doc_id")
+  }
+
+  private val textRepetitionSql =
+    """WITH g AS (SELECT doc_id,
+      |    string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id,
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks)-1, 1)),
+      |        i -> array_to_string(toks[i:i+1], ' ')))) AS DOUBLE)
+      |      / len(list_transform(generate_series(1, greatest(len(toks)-1, 1)),
+      |        i -> array_to_string(toks[i:i+1], ' '))) AS dup_2gram_frac,
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |        generate_series(1, greatest(len(toks)-2, 1)),
+      |        i -> array_to_string(toks[i:i+2], ' ')))) AS DOUBLE)
+      |      / len(list_transform(generate_series(1, greatest(len(toks)-2, 1)),
+      |        i -> array_to_string(toks[i:i+2], ' '))) AS dup_3gram_frac
+      |  FROM g),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS cnt
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents) x GROUP BY 1, 2),
+      |s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |        CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_frac
+      |      FROM c GROUP BY 1)
+      |SELECT s.doc_id, s.n_tokens, s.top_token_frac,
+      |       p.dup_2gram_frac, p.dup_3gram_frac
+      |FROM s JOIN p USING (doc_id)""".stripMargin
+
+  /** Sequence packing: contiguous docs (per source, doc_id order)
+    * chunked into ~512-token packs via a running-sum window — the
+    * deterministic, single-shuffle packing strategy (greedy bin-packing
+    * needs global state; contiguous chunking scales embarrassingly). */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", expr("CAST((cum - n_tokens) DIV 512 AS INT)"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  private val docPackSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+      |SELECT source, CAST((cum - n_tokens) // 512 AS INT) AS pack_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      |FROM c GROUP BY source, pack_id""".stripMargin
+
+  /** Dataset mixture: per-source sampling weights applied via the
+    * deterministic md5 bucket — reweighting corpus sources (the
+    * up/down-sampling step of training-data assembly) as a pure filter,
+    * reproducible on any engine. */
+  def sourceMixture(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val thresh = when(srcNum % 4 === 0, 256).when(srcNum % 4 === 1, 128)
+      .when(srcNum % 4 === 2, 64).otherwise(32)
+    val kept = when(Sampling.bucket256(col("doc_id")) < thresh, 1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(kept).as("n_kept"))
+  }
+
+  private val sourceMixtureSql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1
+      |    < CASE CAST(substr(source, 4) AS INT) % 4
+      |        WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 32 END
+      |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1196,7 +1297,10 @@ object Queries {
     "pii_redact"               -> (piiRedact _),
     "vocab_top_words"          -> (vocabTopWords _),
     "tfidf_top_term"           -> (tfidfTopTerm _),
-    "embedding_norm_quant"     -> (embeddingNormQuant _)
+    "embedding_norm_quant"     -> (embeddingNormQuant _),
+    "text_repetition"          -> (textRepetition _),
+    "doc_pack"                 -> (docPack _),
+    "source_mixture"           -> (sourceMixture _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1248,7 +1352,10 @@ object Queries {
     "pii_redact"               -> piiRedactSql,
     "vocab_top_words"          -> vocabTopWordsSql,
     "tfidf_top_term"           -> tfidfTopTermSql,
-    "embedding_norm_quant"     -> embeddingNormQuantSql
+    "embedding_norm_quant"     -> embeddingNormQuantSql,
+    "text_repetition"          -> textRepetitionSql,
+    "doc_pack"                 -> docPackSql,
+    "source_mixture"           -> sourceMixtureSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)

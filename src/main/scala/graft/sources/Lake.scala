@@ -31,6 +31,24 @@ object Lake {
   def readMonth(spark: SparkSession, path: String, y: Int, m: Int): DataFrame =
     spark.read.parquet(path).where(col("year") === y && col("month") === m)
 
+  /** Compact a small-file directory (the reference's one-CSV-per-day
+    * lake shape) into ~`targetFileBytes` parquet files. Uses the actual
+    * on-disk size, not a file count guess; repartition(n) is a round-
+    * robin shuffle, so output files are evenly sized regardless of how
+    * skewed the inputs were. Writes to `outPath` (swap-in rename is the
+    * caller's transaction boundary, like the reference's staging swap). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L << 20): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Write a table bucketed on a join key. Two tables bucketed the same
     * way join WITHOUT any exchange — at 100 TB that removes the
     * dominant shuffle of fact-fact joins (orders ⋈ lineitem). Requires

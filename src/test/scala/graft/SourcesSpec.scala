@@ -27,6 +27,18 @@ class SourcesSpec extends SparkSpec {
 
   private def month1(c: org.apache.spark.sql.Column) = month(c)
 
+  test("Lake.compact collapses a many-small-file dir, preserving rows") {
+    val tmp = Files.createTempDirectory("compact").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(40).write.parquet(s"$tmp/small") // 40 tiny files
+    Lake.compact(spark, s"$tmp/small", s"$tmp/big", targetFileBytes = 1L << 30)
+    def parquets(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquets(s"$tmp/small") === 40)
+    assert(parquets(s"$tmp/big") === 1) // total bytes << 1 GiB target
+    assert(spark.read.parquet(s"$tmp/big").count() === orders.count())
+  }
+
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
     val tmp = Files.createTempDirectory("csv").toString
     val schema = StructType(Seq(
