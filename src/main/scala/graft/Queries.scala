@@ -1236,6 +1236,41 @@ object Queries {
       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Near-dup cluster resolution: unigram-jaccard ≥ 0.95 pair graph →
+    * connected components (Dedup.clusters min-label propagation). The
+    * recursive-CTE oracle checks the full transitive closure — i.e.
+    * the distributed loop reaches the exact fixpoint. Pair generation
+    * here is the small all-pairs oracle shape; at scale the SAME
+    * clusters() consumes minhashPairs/simhashPairs output. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        array_distinct(split(TextFunctions.normalize(col("text")), " ")).as("toks"))
+    val pairs = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .where((size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+        size(array_union(col("a.toks"), col("b.toks"))).cast("double")) >= 0.95)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    Dedup.clusters(pairs, "doc_a", "doc_b")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |  FROM documents WHERE doc_id < 200),
+      |e0 AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b
+      |  ON a.doc_id < b.doc_id
+      |  AND CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1300,7 +1335,8 @@ object Queries {
     "embedding_norm_quant"     -> (embeddingNormQuant _),
     "text_repetition"          -> (textRepetition _),
     "doc_pack"                 -> (docPack _),
-    "source_mixture"           -> (sourceMixture _)
+    "source_mixture"           -> (sourceMixture _),
+    "dedup_clusters"           -> (dedupClusters _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1355,7 +1391,8 @@ object Queries {
     "embedding_norm_quant"     -> embeddingNormQuantSql,
     "text_repetition"          -> textRepetitionSql,
     "doc_pack"                 -> docPackSql,
-    "source_mixture"           -> sourceMixtureSql
+    "source_mixture"           -> sourceMixtureSql,
+    "dedup_clusters"           -> dedupClustersSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)

@@ -161,6 +161,41 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------ cluster resolution
+
+  /** Connected components over a near-dup pair graph — the step that
+    * turns pairwise matches (minhash/simhash/cosine output) into
+    * dedup groups with one keeper each. Iterative min-label
+    * propagation: every round is one equi-join + partial-agg groupBy
+    * (both shuffle on id), converging in O(graph diameter) rounds —
+    * dup clusters are shallow, so a handful. localCheckpoint truncates
+    * lineage each round so plans don't stack; the driver only ever
+    * sees a scalar convergence count, never row data. (At web scale
+    * the same per-round plan shape upgrades to large-star/small-star
+    * to also bound the max label-list per node.)
+    *
+    * Output: (doc_id, cluster_rep) for every node of the pair graph,
+    * rep = min id in the component. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("rep"))
+        .union(labels)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      changed = prop.as("n").join(labels.as("o"), "id")
+        .where(col("n.rep") < col("o.rep")).count()
+      labels = prop
+    }
+    labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   // -------------------------------------------------- embedding cosine
 
   /** Exact cosine between two float-array columns — the native

@@ -4,6 +4,19 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Similarity}
 
 class DedupSpec extends SparkSpec {
+
+  test("clusters resolves components; long chains reach the fixpoint") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // a 12-node chain needs multiple propagation rounds to converge
+    val chain = (1L until 12L).map(i => (i + 1, i)).toDF("a", "b")
+    val reps = Dedup.clusters(chain, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(reps.size === 12 && reps.values.forall(_ === 1L))
+  }
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog " * 8
