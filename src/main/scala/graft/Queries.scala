@@ -1271,6 +1271,83 @@ object Queries {
       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
       |SELECT id AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY id""".stripMargin
 
+  /** Column profiling: null count + exact NDV per column in ONE scan
+    * (the distincts share a single expand — not one scan per column),
+    * unpivoted to a (column, metric) long table. Full-scan by nature;
+    * at 100 TB swap exact NDV for approx_count_distinct. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
+                   "l_shipdate", "l_quantity", "l_extendedprice")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val one = Tables.lineitem(spark, dir)
+      .agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows - nn_$c, nd_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)")
+  }
+
+  private val profileColumnsSql =
+    """WITH s AS (SELECT COUNT(*) AS n,
+      |  COUNT(l_orderkey) AS nn1, COUNT(DISTINCT l_orderkey) AS nd1,
+      |  COUNT(l_suppkey) AS nn2, COUNT(DISTINCT l_suppkey) AS nd2,
+      |  COUNT(l_returnflag) AS nn3, COUNT(DISTINCT l_returnflag) AS nd3,
+      |  COUNT(l_shipdate) AS nn4, COUNT(DISTINCT l_shipdate) AS nd4,
+      |  COUNT(l_quantity) AS nn5, COUNT(DISTINCT l_quantity) AS nd5,
+      |  COUNT(l_extendedprice) AS nn6, COUNT(DISTINCT l_extendedprice) AS nd6
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS col_name, n - nn1 AS n_nulls, nd1 AS n_distinct FROM s
+      |UNION ALL SELECT 'l_suppkey', n - nn2, nd2 FROM s
+      |UNION ALL SELECT 'l_returnflag', n - nn3, nd3 FROM s
+      |UNION ALL SELECT 'l_shipdate', n - nn4, nd4 FROM s
+      |UNION ALL SELECT 'l_quantity', n - nn5, nd5 FROM s
+      |UNION ALL SELECT 'l_extendedprice', n - nn6, nd6 FROM s""".stripMargin
+
+  /** Data-quality gate: referential + row-level + key-uniqueness checks
+    * as one report. Row-level predicates fuse into a single scan's
+    * conditional aggs; the FK check is a broadcast-friendly anti join;
+    * the PK check is one groupBy. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rowLevel = li.agg(
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("neg_qty"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+      sum(when(col("l_shipdate") < "1995-01-01" ||
+               col("l_shipdate") >= "2002-01-01", 1L).otherwise(0L)).as("bad_date"))
+      .selectExpr("stack(3, 'negative_quantity', neg_qty, " +
+        "'null_orderkey', null_key, 'shipdate_out_of_range', bad_date) " +
+        "AS (check_name, n_violations)")
+    val orphans = li.join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orphan_lineitems").as("check_name"), col("n_violations"))
+    val dupPk = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_violations"))
+      .select(lit("duplicate_lineitem_pk").as("check_name"), col("n_violations"))
+    rowLevel.unionByName(orphans).unionByName(dupPk)
+  }
+
+  private val dqChecksSql =
+    """WITH r AS (SELECT
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_qty,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+      |    CAST(SUM(CASE WHEN l_shipdate < '1995-01-01'
+      |               OR l_shipdate >= '2002-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+      |  FROM lineitem)
+      |SELECT 'negative_quantity' AS check_name, neg_qty AS n_violations FROM r
+      |UNION ALL SELECT 'null_orderkey', null_key FROM r
+      |UNION ALL SELECT 'shipdate_out_of_range', bad_date FROM r
+      |UNION ALL SELECT 'orphan_lineitems',
+      |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+      |   ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+      |UNION ALL SELECT 'duplicate_lineitem_pk',
+      |  (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+      |    (SELECT COUNT(*) AS c FROM lineitem
+      |     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1336,7 +1413,9 @@ object Queries {
     "text_repetition"          -> (textRepetition _),
     "doc_pack"                 -> (docPack _),
     "source_mixture"           -> (sourceMixture _),
-    "dedup_clusters"           -> (dedupClusters _)
+    "dedup_clusters"           -> (dedupClusters _),
+    "profile_columns"          -> (profileColumns _),
+    "dq_checks"                -> (dqChecks _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1392,7 +1471,9 @@ object Queries {
     "text_repetition"          -> textRepetitionSql,
     "doc_pack"                 -> docPackSql,
     "source_mixture"           -> sourceMixtureSql,
-    "dedup_clusters"           -> dedupClustersSql
+    "dedup_clusters"           -> dedupClustersSql,
+    "profile_columns"          -> profileColumnsSql,
+    "dq_checks"                -> dqChecksSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
