@@ -116,7 +116,7 @@ object Queries {
   private val aggGroupbySumSql =
     s"""WITH product_demand AS ($productDemandSql)
        |SELECT date, shop_id,
-       |  CAST(SUM(CAST(demand AS DECIMAL(20,4))) AS DOUBLE) AS demand_sum,
+       |  CAST(CAST(SUM(CAST(demand AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS demand_sum,
        |  COUNT(*) AS n_rows
        |FROM product_demand GROUP BY date, shop_id""".stripMargin
 
@@ -266,7 +266,7 @@ object Queries {
   private val partitionLayoutSql =
     """SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------ analytics (#16-22)
@@ -276,10 +276,10 @@ object Queries {
 
   private val q1PricingSummarySql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) * (1 + CAST(l_tax AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= '2001-09-01'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
@@ -291,7 +291,7 @@ object Queries {
 
   private val q3ShippingPrioritySql =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
       |JOIN lineitem ON l_orderkey = o_orderkey
@@ -308,7 +308,7 @@ object Queries {
 
   private val q5LocalVolumeSql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -359,7 +359,7 @@ object Queries {
       |  CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS year,
       |  CASE WHEN GROUPING(prio) = 1 THEN 'ALL' ELSE prio END AS priority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM (SELECT year(o_orderdate) AS y, o_orderpriority AS prio, o_totalprice
       |      FROM orders) t
       |GROUP BY ROLLUP(y, prio)""".stripMargin
@@ -370,7 +370,7 @@ object Queries {
   private val eventsHourlySql =
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
       |  COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1, 2""".stripMargin
 
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
@@ -523,13 +523,12 @@ object Queries {
       .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
       .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_type"))
-      .agg(Relational.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-             .as("revenue"),
+      .agg(Relational.dsum(Relational.discPriceDec).as("revenue"),
            count(lit(1)).as("n_items"))
 
   private val promoRevenueSql =
     """SELECT p_type,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
@@ -583,7 +582,7 @@ object Queries {
        |         ELSE CAST(demand AS DECIMAL(20,4)) * 10 END AS robusta
        |  FROM product_demand)
        |SELECT date, shop_id, material_name,
-       |  CAST(SUM(quantity) AS DOUBLE) AS quantity_g
+       |  CAST(CAST(SUM(quantity) AS VARCHAR) AS DOUBLE) AS quantity_g
        |FROM (
        |  SELECT shop_id, date, 'local_arabica' AS material_name, local_arabica AS quantity FROM raw_material
        |  UNION ALL
@@ -614,10 +613,10 @@ object Queries {
 
   private val havingBigSpendersSql =
     """SELECT o_custkey,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_spend,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_spend,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey
-      |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) > 1000000.0""".stripMargin
+      |HAVING CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) > 1000000.0""".stripMargin
 
   /** Running total per customer (ROWS frame, value-total ordering). */
   def runningTotal(spark: SparkSession, dir: String): DataFrame = {
@@ -634,9 +633,9 @@ object Queries {
 
   private val runningTotalSql =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+      |    ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend
       |FROM orders""".stripMargin
 
   /** Exact unigram-set jaccard over a bounded candidate set — the
@@ -724,14 +723,13 @@ object Queries {
       .where(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
                year(col("l_shipdate")).as("ship_year"))
-      .agg(Relational.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-             .as("volume"))
+      .agg(Relational.dsum(Relational.discPriceDec).as("volume"))
   }
 
   private val q7NationTradeSql =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  year(l_shipdate) AS ship_year,
-      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS volume
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS volume
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -767,7 +765,7 @@ object Queries {
       |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS sdec
       |  FROM orders GROUP BY o_custkey, o_orderpriority)
       |SELECT o_custkey, o_orderpriority, CAST(sdec AS DOUBLE) AS spend FROM (
-      |  SELECT *, CAST(SUM(sdec) OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+      |  SELECT *, CAST(CAST(SUM(sdec) OVER (PARTITION BY o_orderpriority) AS VARCHAR) AS DOUBLE)
       |            / COUNT(*) OVER (PARTITION BY o_orderpriority) AS grp_avg
       |  FROM spend) t
       |WHERE CAST(sdec AS DOUBLE) > grp_avg * 2""".stripMargin
@@ -789,9 +787,9 @@ object Queries {
 
   private val rolling7dRevenueSql =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
       |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
-      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
       |    AS trailing_7d_spend
       |FROM orders""".stripMargin
 
@@ -876,7 +874,7 @@ object Queries {
 
   private val rangeJoinBandsSql =
     """SELECT band_id, COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_price
       |FROM orders
       |JOIN (SELECT CAST(range AS INT) AS band_id, range*50000.0 AS lo,
       |             (range+1)*50000.0 AS hi FROM range(0,10)) b
@@ -904,7 +902,7 @@ object Queries {
   private val windowRankStatsSql =
     """WITH spend AS (
       |  SELECT o_custkey, o_orderpriority,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS spend
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS spend
       |  FROM orders GROUP BY o_custkey, o_orderpriority)
       |SELECT o_custkey, o_orderpriority, spend,
       |  CAST(ntile(10) OVER w AS INT) AS decile,
@@ -956,7 +954,7 @@ object Queries {
       |  CAST(CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS INT) AS order_year,
       |  CASE WHEN GROUPING(prio) = 1 THEN 'ALL' ELSE prio END AS priority,
       |  COUNT(*) AS n_orders,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_price
       |FROM (SELECT year(o_orderdate) AS y, o_orderpriority AS prio, o_totalprice
       |      FROM orders) t
       |GROUP BY CUBE(y, prio)""".stripMargin
@@ -969,8 +967,12 @@ object Queries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderpriority"))
+    // full-frame count shares w's partitioning AND ordering, so both
+    // window functions run in ONE sorted pass (a separate unordered
+    // window spec would add a second WindowExec over the same shuffle)
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
     Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("rn", row_number().over(w))
@@ -989,7 +991,7 @@ object Queries {
       |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
       |  FROM orders)
       |SELECT o_orderpriority,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
       |    AS median_price
       |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
       |GROUP BY o_orderpriority""".stripMargin
@@ -1054,9 +1056,14 @@ object Queries {
     val counts = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+    // TakeOrdered limit does the global top-k in parallel (map-side
+    // heads); a bare global window would funnel the whole vocabulary —
+    // 10^8+ tokens on a web corpus — through ONE task. The window then
+    // only numbers the 20 survivors.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occurrences").desc, col("word"))
-    counts.withColumn("rk", row_number().over(w)).where(col("rk") <= 20)
+    counts.orderBy(col("n_occurrences").desc, col("word")).limit(20)
+      .withColumn("rk", row_number().over(w))
   }
 
   private val vocabTopWordsSql =
@@ -1146,18 +1153,22 @@ object Queries {
       i => concat_ws(" ", slice(toks, i, lit(n))))
     def dupFrac(g: Column) =
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
-    val perRow = Tables.documents(spark, dir).select(
-      col("doc_id"),
-      dupFrac(grams(2)).as("dup_2gram_frac"),
-      dupFrac(grams(3)).as("dup_3gram_frac"))
-    val tokStats = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // one scan: the per-row gram fractions ride along through the
+    // explode and are carried by first() — a separate branch would
+    // re-read and re-tokenize the corpus and add a join shuffle
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        dupFrac(grams(2)).as("d2"), dupFrac(grams(3)).as("d3"),
+        explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"),
+           first(col("d2")).as("d2"), first(col("d3")).as("d3"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
            (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
-             .as("top_token_frac"))
-    tokStats.join(perRow, "doc_id")
+             .as("top_token_frac"),
+           first(col("d2")).as("dup_2gram_frac"),
+           first(col("d3")).as("dup_3gram_frac"))
   }
 
   private val textRepetitionSql =
@@ -1179,7 +1190,7 @@ object Queries {
       |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |            FROM documents) x GROUP BY 1, 2),
       |s AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-      |        CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_frac
+      |        CAST(MAX(cnt) AS DOUBLE) / CAST(CAST(SUM(cnt) AS VARCHAR) AS DOUBLE) AS top_token_frac
       |      FROM c GROUP BY 1)
       |SELECT s.doc_id, s.n_tokens, s.top_token_frac,
       |       p.dup_2gram_frac, p.dup_3gram_frac

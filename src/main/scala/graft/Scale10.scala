@@ -41,9 +41,12 @@ object Scale10 {
     times(Tables.customer(spark, in), (df, i) => df
         .withColumn("c_custkey", col("c_custkey") + i * keyShift))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
-    // events: scale users AND ids so sessionize/asof state shards grow
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    times(spark.read.parquet(s"$in/events.parquet"), (df, i) => df
+    // events: scale users AND ids so sessionize/asof state shards grow.
+    // Tables.events already converts the source's nanos-long ts to a
+    // real µs timestamp — write that, so the derived file carries
+    // TIMESTAMP(MICROS) and the DuckDB oracles (CAST(ts AS TIMESTAMP))
+    // keep working on it.
+    times(Tables.events(spark, in), (df, i) => df
         .withColumn("event_id", col("event_id") + i * keyShift)
         .withColumn("user_id", col("user_id") + i * 100000L))
       .write.mode("overwrite").parquet(s"$out/events.parquet")

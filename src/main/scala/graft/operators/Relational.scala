@@ -23,6 +23,29 @@ object Relational {
   private[graft] def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(25,6)")).cast("double")
 
+  /** l_extendedprice·(1−l_discount) with the CASTS ON THE FACTORS:
+    * 2-decimal source values convert to DECIMAL tie-free, and decimal
+    * multiplication is exact — so the sum is bit-identical across
+    * engines at ANY scale. Casting the double PRODUCT instead can tie
+    * at the 7th digit, where Spark (shortest-repr HALF_UP) and DuckDB
+    * (exact-binary rounding) disagree by 1e-6 per row — invisible at
+    * small SF, a visible ULP once sums reach 1e10+.
+    *
+    * Callers sum via dsum (product re-cast to scale 6 — LOSSLESS, the
+    * exact product has ≤4 frac digits): a scale-12 running sum's
+    * scaled int128 exceeds 2^53 past ~1e9 totals, where DuckDB's
+    * decimal→double conversion double-rounds. Scale 6 keeps the final
+    * cast on the exactly-roundable path on both engines. */
+  private[graft] def discPriceDec =
+    col("l_extendedprice").cast("decimal(13,6)") *
+      (lit(1) - col("l_discount").cast("decimal(7,6)"))
+
+  /** discPrice·(1+l_tax), same exact-decimal scheme (≤6 frac digits —
+    * the scale-6 re-cast in dsum stays lossless). */
+  private[graft] def chargeDec =
+    discPriceDec * (lit(1) + col("l_tax").cast("decimal(7,6)"))
+
+
   /** TPC-H Q1-style pricing summary. */
   def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
     lineitem
@@ -31,8 +54,8 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        dsum(discPriceDec).as("sum_disc_price"),
+        dsum(chargeDec).as("sum_charge"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-style: revenue of a market segment's orders. The customer
@@ -46,7 +69,7 @@ object Relational {
       .join(broadcast(customer.where(col("c_mktsegment") === segment)),
             col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsum(discPriceDec).as("revenue"))
 
   /** TPC-H Q5-style: revenue by nation where customer and supplier share
     * the nation, within one region and order-date year. */
@@ -66,7 +89,7 @@ object Relational {
               col("c_nationkey") === col("s_nationkey"))
       .join(nations, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(dsum(discPriceDec).as("revenue"))
   }
 
   /** Top-k rows per group; `order` must be value-total (include a

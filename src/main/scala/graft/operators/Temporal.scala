@@ -40,12 +40,19 @@ object Temporal {
     val nullOf: (DataFrame, String) => Column =
       (df, c) => lit(null).cast(df.schema(c).dataType).as(c)
 
+    // The right payload rides as ONE struct so last(ignoreNulls) picks
+    // a matched row atomically — per-column carry would skip a matching
+    // row's genuinely-NULL field and tear in a stale value from an
+    // older right row. NULL right timestamps can never match; drop them
+    // rather than letting nulls-first ordering leak them to every row.
+    val rPayType = org.apache.spark.sql.types.StructType(
+      rCols.map(c => right.schema(c)))
     val lTagged = left.select(
-      (col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
-        lCols.map(col)) ++ rCols.map(nullOf(right, _)): _*)
-    val rTagged = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
-        lCols.map(nullOf(left, _))) ++ rCols.map(col): _*)
+      col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+        lCols.map(col) :+ lit(null).cast(rPayType).as("__rpay"): _*)
+    val rTagged = right.where(col(rightTs).isNotNull).select(
+      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+        lCols.map(nullOf(left, _)) :+ struct(rCols.map(col): _*).as("__rpay"): _*)
 
     // side=0 sorts before side=1 at equal ts, so an exactly-coincident
     // right row IS visible to the left row (>= semantics).
@@ -54,11 +61,12 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
       .select(
-        (col(key) +: col("__ts") +: col("__side") +: lCols.map(col)) ++
-          rCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        col(key) +: col("__ts") +: col("__side") +: lCols.map(col) :+
+          last(col("__rpay"), ignoreNulls = true).over(w).as("__rpay"): _*)
       .where(col("__side") === 1)
-      .withColumnRenamed("__ts", leftTs)
-      .drop("__side")
+      .select(
+        col(key) +: col("__ts").as(leftTs) +: lCols.map(col) ++:
+          rCols.map(c => col(s"__rpay.$c").as(c)): _*)
   }
 
   /** Point-in-interval range join as an equi join: intervals

@@ -39,10 +39,11 @@ object Lake {
     * caller's transaction boundary, like the reference's staging swap). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L << 20): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(
-      new org.apache.hadoop.fs.Path(inPath)).getLength
+    // the filesystem that OWNS inPath, not fs.defaultFS — compacting an
+    // s3a:// lake from a file:// default would throw Wrong FS otherwise
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(nFiles)

@@ -35,6 +35,22 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq === Seq(7L))
   }
 
+  test("asofJoin carries a matched row's NULL payload atomically") {
+    // the matching right row has pay=NULL: the result must be that NULL,
+    // not a stale pay torn in from the older right row; and a NULL
+    // right ts must never match anything
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), "x")).toDF("k", "lts", "lpay")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00")), Option(5L)),
+      (1L, Option(ts("2024-01-01 11:00:00")), Option.empty[Long]),
+      (1L, Option.empty[java.sql.Timestamp], Option(99L))
+    ).toDF("k", "rts", "rpay")
+    val row = Temporal.asofJoin(left, right, "k", "lts", "rts")
+      .select("rts", "rpay").collect().head
+    assert(row.getTimestamp(0) === ts("2024-01-01 11:00:00"))
+    assert(row.isNullAt(1))
+  }
+
   test("asofJoin equals brute-force max-below join on real events") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.where(col("event_type") === "purchase")
