@@ -122,6 +122,44 @@ object EventsStream extends Serializable {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CDC apply: the reference's daily staging-MERGE run
+    * continuously. Each micro-batch of I/U/D changes is deduped to the
+    * latest change per key and merged into the parquet target via
+    * foreachBatch — batch semantics per trigger, exactly the
+    * `Cdc.mergeApply` the daily job uses, so daily and streaming
+    * deployments can't drift. The write goes to a temp dir first and
+    * swaps in (same transaction boundary as the reference's staging
+    * swap; on a real lakehouse the sink would be a MERGE INTO on a
+    * table format instead of a directory swap).
+    *
+    * Returns the started query; caller owns termination. */
+  def cdcApplyStream(spark: SparkSession, changes: DataFrame,
+                     targetPath: String, key: String,
+                     orderCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val payloadOrder = orderCol +:
+          batch.columns.filterNot(Set(key, orderCol, "op")).toSeq
+        val latest = graft.operators.Cdc
+          .latestPerKey(batch.toDF(), key, payloadOrder)
+        val target = batch.sparkSession.read.parquet(targetPath)
+        val merged = graft.operators.Cdc
+          .mergeApply(target, latest.drop(orderCol), key)
+        val tmp = targetPath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = p.getFileSystem(conf)
+        fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        ()
+      }
+      .outputMode("update")
+      .start()
+  }
+
   /** File-source stream over a parquet directory (the lake as a feed). */
   def fromParquetDir(spark: SparkSession, dir: String,
                      schemaFrom: DataFrame): DataFrame =

@@ -95,6 +95,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming CDC apply equals the batch merge") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("stream-cdc").toString
+    val target = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
+      .toDF("id", "amount", "status")
+    target.write.parquet(s"$tmp/target")
+    val changes = Seq(
+      (2L, "U", 25.0, "B2", 1L), // update
+      (3L, "D", 0.0, "", 2L),    // delete
+      (4L, "I", 40.0, "D", 3L),  // insert
+      (4L, "I", 45.0, "D2", 4L)  // later change to the same key wins
+    ).toDF("id", "op", "amount", "status", "seq")
+    changes.write.parquet(s"$tmp/changes")
+    val stream = spark.readStream.schema(changes.schema).parquet(s"$tmp/changes")
+    val q = EventsStream.cdcApplyStream(spark, stream, s"$tmp/target",
+      "id", "seq", s"$tmp/cp")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(s"$tmp/target")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got === Set((1L, 10.0, "A"), (2L, 25.0, "B2"), (4L, 45.0, "D2")))
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     val tmp = Files.createTempDirectory("stream-dedup").toString
     val base = eventCols(Tables.events(spark, sfDir))
