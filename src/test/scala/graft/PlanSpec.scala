@@ -1,0 +1,74 @@
+package graft
+
+/** Physical-plan guards: the properties that make these queries work at
+  * 100 TB are asserted, not assumed — filters reach the parquet scan,
+  * projections prune the read schema, dims broadcast, per-row ops
+  * stay shuffle-free, and hot paths stay inside WholeStageCodegen. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("scan_incremental pushes the date range down to the parquet scan") {
+    val p = plan("scan_incremental")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("scan_project prunes the read schema to selected columns") {
+    val p = plan("scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_comment") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("multi-way joins broadcast every dimension side") {
+    for (q <- Seq("q3_shipping_priority", "q5_local_volume", "q7_nation_trade",
+                  "promo_revenue", "tfidf_top_term")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+             s"$q: nested loop present")
+    }
+  }
+
+  test("per-row operators plan with zero exchanges") {
+    for (q <- Seq("derive_recipe", "text_quality", "text_token_count",
+                  "split_train_test", "pii_redact", "embedding_norm_quant")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: unexpected shuffle\n$p")
+    }
+  }
+
+  test("flagship pipeline shuffles exactly once (the groupBy)") {
+    val p = plan("pipeline_material_demand")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1, p)
+  }
+
+  test("doc_pack reuses one partitioning for window and groupBy") {
+    // window on (source) + groupBy (source, pack_id): the second agg can
+    // partial-aggregate on the window's layout — at most 2 exchanges,
+    // and never one per operator
+    val p = plan("doc_pack")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+  }
+
+  test("aggregations run partial then final (map-side combine)") {
+    for (q <- Seq("agg_groupby_sum", "q1_pricing_summary", "events_hourly")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q: no partial aggregation\n$p")
+    }
+  }
+
+  test("hot scans stay inside WholeStageCodegen") {
+    for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
+      // AQE prints codegen spans only once stages have executed —
+      // collect() materializes THIS queryExecution (count() would
+      // build a separate one and leave this plan unexecuted)
+      val df = Queries.all(q)(spark, sfDir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // executed AQE plans print codegen spans as "*(n) Operator"
+      assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+             s"$q: no codegen span\n$p")
+    }
+  }
+}
