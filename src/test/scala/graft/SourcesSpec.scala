@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{Csv, Lake}
+import graft.sources.{Csv, Json, Lake}
 
 class SourcesSpec extends SparkSpec {
 
@@ -37,6 +37,32 @@ class SourcesSpec extends SparkSpec {
     assert(parquets(s"$tmp/small") === 40)
     assert(parquets(s"$tmp/big") === 1) // total bytes << 1 GiB target
     assert(spark.read.parquet(s"$tmp/big").count() === orders.count())
+  }
+
+  test("Json round-trips with explicit schema and quarantines bad lines") {
+    val tmp = Files.createTempDirectory("json").toString
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Json.write(df, s"$tmp/out")
+    // append a malformed line to exercise the quarantine path
+    val extra = new java.io.FileWriter(s"$tmp/out/bad.json")
+    extra.write("{not json at all\n"); extra.close()
+    val back = Json.read(spark, s"$tmp/out", df.schema).cache()
+    assert(back.where(col(Json.CorruptCol).isNull).count() === 2)
+    assert(back.where(col(Json.CorruptCol).isNotNull).count() === 1)
+    assert(back.where(col(Json.CorruptCol).isNull)
+      .agg(sum("v")).first().getDouble(0) === 4.0)
+    back.unpersist()
+  }
+
+  test("Orc round-trips losslessly") {
+    val tmp = Files.createTempDirectory("orc").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.orc(s"$tmp/orc")
+    val back = spark.read.orc(s"$tmp/orc")
+    assert(back.schema === orders.schema)
+    assert(back.count() === orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
   }
 
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
