@@ -1359,6 +1359,74 @@ object Queries {
       |    (SELECT COUNT(*) AS c FROM lineitem
       |     GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d)""".stripMargin
 
+  /** Calendar gap-fill + forward-fill: daily shop demand re-gridded to
+    * a dense calendar, missing days carrying the last observed value —
+    * the time-series prep the reference's forecasting downstream needs.
+    * The calendar is broadcast (it's tiny at any horizon); the fill is
+    * one window over the existing (shop) partitioning. */
+  def gapfillDailyDemand(spark: SparkSession, dir: String): DataFrame = {
+    val demand = Tables.lineitem(spark, dir)
+      .where(col("l_suppkey") < 10 &&
+             col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-02-01")
+      .groupBy(col("l_suppkey").as("shop_id"),
+               to_date(col("l_shipdate")).as("day"))
+      .agg(Relational.dsum(col("l_quantity")).as("demand"))
+    val days = spark.sql(
+      """SELECT explode(sequence(DATE'1996-01-01', DATE'1996-01-31',
+        |                        INTERVAL 1 DAY)) AS day""".stripMargin)
+    val grid = demand.select(col("shop_id")).distinct()
+      .crossJoin(broadcast(days))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shop_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(demand, Seq("shop_id", "day"), "left")
+      .select(col("shop_id"), col("day"),
+              last(col("demand"), ignoreNulls = true).over(w).as("demand_filled"),
+              col("demand").isNull.as("was_gap"))
+  }
+
+  private val gapfillDailyDemandSql =
+    """WITH demand AS (
+      |  SELECT l_suppkey AS shop_id, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS demand
+      |  FROM lineitem
+      |  WHERE l_suppkey < 10 AND l_shipdate >= '1996-01-01'
+      |    AND l_shipdate < '1996-02-01'
+      |  GROUP BY 1, 2),
+      |days AS (SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+      |  DATE '1996-01-31', INTERVAL 1 DAY)) AS DATE) AS day),
+      |grid AS (SELECT s.shop_id, days.day
+      |         FROM (SELECT DISTINCT shop_id FROM demand) s CROSS JOIN days)
+      |SELECT g.shop_id, g.day,
+      |  last_value(d.demand IGNORE NULLS) OVER (PARTITION BY g.shop_id
+      |    ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS demand_filled,
+      |  d.demand IS NULL AS was_gap
+      |FROM grid g LEFT JOIN demand d
+      |  ON d.shop_id = g.shop_id AND d.day = g.day""".stripMargin
+
+  /** Fuzzy (edit-distance) entity matching over supplier names —
+    * near-identical names are merge candidates. The all-pairs join here
+    * is the small oracle shape; at corpus scale, block first (length /
+    * q-gram / LSH buckets) and run levenshtein only inside blocks,
+    * exactly like the minhash→jaccard verify split. */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") < 100)
+      .select(col("s_suppkey"), col("s_name"))
+    s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
+      .where(levenshtein(col("a.s_name"), col("b.s_name")) <= 1)
+      .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
+              levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
+  }
+
+  private val fuzzyNameMatchSql =
+    """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey < 100) a
+      |JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey < 100) b
+      |  ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1426,7 +1494,9 @@ object Queries {
     "source_mixture"           -> (sourceMixture _),
     "dedup_clusters"           -> (dedupClusters _),
     "profile_columns"          -> (profileColumns _),
-    "dq_checks"                -> (dqChecks _)
+    "dq_checks"                -> (dqChecks _),
+    "gapfill_daily_demand"     -> (gapfillDailyDemand _),
+    "fuzzy_name_match"         -> (fuzzyNameMatch _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1484,7 +1554,9 @@ object Queries {
     "source_mixture"           -> sourceMixtureSql,
     "dedup_clusters"           -> dedupClustersSql,
     "profile_columns"          -> profileColumnsSql,
-    "dq_checks"                -> dqChecksSql
+    "dq_checks"                -> dqChecksSql,
+    "gapfill_daily_demand"     -> gapfillDailyDemandSql,
+    "fuzzy_name_match"         -> fuzzyNameMatchSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
