@@ -1365,16 +1365,19 @@ object Queries {
     * The calendar is broadcast (it's tiny at any horizon); the fill is
     * one window over the existing (shop) partitioning. */
   def gapfillDailyDemand(spark: SparkSession, dir: String): DataFrame = {
-    val demand = Tables.lineitem(spark, dir)
+    val filtered = Tables.lineitem(spark, dir)
       .where(col("l_suppkey") < 10 &&
              col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-02-01")
+    val demand = filtered
       .groupBy(col("l_suppkey").as("shop_id"),
                to_date(col("l_shipdate")).as("day"))
       .agg(Relational.dsum(col("l_quantity")).as("demand"))
     val days = spark.sql(
       """SELECT explode(sequence(DATE'1996-01-01', DATE'1996-01-31',
         |                        INTERVAL 1 DAY)) AS day""".stripMargin)
-    val grid = demand.select(col("shop_id")).distinct()
+    // shops from the (column-pruned) filtered scan, not from the
+    // aggregated frame — the latter would run the groupBy twice
+    val grid = filtered.select(col("l_suppkey").as("shop_id")).distinct()
       .crossJoin(broadcast(days))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shop_id")).orderBy(col("day"))
@@ -1414,9 +1417,9 @@ object Queries {
       .where(col("s_suppkey") < 100)
       .select(col("s_suppkey"), col("s_name"))
     s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
-      .where(levenshtein(col("a.s_name"), col("b.s_name")) <= 1)
       .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
               levenshtein(col("a.s_name"), col("b.s_name")).as("dist"))
+      .where(col("dist") <= 1) // dist computed ONCE per pair
   }
 
   private val fuzzyNameMatchSql =

@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
 object Scale10 {
   private val Copies = 10
 
-  private def times(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
-    (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+  /** One scan, not ten: explode a copy index and shift the listed key
+    * columns by `index * step` — a 10-way union of reads would scan
+    * the source ten times. */
+  private def times(df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+    val copied = df.withColumn("__i",
+      explode(sequence(lit(0L), lit(Copies - 1L))))
+    copied.select(df.columns.map(c => shifts.get(c)
+      .map(step => (col(c) + col("__i") * step).as(c))
+      .getOrElse(col(c))).toSeq: _*)
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(in, out) = args
@@ -31,30 +39,24 @@ object Scale10 {
     spark.sparkContext.setLogLevel("WARN")
 
     val keyShift = 1000000000L
-    times(Tables.orders(spark, in), (df, i) => df
-        .withColumn("o_orderkey", col("o_orderkey") + i * keyShift)
-        .withColumn("o_custkey", col("o_custkey") + i * keyShift))
+    times(Tables.orders(spark, in),
+          Map("o_orderkey" -> keyShift, "o_custkey" -> keyShift))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
-    times(Tables.lineitem(spark, in), (df, i) => df
-        .withColumn("l_orderkey", col("l_orderkey") + i * keyShift))
+    times(Tables.lineitem(spark, in), Map("l_orderkey" -> keyShift))
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
-    times(Tables.customer(spark, in), (df, i) => df
-        .withColumn("c_custkey", col("c_custkey") + i * keyShift))
+    times(Tables.customer(spark, in), Map("c_custkey" -> keyShift))
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
     // events: scale users AND ids so sessionize/asof state shards grow.
     // Tables.events already converts the source's nanos-long ts to a
     // real µs timestamp — write that, so the derived file carries
     // TIMESTAMP(MICROS) and the DuckDB oracles (CAST(ts AS TIMESTAMP))
     // keep working on it.
-    times(Tables.events(spark, in), (df, i) => df
-        .withColumn("event_id", col("event_id") + i * keyShift)
-        .withColumn("user_id", col("user_id") + i * 100000L))
+    times(Tables.events(spark, in),
+          Map("event_id" -> keyShift, "user_id" -> 100000L))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
-    times(Tables.documents(spark, in), (df, i) => df
-        .withColumn("doc_id", col("doc_id") + i * keyShift))
+    times(Tables.documents(spark, in), Map("doc_id" -> keyShift))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    times(Tables.embeddings(spark, in), (df, i) => df
-        .withColumn("vec_id", col("vec_id") + i * keyShift))
+    times(Tables.embeddings(spark, in), Map("vec_id" -> keyShift))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     for (t <- Seq("region", "nation", "supplier", "part"))
       spark.read.parquet(s"$in/$t.parquet")

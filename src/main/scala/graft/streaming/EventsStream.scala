@@ -133,27 +133,38 @@ object EventsStream extends Serializable {
     * table format instead of a directory swap).
     *
     * Returns the started query; caller owns termination. */
-  def cdcApplyStream(spark: SparkSession, changes: DataFrame,
-                     targetPath: String, key: String,
+  def cdcApplyStream(changes: DataFrame, targetPath: String, key: String,
                      orderCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+        val p = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = p.getFileSystem(conf)
+        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
+        // self-heal: a crash between the two renames below leaves the
+        // target aside as .old; restore before re-running the batch
+        if (!fs.exists(p) && fs.exists(old))
+          require(fs.rename(old, p), s"cdcApplyStream: recovery rename failed")
+        // ordering includes op and every payload column (the
+        // latestPerKey contract) so an orderCol tie can't make the
+        // winner — and thus the merge outcome — nondeterministic
         val payloadOrder = orderCol +:
-          batch.columns.filterNot(Set(key, orderCol, "op")).toSeq
+          batch.columns.filterNot(Set(key, orderCol)).toSeq
         val latest = graft.operators.Cdc
           .latestPerKey(batch.toDF(), key, payloadOrder)
         val target = batch.sparkSession.read.parquet(targetPath)
         val merged = graft.operators.Cdc
           .mergeApply(target, latest.drop(orderCol), key)
-        val tmp = targetPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = p.getFileSystem(conf)
-        fs.delete(p, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // swap: aside → in → drop aside; every rename checked, and the
+        // previous target survives until the new one is in place
+        fs.delete(old, true)
+        require(fs.rename(p, old), s"cdcApplyStream: move-aside failed")
+        require(fs.rename(tmp, p), s"cdcApplyStream: move-in failed")
+        fs.delete(old, true)
         ()
       }
       .outputMode("update")

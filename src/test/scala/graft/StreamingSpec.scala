@@ -109,7 +109,7 @@ class StreamingSpec extends SparkSpec {
     ).toDF("id", "op", "amount", "status", "seq")
     changes.write.parquet(s"$tmp/changes")
     val stream = spark.readStream.schema(changes.schema).parquet(s"$tmp/changes")
-    val q = EventsStream.cdcApplyStream(spark, stream, s"$tmp/target",
+    val q = EventsStream.cdcApplyStream(stream, s"$tmp/target",
       "id", "seq", s"$tmp/cp")
     q.processAllAvailable(); q.stop()
     val got = spark.read.parquet(s"$tmp/target")
