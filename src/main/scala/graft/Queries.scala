@@ -1430,6 +1430,41 @@ object Queries {
       |  ON a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
 
+  /** Funnel conversion: each purchase attributed to the user's most
+    * recent view (as-of join), converted iff that view is within the
+    * preceding hour — per-user purchase/conversion counts. Same
+    * single-shuffle asofJoin core as asof_clicks, composed into an
+    * attribution aggregate. */
+  def funnelConversion(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").as("view_ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    Temporal.asofJoin(purchases, views, "user_id", "purchase_ts", "view_ts")
+      .withColumn("converted",
+        col("view_ts").isNotNull &&
+          col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
+  private val funnelConversionSql =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts,
+      |             MAX(event_id) AS view_id
+      |      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT p.user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN v.view_ts IS NOT NULL
+      |             AND v.view_ts >= p.purchase_ts - INTERVAL 1 HOUR
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+      |GROUP BY p.user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1499,7 +1534,8 @@ object Queries {
     "profile_columns"          -> (profileColumns _),
     "dq_checks"                -> (dqChecks _),
     "gapfill_daily_demand"     -> (gapfillDailyDemand _),
-    "fuzzy_name_match"         -> (fuzzyNameMatch _)
+    "fuzzy_name_match"         -> (fuzzyNameMatch _),
+    "funnel_conversion"        -> (funnelConversion _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1559,7 +1595,8 @@ object Queries {
     "profile_columns"          -> profileColumnsSql,
     "dq_checks"                -> dqChecksSql,
     "gapfill_daily_demand"     -> gapfillDailyDemandSql,
-    "fuzzy_name_match"         -> fuzzyNameMatchSql
+    "fuzzy_name_match"         -> fuzzyNameMatchSql,
+    "funnel_conversion"        -> funnelConversionSql
     // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
     // are not SQL-expressible → rows-only check; ScalaTest carries
     // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
