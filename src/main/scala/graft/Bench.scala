@@ -20,11 +20,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: exercise scan, shuffle, window, codegen paths once
+    // warmup: exercise scan, agg, sort-merge join, broadcast join,
+    // window and explode machinery once — the first use of each path
+    // pays ~1-3 s of codegen/shuffle infra that would otherwise be
+    // charged to whichever query happens to run it first
     try {
+      import org.apache.spark.sql.functions._
       spark.range(1000000).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).limit(1000)
         .groupBy("l_returnflag").count().collect()
+      val w = spark.range(10000).select(col("id"), pmod(col("id"), lit(100)).as("k"))
+      w.as("a").join(w.as("b").hint("merge"), "k").count()
+      w.join(broadcast(w.limit(100)), "k").count()
+      w.select(col("k"), row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")).as("r"))
+        .where(col("r") === 1).count()
+      w.select(posexplode(array(col("id"), col("k")))).count()
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.map { case (name, fn) =>

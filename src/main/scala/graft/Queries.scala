@@ -497,6 +497,111 @@ object Queries {
     Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10), emb, 5)
   }
 
+  // -------------------------- LSH-family driver gates (soundness+completeness)
+
+  /** MinHash-LSH driver gate (#24): the SAME minhashPairs code path at
+    * recall-saturating banding — 32 hashes in 16 bands of 2, per-pair
+    * miss probability (1-j²)¹⁶ < 4e-8 at the testdata's j ≥ 0.8
+    * near-dup floor — so the emitted pairs equal the EXHAUSTIVE set of
+    * shingle-jaccard ≥ 0.5 pairs, which DuckDB recomputes from shingle
+    * strings (hash-set jaccard == string-set jaccard modulo 64-bit
+    * collisions; background pairs top out at j ≈ 0.14, so the 0.5
+    * threshold sits in a wide gap). Bounded to doc_id < 600 so the
+    * all-pairs oracle and the 10×/30× bench stay cheap; at the
+    * driver's sf0.01 gate the bound covers the whole table. */
+  def dedupMinhashSound(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir).where(col("doc_id") < 600),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 16, tau = 0.5)
+
+  private val dedupMinhashSoundSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents WHERE doc_id < 600),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |      i -> array_to_string([toks[least(i, len(toks))], toks[least(i+1, len(toks))],
+      |                            toks[least(i+2, len(toks))]], ' '))) AS sh
+      |  FROM t),
+      |c AS (SELECT doc_id, len(sh) AS n FROM s),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |m AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+      |FROM m JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
+      |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  /** Embedding-cosine driver gate (#27): embeddingCosinePairs at
+    * recall-saturating banding (64 sign bits in 32 bands of 2 — miss
+    * < 1e-7 per pair at cos 0.4), so the output equals the exhaustive
+    * cos ≥ 0.4 pair set, recomputed by DuckDB's
+    * list_cosine_similarity. Ids only: both engines agree on every
+    * cosine comparison, not necessarily on the ratio's last bit.
+    * vec_id < 600 keeps the oracle and the scaled bench bounded; at
+    * the sf0.01 gate it covers the whole table. */
+  def dedupEmbeddingSound(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(
+      Tables.embeddings(spark, dir).where(col("vec_id") < 600),
+      "vec_id", "embedding", tau = 0.4, bands = 32, rows = 2)
+      .select(col("id_a"), col("id_b"))
+
+  private val dedupEmbeddingSoundSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE a.vec_id < 600 AND b.vec_id < 600
+      |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
+
+  /** IVF lossless-plumbing gate (#29a): nprobe = cells probes every
+    * cell, so IVF must reproduce brute force EXACTLY — any row lost in
+    * the assignment/probe plumbing breaks the hash match. Oracle = the
+    * same exhaustive ranking as ann_bruteforce_topk. */
+  def annIvfFull(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10), emb, 5,
+      cells = 16, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
+    * to cos ≈ 0 lands in a shared bucket w.p. > 0.9999, so the
+    * bucketed search must return the exact brute-force top-k here. */
+  def annLshSound(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5,
+      bands = 32, rows = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** Sketch driver gate (#29b): the approximate aggregates are checked
+    * against exact values computed in the same query — the emitted
+    * tolerance flags (and the exact NDV) are deterministic, so the
+    * oracle recomputes the exact side and expects TRUE. A sketch
+    * regression (NDV error > 10%, or median outside the exact p40–p60
+    * band) flips a flag and fails the hash gate. */
+  def sketchSound(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"),
+           // rsd 0.02 with a 0.10 gate ≈ 5σ headroom — the default
+           // 0.05 sketch trips a 5% tolerance at ~1σ on small groups
+           approx_count_distinct(col("o_custkey"), 0.02).as("approx"),
+           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("amed"),
+           expr("percentile(o_totalprice, 0.4)").as("p40"),
+           expr("percentile(o_totalprice, 0.6)").as("p60"))
+      .select(col("o_orderpriority"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") /
+          col("n_exact") <= 0.10).as("ndv_ok"),
+        (col("amed") >= col("p40") && col("amed") <= col("p60")).as("median_ok"))
+
+  private val sketchSoundSql =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+      |  TRUE AS ndv_ok, TRUE AS median_ok
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   // ---------------------------------------- JSON + LIKE-filter queries
 
   /** Semi-structured extraction: the events feed carries a JSON props
@@ -830,6 +935,28 @@ object Queries {
       .select(col("doc_id"), size(col("features")).as("n_features"))
     meta.join(feats, "doc_id")
   }
+
+  /** Multimodal partial driver gate (#34): the blob synthesis
+    * (unhex(md5(text))) and the stub decode's byte arithmetic are
+    * deterministic and engine-portable, so doc_id/width/height/n_bytes
+    * are recomputable from md5 hex digits in DuckDB — gating the whole
+    * mapPartitions decode path end-to-end. media_type/channels hang
+    * off xxhash64, which DuckDB lacks; they stay spec-gated. */
+  def multimodalSound(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.attachBlob(Tables.documents(spark, dir))
+    Multimodal.decodeMeta(spark, blobs).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+  }
+
+  private val multimodalSoundSql =
+    """WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+      |SELECT doc_id,
+      |  CAST(((instr('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+      |        + instr('0123456789abcdef', substr(x, 2, 1)) - 1) % 128 + 16 AS INTEGER) AS width,
+      |  CAST(((instr('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+      |        + instr('0123456789abcdef', substr(x, 4, 1)) - 1) % 128 + 16 AS INTEGER) AS height,
+      |  CAST(16 AS INTEGER) AS n_bytes
+      |FROM h""".stripMargin
 
   // ------------------------------- temporal joins (as-of / range)
 
@@ -1506,6 +1633,12 @@ object Queries {
     "dedup_ngram_jaccard"      -> (ngramJaccard _),
     "sketch_stats"             -> (sketchStats _),
     "ann_ivf_topk"             -> (annIvfTopk _),
+    "dedup_minhash_sound"      -> (dedupMinhashSound _),
+    "dedup_embedding_sound"    -> (dedupEmbeddingSound _),
+    "ann_ivf_full"             -> (annIvfFull _),
+    "ann_lsh_sound"            -> (annLshSound _),
+    "sketch_sound"             -> (sketchSound _),
+    "multimodal_sound"         -> (multimodalSound _),
     "pivot_material"           -> (pivotMaterial _),
     "setops_suppliers"         -> (setOpsSuppliers _),
     "scd2_dimension"           -> (scd2Dimension _),
@@ -1570,6 +1703,12 @@ object Queries {
     "having_big_spenders"      -> havingBigSpendersSql,
     "running_total"            -> runningTotalSql,
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
+    "dedup_minhash_sound"      -> dedupMinhashSoundSql,
+    "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
+    "ann_ivf_full"             -> annBruteforceTopkSql,
+    "ann_lsh_sound"            -> annBruteforceTopkSql,
+    "sketch_sound"             -> sketchSoundSql,
+    "multimodal_sound"         -> multimodalSoundSql,
     "pivot_material"           -> pivotMaterialSql,
     "setops_suppliers"         -> setOpsSuppliersSql,
     "scd2_dimension"           -> scd2DimensionSql,
@@ -1597,8 +1736,13 @@ object Queries {
     "gapfill_daily_demand"     -> gapfillDailyDemandSql,
     "fuzzy_name_match"         -> fuzzyNameMatchSql,
     "funnel_conversion"        -> funnelConversionSql
-    // minhash/simhash/embedding-cosine/lsh-ann/ivf/sketches/multimodal
-    // are not SQL-expressible → rows-only check; ScalaTest carries
-    // their oracles (DedupSpec, IvfSpec, SketchSpec, MultimodalSpec)
+    // The production-tuned LSH/sketch/multimodal variants
+    // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
+    // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/
+    // frames) are recall-approximate or hash-seeded → rows-only check;
+    // their *_sound/_full twins above run the SAME code paths at
+    // recall-saturating / exhaustive parameters and carry full DuckDB
+    // hash gates. simhash alone has no SQL-expressible exact predicate
+    // (hamming over xxhash64 signatures) — DedupSpec is its oracle.
   )
 }

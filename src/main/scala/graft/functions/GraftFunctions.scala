@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64}
+import graft.functions.expressions.{DotProduct, MinHashSignature, SignBucket, SimHash64}
 
 /** Registration of graft's native Catalyst expressions into a session's
   * function registry, so they're usable from both the Column API and
@@ -14,6 +14,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val SimHashName = "graft_simhash"
   val MinHashName = "graft_minhash"
+  val SignBucketName = "graft_signbucket"
 
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (DotName, classOf[DotProduct],
@@ -21,7 +22,9 @@ object GraftFunctions {
     (SimHashName, classOf[SimHash64],
       (c: Seq[Expression]) => SimHash64(c(0))),
     (MinHashName, classOf[MinHashSignature],
-      (c: Seq[Expression]) => MinHashSignature(c(0), c(1), evalK(c(2)))))
+      (c: Seq[Expression]) => MinHashSignature(c(0), c(1), evalK(c(2)))),
+    (SignBucketName, classOf[SignBucket],
+      (c: Seq[Expression]) => SignBucket(c(0), c(1))))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -58,6 +61,12 @@ object GraftFunctions {
   def minhashSignature(h1: Column, h2: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(MinHashName, h1, h2, lit(k))
+  }
+
+  /** Codegen'd sign-LSH bucket: bit i set iff vec · planes(i) > 0. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(SignBucketName, vec, org.apache.spark.sql.functions.typedLit(planes))
   }
 
   /** Codegen'd dot product. Registers on the active session if needed

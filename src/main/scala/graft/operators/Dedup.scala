@@ -97,13 +97,16 @@ object Dedup {
           .as(Seq("band_idx", "band_hash")))
     // distinct BEFORE verification: jaccard on ~70-element arrays costs
     // ~µs per pair, so the 4×-duplicated raw band stream must be
-    // deduped first (the opposite trade from embeddingCosinePairs,
-    // whose codegen'd 64-dim dot is ~60ns and runs inline). The
-    // distinct shuffles only (id, id) longs; the shingle payloads then
-    // come from BROADCAST joins — the pair stream never shuffles with
-    // payload attached.
+    // deduped first. The distinct shuffles only (id, id) longs; the
+    // shingle payloads then join by sort-merge on id — the payload
+    // table moves ONCE per pair side, never broadcasts. (A broadcast
+    // here would ship the whole corpus shingle table to every
+    // executor: O(corpus) payload, OOM at 100 TB. The band self-join
+    // is likewise O(corpus) on both sides, so it is pinned to
+    // shuffle too — stats-driven broadcast of a "small" test-scale
+    // input would hide the scale plan from the plan guards.)
     val cands = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
@@ -112,9 +115,9 @@ object Dedup {
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
     cands
-      .join(broadcast(withShingles.select(col("id"), col("sh1").as("sh_a"))),
+      .join(withShingles.select(col("id"), col("sh1").as("sh_a")).hint("merge"),
             col("doc_a") === col("id")).drop("id")
-      .join(broadcast(withShingles.select(col("id"), col("sh1").as("sh_b"))),
+      .join(withShingles.select(col("id"), col("sh1").as("sh_b")).hint("merge"),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -150,8 +153,11 @@ object Dedup {
     // and near-dup clusters in real corpora make the raw candidate set
     // quadratic — distinct-ing it first shuffles millions of pairs that
     // the filter would drop anyway
+    // chunk self-join: O(corpus) on both sides — pinned to sort-merge
+    // like the minhash band join (a broadcast would ship the whole
+    // signature table)
     chunked.as("a")
-      .join(chunked.as("b"),
+      .join(chunked.as("b").hint("merge"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col("a.id") < col("b.id"))
@@ -206,24 +212,23 @@ object Dedup {
     graft.functions.GraftFunctions.cosine(a, b)
 
   /** Deterministic random hyperplanes (seeded) for sign-LSH. */
-  private[operators] def hyperplanes(m: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(m: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(m)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: m sign bits of hyperplane dot products
-    * (native graft_dot per plane — the HOF zip_with version allocated
-    * an intermediate array per plane per row). */
+  /** Sign-LSH bucket id: m sign bits of hyperplane dot products via
+    * the native codegen'd SignBucket expression — one fused m×dim
+    * loop per row. (Earlier forms — zip_with HOF, then aggregate over
+    * graft_dot — were interpreted per plane AND carried the ~2000-
+    * element plane literal through analysis in every plan copy,
+    * ~1.4 s of cold-plan overhead per dedup/ANN query.) */
   def withBucket(embeddings: DataFrame, idCol: String, vecCol: String,
                  m: Int = 12, dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val planes = typedLit(hyperplanes(m, dim))
     embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("planes", planes)
-      .selectExpr("id", "vec",
-        s"""aggregate(sequence(0, ${m - 1}), 0L, (acc, i) ->
-           |  acc + if(graft_dot(vec, element_at(planes, i + 1)) > 0D,
-           |           shiftleft(1L, i), 0L)) AS bucket""".stripMargin)
+      .withColumn("bucket",
+        graft.functions.GraftFunctions.signBucket(col("vec"), hyperplanes(m, dim)))
   }
 
   /** Banded sign-LSH: the m = bands*rows bucket bits split into bands;
@@ -248,14 +253,19 @@ object Dedup {
                            bands: Int = 5, rows: Int = 6,
                            dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    // no distinct on the (possibly quadratic) raw candidate stream:
     // 1. free prefilter — sign-bucket hamming rides along with the
     //    banded rows (one long). cos >= tau pairs flip each bit with
     //    p = acos(tau)/pi, so diff-bits ~ Binomial(m, p); cut at
     //    mean + 4σ — a statistical bound (≈3e-5 miss rate), not the
     //    bare expectation, which would shave ~4% of true pairs
-    // 2. broadcast the vector table, verify cosine inline with the
-    //    codegen'd dot while pipelined, distinct only the survivors
+    // 2. distinct the surviving (id, id) pairs — cheap long-pair
+    //    shuffle, collapses the ≤bands-way band duplication BEFORE
+    //    the vector payloads attach
+    // 3. sort-merge join the vector table per pair side and verify
+    //    cosine with the codegen'd dot. The vectors move once per
+    //    side; broadcasting them instead would ship the full corpus
+    //    embedding table (billions × 64 floats at target scale) to
+    //    every executor.
     val m = bands * rows
     val p = math.acos(tau) / math.Pi
     val maxDiffBits =
@@ -263,18 +273,18 @@ object Dedup {
     val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
     banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id") &&
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .join(broadcast(vecs.select(col("id"), col("vec").as("vec_a"))),
+      .distinct()
+      .join(vecs.select(col("id"), col("vec").as("vec_a")).hint("merge"),
             col("id_a") === col("id")).drop("id")
-      .join(broadcast(vecs.select(col("id"), col("vec").as("vec_b"))),
+      .join(vecs.select(col("id"), col("vec").as("vec_b")).hint("merge"),
             col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= tau)
-      .distinct()
   }
 }

@@ -63,41 +63,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Nearest-cell assignment as a per-row argmax over literal
+    * centroids: zero Exchange, zero row explosion. (The former
+    * `crossJoin(centroids)` + `row_number` form exploded the corpus
+    * ×cells and shuffled the explosion — a 1000× blowup at realistic
+    * cell counts, just to take an argmax.) Ranking is by cosine; the
+    * corpus-vector norm is a common positive factor across cells, so
+    * the argmax of dot/‖centroid‖ (centroid norms folded driver-side)
+    * is identical — one codegen'd dot per cell per row. Ties break to
+    * the smallest cell id, like the former (cos DESC, cell) ordering. */
+  private[graft] def assignCells(df: DataFrame, vecCol: String,
+                                 centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    val scored = centroids.map { case (i, arr) =>
+      val norm = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / norm
+      struct(
+        (graft.functions.GraftFunctions.dot(col(vecCol), typedLit(arr.toSeq)) * lit(inv)).as("s"),
+        lit(-i).as("negcell"))
+    }
+    df.withColumn("cell", -greatest(scored: _*).getField("negcell"))
+  }
+
   /** IVF-style ANN: k-means learns `cells` centroids (on a sample —
     * centroid quality doesn't need the full corpus), every corpus
     * vector is assigned to its nearest cell once, and each query
     * scores only the vectors in its own `nprobe` nearest cells.
-    * Search cost ≈ |corpus| * nprobe / cells per query. */
+    * Search cost ≈ |corpus| * nprobe / cells per query. With
+    * nprobe = cells the probe covers every cell, so the result is
+    * exactly brute force — the lossless-plumbing gate the driver
+    * oracle checks. */
   def ivfTopK(spark: org.apache.spark.sql.SparkSession,
               queries: DataFrame, corpus: DataFrame, k: Int,
               cells: Int = 16, nprobe: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val vecs = corpus.select(col("vec_id"),
-      array_to_vector(col("embedding").cast("array<double>")).as("features"))
     // k-means only LEARNS the centroids; both corpus assignment and
     // query probing rank by COSINE against them — mixing Euclidean
     // assignment (model.transform) with cosine probing opens a
     // systematic recall hole for unnormalized vectors.
-    // Train on a deterministic capped sample: centroid quality needs
-    // thousands of points, not the corpus — fitting on 100 TB of
-    // vectors would be all cost and no recall. TakeOrdered keeps the
-    // sample stable across runs and partitionings.
-    val train = vecs.orderBy(col("vec_id")).limit(math.max(cells * 256, 2048))
+    // Train on a deterministic UNIFORM hash-bucket sample: centroid
+    // quality needs thousands of points, not the corpus — and an
+    // id-ordered head would bias centroids toward early ids whenever
+    // ingestion order correlates with content (the common case). The
+    // count() below is parquet-metadata-only, no data scan.
+    val target = math.max(cells * 256, 2048)
+    val n = math.max(corpus.count(), 1L)
+    val buckets = 1L << 20
+    val t = math.min(buckets,
+      math.ceil(target.toDouble * 1.25 / n * buckets).toLong)
+    val train = corpus
+      .where(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(t))
+      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
     val model = new KMeans().setK(cells).setSeed(42).setMaxIter(8).fit(train)
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
     val centroidDf = broadcast(
       spark.createDataFrame(centroids).toDF("cell", "centroid"))
-    val assignW = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("assign_cos").desc, col("cell"))
-    val assigned = corpus
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
-      .crossJoin(centroidDf)
-      .withColumn("assign_cos", Dedup.cosine(col("cvec"), col("centroid")))
-      .withColumn("ark", row_number().over(assignW))
-      .where(col("ark") === 1)
-      .select(col("neighbor_id"), col("cvec"), col("cell"))
+    val assigned = assignCells(
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec")),
+      "cvec", centroids)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centroid_cos").desc, col("cell"))
     val probes = broadcast(

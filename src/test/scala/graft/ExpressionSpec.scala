@@ -36,6 +36,22 @@ class ExpressionSpec extends SparkSpec {
     out.foreach { case (n, h) => assert(n === h) }
   }
 
+  test("graft_signbucket equals the HOF aggregate-over-dots formulation") {
+    val planes = graft.operators.Dedup.hyperplanes(12, 4)
+    val df = Seq(
+      Tuple1(Array(1.5f, -2.0f, 3.25f, 0.5f)),
+      Tuple1(Array(-0.1f, 0.0f, 0.3f, -4.0f)),
+      Tuple1(Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec").withColumn("planes", typedLit(planes))
+    val out = df.select(
+      GraftFunctions.signBucket(col("vec"), planes).as("native"),
+      expr("""aggregate(sequence(0, 11), 0L, (acc, i) ->
+             |  acc + if(graft_dot(vec, element_at(planes, i + 1)) > 0D,
+             |           shiftleft(1L, i), 0L))""".stripMargin).as("hof"))
+      .as[(Long, Long)].collect()
+    out.foreach { case (n, h) => assert(n === h) }
+  }
+
   test("graft_minhash equals the HOF zip_with/array_min formulation") {
     val df = Seq(
       (Array(10L, -5L, 77L, 123456789L), Array(3L, 99L, -1000L, 7L))

@@ -21,4 +21,23 @@ class IvfSpec extends SparkSpec {
     val recall = (bf intersect got).size.toDouble / bf.size
     assert(recall >= 0.3, s"recall $recall")
   }
+
+  test("assignCells picks the cosine argmax; ties go to the smallest cell") {
+    val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)), (2, Array(1f, 0f)))
+    val df = Seq((1L, Array(2f, 0.5f)), (2L, Array(0f, 3f))).toDF("id", "vec")
+    val got = Similarity.assignCells(df, "vec", cents)
+      .select("id", "cell").as[(Long, Int)].collect().toMap
+    // cell 2 duplicates cell 0's direction → the tie breaks to cell 0
+    assert(got === Map(1L -> 0, 2L -> 1))
+  }
+
+  test("IVF with nprobe = cells reproduces brute force exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 5)
+    val full = Similarity.ivfTopK(spark, q, emb, 5, cells = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(full === bf)
+  }
 }

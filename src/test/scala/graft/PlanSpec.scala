@@ -58,6 +58,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup verify joins never broadcast the corpus payload") {
+    // the signature/vector payload tables are O(corpus): a broadcast
+    // here OOMs every executor at 100 TB — pairs must shuffle-join
+    for (q <- Seq("dedup_minhash_pairs", "dedup_embedding_cosine", "dedup_simhash")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastExchange"), s"$q: corpus-sized broadcast\n$p")
+    }
+  }
+
+  test("IVF cell assignment is a per-row argmax: zero exchange, zero explosion") {
+    import spark.implicits._
+    val cents = (0 until 4).map(i =>
+      (i, Array.tabulate(4)(j => if (i == j) 1f else 0f))).toSeq
+    val df = Seq((1L, Array(0.9f, 0.1f, 0f, 0f))).toDF("id", "vec")
+    val out = graft.operators.Similarity.assignCells(df, "vec", cents)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("CartesianProduct") &&
+           !p.contains("Generate"), p)
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
