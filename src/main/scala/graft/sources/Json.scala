@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.StructType
 object Json {
   val CorruptCol = "_corrupt_record"
 
+  /** NOTE: a query referencing only [[CorruptCol]] on this raw scan
+    * throws AnalysisException unless the DataFrame is cached first —
+    * use [[Quarantine.split]] for the good/corrupt split, which
+    * handles the caching. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .schema(schema.add(CorruptCol, "string"))

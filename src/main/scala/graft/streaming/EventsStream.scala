@@ -124,29 +124,29 @@ object EventsStream extends Serializable {
 
   /** Streaming CDC apply: the reference's daily staging-MERGE run
     * continuously. Each micro-batch of I/U/D changes is deduped to the
-    * latest change per key and merged into the parquet target via
-    * foreachBatch — batch semantics per trigger, exactly the
-    * `Cdc.mergeApply` the daily job uses, so daily and streaming
-    * deployments can't drift. The write goes to a temp dir first and
-    * swaps in (same transaction boundary as the reference's staging
-    * swap; on a real lakehouse the sink would be a MERGE INTO on a
-    * table format instead of a directory swap).
+    * latest change per key and merged into the target via foreachBatch
+    * — batch semantics per trigger, exactly the `Cdc.mergeApply` the
+    * daily job uses, so daily and streaming deployments can't drift.
+    *
+    * The target is a [[graft.sources.Manifest]] table: each batch
+    * commits a new version dir published by an atomic marker-file
+    * create. The previous rename-swap was crash-safe only on
+    * HDFS/local — `fs.rename` is not atomic on S3-family stores, and
+    * the swap had a reader-visible gap between the two renames. With
+    * the manifest there is no gap (readers resolve the last committed
+    * version at every instant) and no recovery step: a crash between
+    * data write and marker leaves an orphan that the replayed batch
+    * overwrites. A fresh table bootstraps from the first batch's
+    * non-delete changes.
     *
     * Returns the started query; caller owns termination. */
-  def cdcApplyStream(changes: DataFrame, targetPath: String, key: String,
+  def cdcApplyStream(changes: DataFrame, tableRoot: String, key: String,
                      orderCol: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-        val p = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = p.getFileSystem(conf)
-        val old = new org.apache.hadoop.fs.Path(targetPath + ".old")
-        // self-heal: a crash between the two renames below leaves the
-        // target aside as .old; restore before re-running the batch
-        if (!fs.exists(p) && fs.exists(old))
-          require(fs.rename(old, p), s"cdcApplyStream: recovery rename failed")
+        val spark = batch.sparkSession
         // ordering includes op and every payload column (the
         // latestPerKey contract) so an orderCol tie can't make the
         // winner — and thus the merge outcome — nondeterministic
@@ -154,17 +154,13 @@ object EventsStream extends Serializable {
           batch.columns.filterNot(Set(key, orderCol)).toSeq
         val latest = graft.operators.Cdc
           .latestPerKey(batch.toDF(), key, payloadOrder)
-        val target = batch.sparkSession.read.parquet(targetPath)
-        val merged = graft.operators.Cdc
-          .mergeApply(target, latest.drop(orderCol), key)
-        val tmp = new org.apache.hadoop.fs.Path(targetPath + ".tmp")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // swap: aside → in → drop aside; every rename checked, and the
-        // previous target survives until the new one is in place
-        fs.delete(old, true)
-        require(fs.rename(p, old), s"cdcApplyStream: move-aside failed")
-        require(fs.rename(tmp, p), s"cdcApplyStream: move-in failed")
-        fs.delete(old, true)
+        val merged = graft.sources.Manifest.read(spark, tableRoot) match {
+          case Some(target) =>
+            graft.operators.Cdc.mergeApply(target, latest.drop(orderCol), key)
+          case None => // bootstrap: the first batch founds the table
+            latest.where(col("op") =!= "D").drop("op", orderCol)
+        }
+        graft.sources.Manifest.commit(spark, tableRoot, merged)
         ()
       }
       .outputMode("update")

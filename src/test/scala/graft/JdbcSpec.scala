@@ -33,6 +33,16 @@ class JdbcSpec extends SparkSpec {
     val expected = orders.where(
       col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01").count()
     assert(incr.count() === expected)
-    assert(expected > 0)
+    assert(expected > 0 && expected < n) // the range genuinely pruned rows
+
+    // prove the predicate executes REMOTELY: the scan relation itself
+    // carries the WHERE (it is part of the pushed dbtable subquery),
+    // and the Spark plan has no post-load Filter re-applying the range
+    val leaves = incr.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("\"o_orderdate\" >= '1996-01-01'") &&
+           leaves.contains("\"o_orderdate\" < '1997-01-01'"), leaves)
+    assert(!incr.queryExecution.optimizedPlan.toString.contains("Filter"),
+           incr.queryExecution.optimizedPlan.toString)
   }
 }

@@ -19,6 +19,39 @@ class ScaleSpec extends SparkSpec {
     assert(ps === ss)
   }
 
+  test("AQE skew-join splits a planted hot key at runtime") {
+    // 80% of the left side lands on one key: the SMJ partition for it
+    // dwarfs the median, and AQE must split it (the mechanism SURVEY §5
+    // leans on for unsalted skew at 100 TB). Thresholds are lowered to
+    // make a test-sized partition count as skewed.
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val previous = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 300000).select(
+        when(pmod(col("id"), lit(5)) < 4, lit(42L))
+          .otherwise(pmod(col("id"), lit(1000))).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k").agg(sum("payload").as("s"), count(lit(1)).as("n"))
+      val row = joined.collect()(0)
+      // the join result is still exact
+      assert(row.getLong(1) === 300000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkewJoin=true"),
+             s"no skew-split in executed plan:\n$plan")
+    } finally previous.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no exchange on the bucketed key") {
     Lake.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),

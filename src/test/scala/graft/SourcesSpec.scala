@@ -47,12 +47,13 @@ class SourcesSpec extends SparkSpec {
     // append a malformed line to exercise the quarantine path
     val extra = new java.io.FileWriter(s"$tmp/out/bad.json")
     extra.write("{not json at all\n"); extra.close()
-    val back = Json.read(spark, s"$tmp/out", df.schema).cache()
-    assert(back.where(col(Json.CorruptCol).isNull).count() === 2)
-    assert(back.where(col(Json.CorruptCol).isNotNull).count() === 1)
-    assert(back.where(col(Json.CorruptCol).isNull)
-      .agg(sum("v")).first().getDouble(0) === 4.0)
-    back.unpersist()
+    // Quarantine.split owns the cache the corrupt-only projection needs
+    val (good, bad) = graft.sources.Quarantine.split(
+      Json.read(spark, s"$tmp/out", df.schema))
+    assert(good.count() === 2)
+    assert(bad.count() === 1)
+    assert(good.agg(sum("v")).first().getDouble(0) === 4.0)
+    assert(!good.columns.contains(Json.CorruptCol))
   }
 
   test("Orc round-trips losslessly") {

@@ -95,12 +95,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("streaming CDC apply equals the batch merge") {
+  test("streaming CDC apply equals the batch merge (manifest commits)") {
     import spark.implicits._
+    import graft.sources.Manifest
     val tmp = Files.createTempDirectory("stream-cdc").toString
+    val root = s"$tmp/target"
     val target = Seq((1L, 10.0, "A"), (2L, 20.0, "B"), (3L, 30.0, "C"))
       .toDF("id", "amount", "status")
-    target.write.parquet(s"$tmp/target")
+    assert(Manifest.commit(spark, root, target) === 0L)
     val changes = Seq(
       (2L, "U", 25.0, "B2", 1L), // update
       (3L, "D", 0.0, "", 2L),    // delete
@@ -109,12 +111,50 @@ class StreamingSpec extends SparkSpec {
     ).toDF("id", "op", "amount", "status", "seq")
     changes.write.parquet(s"$tmp/changes")
     val stream = spark.readStream.schema(changes.schema).parquet(s"$tmp/changes")
-    val q = EventsStream.cdcApplyStream(stream, s"$tmp/target",
-      "id", "seq", s"$tmp/cp")
+    val q = EventsStream.cdcApplyStream(stream, root, "id", "seq", s"$tmp/cp")
     q.processAllAvailable(); q.stop()
-    val got = spark.read.parquet(s"$tmp/target")
+    val got = Manifest.read(spark, root).get
       .as[(Long, Double, String)].collect().toSet
     assert(got === Set((1L, 10.0, "A"), (2L, 25.0, "B2"), (4L, 45.0, "D2")))
+    // the previous version stays readable for in-flight readers
+    assert(Manifest.currentVersion(spark, root) === Some(1L))
+    assert(spark.read.parquet(Manifest.dataDir(root, 0)).count() === 3)
+  }
+
+  test("manifest CDC bootstraps a fresh table; a crash window never loses the target") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val tmp = Files.createTempDirectory("stream-cdc-boot").toString
+    val root = s"$tmp/target" // does not exist: first batch founds it
+    val changes = Seq(
+      (1L, "I", 1.0, "A", 1L),
+      (2L, "I", 2.0, "B", 2L),
+      (2L, "D", 0.0, "", 3L) // latest change for key 2 is a delete
+    ).toDF("id", "op", "amount", "status", "seq")
+    changes.write.parquet(s"$tmp/changes")
+    val stream = spark.readStream.schema(changes.schema).parquet(s"$tmp/changes")
+    val q = EventsStream.cdcApplyStream(stream, root, "id", "seq", s"$tmp/cp")
+    q.processAllAvailable(); q.stop()
+    def state() = Manifest.read(spark, root).get
+      .as[(Long, Double, String)].collect().toSet
+    assert(state() === Set((1L, 1.0, "A")))
+    val v = Manifest.currentVersion(spark, root).get
+    // crash between data write and marker publish: an orphaned data
+    // dir exists but readers still resolve the committed version
+    Seq((9L, 9.9, "X")).toDF("id", "amount", "status")
+      .write.mode("overwrite").parquet(Manifest.dataDir(root, v + 1))
+    assert(Manifest.currentVersion(spark, root) === Some(v))
+    assert(state() === Set((1L, 1.0, "A")))
+    // the replayed commit claims the orphan's version and overwrites it
+    val next = Manifest.commit(spark, root,
+      Seq((5L, 5.0, "E")).toDF("id", "amount", "status"))
+    assert(next === v + 1)
+    assert(state() === Set((5L, 5.0, "E")))
+    // GC horizon: after another commit, version v is dropped but the
+    // immediately-previous version survives for in-flight readers
+    Manifest.commit(spark, root, Seq((6L, 6.0, "F")).toDF("id", "amount", "status"))
+    assert(!new java.io.File(Manifest.dataDir(root, v)).exists())
+    assert(new java.io.File(Manifest.dataDir(root, v + 1)).exists())
   }
 
   test("streaming dedup drops within-watermark duplicates with bounded state") {
