@@ -38,7 +38,10 @@ object Bench {
       w.select(posexplode(array(col("id"), col("k")))).count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // stable name order: Map iteration order shifts as queries are
+    // added, which would shuffle warmup-adjacency between rounds and
+    // make per-query comparisons noisier than they need to be
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case t: Throwable =>
@@ -49,7 +52,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -78,11 +78,28 @@ object Dedup {
                    n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    tau: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
-    val toks = split(TextFunctions.normalize(col(textCol)), " ")
+    // 0. collapse exact duplicates first: every copy of a duplicated
+    //    doc shares every band, so candidate volume is QUADRATIC in
+    //    duplicate depth (a 1000-deep dup cluster inflates its
+    //    candidates 10⁶×) — real corpora are duplicate-heavy, which
+    //    would melt the band join at scale. LSH runs on unique texts
+    //    (keyed by the 128-bit content fingerprint, like exact dedup);
+    //    pairs expand back through the groups at the end, and
+    //    within-group pairs are emitted directly at jaccard 1.0.
+    //    The text payload shuffles exactly once (the groupBy).
+    val fpc = TextFunctions.fingerprint(col(textCol))
+    val uniqueDocs = docs
+      .groupBy(fpc.as("fp"))
+      .agg(min(col(idCol)).as("gid"), first(col(textCol)).as("text"))
+    val memberIds = docs.select(col(idCol).as("id"), fpc.as("fp"))
+      .join(uniqueDocs.select(col("fp"), col("gid")).hint("merge"), "fp")
+      .select(col("id"), col("gid"))
+      .cache() // two longs per doc; feeds both expansion joins + intra
+    val toks = split(TextFunctions.normalize(col("text")), " ")
     // two independent shingle-hash families (double hashing); cached —
     // feeds both sides of the band self-join AND the jaccard joins
-    val withShingles = docs
-      .select(col(idCol).as("id"),
+    val withShingles = uniqueDocs
+      .select(col("gid").as("id"),
         transform(toks, t => xxhash64(t)).as("t1"),
         transform(toks, t => xxhash64(lit(1), t)).as("t2"))
       .select(col("id"),
@@ -114,7 +131,7 @@ object Dedup {
       .distinct()
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
-    cands
+    val upairs = cands
       .join(withShingles.select(col("id"), col("sh1").as("sh_a")).hint("merge"),
             col("doc_a") === col("id")).drop("id")
       .join(withShingles.select(col("id"), col("sh1").as("sh_b")).hint("merge"),
@@ -124,6 +141,21 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // expand verified unique-pairs to member pairs (ids of different
+    // groups can interleave, so re-order with least/greatest) and add
+    // the within-group pairs, which are exact dups: jaccard 1.0
+    val cross = upairs
+      .join(memberIds.select(col("gid").as("doc_a"), col("id").as("ida")).hint("merge"), "doc_a")
+      .join(memberIds.select(col("gid").as("doc_b"), col("id").as("idb")).hint("merge"), "doc_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    val intra = memberIds.as("x")
+      .join(memberIds.as("y").hint("merge"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+              lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= tau)
+    cross.union(intra)
   }
 
   // ------------------------------------------------------------ simhash
@@ -270,9 +302,20 @@ object Dedup {
     val p = math.acos(tau) / math.Pi
     val maxDiffBits =
       math.ceil(m * p + 4.0 * math.sqrt(m * p * (1 - p))).toInt
-    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = bandedBuckets(embeddings, idCol, vecCol, bands, rows, dim)
-    banded.as("a")
+    // 0. collapse exact-duplicate vectors first (same rationale as
+    //    minhashPairs: candidate volume is quadratic in duplicate
+    //    depth — copies share every band). One shuffle on the vector
+    //    value yields the member→group map AND the unique set; LSH
+    //    runs on uniques, pairs expand back through the groups.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))
+    val members = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("gid", min("id").over(w))
+      .cache() // feeds uniques, payload joins, expansion joins, intra
+    val uniques = members.where(col("id") === col("gid"))
+      .select(col("gid").as("id"), col("vec"))
+    val banded = bandedBuckets(uniques, "id", "vec", bands, rows, dim)
+    val upairs = banded.as("a")
       .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -280,11 +323,27 @@ object Dedup {
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .join(vecs.select(col("id"), col("vec").as("vec_a")).hint("merge"),
+      .join(uniques.select(col("id"), col("vec").as("vec_a")).hint("merge"),
             col("id_a") === col("id")).drop("id")
-      .join(vecs.select(col("id"), col("vec").as("vec_b")).hint("merge"),
+      .join(uniques.select(col("id"), col("vec").as("vec_b")).hint("merge"),
             col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= tau)
+    // expand to member pairs (group ids can interleave → reorder) and
+    // add within-group pairs — identical vectors, cos(v,v), which is
+    // 1.0 for any nonzero vector and NULL (dropped) for zero vectors,
+    // exactly as the uncollapsed pipeline verified them
+    val cross = upairs
+      .join(members.select(col("gid").as("id_a"), col("id").as("ida")).hint("merge"), "id_a")
+      .join(members.select(col("gid").as("id_b"), col("id").as("idb")).hint("merge"), "id_b")
+      .select(least(col("ida"), col("idb")).as("id_a"),
+              greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
+    val intra = members.as("x")
+      .join(members.as("y").hint("merge"),
+        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              cosine(col("x.vec"), col("x.vec")).as("cos"))
+      .where(col("cos") >= tau)
+    cross.union(intra)
   }
 }
