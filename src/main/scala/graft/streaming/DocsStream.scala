@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.time.Instant
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Streaming near-duplicate detection: the continuous twin of
+  * `Dedup.minhashPairs` for a document feed — every incoming doc is
+  * checked against the docs already seen in its LSH buckets, so a
+  * training-data pipeline can drop near-dups at ingest instead of in
+  * a nightly batch.
+  *
+  * Shape: signature + band hashes are computed with the SAME native
+  * expressions as the batch operator (MinHashSignature, shingle
+  * hashes), then the stream is keyed by (band_idx, band_hash) and a
+  * `flatMapGroupsWithState` holds, per bucket, the signatures seen
+  * within the watermark horizon. State is O(docs-per-bucket × k longs)
+  * and self-expires via event-time timeout — bounded memory on an
+  * unbounded stream, sharded across executors by bucket like any
+  * keyed state.
+  *
+  * Differences from batch, by nature of streaming:
+  *  - pairs are ordered by ARRIVAL (earlier doc first), not min id;
+  *  - similarity is the signature estimate (matching minhash
+  *    positions / k), not exact shingle jaccard — state keeps k longs
+  *    per doc, not the shingle sets;
+  *  - a pair sharing several bands can emit more than once
+  *    (at-least-once per pair; consumers dedupe on (doc_a, doc_b)).
+  */
+object DocsStream extends Serializable {
+
+  case class BandedDoc(doc_id: Long, ts: Instant, sig: Array[Long],
+                       band_idx: Int, band_hash: Long)
+  case class NearDup(doc_a: Long, doc_b: Long, est_jaccard: Double,
+                     ts: Instant)
+  /** State entry: one seen doc in this bucket. */
+  case class Seen(id: Long, tsUs: Long, sig: List[Long])
+
+  private def micros(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  /** Fraction of matching minhash positions — the standard unbiased
+    * jaccard estimator for k-permutation signatures. */
+  private def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    var m = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+    if (n == 0) 0.0 else m.toDouble / n
+  }
+
+  /** Near-dup pairs over a stream of (doc_id, ts, text).
+    * `horizonMinutes` is both the lateness tolerance and how long a
+    * doc stays eligible as a dup source. */
+  def nearDupPairs(spark: SparkSession, docs: DataFrame,
+                   horizonMinutes: Int, n: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4, tau: Double = 0.6): Dataset[NearDup] = {
+    import spark.implicits._
+    val rows = numHashes / bands
+    val horizonUs = horizonMinutes * 60000000L
+    val toks = split(TextFunctions.normalize(col("text")), " ")
+    val sig = Dedup.minhashSignatureFromHashes(
+      Dedup.shingleHashes(transform(toks, t => xxhash64(t)), n),
+      Dedup.shingleHashes(transform(toks, t => xxhash64(lit(1), t)), n),
+      numHashes)
+    val banded = docs
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        posexplode(Dedup.bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_idx", "band_hash")))
+      .as[BandedDoc]
+
+    def fn(key: (Int, Long), it: Iterator[BandedDoc],
+           state: GroupState[List[Seen]]): Iterator[NearDup] = {
+      val incoming = it.toList.sortBy(d => (micros(d.ts), d.doc_id))
+      var seen = state.getOption.getOrElse(Nil)
+      val out = List.newBuilder[NearDup]
+      for (d <- incoming) {
+        val s = d.sig.toList
+        for (e <- seen if e.id != d.doc_id) {
+          val est = estJaccard(e.sig, s)
+          if (est >= tau) out += NearDup(e.id, d.doc_id, est, d.ts)
+        }
+        seen = Seen(d.doc_id, micros(d.ts), s) :: seen
+      }
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      seen = seen.filter(_.tsUs + horizonUs >= wmUs)
+      if (seen.nonEmpty) {
+        state.update(seen)
+        state.setTimeoutTimestamp(
+          (seen.map(_.tsUs).min + horizonUs) / 1000L + 1)
+      } else state.remove()
+      out.result().iterator
+    }
+
+    banded.groupByKey(d => (d.band_idx, d.band_hash))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

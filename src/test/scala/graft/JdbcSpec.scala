@@ -45,4 +45,29 @@ class JdbcSpec extends SparkSpec {
     assert(!incr.queryExecution.optimizedPlan.toString.contains("Filter"),
            incr.queryExecution.optimizedPlan.toString)
   }
+
+  test("JDBC type mapping round-trips timestamps, decimals and NULLs exactly") {
+    import spark.implicits._
+    // the Postgres-shaped column types the reference moves
+    // (timestamptz → TIMESTAMP, numeric → DECIMAL, nullable payloads)
+    val df = Seq(
+      (1L, "2024-01-15 10:30:00.123456", Some(BigDecimal("12345.670000")), Some("x")),
+      (2L, "1999-12-31 23:59:59.999999", Some(BigDecimal("-0.010000")), None),
+      (3L, "2024-06-01 00:00:00.0", None, Some(""))
+    ).toDF("id", "ts_s", "amt_s", "note")
+      .select(col("id"), to_timestamp(col("ts_s")).as("ts"),
+              col("amt_s").cast("decimal(12,6)").as("amt"), col("note"))
+    Jdbc.write(df, url, "types_jdbc", props)
+    val back = Jdbc.read(spark, url, "types_jdbc", "id", 0, 4, 2, props)
+    assert(back.schema("ts").dataType ===
+           org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("amt").dataType ===
+           org.apache.spark.sql.types.DecimalType(12, 6))
+    val got = back.select("id", "ts", "amt", "note")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getDecimal(2)), Option(r.getString(3)))).toSet
+    val want = df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getDecimal(2)), Option(r.getString(3)))).toSet
+    assert(got === want) // µs timestamps, decimal scale, NULLs all exact
+  }
 }
