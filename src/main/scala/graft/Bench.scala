@@ -40,8 +40,12 @@ object Bench {
 
     // stable name order: Map iteration order shifts as queries are
     // added, which would shuffle warmup-adjacency between rounds and
-    // make per-query comparisons noisier than they need to be
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // make per-query comparisons noisier than they need to be.
+    // SPARK_GRAFT_ONLY=a,b,c restricts to a subset for iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case t: Throwable =>

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture operators.
@@ -16,8 +15,8 @@ import org.apache.spark.sql.functions._
   *  - `/root/reference/mnt/dags/unused_pipeline_sourcecode.py:329-350`
   *    — `INSERT … ON CONFLICT DO UPDATE` upsert.
   *
-  * Spark-first realization: latest-per-key is a `row_number` window
-  * (one shuffle on the key); merge/upsert are a single full-outer join
+  * Spark-first realization: latest-per-key is a partial-aggregating
+  * `max_by` (see below); merge/upsert are a single full-outer join
   * + `when` resolution. At scale the change set is typically a small
   * fraction of the target, so AQE converts the join to broadcast when
   * the deltas fit; both sides are pre-partitioned on the key, so a
@@ -29,14 +28,30 @@ object Cdc {
     * window. `ordering` must make the sort total in VALUE terms — pass
     * every payload column after the timestamp so ties between
     * physically-duplicate rows can't make the result nondeterministic
-    * across engines/runs. */
+    * across engines/runs. Ordering columns must be non-null (null
+    * ranks lowest in a struct max, vs nulls-last under the window's
+    * DESC sort).
+    *
+    * Implemented as `max_by` over the ordering tuple, not a
+    * `row_number` window: a declarative max aggregates PARTIALLY
+    * (map-side combine shuffles ≤ one row per key per input
+    * partition) and never sorts, while the window form shuffles the
+    * ENTIRE change feed and sorts every key group — at 100 TB the
+    * change feed is the big table, so this is the difference between
+    * shuffling the table and shuffling the keys. Struct comparison is
+    * lexicographic, so `max_by(payload, struct(ordering))` picks
+    * exactly the window's `ORDER BY ... DESC` rank-1 row. */
   def latestPerKey(changes: DataFrame, key: String,
                    ordering: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(key))
-      .orderBy(ordering.map(col(_).desc): _*)
-    changes.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+    val payload = changes.columns.filterNot(_ == key).toSeq
+    val best = max_by(struct(payload.map(col): _*),
+                      struct(ordering.map(col): _*))
+    changes.groupBy(col(key))
+      .agg(best.as("__best"))
+      .select(changes.columns.toSeq.map {
+        case k if k == key => col(key)
+        case p             => col(s"__best.$p").as(p)
+      }: _*)
   }
 
   /** Apply I/U/D changes to a target. `latestChanges` must have the
