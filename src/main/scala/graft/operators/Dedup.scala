@@ -86,26 +86,35 @@ object Dedup {
     //    (keyed by the 128-bit content fingerprint, like exact dedup);
     //    pairs expand back through the groups at the end, and
     //    within-group pairs are emitted directly at jaccard 1.0.
-    //    The text payload shuffles exactly once (the groupBy).
+    //    One window over the fingerprint yields the member→group map
+    //    AND the unique set (the former groupBy + join-back spent two
+    //    extra shuffle stages on the same answer).
     val fpc = TextFunctions.fingerprint(col(textCol))
-    val uniqueDocs = docs
-      .groupBy(fpc.as("fp"))
-      .agg(min(col(idCol)).as("gid"), first(col(textCol)).as("text"))
-    val memberIds = docs.select(col(idCol).as("id"), fpc.as("fp"))
-      .join(uniqueDocs.select(col("fp"), col("gid")).hint("merge"), "fp")
-      .select(col("id"), col("gid"))
-      .cache() // two longs per doc; feeds both expansion joins + intra
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val toks = split(TextFunctions.normalize(col("text")), " ")
-    // two independent shingle-hash families (double hashing); cached —
-    // feeds both sides of the band self-join AND the jaccard joins
-    val withShingles = uniqueDocs
-      .select(col("gid").as("id"),
-        transform(toks, t => xxhash64(t)).as("t1"),
-        transform(toks, t => xxhash64(lit(1), t)).as("t2"))
-      .select(col("id"),
+    // ONE materialized table carries both roles: (id, gid) for every member
+    // (two longs — feeds the expansion joins) and the two independent
+    // shingle-hash families (double hashing) for keepers only —
+    // guarded by `when` so non-keepers never pay the shingle pass.
+    // One window shuffle, one materialization; the former separate
+    // memberIds/withShingles caches cost an extra shuffle + job each.
+    val mem = docs.select(col(idCol).as("id"), col(textCol).as("text"), fpc.as("fp"))
+      .withColumn("gid", min("id").over(wnd))
+      .select(col("id"), col("gid"),
+        when(col("id") === col("gid"),
+          transform(toks, t => xxhash64(t))).as("t1"),
+        when(col("id") === col("gid"),
+          transform(toks, t => xxhash64(lit(1), t))).as("t2"))
+      .select(col("id"), col("gid"),
         shingleHashes(col("t1"), n).as("sh1"),
         shingleHashes(col("t2"), n).as("sh2"))
-      .cache()
+      .localCheckpoint() // six downstream reads: checkpoint both
+      // materializes once AND truncates lineage, so every AQE stage
+      // re-optimizes a leaf scan instead of the full window+shingle
+      // plan (plain .cache() left concurrent readers serialized on
+      // the cache-population lock, ~0.5 s of zero-CPU wait per stage)
+    val withShingles = mem.where(col("id") === col("gid"))
+      .select(col("id"), col("sh1"), col("sh2"))
     val banded = withShingles
       .select(col("id"),
         posexplode(bandHashes(
@@ -115,13 +124,15 @@ object Dedup {
     // distinct BEFORE verification: jaccard on ~70-element arrays costs
     // ~µs per pair, so the 4×-duplicated raw band stream must be
     // deduped first. The distinct shuffles only (id, id) longs; the
-    // shingle payloads then join by sort-merge on id — the payload
-    // table moves ONCE per pair side, never broadcasts. (A broadcast
-    // here would ship the whole corpus shingle table to every
-    // executor: O(corpus) payload, OOM at 100 TB. The band self-join
-    // is likewise O(corpus) on both sides, so it is pinned to
-    // shuffle too — stats-driven broadcast of a "small" test-scale
-    // input would hide the scale plan from the plan guards.)
+    // shingle payloads then attach via shuffled-hash joins with the
+    // PAIR stream as the build side (pairs are bounded by the near-dup
+    // rate; the corpus payload streams past, moving ONCE per pair
+    // side, never broadcast and never sorted). A broadcast here would
+    // ship the whole corpus shingle table to every executor: O(corpus)
+    // payload, OOM at 100 TB. The band self-join is corpus-sized on
+    // BOTH sides, so it stays sort-merge (spillable) — stats-driven
+    // broadcast of a "small" test-scale input would hide the scale
+    // plan from the plan guards.
     val cands = banded.as("a")
       .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -129,33 +140,40 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+      .hint("shuffle_hash")
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
     val upairs = cands
-      .join(withShingles.select(col("id"), col("sh1").as("sh_a")).hint("merge"),
+      .join(withShingles.select(col("id"), col("sh1").as("sh_a")),
             col("doc_a") === col("id")).drop("id")
-      .join(withShingles.select(col("id"), col("sh1").as("sh_b")).hint("merge"),
+      .hint("shuffle_hash")
+      .join(withShingles.select(col("id"), col("sh1").as("sh_b")),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // expand verified unique-pairs to member pairs (ids of different
-    // groups can interleave, so re-order with least/greatest) and add
-    // the within-group pairs, which are exact dups: jaccard 1.0
-    val cross = upairs
-      .join(memberIds.select(col("gid").as("doc_a"), col("id").as("ida")).hint("merge"), "doc_a")
-      .join(memberIds.select(col("gid").as("doc_b"), col("id").as("idb")).hint("merge"), "doc_b")
+    // expand group pairs to member pairs through ONE join pipeline:
+    // verified cross-group pairs union the (gid, gid) self-pairs of
+    // duplicated groups (exact dups — jaccard 1.0 by construction), so
+    // within-group pairs fall out of the same two expansion joins
+    // instead of a separate corpus×corpus self-join. Cross-group ids
+    // can interleave (re-order with least/greatest); self-pairs keep
+    // the id< ordering the join condition can't impose.
+    val dupGroups = mem.where(col("id") =!= col("gid"))
+      .select(col("gid").as("doc_a"), col("gid").as("doc_b"),
+              lit(1.0).as("jaccard"))
+      .distinct()
+      .where(lit(1.0) >= tau)
+    upairs.union(dupGroups)
+      .hint("shuffle_hash")
+      .join(mem.select(col("gid").as("doc_a"), col("id").as("ida")), "doc_a")
+      .hint("shuffle_hash")
+      .join(mem.select(col("gid").as("doc_b"), col("id").as("idb")), "doc_b")
+      .where(col("doc_a") =!= col("doc_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
               greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
-    val intra = memberIds.as("x")
-      .join(memberIds.as("y").hint("merge"),
-        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-              lit(1.0).as("jaccard"))
-      .where(lit(1.0) >= tau)
-    cross.union(intra)
   }
 
   // ------------------------------------------------------------ simhash
@@ -218,17 +236,29 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
+    // min-propagation labels only ever DECREASE, so the fixpoint test
+    // is one scalar: Σrep is stable ⇔ no label moved. (The former
+    // new-vs-old join + count spent an extra join job per round on the
+    // same answer.) DECIMAL(38) sum — an id-magnitude Σ over a web-
+    // scale graph overflows BIGINT's 9.2e18 under ANSI mode. The
+    // checkpoints are LAZY: the convergence sum is the action that
+    // materializes each round's labels, so a round costs one job, not
+    // two (eager checkpoint + separate count).
+    def repSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+      .withColumn("rep", col("id")).localCheckpoint(eager = false)
+    var prev = repSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("rep"))
         .union(labels)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint()
-      changed = prop.as("n").join(labels.as("o"), "id")
-        .where(col("n.rep") < col("o.rep")).count()
+        .localCheckpoint(eager = false)
+      val cur = repSum(prop)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
       labels = prop
     }
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
@@ -280,9 +310,14 @@ object Dedup {
 
   /** Embedding near-dup pairs: banded sign-LSH candidates verified with
     * exact cosine >= tau. Output: (id_a, id_b, cos). */
+  /** Default banding 8×8 uses the full 64-bit bucket: vs the former
+    * 5×6, a true cos ≥ 0.9 pair still shares a band w.p. ≈ 0.93 while
+    * near-orthogonal background pairs (the bulk of any real corpus)
+    * collide 2.5× less often (8/2⁸ vs 5/2⁶ expected bands) — better
+    * recall AND a smaller candidate stream. */
   def embeddingCosinePairs(embeddings: DataFrame, idCol: String,
                            vecCol: String, tau: Double = 0.4,
-                           bands: Int = 5, rows: Int = 6,
+                           bands: Int = 8, rows: Int = 8,
                            dim: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // 1. free prefilter — sign-bucket hamming rides along with the
@@ -293,7 +328,8 @@ object Dedup {
     // 2. distinct the surviving (id, id) pairs — cheap long-pair
     //    shuffle, collapses the ≤bands-way band duplication BEFORE
     //    the vector payloads attach
-    // 3. sort-merge join the vector table per pair side and verify
+    // 3. shuffled-hash join the vector table per pair side (build =
+    //    the bounded pair stream, probe = the corpus) and verify
     //    cosine with the codegen'd dot. The vectors move once per
     //    side; broadcasting them instead would ship the full corpus
     //    embedding table (billions × 64 floats at target scale) to
@@ -311,7 +347,10 @@ object Dedup {
     val members = embeddings
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("gid", min("id").over(w))
-      .cache() // feeds uniques, payload joins, expansion joins, intra
+      .localCheckpoint() // feeds uniques, both payload joins, the
+      // dup-group pass and both expansion joins — checkpoint (not
+      // cache) so lineage truncates and concurrent readers don't
+      // serialize on cache population (see minhashPairs)
     val uniques = members.where(col("id") === col("gid"))
       .select(col("gid").as("id"), col("vec"))
     val banded = bandedBuckets(uniques, "id", "vec", bands, rows, dim)
@@ -323,27 +362,32 @@ object Dedup {
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .join(uniques.select(col("id"), col("vec").as("vec_a")).hint("merge"),
+      .hint("shuffle_hash")
+      .join(uniques.select(col("id"), col("vec").as("vec_a")),
             col("id_a") === col("id")).drop("id")
-      .join(uniques.select(col("id"), col("vec").as("vec_b")).hint("merge"),
+      .hint("shuffle_hash")
+      .join(uniques.select(col("id"), col("vec").as("vec_b")),
             col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= tau)
-    // expand to member pairs (group ids can interleave → reorder) and
-    // add within-group pairs — identical vectors, cos(v,v), which is
-    // 1.0 for any nonzero vector and NULL (dropped) for zero vectors,
-    // exactly as the uncollapsed pipeline verified them
-    val cross = upairs
-      .join(members.select(col("gid").as("id_a"), col("id").as("ida")).hint("merge"), "id_a")
-      .join(members.select(col("gid").as("id_b"), col("id").as("idb")).hint("merge"), "id_b")
+    // expand group pairs to member pairs through ONE join pipeline
+    // (same shape as minhashPairs): verified cross-group pairs union
+    // the (gid, gid) self-pairs of duplicated groups — identical
+    // vectors, cos(v,v), which is 1.0 for any nonzero vector and NULL
+    // (dropped) for zero vectors, exactly as the uncollapsed pipeline
+    // verified them. No separate corpus×corpus intra self-join.
+    val dupGroups = members.where(col("id") =!= col("gid"))
+      .select(col("gid").as("id_a"), col("gid").as("id_b"),
+              cosine(col("vec"), col("vec")).as("cos"))
+      .distinct()
+      .where(col("cos") >= tau)
+    upairs.union(dupGroups)
+      .hint("shuffle_hash")
+      .join(members.select(col("gid").as("id_a"), col("id").as("ida")), "id_a")
+      .hint("shuffle_hash")
+      .join(members.select(col("gid").as("id_b"), col("id").as("idb")), "id_b")
+      .where(col("id_a") =!= col("id_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
               greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
-    val intra = members.as("x")
-      .join(members.as("y").hint("merge"),
-        col("x.gid") === col("y.gid") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-              cosine(col("x.vec"), col("x.vec")).as("cos"))
-      .where(col("cos") >= tau)
-    cross.union(intra)
   }
 }
