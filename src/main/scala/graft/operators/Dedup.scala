@@ -255,11 +255,21 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
         .union(labels)
         .groupBy("id").agg(min("rep").as("rep"))
+      // pointer jump (path doubling): rep := label(rep). Every rep is
+      // itself a labeled node, and label(x) <= x under min-propagation,
+      // so one extra self-join per round compresses label chains
+      // exponentially — O(log diameter) rounds instead of O(diameter),
+      // which is the difference between 5 and 30+ shuffle rounds on the
+      // long chains real near-dup graphs contain.
+      val jumped = prop.as("p")
+        .join(prop.select(col("id").as("rid"), col("rep").as("rrep")).as("q"),
+              col("p.rep") === col("q.rid"))
+        .select(col("p.id").as("id"), col("rrep").as("rep"))
         .localCheckpoint(eager = false)
-      val cur = repSum(prop)
+      val cur = repSum(jumped)
       converged = cur.compareTo(prev) == 0
       prev = cur
-      labels = prop
+      labels = jumped
     }
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
   }
