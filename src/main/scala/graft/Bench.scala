@@ -55,7 +55,10 @@ object Bench {
                catch { case t: Throwable =>
                  System.err.println(s"BENCH FAIL $name: $t"); false }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // operator-internal caches, see Verify
+      Blocks.freeAll(spark) // caches AND checkpoint blocks — clearCache
+      // alone left every dedup query's member-table checkpoint resident
+      // for the JVM lifetime, making later queries' times depend on
+      // suite position (r4 regression)
       name -> (if (ok) dt else -1.0) // -1 marks a failed query in the JSON
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -25,9 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // operators may cache internals (dedup signature tables); drop
-      // them between queries so ~44 sequential runs don't accumulate
-      spark.catalog.clearCache()
+      // operators may cache/checkpoint internals (dedup signature and
+      // member tables); drop them between queries so ~70 sequential
+      // runs don't accumulate block-manager state
+      Blocks.freeAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

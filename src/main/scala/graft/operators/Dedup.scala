@@ -232,7 +232,38 @@ object Dedup {
     *
     * Output: (doc_id, cluster_rep) for every node of the pair graph,
     * rep = min id in the component. */
+  /** Unpersist the block-manager blocks behind a localCheckpoint'd
+    * frame (no-op for anything else). Checkpoint blocks are NOT freed
+    * by `spark.catalog.clearCache()`, so iterative operators must
+    * release each round's blocks themselves or a long-lived session
+    * accrues block-manager state without bound. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def clusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Constraint propagation is OFF for the whole loop: localCheckpoint
+    // captures the origin plan's `constraints` into the LogicalRDD
+    // (LogicalRDD.fromDataset → rewriteStatsAndConstraints), and under
+    // chained checkpoints the captured set can reference attributes of
+    // an EARLIER round's LogicalRDD — the next round's Union then dies
+    // in UnionBase.rewriteConstraints (`key not found: id#…`). With the
+    // flag off the capture is skipped at the source. Nothing is lost:
+    // every join here is a bare equi-join on non-null ids — there are
+    // no filters for InferFiltersFromConstraints to derive.
+    val sess = pairs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpSaved = sess.conf.get(cpKey, "true")
+    sess.conf.set(cpKey, "false")
+    try clustersImpl(pairs, aCol, bCol)
+    finally sess.conf.set(cpKey, cpSaved)
+  }
+
+  private def clustersImpl(pairs: DataFrame, aCol: String,
+                           bCol: String): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
@@ -240,14 +271,14 @@ object Dedup {
     // is one scalar: Σrep is stable ⇔ no label moved. (The former
     // new-vs-old join + count spent an extra join job per round on the
     // same answer.) DECIMAL(38) sum — an id-magnitude Σ over a web-
-    // scale graph overflows BIGINT's 9.2e18 under ANSI mode. The
-    // checkpoints are LAZY: the convergence sum is the action that
-    // materializes each round's labels, so a round costs one job, not
-    // two (eager checkpoint + separate count).
+    // scale graph overflows BIGINT's 9.2e18 under ANSI mode; coalesce
+    // to 0 so an EMPTY pair graph (sum → NULL) converges instead of
+    // NPE-ing.
     def repSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+                      lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(eager = false)
+      .withColumn("rep", col("id")).localCheckpoint()
     var prev = repSum(labels)
     var converged = false
     while (!converged) {
@@ -255,6 +286,13 @@ object Dedup {
         .select(col("dst").as("id"), col("rep"))
         .union(labels)
         .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint() // EAGER, for two reasons: (1) the jump join
+        // below references prop on BOTH sides — lazy, its join+union+
+        // groupBy would run twice per round; (2) self-joining the lazy
+        // checkpoint of a Union plan crashes Catalyst's attribute
+        // dedup (`key not found: id#…` in UnionBase.rewriteConstraints
+        // — the LogicalRDD carries the union's origin constraints).
+        // Eager materialization makes both sides plain RDD-leaf scans.
       // pointer jump (path doubling): rep := label(rep). Every rep is
       // itself a labeled node, and label(x) <= x under min-propagation,
       // so one extra self-join per round compresses label chains
@@ -265,8 +303,12 @@ object Dedup {
         .join(prop.select(col("id").as("rid"), col("rep").as("rrep")).as("q"),
               col("p.rep") === col("q.rid"))
         .select(col("p.id").as("id"), col("rrep").as("rep"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = false) // the convergence sum is the
+        // action that materializes it — one job, not two
       val cur = repSum(jumped)
+      // previous round's blocks are dead once `jumped` is materialized
+      freeCheckpoint(labels)
+      freeCheckpoint(prop)
       converged = cur.compareTo(prev) == 0
       prev = cur
       labels = jumped

@@ -17,6 +17,12 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(reps.size === 12 && reps.values.forall(_ === 1L))
   }
+
+  test("clusters on an empty pair graph returns an empty frame") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.clusters(none, "a", "b").count() === 0L)
+  }
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog " * 8
