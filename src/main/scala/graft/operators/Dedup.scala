@@ -74,9 +74,22 @@ object Dedup {
     * j=0.9, while 4-hash bands keep false candidates ~j^4-rare (r=3
     * bands over a small-vocab corpus produced quadratic candidate
     * explosions). */
+  /** `pairJoinHint` picks the join strategy where the candidate-pair
+    * stream meets a corpus-sized payload table (shingle sets /
+    * vectors). Default `shuffle_hash` builds on the pair side: pairs
+    * are bounded by the near-dup rate (exact dups are collapsed
+    * first), so the per-partition build table is small and the corpus
+    * payload streams past unsorted. That assumption INVERTS on an
+    * adversarial corpus where cross-group near-dup pairs approach
+    * O(corpus) — SHJ's build side must fit executor memory, so beyond
+    * roughly (executor memory × partitions) / pair-row-size pairs
+    * (~10⁹ pairs per TB of executor heap at 32 B/pair), pass
+    * `"merge"`: sort-merge spills both sides and only pays an extra
+    * sort. Results are identical either way (DedupSpec pins this). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                   tau: Double = 0.6): DataFrame = {
+                   tau: Double = 0.6,
+                   pairJoinHint: String = "shuffle_hash"): DataFrame = {
     val rows = numHashes / bands
     // 0. collapse exact duplicates first: every copy of a duplicated
     //    doc shares every band, so candidate volume is QUADRATIC in
@@ -140,13 +153,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
     val upairs = cands
       .join(withShingles.select(col("id"), col("sh1").as("sh_a")),
             col("doc_a") === col("id")).drop("id")
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(withShingles.select(col("id"), col("sh1").as("sh_b")),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
@@ -167,9 +180,9 @@ object Dedup {
       .distinct()
       .where(lit(1.0) >= tau)
     upairs.union(dupGroups)
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(mem.select(col("gid").as("doc_a"), col("id").as("ida")), "doc_a")
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(mem.select(col("gid").as("doc_b"), col("id").as("idb")), "doc_b")
       .where(col("doc_a") =!= col("doc_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
@@ -362,15 +375,24 @@ object Dedup {
 
   /** Embedding near-dup pairs: banded sign-LSH candidates verified with
     * exact cosine >= tau. Output: (id_a, id_b, cos). */
-  /** Default banding 8×8 uses the full 64-bit bucket: vs the former
-    * 5×6, a true cos ≥ 0.9 pair still shares a band w.p. ≈ 0.93 while
-    * near-orthogonal background pairs (the bulk of any real corpus)
-    * collide 2.5× less often (8/2⁸ vs 5/2⁶ expected bands) — better
-    * recall AND a smaller candidate stream. */
+  /** Default banding 8×8 uses the full 64-bit bucket and targets the
+    * HIGH-cosine dedup regime: a true cos ≥ 0.9 pair shares a band
+    * w.p. ≈ 0.93, while near-orthogonal background pairs (the bulk of
+    * any real corpus) collide 2.5× less often than the former 5×6
+    * (8/2⁸ vs 5/2⁶ expected bands) — a smaller candidate stream at
+    * equal-or-better recall FOR NEAR-DUPS. It is NOT recall-optimal at
+    * the default verification threshold tau=0.4: an any-band match at
+    * cos = 0.4 happens w.p. ≈ 0.18 under 8×8 vs ≈ 0.28 under 5×6, so
+    * callers sweeping for moderate-similarity pairs should pass wider,
+    * shorter bands (e.g. bands=5, rows=6) and accept the larger
+    * candidate volume. LSH recall here is probabilistic by design;
+    * the exact-duplicate collapse below is unaffected (recall 1.0 for
+    * identical vectors regardless of banding). */
   def embeddingCosinePairs(embeddings: DataFrame, idCol: String,
                            vecCol: String, tau: Double = 0.4,
                            bands: Int = 8, rows: Int = 8,
-                           dim: Int = 64): DataFrame = {
+                           dim: Int = 64,
+                           pairJoinHint: String = "shuffle_hash"): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // 1. free prefilter — sign-bucket hamming rides along with the
     //    banded rows (one long). cos >= tau pairs flip each bit with
@@ -414,10 +436,10 @@ object Dedup {
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(uniques.select(col("id"), col("vec").as("vec_a")),
             col("id_a") === col("id")).drop("id")
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(uniques.select(col("id"), col("vec").as("vec_b")),
             col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
@@ -434,9 +456,9 @@ object Dedup {
       .distinct()
       .where(col("cos") >= tau)
     upairs.union(dupGroups)
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(members.select(col("gid").as("id_a"), col("id").as("ida")), "id_a")
-      .hint("shuffle_hash")
+      .hint(pairJoinHint)
       .join(members.select(col("gid").as("id_b"), col("id").as("idb")), "id_b")
       .where(col("id_a") =!= col("id_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),

@@ -106,4 +106,51 @@ class DedupSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(r1 === Set((0L, 0L), (1L, 1L), (2L, 2L)))
   }
+
+  test("merge pairJoinHint: identical minhash pairs, sort-merge payload join") {
+    // the sort-merge fallback for adversarial duplicate-heavy corpora
+    // (where the pair stream outgrows SHJ's in-memory build side) must
+    // change ONLY the physical join, never the rows
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+    def run(hint: String) =
+      Dedup.minhashPairs(docs, "doc_id", "text", pairJoinHint = hint)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run("merge") === run("shuffle_hash"))
+    assert(run("shuffle_hash").nonEmpty) // testdata plants near-dups
+    val planOf = (hint: String) =>
+      Dedup.minhashPairs(docs, "doc_id", "text", pairJoinHint = hint)
+        .queryExecution.executedPlan.toString
+    assert(planOf("merge").contains("SortMergeJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("merge pairJoinHint: identical embedding-cosine pairs") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def run(hint: String) =
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+          tau = 0.9, pairJoinHint = hint)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run("merge") === run("shuffle_hash"))
+  }
+
+  test("simhash pigeonhole finds EVERY hamming<=3 pair at 10x dup depth") {
+    // 10 verbatim copies of every doc with shifted ids — the ScaleN
+    // shape for documents, and the adversarial one for chunk-bucketed
+    // LSH (each group contributes 45 hamming-0 pairs). The 4×16-bit
+    // pigeonhole is DETERMINISTIC: any pair within hamming 3 must
+    // agree on a whole chunk, so recall is exactly 1.0 — pinned here
+    // against brute-force ground truth, with exact-verify precision.
+    val docs10 = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .withColumn("i", explode(sequence(lit(0L), lit(9L))))
+      .select((col("doc_id") + col("i") * 100000L).as("doc_id"), col("text"))
+    val got = Dedup.simhashPairs(docs10, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sims = Dedup.withSimhash(docs10, "doc_id", "text")
+    val truth = sims.as("a")
+      .join(sims.as("b"), col("a.id") < col("b.id"))
+      .where(expr("bit_count(a.simhash ^ b.simhash)") <= 3)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(got === truth)
+    assert(truth.size >= 500 * 45) // every 10-copy group alone yields 45
+  }
 }
