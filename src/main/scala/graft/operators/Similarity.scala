@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,6 +82,68 @@ object Similarity {
     df.withColumn("cell", -greatest(scored: _*).getField("negcell"))
   }
 
+  /** Seeded k-means++ init + Lloyd's iterations over an in-memory
+    * sample. Training runs on the DRIVER by design: centroid quality
+    * needs thousands of points, not the corpus, and once the sample is
+    * bounded (`ivfTopK` collects ≤ ~1.25·max(cells·256, 2048) rows —
+    * ~1 MB at 64 dims) Lloyd's is O(|sample|·cells·dim·iters) flops,
+    * milliseconds of CPU — while a distributed trainer pays a full
+    * Spark job of scheduling overhead PER ITERATION to do the same
+    * arithmetic. Right up to cells ≈ 4096 (sample ≈ 1M rows); past
+    * that swap in a distributed trainer — nothing downstream changes.
+    * Distances are Euclidean (standard k-means); `ivfTopK` documents
+    * why probing is cosine. */
+  private[graft] def trainCentroids(sample: Array[Array[Float]], cells: Int,
+                                    iters: Int = 8,
+                                    seed: Long = 42L): Seq[(Int, Array[Float])] = {
+    require(sample.nonEmpty, "empty training sample")
+    val k = math.min(cells, sample.length)
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    def d2(a: Array[Float], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++: each next center drawn ∝ squared distance to nearest
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = sample(rnd.nextInt(sample.length)).map(_.toDouble)
+    val near = Array.fill(sample.length)(Double.MaxValue)
+    for (c <- 1 until k) {
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i), centers(c - 1))
+        if (d < near(i)) near(i) = d
+        i += 1
+      }
+      var r = rnd.nextDouble() * near.sum
+      var pick = 0
+      while (pick < sample.length - 1 && r > near(pick)) { r -= near(pick); pick += 1 }
+      centers(c) = sample(pick).map(_.toDouble)
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          val d = d2(sample(i), centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best); val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        centers(c)(j) = sums(c)(j) / counts(c) // empty cell keeps its center
+    }
+    centers.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+  }
+
   /** IVF-style ANN: k-means learns `cells` centroids (on a sample —
     * centroid quality doesn't need the full corpus), every corpus
     * vector is assigned to its nearest cell once, and each query
@@ -98,8 +158,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     // k-means only LEARNS the centroids; both corpus assignment and
     // query probing rank by COSINE against them — mixing Euclidean
-    // assignment (model.transform) with cosine probing opens a
-    // systematic recall hole for unnormalized vectors.
+    // assignment with cosine probing opens a systematic recall hole
+    // for unnormalized vectors.
     // Train on a deterministic UNIFORM hash-bucket sample: centroid
     // quality needs thousands of points, not the corpus — and an
     // id-ordered head would bias centroids toward early ids whenever
@@ -110,13 +170,11 @@ object Similarity {
     val buckets = 1L << 20
     val t = math.min(buckets,
       math.ceil(target.toDouble * 1.25 / n * buckets).toLong)
-    val train = corpus
+    val sample = corpus
       .where(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(t))
-      .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(8).fit(train)
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val centroids = trainCentroids(sample, cells)
     val centroidDf = broadcast(
       spark.createDataFrame(centroids).toDF("cell", "centroid"))
     val assigned = assignCells(
