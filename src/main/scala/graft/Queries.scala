@@ -845,20 +845,26 @@ object Queries {
       |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin
 
   /** Customers spending above twice their priority group's average —
-    * window aggregate compared against row values (correlated-agg
+    * a group aggregate compared against row values (correlated-agg
     * shape without a self-join). */
   def aboveGroupAvg(spark: SparkSession, dir: String): DataFrame = {
-    // Keep the per-customer sum DECIMAL through the window so the group
-    // average is order-independent (a double window-avg can differ from
-    // DuckDB by 1 ULP and flip rows near the spend > 2*avg boundary);
-    // the single double division at the end is IEEE-deterministic.
+    // Keep the per-customer sum DECIMAL through the group average so it
+    // is order-independent (a double running sum can differ from DuckDB
+    // by 1 ULP and flip rows near the spend > 2*avg boundary); the
+    // single double division at the end is IEEE-deterministic.
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"), col("o_orderpriority"))
       .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("sdec"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
-    spend
-      .withColumn("grp_avg",
-        sum(col("sdec")).over(w).cast("double") / count(lit(1)).over(w))
+    // group average via a 5-row agg + broadcast join back, NOT a
+    // partitionBy(o_orderpriority) window: the window form funnels the
+    // whole table into |priorities| = 5 tasks (unbounded skew at
+    // scale), while the agg is partial map-side and the join back is a
+    // broadcast. Exchange reuse covers `spend` appearing twice —
+    // identical shuffle, shuffled once. Same DECIMAL sum → one double
+    // division, so values are bit-identical to the window form.
+    val avgs = spend.groupBy(col("o_orderpriority"))
+      .agg((sum(col("sdec")).cast("double") / count(lit(1))).as("grp_avg"))
+    spend.join(broadcast(avgs), "o_orderpriority")
       .withColumn("spend", col("sdec").cast("double"))
       .where(col("spend") > col("grp_avg") * 2)
       .select(col("o_custkey"), col("o_orderpriority"), col("spend"))
@@ -1214,14 +1220,19 @@ object Queries {
     // document frequency falls out of tf's (already-distinct) keys —
     // no second explode over the raw token stream
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    // rank-1-per-doc as min_by over (-score, term), not a row_number
+    // window: the agg partially combines map-side and never sorts,
+    // where the window re-shuffles AND sorts the whole scored table
+    // just to keep one row per doc. -score is an exact IEEE sign flip,
+    // so min(-score) = max(score) with ties to the smallest term —
+    // the window's (score DESC, term) order exactly.
+    val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("score", col("tf").cast("double") / col("df"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+    scored.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("term"), col("tf"), col("df"), col("score")),
+                  struct(-col("score"), col("term"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("term"), col("top.tf").as("tf"),
+              col("top.df").as("df"), col("top.score").as("score"))
   }
 
   private val tfidfTopTermSql =

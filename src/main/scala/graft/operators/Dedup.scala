@@ -277,8 +277,14 @@ object Dedup {
 
   private def clustersImpl(pairs: DataFrame, aCol: String,
                            bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // both directions from ONE pass over the pair stream (explode, not
+    // a self-union — the union form evaluated the caller's pair plan
+    // twice, and candidate generation is usually the expensive part)
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint()
     // min-propagation labels only ever DECREASE, so the fixpoint test
     // is one scalar: Σrep is stable ⇔ no label moved. (The former
@@ -290,9 +296,14 @@ object Dedup {
     def repSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
                       lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    // initial labels stay LAZY: round 1's eager `prop` checkpoint
+    // materializes them (exchange reuse dedupes the distinct under the
+    // union), and `prev = null` skips the meaningless round-0 sum —
+    // two fewer jobs than checkpoint-then-sum, and a min-propagation
+    // sum can't falsely converge on round 1 against a null sentinel.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
-    var prev = repSum(labels)
+      .withColumn("rep", col("id"))
+    var prev: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("src") === col("id"))
@@ -320,9 +331,10 @@ object Dedup {
         // action that materializes it — one job, not two
       val cur = repSum(jumped)
       // previous round's blocks are dead once `jumped` is materialized
+      // (round 1's lazy initial labels are not a checkpoint — no-op)
       freeCheckpoint(labels)
       freeCheckpoint(prop)
-      converged = cur.compareTo(prev) == 0
+      converged = prev != null && cur.compareTo(prev) == 0
       prev = cur
       labels = jumped
     }
