@@ -40,6 +40,21 @@ object Bench {
         org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("id")).as("r"))
         .where(col("r") === 1).count()
       w.select(posexplode(array(col("id"), col("k")))).count()
+      // decimal hash-agg and nested-loop join over array set ops: both
+      // JIT ~1-3 s of generated code on first use (measured: the
+      // all-pairs jaccard join runs 3.7 s cold vs 0.5 s warm at sf0.1,
+      // charged entirely to whichever query runs it first)
+      w.groupBy("k").agg(sum(col("id").cast("decimal(25,6)"))).count()
+      // full-outer merge join (cdc_merge_apply / upsert / scd2 shape)
+      w.as("a").join(w.as("b").hint("merge"), col("a.id") === col("b.id"),
+        "full_outer").count()
+      val arr = w.limit(200).select(col("id"),
+        transform(sequence(lit(0), pmod(col("id"), lit(20))),
+          i => concat(lit("t"), i)).as("ts"))
+      arr.as("a").join(arr.as("b"), col("a.id") < col("b.id"))
+        .where(size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+          size(array_union(col("a.ts"), col("b.ts"))).cast("double") >= 0.95)
+        .count()
     } catch { case _: Throwable => () }
 
     // stable name order: Map iteration order shifts as queries are

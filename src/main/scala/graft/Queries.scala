@@ -1392,11 +1392,26 @@ object Queries {
     * here is the small all-pairs oracle shape; at scale the SAME
     * clusters() consumes minhashPairs/simhashPairs output. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the quadratic verify: the filtered slice comes
+    // out of one parquet file = one partition, and a nested-loop join
+    // inherits the streamed side's partitioning — without the spread,
+    // every pairwise jaccard runs on a single task no matter how many
+    // cores the cluster has
+    val nPart = spark.sessionState.conf.numShufflePartitions
     val toks = Tables.documents(spark, dir)
       .where(col("doc_id") < 200)
       .select(col("doc_id"),
         array_distinct(split(TextFunctions.normalize(col("text")), " ")).as("toks"))
-    val pairs = toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("n", size(col("toks")))
+      .repartition(nPart)
+    // size-ratio prefilter inside the join condition: jaccard >= tau
+    // forces |small|/|large| >= tau (intersection <= small, union >=
+    // large), so the cheap scalar test prunes pairs before the
+    // per-pair set ops — a necessary condition, never drops a true pair
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")).cast("double") * 0.95)
       .where((size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
         size(array_union(col("a.toks"), col("b.toks"))).cast("double")) >= 0.95)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
