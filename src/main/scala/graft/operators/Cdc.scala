@@ -35,10 +35,16 @@ object Cdc {
     * Implemented as `max_by` over the ordering tuple, not a
     * `row_number` window: a declarative max aggregates PARTIALLY
     * (map-side combine shuffles ≤ one row per key per input
-    * partition) and never sorts, while the window form shuffles the
-    * ENTIRE change feed and sorts every key group — at 100 TB the
-    * change feed is the big table, so this is the difference between
-    * shuffling the table and shuffling the keys. Struct comparison is
+    * partition), while the window form shuffles the ENTIRE change
+    * feed — at 100 TB the change feed is the big table, so this is
+    * the difference between shuffling the table and shuffling the
+    * keys. Note the agg still SORTS, locally: struct-typed aggregate
+    * buffers can't use hash aggregation (HashAggregate needs
+    * fixed-width mutable buffer fields), so Spark plans a
+    * SortAggregate — but that sort is map-side and spill-free per
+    * partition, it never moves rows, and the network cost stays one
+    * row per key. Measured at 10× sf0.1 (6M-row feed): this form
+    * 3.3 s vs 9-10 s for the window rewrite. Struct comparison is
     * lexicographic, so `max_by(payload, struct(ordering))` picks
     * exactly the window's `ORDER BY ... DESC` rank-1 row. */
   def latestPerKey(changes: DataFrame, key: String,
