@@ -1391,7 +1391,9 @@ object Queries {
     * the distributed loop reaches the exact fixpoint. Pair generation
     * here is the small all-pairs oracle shape; at scale the SAME
     * clusters() consumes minhashPairs/simhashPairs output. */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Pair generation for [[dedupClusters]], exposed for PlanSpec. */
+  private[graft] def dedupClusterPairs(spark: SparkSession,
+                                       dir: String): DataFrame = {
     // repartition BEFORE the quadratic verify: the filtered slice comes
     // out of one parquet file = one partition, and a nested-loop join
     // inherits the streamed side's partitioning — without the spread,
@@ -1408,15 +1410,17 @@ object Queries {
     // forces |small|/|large| >= tau (intersection <= small, union >=
     // large), so the cheap scalar test prunes pairs before the
     // per-pair set ops — a necessary condition, never drops a true pair
-    val pairs = toks.as("a").join(toks.as("b"),
+    toks.as("a").join(toks.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
           greatest(col("a.n"), col("b.n")).cast("double") * 0.95)
       .where((size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
         size(array_union(col("a.toks"), col("b.toks"))).cast("double")) >= 0.95)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    Dedup.clusters(pairs, "doc_a", "doc_b")
   }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(dedupClusterPairs(spark, dir), "doc_a", "doc_b")
 
   private val dedupClustersSql =
     """WITH RECURSIVE t AS (

@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
            !p.contains("Generate"), p)
   }
 
+  test("cdc latest-per-key partial-aggregates the change feed") {
+    // the max_by form must combine map-side (shuffle = one row per key
+    // per input partition, not the whole feed); struct buffers make it
+    // a SortAggregate, which is fine — the sort is local — but losing
+    // the partial phase would shuffle the entire 100 TB change feed
+    val p = plan("cdc_latest_per_key")
+    assert(p.contains("partial_max_by"), s"no partial max_by\n$p")
+  }
+
+  test("dedup_clusters pair verify spreads across partitions") {
+    // a quadratic (all-pairs) verify inherits the streamed side's
+    // partitioning from the nested-loop join: without an explicit
+    // repartition, one parquet file = one partition = one task doing
+    // ALL the pairwise jaccard work, no matter the cluster size
+    val p = Queries.dedupClusterPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+           s"pair verify not repartitioned\n$p")
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
