@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.{call_function, lit}
 import graft.functions.expressions.{DotProduct, MinHashSignature, SignBucket, SimHash64}
 
@@ -15,6 +16,8 @@ object GraftFunctions {
   val SimHashName = "graft_simhash"
   val MinHashName = "graft_minhash"
   val SignBucketName = "graft_signbucket"
+  val BloomAggName = "graft_bloom_agg"
+  val MightContainName = "graft_might_contain"
 
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (DotName, classOf[DotProduct],
@@ -24,7 +27,17 @@ object GraftFunctions {
     (MinHashName, classOf[MinHashSignature],
       (c: Seq[Expression]) => MinHashSignature(c(0), c(1), evalK(c(2)))),
     (SignBucketName, classOf[SignBucket],
-      (c: Seq[Expression]) => SignBucket(c(0), c(1))))
+      (c: Seq[Expression]) => SignBucket(c(0), c(1))),
+    // Spark ships tested bloom expressions but registers them only for
+    // its internal runtime-filter rewrite — surface them under graft
+    // names so operators (Prune.bloomSemiJoin) and SQL users can build
+    // explicit scan-pruning filters. might_contain's bloom argument
+    // must be foldable or a scalar subquery (Catalyst rejects plain
+    // attributes), hence the subquery shape in Prune.
+    (BloomAggName, classOf[BloomFilterAggregate],
+      (c: Seq[Expression]) => new BloomFilterAggregate(c(0), c(1), c(2))),
+    (MightContainName, classOf[BloomFilterMightContain],
+      (c: Seq[Expression]) => BloomFilterMightContain(c(0), c(1))))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear

@@ -34,5 +34,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSignature(children(0), children(1),
           GraftFunctions.evalK(children(2)))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        GraftFunctions.BloomAggName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.MightContainName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        GraftFunctions.MightContainName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
   }
 }
