@@ -385,6 +385,43 @@ object Dedup {
            |AS (band_idx, band_val)""".stripMargin)
   }
 
+  /** Banding that fits the 64-bit sign bucket and meets `targetRecall`
+    * at cosine `tau`, with rows as long as possible — longer rows mean
+    * stricter bands, i.e. fewer false candidates per true pair, so the
+    * best banding is the strictest one whose analytic any-band recall
+    * still clears the target. Sign-LSH bit-collision probability at
+    * cosine c is p = 1 - acos(c)/π; a band of r bits matches w.p. pʳ
+    * and any of b bands w.p. 1-(1-pʳ)ᵇ. Callers who know their
+    * operating point should still pass banding explicitly (the 8×8
+    * default targets the high-cos dedup regime); this helper is for
+    * moderate-tau sweeps where the default's recall sags — e.g.
+    * tau=0.4 → (bands=16, rows=4, recall≈0.94) vs ≈0.18 under 8×8. */
+  def bandingFor(tau: Double, targetRecall: Double = 0.9,
+                 maxBits: Int = 64): (Int, Int) = {
+    require(tau > -1 && tau < 1 && targetRecall > 0 && targetRecall < 1)
+    val p = 1.0 - math.acos(tau) / math.Pi
+    (maxBits to 1 by -1).iterator.map { rows =>
+      val bands = maxBits / rows
+      (bands, rows, 1.0 - math.pow(1.0 - math.pow(p, rows), bands))
+    }.collectFirst { case (b, r, recall) if recall >= targetRecall => (b, r) }
+      .getOrElse((maxBits, 1)) // widest possible; caller's target is
+      // unreachable within maxBits (e.g. tau near -1) — 1-bit bands
+      // maximize recall at the cost of candidate volume
+  }
+
+  /** [[embeddingCosinePairs]] with banding derived from tau via
+    * [[bandingFor]] — same verification, recall-appropriate candidate
+    * generation at any threshold. */
+  def embeddingCosinePairsAuto(embeddings: DataFrame, idCol: String,
+                               vecCol: String, tau: Double = 0.4,
+                               targetRecall: Double = 0.9,
+                               dim: Int = 64,
+                               pairJoinHint: String = "shuffle_hash"): DataFrame = {
+    val (bands, rows) = bandingFor(tau, targetRecall)
+    embeddingCosinePairs(embeddings, idCol, vecCol, tau, bands, rows,
+                         dim, pairJoinHint)
+  }
+
   /** Embedding near-dup pairs: banded sign-LSH candidates verified with
     * exact cosine >= tau. Output: (id_a, id_b, cos). */
   /** Default banding 8×8 uses the full 64-bit bucket and targets the

@@ -61,4 +61,21 @@ object Lake {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Sort-clustered write for data skipping: range-repartition on
+    * `sortCol` (files cover DISJOINT value ranges) and sort within
+    * each file (row groups inside a file cover disjoint sub-ranges).
+    * Parquet stores per-row-group min/max; a pushed-down range filter
+    * then skips whole files and row groups instead of scanning them —
+    * on a 100 TB fact table filtered to a day, the scan touches only
+    * the files whose range overlaps the day. This is the single-column
+    * special case of Z-ordering, and the right one when one column
+    * dominates the filter workload (ship-date style). `nFiles` sizes
+    * the output (range repartition needs an explicit count; size it
+    * as totalBytes/targetFileBytes like [[compact]]). */
+  def writeSorted(df: DataFrame, path: String, sortCol: String,
+                  nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
 }

@@ -88,6 +88,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("bandingFor meets the recall target within 64 bits; auto pairs find planted dups") {
+    // analytic check across the operating range: the returned banding
+    // fits the 64-bit bucket, clears the target, and is the strictest
+    // (longest-rows) banding that does
+    def recall(tau: Double, bands: Int, rows: Int): Double = {
+      val p = 1.0 - math.acos(tau) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, rows), bands)
+    }
+    for (tau <- Seq(0.3, 0.4, 0.6, 0.8, 0.9, 0.95)) {
+      val (bands, rows) = Dedup.bandingFor(tau)
+      assert(bands * rows <= 64, s"tau=$tau: $bands x $rows over 64 bits")
+      assert(recall(tau, bands, rows) >= 0.9, s"tau=$tau under target")
+      if (rows < 64)
+        assert(recall(tau, 64 / (rows + 1), rows + 1) < 0.9,
+               s"tau=$tau: rows=${rows + 1} also meets target — not strictest")
+    }
+    // the moderate-tau case ADVICE flagged: auto banding at tau=0.4
+    // finds a planted cos≈0.95 pair the 8x8 default would likely miss
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val noise = (0 until 50).map(i => (10L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = (Seq((1L, v), (2L, vNear)) ++ noise).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairsAuto(df, "vec_id", "embedding",
+        tau = 0.4, targetRecall = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
+  }
+
   test("brute-force ANN: self is rank-1 with cosine 1; k respected") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, 5)

@@ -39,6 +39,43 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/big").count() === orders.count())
   }
 
+  test("Lake.writeSorted yields disjoint per-file ranges parquet stats can skip") {
+    val tmp = Files.createTempDirectory("sorted").toString
+    val orders = Tables.orders(spark, sfDir)
+    Lake.writeSorted(orders, s"$tmp/sorted", "o_orderkey", nFiles = 4)
+    // read each file's footer: row-group min/max on the sort column
+    // must be tight and non-overlapping ACROSS files — the property
+    // that lets a pushed-down range filter skip whole files/row groups
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(s"$tmp/sorted").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length === 4, files.map(_.getName).mkString(","))
+    val ranges = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val stats = blocks.asScala.map { b =>
+          val c = b.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get.getStatistics
+          (c.genericGetMin.asInstanceOf[Long], c.genericGetMax.asInstanceOf[Long])
+        }
+        (stats.map(_._1).min, stats.map(_._2).max)
+      } finally reader.close()
+    }
+    // files sorted by name ≠ sorted by range; sort by min and check disjoint
+    val sorted = ranges.sortBy(_._1).toSeq
+    sorted.sliding(2).foreach {
+      case Seq((_, maxA), (minB, _)) =>
+        assert(maxA <= minB, s"overlapping file ranges: $sorted")
+      case _ =>
+    }
+    // round-trip intact
+    assert(spark.read.parquet(s"$tmp/sorted").count() === orders.count())
+  }
+
   test("Json round-trips with explicit schema and quarantines bad lines") {
     val tmp = Files.createTempDirectory("json").toString
     import spark.implicits._
