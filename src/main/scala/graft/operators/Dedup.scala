@@ -67,6 +67,24 @@ object Dedup {
     array((0 until bands).map(b =>
       xxhash64(lit(b), slice(sig, b * rows + 1, rows))): _*)
 
+  /** Banding for [[minhashPairs]] that meets `targetRecall` at jaccard
+    * `tau` within a signature budget, rows as long as possible (same
+    * construction as [[bandingFor]] — a MinHash band of r hashes
+    * matches w.p. jʳ, any of b bands w.p. 1-(1-jʳ)ᵇ). Returns
+    * (numHashes, bands): numHashes = bands·rows ≤ maxHashes. Longer
+    * signatures buy fewer false candidates at equal recall but cost
+    * one 64-bit mix per hash per shingle at signature time. */
+  def minhashBandingFor(tau: Double, targetRecall: Double = 0.9,
+                        maxHashes: Int = 64): (Int, Int) = {
+    require(tau > 0 && tau < 1 && targetRecall > 0 && targetRecall < 1)
+    (maxHashes to 1 by -1).iterator.map { rows =>
+      val bands = maxHashes / rows
+      (bands, rows, 1.0 - math.pow(1.0 - math.pow(tau, rows), bands))
+    }.collectFirst { case (b, r, recall) if recall >= targetRecall =>
+      (b * r, b)
+    }.getOrElse((maxHashes, maxHashes)) // 1-hash bands: max recall
+  }
+
   /** Near-duplicate pairs: MinHash-LSH candidates verified with exact
     * n-gram Jaccard >= tau. Output: (doc_a, doc_b, jaccard). */
   /** Default params: 16 hashes in 4 bands of 4 — band-match probability

@@ -117,6 +117,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
   }
 
+  test("minhashBandingFor meets the recall target within the hash budget") {
+    def recall(tau: Double, bands: Int, rows: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(tau, rows), bands)
+    for (tau <- Seq(0.5, 0.6, 0.8, 0.9)) {
+      val (numHashes, bands) = Dedup.minhashBandingFor(tau)
+      val rows = numHashes / bands
+      assert(numHashes <= 64 && bands * rows == numHashes)
+      assert(recall(tau, bands, rows) >= 0.9, s"tau=$tau under target")
+    }
+    // the derived banding drives the operator — at the tau matching the
+    // planted pair's similarity (j≈0.54; a high-tau banding is CORRECT
+    // to miss it, that's the recall contract's operating point)
+    val (numHashes, bands) = Dedup.minhashBandingFor(0.5)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        numHashes = numHashes, bands = bands, tau = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("brute-force ANN: self is rank-1 with cosine 1; k respected") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 3), emb, 5)
