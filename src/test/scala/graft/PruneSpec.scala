@@ -56,6 +56,20 @@ class PruneSpec extends SparkSpec {
            s"prune not below the join\n$p")
   }
 
+  test("null fact keys are dropped, exactly like the plain semi join") {
+    // might_contain(bloom, null) is null → the prune drops null-keyed
+    // fact rows; an equi semi join never matches them either, so the
+    // two must agree
+    val withNulls = fact.withColumn("l_orderkey",
+      when(col("l_linenumber") === 1, lit(null)).otherwise(col("l_orderkey")))
+    val bloomed = Prune.bloomSemiJoin(withNulls, "l_orderkey", dim,
+                                      "o_orderkey", expectedKeys = 10000L)
+    val plain = withNulls.as("f").join(dim.as("d"),
+        col("f.l_orderkey") === col("d.o_orderkey"), "left_semi")
+    assert(bloomed.count() === plain.count())
+    assert(bloomed.where(col("l_orderkey").isNull).isEmpty)
+  }
+
   test("temp view does not leak from bloomSemiJoin") {
     Prune.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey").count()
     assert(!spark.catalog.tableExists("__graft_bloom_semi_dim"))
