@@ -41,6 +41,24 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((1L, 99.0, "NEW"), (3L, 30.0, "F"), (4L, 44.0, "NEW")))
   }
 
+  test("shuffle_hash joinHint: identical merge/upsert results, hashed join planned") {
+    // the bounded-delta fast path must change the plan, never the rows
+    val latest = Queries.cdcLatestPerKey(spark, sfDir).select(
+      col("order_key"), col("op"),
+      col("new_price").as("total_price"), lit("NEW").as("status"))
+    val tgt = Tables.orders(spark, sfDir).select(
+      col("o_orderkey").as("order_key"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderstatus").as("status"))
+    val smj = Cdc.mergeApply(tgt, latest, "order_key")
+    val shj = Cdc.mergeApply(tgt, latest, "order_key",
+                             joinHint = "shuffle_hash")
+    assert(shj.exceptAll(smj).isEmpty && smj.exceptAll(shj).isEmpty)
+    assert(shj.queryExecution.executedPlan.toString
+             .contains("ShuffledHashJoin"),
+           "hint did not produce a shuffled-hash join")
+  }
+
   test("scd2: closes current versions, appends new ones, keeps history") {
     import spark.implicits._
     import java.sql.Timestamp
