@@ -37,17 +37,26 @@ object Lake {
     * robin shuffle, so output files are evenly sized regardless of how
     * skewed the inputs were. Writes to `outPath` (swap-in rename is the
     * caller's transaction boundary, like the reference's staging swap). */
+  /** `sortCol`: compaction is the natural moment to (re)establish the
+    * sort-clustered layout [[writeSorted]] produces — a round-robin
+    * rewrite of a clustered table would destroy its data-skipping
+    * stats, so pass the filter column to range-cluster the output
+    * instead. None keeps the even-sized round-robin behavior. */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-              targetFileBytes: Long = 128L << 20): Unit = {
+              targetFileBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): Unit = {
     // the filesystem that OWNS inPath, not fs.defaultFS — compacting an
     // s3a:// lake from a file:// default would throw Wrong FS otherwise
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(inPath)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(outPath)
+    val df = spark.read.parquet(inPath)
+    sortCol match {
+      case Some(c) => writeSorted(df, outPath, c, nFiles)
+      case None => df.repartition(nFiles)
+        .write.mode("overwrite").parquet(outPath)
+    }
   }
 
   /** Write a table bucketed on a join key. Two tables bucketed the same

@@ -39,6 +39,20 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/big").count() === orders.count())
   }
 
+  test("Lake.compact with sortCol range-clusters while compacting") {
+    val tmp = Files.createTempDirectory("compactsort").toString
+    val orders = Tables.orders(spark, sfDir)
+    orders.repartition(20).write.parquet(s"$tmp/small")
+    Lake.compact(spark, s"$tmp/small", s"$tmp/big",
+                 targetFileBytes = 1L << 30, sortCol = Some("o_orderkey"))
+    val out = spark.read.parquet(s"$tmp/big")
+    assert(out.count() === orders.count())
+    // single output file at this size: rows inside must be sorted
+    import spark.implicits._
+    val keys = out.select("o_orderkey").as[Long].collect()
+    assert(keys.sameElements(keys.sorted), "compacted file not clustered")
+  }
+
   test("Lake.writeSorted yields disjoint per-file ranges parquet stats can skip") {
     val tmp = Files.createTempDirectory("sorted").toString
     val orders = Tables.orders(spark, sfDir)
