@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EmbedStream
+
+class EmbedStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming embedding near-dup flags planted dups, expires with the horizon") {
+    val tmp = Files.createTempDirectory("embed-stream").toString
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rnd = new scala.util.Random(5)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val noise = (0 until 20).map(i =>
+      (100L + i, t(2), Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val vecs = (Seq(
+      (1L, t(0), v),
+      (2L, t(5), vNear),        // near-dup of 1 (cos ≈ 1)
+      (3L, t(10), v.map(-_)),   // antipode: cos = -1, never a dup
+      (4L, t(15), v)            // exact dup of 1
+    ) ++ noise).toDF("vec_id", "ts", "vec")
+    vecs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(vecs.schema).parquet(s"$tmp/in")
+    val q = EmbedStream.nearDupPairs(spark, stream, horizonMinutes = 60,
+        tau = 0.95)
+      .writeStream.format("memory").queryName("embdup_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("embdup_t")
+      .select("id_a", "id_b", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // arrival-ordered pairs; multi-band emissions collapse in the Map
+    assert(out.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $out")
+    assert(out((1L, 4L)) === 1.0) // identical vectors
+    assert(out.values.forall(_ >= 0.95))
+
+    // horizon expiry: a far-future exact dup must not match doc 1,
+    // whose bucket entries expired hours earlier
+    val cp = s"$tmp/cp"
+    def run(path: String): Unit = {
+      val s2 = spark.readStream.schema(vecs.schema).parquet(s"$tmp/in2")
+      val q2 = EmbedStream.nearDupPairs(spark, s2, horizonMinutes = 30,
+          tau = 0.95)
+        .writeStream.format("parquet").option("path", path)
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(120000)
+    }
+    Seq((1L, t(0), v), (9L, Timestamp.valueOf("2024-01-01 15:00:00"),
+        Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "ts", "vec").write.parquet(s"$tmp/in2")
+    run(s"$tmp/out2")
+    Seq((4L, Timestamp.valueOf("2024-01-01 15:10:00"), v))
+      .toDF("vec_id", "ts", "vec").write.mode("append").parquet(s"$tmp/in2")
+    run(s"$tmp/out2")
+    val pairs = spark.read.parquet(s"$tmp/out2")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.contains((1L, 4L)), s"expired entry still matched: $pairs")
+  }
+}
