@@ -26,7 +26,7 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    // derived/re-written events (e.g. Scale10 output) already carry a
+    // derived/re-written events (e.g. ScaleN output) already carry a
     // real µs timestamp — only the driver's TIMESTAMP(NANOS) source
     // needs the nanos-long conversion
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
