@@ -534,6 +534,42 @@ object Queries {
       |FROM m JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
       |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5""".stripMargin
 
+  /** Cross-corpus dedup driver gate (#24a): minhashPairsAcross at the
+    * same recall-saturating banding as dedup_minhash_sound, with the
+    * corpus split on doc_id parity (A = even, B = odd — interleaves
+    * the testdata's dup clusters so cross pairs exist). Emitted pairs
+    * equal the EXHAUSTIVE set of cross-parity shingle-jaccard ≥ 0.5
+    * pairs, which DuckDB recomputes from shingle strings. */
+  def dedupCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 600)
+    Dedup.minhashPairsAcross(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, numHashes = 32, bands = 16, tau = 0.5)
+  }
+
+  private val dedupCrossCorpusSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents WHERE doc_id < 600),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+      |      i -> array_to_string([toks[least(i, len(toks))], toks[least(i+1, len(toks))],
+      |                            toks[least(i+2, len(toks))]], ' '))) AS sh
+      |  FROM t),
+      |c AS (SELECT doc_id, len(sh) AS n FROM s),
+      |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |m AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |      FROM e a JOIN e b ON a.g = b.g
+      |      AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |      GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) AS jaccard
+      |FROM m JOIN c ca ON ca.doc_id = da JOIN c cb ON cb.doc_id = db
+      |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.5""".stripMargin
+
   /** Embedding-cosine driver gate (#27): embeddingCosinePairs at
     * recall-saturating banding (64 sign bits in 32 bands of 2 — miss
     * < 1e-7 per pair at cos 0.4), so the output equals the exhaustive
@@ -1689,6 +1725,7 @@ object Queries {
     "sketch_stats"             -> (sketchStats _),
     "ann_ivf_topk"             -> (annIvfTopk _),
     "dedup_minhash_sound"      -> (dedupMinhashSound _),
+    "dedup_cross_corpus"       -> (dedupCrossCorpus _),
     "dedup_embedding_sound"    -> (dedupEmbeddingSound _),
     "ann_ivf_full"             -> (annIvfFull _),
     "ann_lsh_sound"            -> (annLshSound _),
@@ -1760,6 +1797,7 @@ object Queries {
     "running_total"            -> runningTotalSql,
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
     "dedup_minhash_sound"      -> dedupMinhashSoundSql,
+    "dedup_cross_corpus"       -> dedupCrossCorpusSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
     "ann_ivf_full"             -> annBruteforceTopkSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,

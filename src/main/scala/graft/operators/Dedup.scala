@@ -104,6 +104,45 @@ object Dedup {
     * (~10⁹ pairs per TB of executor heap at 32 B/pair), pass
     * `"merge"`: sort-merge spills both sides and only pays an extra
     * sort. Results are identical either way (DedupSpec pins this). */
+  /** Exact-dup-collapsed member table, the shared prep of the minhash
+    * family: (id, gid) for every doc (two longs — feeds the expansion
+    * joins) plus the two independent shingle-hash families (double
+    * hashing) for keepers only — guarded by `when` so non-keepers
+    * never pay the shingle pass. ONE window shuffle, checkpointed:
+    * materializes once AND truncates lineage, so every AQE stage
+    * re-optimizes a leaf scan instead of the full window+shingle plan
+    * (plain .cache() left concurrent readers serialized on the
+    * cache-population lock, ~0.5 s of zero-CPU wait per stage). */
+  private def memberTable(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val fpc = TextFunctions.fingerprint(col(textCol))
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val toks = split(TextFunctions.normalize(col("text")), " ")
+    docs.select(col(idCol).as("id"), col(textCol).as("text"), fpc.as("fp"))
+      .withColumn("gid", min("id").over(wnd))
+      .select(col("id"), col("gid"),
+        when(col("id") === col("gid"),
+          transform(toks, t => xxhash64(t))).as("t1"),
+        when(col("id") === col("gid"),
+          transform(toks, t => xxhash64(lit(1), t))).as("t2"))
+      .select(col("id"), col("gid"),
+        shingleHashes(col("t1"), n).as("sh1"),
+        shingleHashes(col("t2"), n).as("sh2"))
+      .localCheckpoint()
+  }
+
+  private def bandedKeepers(mem: DataFrame, numHashes: Int, bands: Int,
+                            rows: Int): (DataFrame, DataFrame) = {
+    val keepers = mem.where(col("id") === col("gid"))
+      .select(col("id"), col("sh1"), col("sh2"))
+    val banded = keepers.select(col("id"),
+      posexplode(bandHashes(
+        minhashSignatureFromHashes(col("sh1"), col("sh2"), numHashes),
+        bands, rows))
+        .as(Seq("band_idx", "band_hash")))
+    (keepers, banded)
+  }
+
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, numHashes: Int = 16, bands: Int = 4,
                    tau: Double = 0.6,
@@ -120,38 +159,8 @@ object Dedup {
     //    One window over the fingerprint yields the member→group map
     //    AND the unique set (the former groupBy + join-back spent two
     //    extra shuffle stages on the same answer).
-    val fpc = TextFunctions.fingerprint(col(textCol))
-    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val toks = split(TextFunctions.normalize(col("text")), " ")
-    // ONE materialized table carries both roles: (id, gid) for every member
-    // (two longs — feeds the expansion joins) and the two independent
-    // shingle-hash families (double hashing) for keepers only —
-    // guarded by `when` so non-keepers never pay the shingle pass.
-    // One window shuffle, one materialization; the former separate
-    // memberIds/withShingles caches cost an extra shuffle + job each.
-    val mem = docs.select(col(idCol).as("id"), col(textCol).as("text"), fpc.as("fp"))
-      .withColumn("gid", min("id").over(wnd))
-      .select(col("id"), col("gid"),
-        when(col("id") === col("gid"),
-          transform(toks, t => xxhash64(t))).as("t1"),
-        when(col("id") === col("gid"),
-          transform(toks, t => xxhash64(lit(1), t))).as("t2"))
-      .select(col("id"), col("gid"),
-        shingleHashes(col("t1"), n).as("sh1"),
-        shingleHashes(col("t2"), n).as("sh2"))
-      .localCheckpoint() // six downstream reads: checkpoint both
-      // materializes once AND truncates lineage, so every AQE stage
-      // re-optimizes a leaf scan instead of the full window+shingle
-      // plan (plain .cache() left concurrent readers serialized on
-      // the cache-population lock, ~0.5 s of zero-CPU wait per stage)
-    val withShingles = mem.where(col("id") === col("gid"))
-      .select(col("id"), col("sh1"), col("sh2"))
-    val banded = withShingles
-      .select(col("id"),
-        posexplode(bandHashes(
-          minhashSignatureFromHashes(col("sh1"), col("sh2"), numHashes),
-          bands, rows))
-          .as(Seq("band_idx", "band_hash")))
+    val mem = memberTable(docs, idCol, textCol, n)
+    val (withShingles, banded) = bandedKeepers(mem, numHashes, bands, rows)
     // distinct BEFORE verification: jaccard on ~70-element arrays costs
     // ~µs per pair, so the 4×-duplicated raw band stream must be
     // deduped first. The distinct shuffles only (id, id) longs; the
@@ -205,6 +214,59 @@ object Dedup {
       .where(col("doc_a") =!= col("doc_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
               greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+  }
+
+  /** Cross-corpus near-dup pairs: every (docA, docB) with n-gram
+    * jaccard >= tau where docA ∈ docsA and docB ∈ docsB — the
+    * dedupe-new-crawl-against-existing-corpus operator. Output:
+    * (doc_a from A, doc_b from B, jaccard).
+    *
+    * The scale point of a DEDICATED cross operator: the banded join is
+    * A-bands ⋈ B-bands, so the (typically huge, already-deduped)
+    * corpus side never self-joins — tagging both sides into
+    * [[minhashPairs]] would pay the full A×A candidate volume just to
+    * filter it away. Exact-dup collapse runs per side (same
+    * quadratic-in-dup-depth argument); a group duplicated ACROSS the
+    * corpora needs no special case — identical texts hash to identical
+    * signatures, share every band, and verify at jaccard 1.0. Both
+    * sides' id spaces may overlap freely (pairs are corpus-qualified
+    * by construction, no id-ordering trick needed). */
+  def minhashPairsAcross(docsA: DataFrame, docsB: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                         tau: Double = 0.6,
+                         pairJoinHint: String = "shuffle_hash"): DataFrame = {
+    val rows = numHashes / bands
+    val memA = memberTable(docsA, idCol, textCol, n)
+    val memB = memberTable(docsB, idCol, textCol, n)
+    val (keepA, bandA) = bandedKeepers(memA, numHashes, bands, rows)
+    val (keepB, bandB) = bandedKeepers(memB, numHashes, bands, rows)
+    // candidate (groupA, groupB) pairs: corpus-sized on both sides →
+    // pinned sort-merge; distinct on bare longs before payloads attach
+    val cands = bandA.as("a")
+      .join(bandB.as("b").hint("merge"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("ga"), col("b.id").as("gb"))
+      .distinct()
+      .hint(pairJoinHint)
+    val verified = cands
+      .join(keepA.select(col("id"), col("sh1").as("sh_a")),
+            col("ga") === col("id")).drop("id")
+      .hint(pairJoinHint)
+      .join(keepB.select(col("id"), col("sh1").as("sh_b")),
+            col("gb") === col("id")).drop("id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= tau)
+      .select(col("ga"), col("gb"), col("jaccard"))
+    verified
+      .hint(pairJoinHint)
+      .join(memA.select(col("gid").as("ga"), col("id").as("doc_a")), "ga")
+      .hint(pairJoinHint)
+      .join(memB.select(col("gid").as("gb"), col("id").as("doc_b")), "gb")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------ simhash

@@ -117,6 +117,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"planted pair missed: $pairs")
   }
 
+  test("cross-corpus pairs: only A x B, exact dups verify at 1.0, expansion covers members") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 6
+    val corpusA = Seq(
+      (1L, base),                              // near-dup of B's 11
+      (2L, base),                              // exact dup of 1 (same side)
+      (3L, "unrelated text about catalyst optimizer rules and exchanges")
+    ).toDF("doc_id", "text")
+    val corpusB = Seq(
+      (11L, base.replace("lazy", "sleepy")),   // near-dup of A's 1 and 2
+      (12L, base),                             // exact dup of A's 1 and 2
+      (13L, "other unrelated content entirely about parquet footers")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsAcross(corpusA, corpusB, "doc_id", "text",
+        numHashes = 32, bands = 16, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every pair is (A-doc, B-doc); within-corpus dups (1,2) never emit
+    assert(out.keySet.forall { case (a, b) => a <= 3 && b >= 11 })
+    // exact-dup collapse expands through BOTH sides: the (1,2)x(12)
+    // group gives (1,12) and (2,12) at jaccard 1.0
+    assert(out((1L, 12L)) === 1.0 && out((2L, 12L)) === 1.0)
+    // near-dups across: (1,11) and (2,11)
+    assert(out.contains((1L, 11L)) && out.contains((2L, 11L)))
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 13L })
+  }
+
   test("minhashBandingFor meets the recall target within the hash budget") {
     def recall(tau: Double, bands: Int, rows: Int): Double =
       1.0 - math.pow(1.0 - math.pow(tau, rows), bands)
