@@ -590,6 +590,26 @@ object Queries {
       |WHERE a.vec_id < 600 AND b.vec_id < 600
       |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
 
+  /** Cross-corpus embedding dedup gate (#27a): embeddingCosinePairsAcross
+    * at the sound gate's saturating banding, parity-split on vec_id.
+    * Ids only, like dedup_embedding_sound — both engines agree on
+    * every cosine COMPARISON, not necessarily the ratio's last bit. */
+  def dedupEmbeddingCross(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).where(col("vec_id") < 600)
+    Dedup.embeddingCosinePairsAcross(
+      emb.where(col("vec_id") % 2 === 0),
+      emb.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", tau = 0.4, bands = 32, rows = 2)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  private val dedupEmbeddingCrossSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM embeddings a JOIN embeddings b
+      |ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+      |WHERE a.vec_id < 600 AND b.vec_id < 600
+      |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""".stripMargin
+
   /** IVF lossless-plumbing gate (#29a): nprobe = cells probes every
     * cell, so IVF must reproduce brute force EXACTLY — any row lost in
     * the assignment/probe plumbing breaks the hash match. Oracle = the
@@ -1726,6 +1746,7 @@ object Queries {
     "ann_ivf_topk"             -> (annIvfTopk _),
     "dedup_minhash_sound"      -> (dedupMinhashSound _),
     "dedup_cross_corpus"       -> (dedupCrossCorpus _),
+    "dedup_embedding_cross"    -> (dedupEmbeddingCross _),
     "dedup_embedding_sound"    -> (dedupEmbeddingSound _),
     "ann_ivf_full"             -> (annIvfFull _),
     "ann_lsh_sound"            -> (annLshSound _),
@@ -1798,6 +1819,7 @@ object Queries {
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
     "dedup_minhash_sound"      -> dedupMinhashSoundSql,
     "dedup_cross_corpus"       -> dedupCrossCorpusSql,
+    "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
     "ann_ivf_full"             -> annBruteforceTopkSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,

@@ -593,4 +593,59 @@ object Dedup {
       .select(least(col("ida"), col("idb")).as("id_a"),
               greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
   }
+
+  /** Cross-corpus embedding near-dup pairs: every (vecA, vecB) with
+    * cosine >= tau where vecA ∈ embA and vecB ∈ embB — the vector
+    * twin of [[minhashPairsAcross]], same scale argument: the banded
+    * join is A-bands ⋈ B-bands, so the already-deduped corpus side
+    * never self-joins. Exact-duplicate vectors collapse per side;
+    * identical vectors across the corpora share every band and verify
+    * at cos 1.0 (zero vectors verify NULL and drop, as in the batch
+    * self-join operator). Output: (id_a from A, id_b from B, cos). */
+  def embeddingCosinePairsAcross(embA: DataFrame, embB: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 tau: Double = 0.4,
+                                 bands: Int = 8, rows: Int = 8,
+                                 dim: Int = 64,
+                                 pairJoinHint: String = "shuffle_hash"): DataFrame = {
+    graft.functions.GraftFunctions.register(embA.sparkSession)
+    val m = bands * rows
+    val p = math.acos(tau) / math.Pi
+    val maxDiffBits =
+      math.ceil(m * p + 4.0 * math.sqrt(m * p * (1 - p))).toInt
+    def prep(emb: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec"))
+      val members = emb
+        .select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("gid", min("id").over(w))
+        .localCheckpoint()
+      val uniques = members.where(col("id") === col("gid"))
+        .select(col("gid").as("id"), col("vec"))
+      (members, uniques, bandedBuckets(uniques, "id", "vec", bands, rows, dim))
+    }
+    val (memA, uniqA, bandA) = prep(embA)
+    val (memB, uniqB, bandB) = prep(embB)
+    val verified = bandA.as("a")
+      .join(bandB.as("b").hint("merge"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
+      .select(col("a.id").as("ga"), col("b.id").as("gb"))
+      .distinct()
+      .hint(pairJoinHint)
+      .join(uniqA.select(col("id"), col("vec").as("vec_a")),
+            col("ga") === col("id")).drop("id")
+      .hint(pairJoinHint)
+      .join(uniqB.select(col("id"), col("vec").as("vec_b")),
+            col("gb") === col("id")).drop("id")
+      .select(col("ga"), col("gb"),
+              cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .where(col("cos") >= tau)
+    verified
+      .hint(pairJoinHint)
+      .join(memA.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
+      .hint(pairJoinHint)
+      .join(memB.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

@@ -143,6 +143,27 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 13L })
   }
 
+  test("cross-corpus embedding pairs: only A x B, exact dups at cos 1.0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val vNear = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val corpusA = (Seq((1L, v), (2L, v)) ++            // 2 = exact dup of 1
+      (0 until 10).map(i => (100L + i, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val corpusB = (Seq((11L, vNear), (12L, v)) ++      // near + exact of A's v
+      (0 until 10).map(i => (200L + i, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingCosinePairsAcross(corpusA, corpusB,
+        "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet.forall { case (a, b) => a <= 102 && b >= 11 && b <= 202 })
+    // identical vectors: x/(√x·√x) is 1.0 up to an ulp, not exactly
+    assert(out((1L, 12L)) >= 1.0 - 1e-12 && out((2L, 12L)) >= 1.0 - 1e-12)
+    assert(out.contains((1L, 11L)) && out.contains((2L, 11L)))
+    assert(out.size === 4, s"unexpected extras: $out")
+  }
+
   test("minhashBandingFor meets the recall target within the hash budget") {
     def recall(tau: Double, bands: Int, rows: Int): Double =
       1.0 - math.pow(1.0 - math.pow(tau, rows), bands)
