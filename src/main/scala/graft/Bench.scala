@@ -62,24 +62,42 @@ object Bench {
     // make per-query comparisons noisier than they need to be.
     // SPARK_GRAFT_ONLY=a,b,c restricts to a subset for iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // best-of-N per query (default 2): a single pass is load-fragile —
+    // BENCH_r05 recorded 2-8x phantom regressions on ~20 untouched
+    // queries because the machine was busy (sbt wall 123 s for a suite
+    // that reruns at 46-48 s idle). An ambient-load spike rarely spans
+    // both back-to-back passes, and min() is the standard noise-robust
+    // estimator for a deterministic workload. SPARK_GRAFT_PASSES=1
+    // restores single-pass for quick iteration.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case t: Throwable =>
-                 System.err.println(s"BENCH FAIL $name: $t"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      Blocks.freeAll(spark) // caches AND checkpoint blocks — clearCache
-      // alone left every dedup query's member-table checkpoint resident
-      // for the JVM lifetime, making later queries' times depend on
-      // suite position (r4 regression)
-      name -> (if (ok) dt else -1.0) // -1 marks a failed query in the JSON
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case t: Throwable =>
+                   System.err.println(s"BENCH FAIL $name: $t"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Blocks.freeAll(spark) // caches AND checkpoint blocks — clearCache
+        // alone left every dedup query's member-table checkpoint resident
+        // for the JVM lifetime, making later queries' times depend on
+        // suite position (r4 regression)
+        if (ok) dt else -1.0 // -1 marks a failed query in the JSON
+      }
+      // any failed pass fails the query; otherwise best (min) pass
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    val loadAfter = loadavg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
     spark.stop()
   }
 }

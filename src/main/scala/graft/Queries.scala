@@ -466,6 +466,55 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** SimHash driver gate (#25): the pigeonhole chunk join + exact
+    * hamming verify run on PLANTED signatures built from doc_id with
+    * pure 64-bit arithmetic. The production signature (SimHash64 over
+    * xxhash64 token hashes) has no DuckDB twin, but the planted table
+    * is bit-exactly recomputable in SQL, so the oracle checks the
+    * candidate machinery end-to-end against an EXHAUSTIVE all-pairs
+    * hamming scan. Construction: 41 base signatures (4 chunk values
+    * from co-prime multipliers, summing to <= Long.Max by design),
+    * then copy j of a group flips (j%4) distinct low-60 bit positions
+    * — so within-group hamming spans 0..6 and the <=3 cut exercises
+    * both accept and reject paths; maxHamming=3 with 4 chunks is the
+    * pigeonhole-COMPLETE regime, recall must be exactly 1.0. */
+  def dedupSimhashSound(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).selectExpr(
+      "doc_id AS id",
+      """( (doc_id % 41) * 9973 % 65536
+        |+ (doc_id % 41) * 28513 % 65536 * 65536
+        |+ (doc_id % 41) * 49939 % 65536 * 4294967296
+        |+ (doc_id % 41) * 58631 % 32768 * 281474976710656 )
+        |^ (CASE WHEN (doc_id div 41) % 4 > 0
+        |     THEN shiftleft(1L, CAST(((doc_id div 41) * 4 + 0) % 60 AS INT)) ELSE 0L END)
+        |^ (CASE WHEN (doc_id div 41) % 4 > 1
+        |     THEN shiftleft(1L, CAST(((doc_id div 41) * 4 + 1) % 60 AS INT)) ELSE 0L END)
+        |^ (CASE WHEN (doc_id div 41) % 4 > 2
+        |     THEN shiftleft(1L, CAST(((doc_id div 41) * 4 + 2) % 60 AS INT)) ELSE 0L END)
+        |AS simhash""".stripMargin)
+    Dedup.simhashPairsFromSigs(planted, maxHamming = 3)
+  }
+
+  private val dedupSimhashSoundSql =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    xor(xor(xor(
+      |      (doc_id % 41) * 9973 % 65536
+      |      + (doc_id % 41) * 28513 % 65536 * 65536
+      |      + (doc_id % 41) * 49939 % 65536 * 4294967296
+      |      + (doc_id % 41) * 58631 % 32768 * 281474976710656,
+      |      CASE WHEN (doc_id // 41) % 4 > 0
+      |        THEN 1::BIGINT << (((doc_id // 41) * 4 + 0) % 60) ELSE 0 END),
+      |      CASE WHEN (doc_id // 41) % 4 > 1
+      |        THEN 1::BIGINT << (((doc_id // 41) * 4 + 1) % 60) ELSE 0 END),
+      |      CASE WHEN (doc_id // 41) % 4 > 2
+      |        THEN 1::BIGINT << (((doc_id // 41) * 4 + 2) % 60) ELSE 0 END) AS simhash
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
@@ -877,7 +926,7 @@ object Queries {
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
     Prune.bloomSemiJoin(Tables.lineitem(spark, dir), "l_orderkey",
-        urgent, "o_orderkey", expectedKeys = 500000L)
+        urgent, "o_orderkey") // expectedKeys self-sizes from a dim count
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
            sum(col("l_extendedprice").cast("decimal(25,6)"))
@@ -1481,6 +1530,11 @@ object Queries {
     // every pairwise jaccard runs on a single task no matter how many
     // cores the cluster has
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // ONE threshold for both the prefilter and the verify: the
+    // prefilter is only a necessary condition of jaccard >= tau when
+    // both use the SAME tau — raising the verify threshold without the
+    // prefilter (or vice versa) would silently drop true pairs
+    val tau = 0.95
     val toks = Tables.documents(spark, dir)
       .where(col("doc_id") < 200)
       .select(col("doc_id"),
@@ -1494,14 +1548,21 @@ object Queries {
     toks.as("a").join(toks.as("b"),
         col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
-          greatest(col("a.n"), col("b.n")).cast("double") * 0.95)
+          greatest(col("a.n"), col("b.n")).cast("double") * tau)
       .where((size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-        size(array_union(col("a.toks"), col("b.toks"))).cast("double")) >= 0.95)
+        size(array_union(col("a.toks"), col("b.toks"))).cast("double")) >= tau)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.clusters(dedupClusterPairs(spark, dir), "doc_a", "doc_b")
+
+  /** The same pair graph resolved by the degree-bounded
+    * large-star/small-star loop ([[Dedup.clustersStar]]) under the
+    * same recursive-CTE oracle — the driver gate proves both CC
+    * implementations reach the identical transitive-closure fixpoint. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersStar(dedupClusterPairs(spark, dir), "doc_a", "doc_b")
 
   private val dedupClustersSql =
     """WITH RECURSIVE t AS (
@@ -1731,6 +1792,8 @@ object Queries {
     "dedup_exact"              -> (dedupExact _),
     "dedup_minhash_pairs"      -> (dedupMinhashPairs _),
     "dedup_simhash"            -> (dedupSimhash _),
+    "dedup_simhash_sound"      -> (dedupSimhashSound _),
+    "dedup_clusters_star"      -> (dedupClustersStar _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
     "ann_lsh_topk"             -> (annLshTopk _),
@@ -1818,6 +1881,8 @@ object Queries {
     "running_total"            -> runningTotalSql,
     "dedup_ngram_jaccard"      -> ngramJaccardSql,
     "dedup_minhash_sound"      -> dedupMinhashSoundSql,
+    "dedup_simhash_sound"      -> dedupSimhashSoundSql,
+    "dedup_clusters_star"      -> dedupClustersSql,
     "dedup_cross_corpus"       -> dedupCrossCorpusSql,
     "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
@@ -1859,7 +1924,10 @@ object Queries {
     // frames) are recall-approximate or hash-seeded → rows-only check;
     // their *_sound/_full twins above run the SAME code paths at
     // recall-saturating / exhaustive parameters and carry full DuckDB
-    // hash gates. simhash alone has no SQL-expressible exact predicate
-    // (hamming over xxhash64 signatures) — DedupSpec is its oracle.
+    // hash gates. dedup_simhash's production signature (hamming over
+    // xxhash64-fed SimHash64) is not SQL-expressible, so its sound
+    // twin runs the chunk-join machinery on PLANTED arithmetic
+    // signatures the oracle recomputes bit-exactly; DedupSpec covers
+    // the signature expression itself.
   )
 }

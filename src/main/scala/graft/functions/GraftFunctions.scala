@@ -19,15 +19,30 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
 
+  /** Arity gate for SQL-side calls: without it a wrong argument count
+    * surfaces as IndexOutOfBoundsException from inside the registry
+    * instead of a readable wrong-number-of-arguments error. */
+  private def arity(name: String, signature: String, n: Int,
+                    c: Seq[Expression]): Seq[Expression] = {
+    if (c.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments — $name($signature) — got ${c.length}")
+    c
+  }
+
   private val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     (DotName, classOf[DotProduct],
-      (c: Seq[Expression]) => DotProduct(c(0), c(1))),
+      (c0: Seq[Expression]) => { val c = arity(DotName, "vecA, vecB", 2, c0)
+        DotProduct(c(0), c(1)) }),
     (SimHashName, classOf[SimHash64],
-      (c: Seq[Expression]) => SimHash64(c(0))),
+      (c0: Seq[Expression]) => { val c = arity(SimHashName, "tokenHashes", 1, c0)
+        SimHash64(c(0)) }),
     (MinHashName, classOf[MinHashSignature],
-      (c: Seq[Expression]) => MinHashSignature(c(0), c(1), evalK(c(2)))),
+      (c0: Seq[Expression]) => { val c = arity(MinHashName, "h1, h2, k", 3, c0)
+        MinHashSignature(c(0), c(1), evalK(c(2))) }),
     (SignBucketName, classOf[SignBucket],
-      (c: Seq[Expression]) => SignBucket(c(0), c(1))),
+      (c0: Seq[Expression]) => { val c = arity(SignBucketName, "vec, planes", 2, c0)
+        SignBucket(c(0), c(1)) }),
     // Spark ships tested bloom expressions but registers them only for
     // its internal runtime-filter rewrite — surface them under graft
     // names so operators (Prune.bloomSemiJoin) and SQL users can build
@@ -35,9 +50,13 @@ object GraftFunctions {
     // must be foldable or a scalar subquery (Catalyst rejects plain
     // attributes), hence the subquery shape in Prune.
     (BloomAggName, classOf[BloomFilterAggregate],
-      (c: Seq[Expression]) => new BloomFilterAggregate(c(0), c(1), c(2))),
+      (c0: Seq[Expression]) => { val c = arity(BloomAggName,
+          "key, expectedItems, numBits", 3, c0)
+        new BloomFilterAggregate(c(0), c(1), c(2)) }),
     (MightContainName, classOf[BloomFilterMightContain],
-      (c: Seq[Expression]) => BloomFilterMightContain(c(0), c(1))))
+      (c0: Seq[Expression]) => { val c = arity(MightContainName,
+          "bloom, key", 2, c0)
+        BloomFilterMightContain(c(0), c(1)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear

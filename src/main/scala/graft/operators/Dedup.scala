@@ -103,7 +103,39 @@ object Dedup {
     * roughly (executor memory × partitions) / pair-row-size pairs
     * (~10⁹ pairs per TB of executor heap at 32 B/pair), pass
     * `"merge"`: sort-merge spills both sides and only pays an extra
-    * sort. Results are identical either way (DedupSpec pins this). */
+    * sort. Results are identical either way (DedupSpec pins this).
+    * `"auto"` lets the engine decide — see [[resolvePairHint]]. */
+
+  /** Resolution of `pairJoinHint = "auto"`: the engine can pick the
+    * SHJ/merge inversion point itself, because the variable that
+    * decides it — the distinct candidate-pair count — is computed
+    * anyway before the payload joins are planned. SHJ wins while the
+    * per-partition build table fits execution memory: at ~32 B per
+    * (long, long) build row, the default 2M pairs/partition ≈ 64 MB,
+    * comfortably inside a default executor's execution-memory share.
+    * Past numShufflePartitions × perPartition pairs, auto flips to
+    * sort-merge (spills both sides, pays one extra sort, cannot OOM).
+    * The count costs one extra job over the persisted bare-long pair
+    * stream — noise next to the band join that produced it; explicit
+    * hints skip the count entirely. The flip point is tunable via the
+    * session conf `spark.graft.autoShjPairsPerPartition` (DedupSpec
+    * forces a flip by setting it to 0). */
+  private final val AutoShjPairsPerPartition = 2000000L
+
+  private def resolvePairHint(hint: String,
+                              cands: DataFrame): (DataFrame, String) = {
+    if (hint != "auto") (cands, hint)
+    else {
+      val sess = cands.sparkSession
+      val cached = cands.persist()
+      val n = cached.count()
+      val perPart = sess.conf
+        .get("spark.graft.autoShjPairsPerPartition",
+             AutoShjPairsPerPartition.toString).toLong
+      val parts = sess.sessionState.conf.numShufflePartitions
+      (cached, if (n > parts.toLong * perPart) "merge" else "shuffle_hash")
+    }
+  }
   /** Exact-dup-collapsed member table, the shared prep of the minhash
     * family: (id, gid) for every doc (two longs — feeds the expansion
     * joins) plus the two independent shingle-hash families (double
@@ -173,20 +205,21 @@ object Dedup {
     // BOTH sides, so it stays sort-merge (spillable) — stats-driven
     // broadcast of a "small" test-scale input would hide the scale
     // plan from the plan guards.
-    val cands = banded.as("a")
+    val candsRaw = banded.as("a")
       .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
-      .hint(pairJoinHint)
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    val cands = cands0.hint(hint)
     // jaccard over shingle-hash SETS (intersect/union dedupe) — equal
     // to string-shingle jaccard modulo 64-bit collisions
     val upairs = cands
       .join(withShingles.select(col("id"), col("sh1").as("sh_a")),
             col("doc_a") === col("id")).drop("id")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(withShingles.select(col("id"), col("sh1").as("sh_b")),
             col("doc_b") === col("id")).drop("id")
       .withColumn("jaccard",
@@ -207,9 +240,9 @@ object Dedup {
       .distinct()
       .where(lit(1.0) >= tau)
     upairs.union(dupGroups)
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(mem.select(col("gid").as("doc_a"), col("id").as("ida")), "doc_a")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(mem.select(col("gid").as("doc_b"), col("id").as("idb")), "doc_b")
       .where(col("doc_a") =!= col("doc_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
@@ -243,17 +276,17 @@ object Dedup {
     val (keepB, bandB) = bandedKeepers(memB, numHashes, bands, rows)
     // candidate (groupA, groupB) pairs: corpus-sized on both sides →
     // pinned sort-merge; distinct on bare longs before payloads attach
-    val cands = bandA.as("a")
+    val candsRaw = bandA.as("a")
       .join(bandB.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))
       .select(col("a.id").as("ga"), col("b.id").as("gb"))
       .distinct()
-      .hint(pairJoinHint)
-    val verified = cands
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    val verified = cands0.hint(hint)
       .join(keepA.select(col("id"), col("sh1").as("sh_a")),
             col("ga") === col("id")).drop("id")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(keepB.select(col("id"), col("sh1").as("sh_b")),
             col("gb") === col("id")).drop("id")
       .withColumn("jaccard",
@@ -262,9 +295,9 @@ object Dedup {
       .where(col("jaccard") >= tau)
       .select(col("ga"), col("gb"), col("jaccard"))
     verified
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(memA.select(col("gid").as("ga"), col("id").as("doc_a")), "ga")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(memB.select(col("gid").as("gb"), col("id").as("doc_b")), "gb")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -286,10 +319,23 @@ object Dedup {
     * bucketing: 4 16-bit chunks — any pair within hamming 3 shares at
     * least one chunk, so candidates come from a chunk-equality join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsFromSigs(withSimhash(docs, idCol, textCol), maxHamming)
+
+  /** The chunk join + exact hamming verify over a precomputed
+    * (id, simhash) table — split out so the machinery is testable on
+    * PLANTED signatures: the production signature (SimHash64 over
+    * xxhash64 token hashes) has no SQL twin, but signatures built from
+    * plain arithmetic are bit-exactly recomputable in the DuckDB
+    * oracle, which can then check this join end-to-end against an
+    * exhaustive all-pairs hamming scan (`dedup_simhash_sound`). At
+    * maxHamming <= 3 the 4-chunk pigeonhole is COMPLETE (any pair
+    * within hamming 3 agrees on >= 1 chunk), so the gate demands
+    * recall 1.0, not a probabilistic bound. */
+  def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // cache: the signature table is tiny (one long per doc) but feeds
     // both sides of the self-join — recomputing it doubles the cost
-    val sims = withSimhash(docs, idCol, textCol).cache()
+    val sims = sigs.select(col("id"), col("simhash")).cache()
     val chunked = sims.selectExpr("id", "simhash",
       "posexplode(transform(sequence(0, 3), j -> (shiftright(simhash, j * 16) & 65535L))) AS (chunk_idx, chunk_val)")
     // hamming filter BEFORE distinct: bit_count of two longs is ~free,
@@ -419,6 +465,89 @@ object Dedup {
       labels = jumped
     }
     labels.select(col("id").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
+  /** Degree-bounded connected components: alternating large-star /
+    * small-star rounds (the MapReduce CC construction of Kiveris et
+    * al., re-expressed as two partial-agg groupBys + joins per round).
+    * Same output contract as [[clusters]].
+    *
+    * Why a second algorithm: min-label + pointer jumping converges in
+    * O(log diameter) rounds, but a planted high-degree star (one doc
+    * near-dup to 10⁵ others — crawl boilerplate does this) funnels the
+    * hot node's whole edge list through single join partitions every
+    * round. The star rounds move edges THEMSELVES toward the component
+    * min: each node's per-round contribution is (its current degree)
+    * rows into a `min` aggregate — partial-aggregated map-side, so no
+    * task ever materializes a neighbor LIST — and both rewrites only
+    * ever replace an endpoint with a smaller one, so the
+    * Σ(lo+hi)-over-distinct-edges convergence scalar strictly
+    * decreases until the fixpoint (every component a star rooted at
+    * its min id — the paper's invariant). Large-star hangs larger
+    * neighbors directly under the local min, which SPLITS a hot hub's
+    * edge mass across its component instead of re-concentrating it.
+    *
+    * Round cost: 2 groupBy + 2 join shuffles vs the jump loop's 1+2 —
+    * prefer [[clusters]] for ordinary shallow dup graphs; use this
+    * when components with super-node hubs are expected. */
+  def clustersStar(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sess = pairs.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpSaved = sess.conf.get(cpKey, "true")
+    sess.conf.set(cpKey, "false") // same Catalyst failure mode as clusters():
+    // chained localCheckpoints capture stale union constraints
+    try clustersStarImpl(pairs, aCol, bCol)
+    finally sess.conf.set(cpKey, cpSaved)
+  }
+
+  private def clustersStarImpl(pairs: DataFrame, aCol: String,
+                               bCol: String): DataFrame = {
+    def edgeSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum((col("lo") + col("hi")).cast("decimal(38,0)")),
+                      lit(0).cast("decimal(38,0)"))).head.getDecimal(0)
+    // canonical undirected edges, self-loops dropped
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+              greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint()
+    var prev: java.math.BigDecimal = null
+    var converged = false
+    while (!converged) {
+      // large-star: for each node u, m(u) = min(Γ(u) ∪ {u}); every
+      // neighbor v > u re-hangs onto m(u). A canonical edge (lo, hi)
+      // is emitted only from its lo side (hi > lo always), so one
+      // join against the per-node mins rewrites the whole set.
+      val bi = edges.select(explode(array(
+          struct(col("lo").as("u"), col("hi").as("v")),
+          struct(col("hi").as("u"), col("lo").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val minsL = bi.groupBy("u") // partial-agg: no neighbor lists
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = edges.join(minsL, edges("lo") === minsL("u"))
+        .select(col("m").as("lo"), col("hi")) // m <= lo < hi: canonical
+        .distinct()
+      // small-star: per node u over its SMALLER neighbors Γ⁻(u),
+      // m = min(Γ⁻(u)); u and every smaller neighbor re-hang onto m.
+      val minsS = ls.groupBy("hi").agg(min("lo").as("m"))
+      val ss = ls.join(minsS, "hi")
+        .select(explode(array(
+          struct(col("m").as("lo"), col("hi").as("hi")),
+          struct(col("m").as("lo"), col("lo").as("hi")))).as("e"))
+        .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .distinct().localCheckpoint()
+      val cur = edgeSum(ss)
+      freeCheckpoint(edges)
+      converged = prev != null && cur.compareTo(prev) == 0
+      prev = cur
+      edges = ss
+    }
+    // fixpoint = every component is a star rooted at its min id
+    edges.select(col("hi").as("doc_id"), col("lo").as("cluster_rep"))
+      .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_rep")))
+      .distinct()
   }
 
   // -------------------------------------------------- embedding cosine
@@ -557,7 +686,7 @@ object Dedup {
     val uniques = members.where(col("id") === col("gid"))
       .select(col("gid").as("id"), col("vec"))
     val banded = bandedBuckets(uniques, "id", "vec", bands, rows, dim)
-    val upairs = banded.as("a")
+    val candsRaw = banded.as("a")
       .join(banded.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -565,10 +694,11 @@ object Dedup {
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .hint(pairJoinHint)
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    val upairs = cands0.hint(hint)
       .join(uniques.select(col("id"), col("vec").as("vec_a")),
             col("id_a") === col("id")).drop("id")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(uniques.select(col("id"), col("vec").as("vec_b")),
             col("id_b") === col("id")).drop("id")
       .select(col("id_a"), col("id_b"), cosine(col("vec_a"), col("vec_b")).as("cos"))
@@ -585,9 +715,9 @@ object Dedup {
       .distinct()
       .where(col("cos") >= tau)
     upairs.union(dupGroups)
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(members.select(col("gid").as("id_a"), col("id").as("ida")), "id_a")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(members.select(col("gid").as("id_b"), col("id").as("idb")), "id_b")
       .where(col("id_a") =!= col("id_b") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("id_a"),
@@ -625,26 +755,27 @@ object Dedup {
     }
     val (memA, uniqA, bandA) = prep(embA)
     val (memB, uniqB, bandB) = prep(embB)
-    val verified = bandA.as("a")
+    val candsRaw = bandA.as("a")
       .join(bandB.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           expr("bit_count(a.bucket ^ b.bucket)") <= maxDiffBits)
       .select(col("a.id").as("ga"), col("b.id").as("gb"))
       .distinct()
-      .hint(pairJoinHint)
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    val verified = cands0.hint(hint)
       .join(uniqA.select(col("id"), col("vec").as("vec_a")),
             col("ga") === col("id")).drop("id")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(uniqB.select(col("id"), col("vec").as("vec_b")),
             col("gb") === col("id")).drop("id")
       .select(col("ga"), col("gb"),
               cosine(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= tau)
     verified
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(memA.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
-      .hint(pairJoinHint)
+      .hint(hint)
       .join(memB.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,7 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Prune {
 
-  private final val ViewName = "__graft_bloom_semi_dim"
+  // one view per invocation: a fixed name made two concurrent callers
+  // on the same session race createOrReplaceTempView/dropTempView —
+  // worst case one call's sketch silently built from the OTHER call's
+  // dim keys, pruning rows the exact join can never resurrect
+  private val viewSeq = new AtomicLong(0)
+
+  /** Bloom sizing: m = -n·ln(p)/ln²2 bits for n keys at fp rate p. */
+  private def bitsFor(expectedKeys: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(
+      -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
   /** Semi join with an explicit bloom-filter prune on the fact side —
     * the same shape Spark's internal runtime-filter rewrite injects,
@@ -32,32 +43,55 @@ object Prune {
     * the subquery executes once, shipping only the sketch bytes with
     * the plan — the dim never broadcasts row-wise. Sizing:
     * m = -n·ln(p)/ln²2 bits for `expectedKeys`=n at false-positive
-    * rate `fpp` (default 3% ⇒ ~7.3 bits/key; 10⁹ keys ≈ 0.9 GB, so
-    * past ~10⁸ keys prefer a plain shuffled semi join — the sketch
-    * stops being "a few MB").
+    * rate `fpp` (default 3% ⇒ ~7.3 bits/key). `expectedKeys = 0`
+    * (the default) self-sizes with one cheap COUNT over the dim keys
+    * at call time — a caller's 100× under-guess would silently raise
+    * the real fpp and with it the scan volume, and the dim is small
+    * by contract so the count is noise.
+    *
+    * Spark clamps the sketch to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 64M bits ≈ 8 MB ≈ 9M keys at 3%): past that the aggregate keeps
+    * the requested fpp ONLY if the conf is raised, so rather than let
+    * selectivity silently degrade this method refuses and tells the
+    * caller — either raise the conf or use a plain shuffled semi join
+    * (past ~10⁸ keys the sketch stops being "a few MB" anyway).
     *
     * Binding note: the subquery resolves through a transient temp view
-    * dropped as soon as analysis captures the plan — the returned
-    * frame stays valid (analysis is eager), and session catalog state
-    * is untouched on exit. */
+    * (unique name per call — safe under concurrent callers) dropped as
+    * soon as analysis captures the plan — the returned frame stays
+    * valid (analysis is eager), and session catalog state is untouched
+    * on exit. */
   def bloomSemiJoin(fact: DataFrame, factKey: String,
                     dim: DataFrame, dimKey: String,
-                    expectedKeys: Long = 1000000L,
+                    expectedKeys: Long = 0L,
                     fpp: Double = 0.03): DataFrame = {
-    require(expectedKeys > 0 && fpp > 0 && fpp < 1,
-            s"bloomSemiJoin: need expectedKeys > 0 and fpp in (0,1)")
+    require(expectedKeys >= 0 && fpp > 0 && fpp < 1,
+            s"bloomSemiJoin: need expectedKeys >= 0 (0 = auto) and fpp in (0,1)")
     graft.functions.GraftFunctions.register(fact.sparkSession)
-    val bits = math.max(64L, math.ceil(
-      -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val keys = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
-    keys.createOrReplaceTempView(ViewName)
+    val nKeys = if (expectedKeys > 0) expectedKeys else math.max(1L, keys.count())
+    val bits = bitsFor(nKeys, fpp)
+    val maxBits = fact.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(bits <= maxBits,
+      s"bloomSemiJoin: $nKeys keys at fpp=$fpp need $bits bloom bits but " +
+      s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits would " +
+      "silently clamp the sketch (worse real fpp, scan pruning stops " +
+      "helping). Raise the conf, accept a larger fpp, or use a plain " +
+      "shuffled semi join.")
+    val view = s"__graft_bloom_semi_dim_${viewSeq.incrementAndGet()}"
+    keys.createOrReplaceTempView(view)
+    // backtick the interpolated identifiers: a key column named with a
+    // space/hyphen/reserved word must parse as one identifier here just
+    // as it resolves through col() elsewhere in the operator family
     val pruned =
       try fact.where(expr(
         s"""graft_might_contain(
-           |  (SELECT graft_bloom_agg($dimKey, ${expectedKeys}L, ${bits}L)
-           |   FROM $ViewName), $factKey)""".stripMargin))
-      finally fact.sparkSession.catalog.dropTempView(ViewName)
+           |  (SELECT graft_bloom_agg(`$dimKey`, ${nKeys}L, ${bits}L)
+           |   FROM $view), `$factKey`)""".stripMargin))
+      finally fact.sparkSession.catalog.dropTempView(view)
     pruned.as("f").join(keys.as("d"),
-      col(s"f.$factKey") === col(s"d.$dimKey"), "left_semi")
+      col(s"f.`$factKey`") === col(s"d.`$dimKey`"), "left_semi")
   }
 }

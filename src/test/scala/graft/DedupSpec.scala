@@ -225,6 +225,29 @@ class DedupSpec extends SparkSpec {
     assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
   }
 
+  test("auto pairJoinHint: SHJ under the flip point, merge past it, same rows") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 300)
+    val base = Dedup.minhashPairs(docs, "doc_id", "text",
+        pairJoinHint = "shuffle_hash")
+      .as[(Long, Long, Double)].collect().toSet
+    // under the default flip point the pair stream is tiny → SHJ
+    val auto = Dedup.minhashPairs(docs, "doc_id", "text", pairJoinHint = "auto")
+    assert(auto.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    assert(auto.as[(Long, Long, Double)].collect().toSet === base)
+    // force the inversion a dup-heavy corpus would hit for real: flip
+    // point 0 declares ANY pair volume too big for an in-memory build
+    // — auto must fall back to sort-merge with identical rows
+    spark.conf.set("spark.graft.autoShjPairsPerPartition", "0")
+    try {
+      val flipped = Dedup.minhashPairs(docs, "doc_id", "text",
+                                       pairJoinHint = "auto")
+      val plan = flipped.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"auto did not flip to merge\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"SHJ survived the flip\n$plan")
+      assert(flipped.as[(Long, Long, Double)].collect().toSet === base)
+    } finally spark.conf.unset("spark.graft.autoShjPairsPerPartition")
+  }
+
   test("merge pairJoinHint: identical embedding-cosine pairs") {
     val emb = Tables.embeddings(spark, sfDir)
     def run(hint: String) =

@@ -72,6 +72,71 @@ class PruneSpec extends SparkSpec {
 
   test("temp view does not leak from bloomSemiJoin") {
     Prune.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey").count()
-    assert(!spark.catalog.tableExists("__graft_bloom_semi_dim"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("__graft_bloom_semi_dim")))
+  }
+
+  test("auto-size (expectedKeys=0 default) sizes from the dim count") {
+    // no caller guess: the default self-sizes with one dim count —
+    // results must still be exactly the plain semi join's
+    val bloomed = Prune.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey")
+      .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(25,6)")))
+    val plain = fact.as("f").join(dim.as("d"),
+        col("f.l_orderkey") === col("d.o_orderkey"), "left_semi")
+      .agg(count(lit(1)), sum(col("l_extendedprice").cast("decimal(25,6)")))
+    assert(bloomed.head == plain.head)
+  }
+
+  test("concurrent calls on one session bind each call's own dim") {
+    // r5 defect: a fixed temp-view name let two threads interleave
+    // create/drop and build a sketch from the WRONG dim — silently
+    // missing rows. With per-call unique names both results must be
+    // exact under concurrent construction.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dimA = dim
+    val dimB = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "5-LOW").select(col("o_orderkey"))
+    val runs = (1 to 4).map { i =>
+      Future {
+        val d = if (i % 2 == 0) dimA else dimB
+        Prune.bloomSemiJoin(fact, "l_orderkey", d, "o_orderkey").count()
+      }
+    }
+    val counts = Await.result(Future.sequence(runs), 120.seconds)
+    val expectA = fact.as("f").join(dimA.as("d"),
+      col("f.l_orderkey") === col("d.o_orderkey"), "left_semi").count()
+    val expectB = fact.as("f").join(dimB.as("d"),
+      col("f.l_orderkey") === col("d.o_orderkey"), "left_semi").count()
+    counts.zipWithIndex.foreach { case (c, idx) =>
+      val want = if ((idx + 1) % 2 == 0) expectA else expectB
+      assert(c === want, s"concurrent call ${idx + 1} returned $c, want $want")
+    }
+  }
+
+  test("a sketch the session conf would clamp is refused, not degraded") {
+    // 10^9 keys at 3% needs ~7.3e9 bits >> default maxNumBits 64M:
+    // Spark would silently clamp (real fpp →1, pruning stops helping).
+    // The operator must refuse with an actionable message instead.
+    val ex = intercept[IllegalArgumentException] {
+      Prune.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey",
+                          expectedKeys = 1000000000L)
+    }
+    assert(ex.getMessage.contains("maxNumBits"))
+  }
+
+  test("wrong SQL arity gets a readable error, not IndexOutOfBounds") {
+    graft.functions.GraftFunctions.register(spark)
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT graft_might_contain(1)").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(!causes(ex).exists(_.isInstanceOf[IndexOutOfBoundsException]),
+           s"arity error surfaced as IndexOutOfBounds: $ex")
+    assert(causes(ex).exists(c => Option(c.getMessage)
+             .exists(_.contains("expects 2 arguments"))),
+           s"no readable arity message in: $ex")
   }
 }

@@ -1,10 +1,31 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 import graft.sources.Lake
 
 class ScaleSpec extends SparkSpec {
+
+  test("star CC resolves a planted 10^4-degree hub and matches the jump loop") {
+    import spark.implicits._
+    // a crawl-boilerplate shape: one doc near-dup to 10^4 others, plus
+    // a 200-node chain so convergence needs real multi-round work, plus
+    // an isolated pair. Per-round state in clustersStar flows through
+    // partial-agg mins only (no neighbor lists), so the hub's edge mass
+    // never has to fit one task's memory.
+    val star = (1 to 10000).map(i => (0L, i.toLong))
+    val chain = (20000L until 20200L).map(i => (i, i + 1L))
+    val pairs = (star ++ chain ++ Seq((30000L, 30001L))).toDF("a", "b")
+    val out = Dedup.clustersStar(pairs, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    // hub component: all 10001 nodes labeled 0
+    assert(out.count(_._2 == 0L) === 10001)
+    assert(out.filter(_._2 == 20000L).map(_._1) === (20000L to 20200L).toSet)
+    assert(out.contains((30001L, 30000L)))
+    // same fixpoint as the pointer-jump implementation
+    val jump = Dedup.clusters(pairs, "a", "b").as[(Long, Long)].collect().toSet
+    assert(out === jump)
+  }
 
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sfDir)
