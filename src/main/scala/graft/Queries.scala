@@ -670,6 +670,43 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
+  /** IVF recall gate at REALISTIC probe widths (#29a): `ann_ivf_full`
+    * proves the plumbing lossless at nprobe = cells, but the number a
+    * user of the fast path must know is what nprobe = 2 (the 8× search
+    * saving) actually recalls. recall@10 vs in-query brute force over
+    * 20 queries, emitted as one row per probe width with a ≥-target
+    * flag (sketch_sound pattern — seeded k-means + deterministic data
+    * make the flags deterministic, so a centroid or probe regression
+    * fails the hash gate). Measured (RecallProbe, near-uniform
+    * synthetic vectors — the hard case for IVF): nprobe=2 recalls
+    * 0.42/0.44 at sf0.01/sf0.1, nprobe=8 recalls 0.80/0.77. Gates sit
+    * between measurement and the ~nprobe/cells ≈ 0.125/0.5 a BROKEN
+    * centroid ranking would score: 0.25 and 0.60. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < 20)
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val denom = bf.agg(count(lit(1)).as("n_pairs"))
+    def gate(nprobe: Int, target: Double): DataFrame =
+      Similarity.ivfTopK(spark, queries, emb, k, cells = 16, nprobe = nprobe)
+        .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(denom)
+        .select(lit(nprobe).as("nprobe"), col("n_pairs"),
+          (col("hits").cast("double") / col("n_pairs") >= target)
+            .as("recall_ok"))
+    gate(2, 0.25).union(gate(8, 0.60))
+  }
+
+  private val annIvfRecallSql =
+    """SELECT 2 AS nprobe, 10 * COUNT(*) AS n_pairs, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 20
+      |UNION ALL
+      |SELECT 8 AS nprobe, 10 * COUNT(*) AS n_pairs, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id < 20""".stripMargin
+
   /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
     * to cos ≈ 0 lands in a shared bucket w.p. > 0.9999, so the
     * bucketed search must return the exact brute-force top-k here. */
@@ -1794,6 +1831,7 @@ object Queries {
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_sound"      -> (dedupSimhashSound _),
     "dedup_clusters_star"      -> (dedupClustersStar _),
+    "ann_ivf_recall"           -> (annIvfRecall _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
     "ann_lsh_topk"             -> (annLshTopk _),
@@ -1883,6 +1921,7 @@ object Queries {
     "dedup_minhash_sound"      -> dedupMinhashSoundSql,
     "dedup_simhash_sound"      -> dedupSimhashSoundSql,
     "dedup_clusters_star"      -> dedupClustersSql,
+    "ann_ivf_recall"           -> annIvfRecallSql,
     "dedup_cross_corpus"       -> dedupCrossCorpusSql,
     "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
