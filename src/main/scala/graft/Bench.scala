@@ -62,23 +62,25 @@ object Bench {
     // make per-query comparisons noisier than they need to be.
     // SPARK_GRAFT_ONLY=a,b,c restricts to a subset for iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // best-of-N per query (default 2): a single pass is load-fragile —
-    // BENCH_r05 recorded 2-8x phantom regressions on ~20 untouched
-    // queries because the machine was busy (sbt wall 123 s for a suite
-    // that reruns at 46-48 s idle). An ambient-load spike rarely spans
-    // both back-to-back passes, and min() is the standard noise-robust
-    // estimator for a deterministic workload. SPARK_GRAFT_PASSES=1
-    // restores single-pass for quick iteration.
+    // best-of-N per query (default 2), measured as N runs of the WHOLE
+    // suite with per-query min ACROSS suite runs — not N back-to-back
+    // passes of each query. Back-to-back passes decorrelate nothing: a
+    // single ambient-load window spans both (BENCH_r06 recorded the
+    // flagship at 3.19 s where clean runs measure 0.74 s twice, because
+    // one spike covered both consecutive passes). With suite-level
+    // repetition the same query's passes are ~2 minutes apart, so a
+    // spike must recur on the same query to corrupt its min.
+    // SPARK_GRAFT_PASSES=1 restores single-pass for quick iteration.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
+    val suiteRuns: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case t: Throwable =>
@@ -88,9 +90,12 @@ object Bench {
         // alone left every dedup query's member-table checkpoint resident
         // for the JVM lifetime, making later queries' times depend on
         // suite position (r4 regression)
-        if (ok) dt else -1.0 // -1 marks a failed query in the JSON
+        name -> (if (ok) dt else -1.0) // -1 marks a failed query
       }
-      // any failed pass fails the query; otherwise best (min) pass
+    }
+    // any failed run fails the query; otherwise best (min) across runs
+    val results = named.map { case (name, _) =>
+      val times = suiteRuns.map(_.find(_._1 == name).get._2)
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val loadAfter = loadavg()

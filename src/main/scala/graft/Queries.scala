@@ -688,24 +688,30 @@ object Queries {
     val k = 10
     val bf = Similarity.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id"))
+    // the recall denominator is derived Spark-side ONLY (count of
+    // brute-force rows actually emitted) and deliberately NOT exposed
+    // in the output: a hardcoded oracle-side n_pairs = k × COUNT(*)
+    // was only valid while bruteForceTopK uses row_number and the
+    // corpus holds ≥ k vectors — a benign tie-handling change would
+    // have flipped the gate into an opaque n_pairs mismatch instead of
+    // a recall signal (r6 advice). The oracle checks (nprobe,
+    // recall_ok); recall itself is the Spark-side measurement.
     val denom = bf.agg(count(lit(1)).as("n_pairs"))
     def gate(nprobe: Int, target: Double): DataFrame =
       Similarity.ivfTopK(spark, queries, emb, k, cells = 16, nprobe = nprobe)
         .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(denom)
-        .select(lit(nprobe).as("nprobe"), col("n_pairs"),
+        .select(lit(nprobe).as("nprobe"),
           (col("hits").cast("double") / col("n_pairs") >= target)
             .as("recall_ok"))
     gate(2, 0.25).union(gate(8, 0.60))
   }
 
   private val annIvfRecallSql =
-    """SELECT 2 AS nprobe, 10 * COUNT(*) AS n_pairs, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 20
+    """SELECT 2 AS nprobe, TRUE AS recall_ok
       |UNION ALL
-      |SELECT 8 AS nprobe, 10 * COUNT(*) AS n_pairs, TRUE AS recall_ok
-      |FROM embeddings WHERE vec_id < 20""".stripMargin
+      |SELECT 8 AS nprobe, TRUE AS recall_ok""".stripMargin
 
   /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
     * to cos ≈ 0 lands in a shared bucket w.p. > 0.9999, so the
@@ -1601,6 +1607,15 @@ object Queries {
   def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
     Dedup.clustersStar(dedupClusterPairs(spark, dir), "doc_a", "doc_b")
 
+  /** The same pair graph through [[Dedup.clustersAuto]] — driver-gates
+    * the degree-measuring router end to end (this corpus's dup graph
+    * is shallow, so auto routes to the jump loop; ScaleSpec pins the
+    * star route on a planted hub graph). Same oracle as the other two:
+    * whichever algorithm auto picks must reach the identical
+    * transitive-closure fixpoint. */
+  def dedupClustersAuto(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clustersAuto(dedupClusterPairs(spark, dir), "doc_a", "doc_b")
+
   private val dedupClustersSql =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
@@ -1831,6 +1846,7 @@ object Queries {
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_sound"      -> (dedupSimhashSound _),
     "dedup_clusters_star"      -> (dedupClustersStar _),
+    "dedup_clusters_auto"      -> (dedupClustersAuto _),
     "ann_ivf_recall"           -> (annIvfRecall _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
@@ -1921,6 +1937,7 @@ object Queries {
     "dedup_minhash_sound"      -> dedupMinhashSoundSql,
     "dedup_simhash_sound"      -> dedupSimhashSoundSql,
     "dedup_clusters_star"      -> dedupClustersSql,
+    "dedup_clusters_auto"      -> dedupClustersSql,
     "ann_ivf_recall"           -> annIvfRecallSql,
     "dedup_cross_corpus"       -> dedupCrossCorpusSql,
     "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,

@@ -50,7 +50,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a SPARK_GRAFT_ONLY subset run must not overwrite oracle_sql.json:
+    // stale per-query parquet dirs from a prior full run survive in
+    // outDir, and a later compare against a subset oracle would
+    // silently check fewer queries than the artifacts suggest (r6
+    // advice). Subset oracles go to a distinct file.
+    val oracleFile =
+      if (only.isEmpty) "oracle_sql.json" else "oracle_sql_partial.json"
+    if (only.nonEmpty)
+      System.err.println(s"[verify] SPARK_GRAFT_ONLY set - oracle subset " +
+        s"written to $oracleFile; outDir may mix runs")
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

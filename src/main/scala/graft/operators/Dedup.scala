@@ -127,13 +127,21 @@ object Dedup {
     if (hint != "auto") (cands, hint)
     else {
       val sess = cands.sparkSession
+      // persist ONLY for the duration of the count, then release: a
+      // persisted handle returned to the caller leaks one cached pair
+      // table per auto call in sessions that never call Blocks.freeAll
+      // (r6 advice). The downstream payload joins re-derive from
+      // lineage — cheaply, because the count already wrote the band
+      // join's shuffle files and recomputation of the same RDD lineage
+      // reuses them (the map stages show as "skipped" in the UI), so
+      // releasing the cache costs a shuffle re-read, not a re-join.
       val cached = cands.persist()
-      val n = cached.count()
+      val n = try cached.count() finally cached.unpersist(blocking = true)
       val perPart = sess.conf
         .get("spark.graft.autoShjPairsPerPartition",
              AutoShjPairsPerPartition.toString).toLong
       val parts = sess.sessionState.conf.numShufflePartitions
-      (cached, if (n > parts.toLong * perPart) "merge" else "shuffle_hash")
+      (cands, if (n > parts.toLong * perPart) "merge" else "shuffle_hash")
     }
   }
   /** Exact-dup-collapsed member table, the shared prep of the minhash
@@ -548,6 +556,50 @@ object Dedup {
     edges.select(col("hi").as("doc_id"), col("lo").as("cluster_rep"))
       .union(edges.select(col("lo").as("doc_id"), col("lo").as("cluster_rep")))
       .distinct()
+  }
+
+  /** Degree cutoff above which [[clustersAuto]] prefers the star
+    * algorithm. Conservative on purpose: at 10× scale star costs about
+    * the same as the jump loop on shallow graphs (1.2 s vs 1.15 s,
+    * BENCH_r06), so mis-routing a benign graph to star is nearly free,
+    * while routing a super-node graph to the jump loop concentrates
+    * the hub's whole edge list in single join partitions every round.
+    * Tunable via session conf `spark.graft.autoStarMaxDegree`. */
+  private final val AutoStarMaxDegree = 10000L
+
+  /** Auto-selecting connected components: measures the pair graph's
+    * maximum degree — the one statistic that decides jump-vs-star —
+    * and routes. The stat is a partial-agg groupBy + global max over
+    * the canonicalized distinct edge set: one shuffle, map-side
+    * combined, cheap next to any CC round. The canonical edge set is
+    * checkpointed once so the stat and the chosen algorithm share the
+    * caller's candidate-generation work (usually the expensive part);
+    * both CC impls eagerly materialize their own round state, so the
+    * shared checkpoint is released before returning.
+    *
+    * The choice made is recorded in session conf
+    * `spark.graft.cc.lastChoice` ("jump" | "star") for observability
+    * (ScaleSpec pins the routing on a planted hub graph). */
+  def clustersAuto(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sess = pairs.sparkSession
+    val canon = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"),
+              greatest(col(aCol), col(bCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct().localCheckpoint()
+    try {
+      val maxDeg = canon
+        .select(explode(array(col("lo"), col("hi"))).as("u"))
+        .groupBy("u").count()
+        .agg(coalesce(max("count"), lit(0L)).as("d")).head.getLong(0)
+      val cutoff = sess.conf.get("spark.graft.autoStarMaxDegree",
+                                 AutoStarMaxDegree.toString).toLong
+      val useStar = maxDeg >= cutoff
+      sess.conf.set("spark.graft.cc.lastChoice",
+                    if (useStar) "star" else "jump")
+      if (useStar) clustersStar(canon, "lo", "hi")
+      else clusters(canon, "lo", "hi")
+    } finally freeCheckpoint(canon)
   }
 
   // -------------------------------------------------- embedding cosine

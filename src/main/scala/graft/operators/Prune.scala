@@ -80,6 +80,18 @@ object Prune {
       "silently clamp the sketch (worse real fpp, scan pruning stops " +
       "helping). Raise the conf, accept a larger fpp, or use a plain " +
       "shuffled semi join.")
+    // BloomFilterAggregate ALSO clamps numItems to maxNumItems (default
+    // 4M): for key counts between maxNumItems and what maxBits admits,
+    // the sketch would pass the bits guard yet get a hash-function
+    // count sized for fewer items — silently worse real fpp, the exact
+    // degradation this method refuses (r6 advice).
+    val maxItems = fact.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(nKeys <= maxItems,
+      s"bloomSemiJoin: $nKeys keys exceed " +
+      s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — the " +
+      "aggregate would clamp numItems and mis-size its hash-function count " +
+      "(worse real fpp). Raise the conf or use a plain shuffled semi join.")
     val view = s"__graft_bloom_semi_dim_${viewSeq.incrementAndGet()}"
     keys.createOrReplaceTempView(view)
     // backtick the interpolated identifiers: a key column named with a

@@ -24,6 +24,27 @@ import graft.operators.Dedup
   * pair sharing several bands can emit more than once (at-least-once;
   * consumers dedupe on (id_a, id_b)) — but the cosine emitted IS
   * exact, computed from the stored vectors.
+  *
+  * Exact-duplicate collapse (same rationale as the batch operator's
+  * step 0): identical vectors share EVERY band, so without collapse a
+  * flood of F copies inside the watermark horizon emits
+  * bands × F²/2 pairs and holds F copies of the vector in every
+  * band's state. Instead, an arrival whose vector is bit-identical to
+  * a stored entry emits ONE pair to that first-seen keeper — from
+  * band 0 only, so a copy costs exactly one output row — is never
+  * added to state, and refreshes the keeper's expiry so the group
+  * stays resident while the flood continues (the batch twin keeps a
+  * duplicated group alive via its keeper the same way). State and
+  * output are thus linear in DISTINCT vectors, not arrivals. The pair
+  * carries cosine(v, v) computed from the stored vector — ≈1.0, and
+  * NaN (suppressed, < tau) for zero vectors — exactly how the batch
+  * pipeline verifies collapsed groups. One deliberate divergence from
+  * batch: a collapsed copy pairs ONLY with its keeper, not with the
+  * keeper's other near-dup partners (batch expands group pairs to all
+  * members); the missing pairs are exactly the ones cluster
+  * resolution (Dedup.clusters over the pair stream) recovers
+  * transitively, and emitting them would require unbounded
+  * per-keeper partner state.
   */
 object EmbedStream extends Serializable {
 
@@ -81,12 +102,33 @@ object EmbedStream extends Serializable {
       var seen = state.getOption.getOrElse(Nil)
       val out = List.newBuilder[VecNearDup]
       for (d <- incoming) {
-        for (e <- seen if e.id != d.vec_id
-               if java.lang.Long.bitCount(e.bucket ^ d.bucket) <= maxDiffBits) {
-          val c = cosine(e.vec, d.vec)
-          if (c >= tau) out += VecNearDup(e.id, d.vec_id, c, d.ts)
+        // exact-dup collapse: bit-identical vectors share the full
+        // 64-bit bucket, so bucket equality is a free prefilter for
+        // the array comparison. One pair per copy (band 0 emits, the
+        // other bands see the same copy and stay silent), keeper
+        // expiry refreshed, copy NOT added to state.
+        seen.find(e => e.id != d.vec_id && e.bucket == d.bucket &&
+                    java.util.Arrays.equals(e.vec, d.vec)) match {
+          case Some(keeper) =>
+            if (key._1 == 0) {
+              val c = cosine(keeper.vec, d.vec)
+              if (c >= tau) out += VecNearDup(keeper.id, d.vec_id, c, d.ts)
+            }
+            val tsU = micros(d.ts)
+            seen = seen.map(e =>
+              if (e.id == keeper.id && e.tsUs < tsU) e.copy(tsUs = tsU)
+              else e)
+          case None =>
+            for (e <- seen if e.id != d.vec_id
+                   if java.lang.Long.bitCount(e.bucket ^ d.bucket) <= maxDiffBits) {
+              val c = cosine(e.vec, d.vec)
+              if (c >= tau) out += VecNearDup(e.id, d.vec_id, c, d.ts)
+            }
+            // replace rather than prepend on same-id replay, so a
+            // redelivered vector can't duplicate its state entry
+            seen = SeenVec(d.vec_id, micros(d.ts), d.bucket, d.vec) ::
+              seen.filterNot(_.id == d.vec_id)
         }
-        seen = SeenVec(d.vec_id, micros(d.ts), d.bucket, d.vec) :: seen
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       seen = seen.filter(_.tsUs + horizonUs >= wmUs)

@@ -246,6 +246,20 @@ class DedupSpec extends SparkSpec {
       assert(!plan.contains("ShuffledHashJoin"), s"SHJ survived the flip\n$plan")
       assert(flipped.as[(Long, Long, Double)].collect().toSet === base)
     } finally spark.conf.unset("spark.graft.autoShjPairsPerPartition")
+
+    // the auto count's temporary persist must not outlive the call
+    // (r6 advice: it leaked one cached pair table per auto call in
+    // sessions that never run Blocks.freeAll). An auto-hinted call may
+    // leave exactly the persistent blocks an explicitly hinted one
+    // does (member-table checkpoints) — nothing more.
+    Blocks.freeAll(spark)
+    Dedup.minhashPairs(docs, "doc_id", "text",
+      pairJoinHint = "shuffle_hash").count()
+    val afterExplicit = spark.sparkContext.getPersistentRDDs.size
+    Blocks.freeAll(spark)
+    Dedup.minhashPairs(docs, "doc_id", "text", pairJoinHint = "auto").count()
+    assert(spark.sparkContext.getPersistentRDDs.size === afterExplicit,
+      "auto-hinted call leaked a persisted pair cache")
   }
 
   test("merge pairJoinHint: identical embedding-cosine pairs") {

@@ -32,8 +32,11 @@ class EmbedStreamSpec extends SparkSpec {
     val out = spark.table("embdup_t")
       .select("id_a", "id_b", "cos")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // arrival-ordered pairs; multi-band emissions collapse in the Map
-    assert(out.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)), s"got $out")
+    // arrival-ordered pairs; multi-band emissions collapse in the Map.
+    // 4 is an exact copy of 1, so it pairs ONLY with its keeper 1 —
+    // (2,4) is recovered transitively by cluster resolution, not
+    // emitted (exact-dup collapse; see EmbedStream's scaladoc)
+    assert(out.keySet === Set((1L, 2L), (1L, 4L)), s"got $out")
     assert(out((1L, 4L)) === 1.0) // identical vectors
     assert(out.values.forall(_ >= 0.95))
 
@@ -59,5 +62,34 @@ class EmbedStreamSpec extends SparkSpec {
     val pairs = spark.read.parquet(s"$tmp/out2")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(!pairs.contains((1L, 4L)), s"expired entry still matched: $pairs")
+  }
+
+  test("identical-vector flood emits one pair per copy, not quadratic") {
+    // 200 copies of one vector inside the horizon: without the
+    // exact-dup collapse this emits bands × F²/2 ≈ 160k rows and
+    // holds 200 vector copies in every band's state; with it, output
+    // is exactly F-1 rows (keeper, copy) and state holds ONE entry.
+    val tmp = Files.createTempDirectory("embed-flood").toString
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val rnd = new scala.util.Random(7)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    (0 until 200).map(i => (i.toLong, t(i % 30), v))
+      .toDF("vec_id", "ts", "vec").write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
+    val q = EmbedStream.nearDupPairs(spark, stream, horizonMinutes = 60,
+        tau = 0.95)
+      .writeStream.format("memory").queryName("embdup_flood")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("embdup_flood")
+      .select("id_a", "id_b", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // TOTAL rows (not distinct pairs) bounded: one per copy, all to
+    // the first-seen keeper (id 0 — earliest ts, tie-broken by id)
+    assert(rows.length === 199, s"flood not collapsed: ${rows.length} rows")
+    assert(rows.map(_._1).forall(_ == 0L))
+    assert(rows.map(_._2).toSet === (1L to 199L).toSet)
+    assert(rows.map(_._3).forall(_ >= 0.999))
   }
 }

@@ -27,6 +27,24 @@ class ScaleSpec extends SparkSpec {
     assert(out === jump)
   }
 
+  test("clustersAuto routes hub graphs to star, shallow graphs to jump") {
+    import spark.implicits._
+    // the planted hub reaches the default degree cutoff (10^4) → star
+    val star = (1 to 10000).map(i => (0L, i.toLong))
+    val chain = (20000L until 20200L).map(i => (i, i + 1L))
+    val hubG = (star ++ chain).toDF("a", "b")
+    val out = Dedup.clustersAuto(hubG, "a", "b").as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.cc.lastChoice") === "star")
+    assert(out.count(_._2 == 0L) === 10001)
+    assert(out.filter(_._2 == 20000L).map(_._1) === (20000L to 20200L).toSet)
+    // disjoint dominoes: max degree 1 → the cheaper jump loop
+    val shallow = (0L until 100L by 2).map(i => (i, i + 1L)).toDF("a", "b")
+    val out2 = Dedup.clustersAuto(shallow, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.cc.lastChoice") === "jump")
+    assert(out2 === (0L until 100L).map(i => (i, i - i % 2)).toSet)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice"))
