@@ -477,9 +477,19 @@ object Queries {
     * then copy j of a group flips (j%4) distinct low-60 bit positions
     * — so within-group hamming spans 0..6 and the <=3 cut exercises
     * both accept and reject paths; maxHamming=3 with 4 chunks is the
-    * pigeonhole-COMPLETE regime, recall must be exactly 1.0. */
+    * pigeonhole-COMPLETE regime, recall must be exactly 1.0.
+    *
+    * Bounded to doc_id < 600 like its minhash/embedding siblings: the
+    * gate proves MACHINERY, and the planted construction's pair count
+    * grows quadratically with corpus size (at the 100× derived set the
+    * unbounded form emits ~10⁹ pairs and its exhaustive all-pairs
+    * DuckDB oracle stops terminating) — the bound keeps the gate
+    * runnable at every scale the driver and the scale harness use,
+    * with the planted structure (41 bases × flip cycle) fully
+    * exercised within the first 600 ids. */
   def dedupSimhashSound(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(spark, dir).selectExpr(
+    val planted = Tables.documents(spark, dir)
+      .where(col("doc_id") < 600).selectExpr(
       "doc_id AS id",
       """( (doc_id % 41) * 9973 % 65536
         |+ (doc_id % 41) * 28513 % 65536 * 65536
@@ -509,7 +519,7 @@ object Queries {
       |        THEN 1::BIGINT << (((doc_id // 41) * 4 + 1) % 60) ELSE 0 END),
       |      CASE WHEN (doc_id // 41) % 4 > 2
       |        THEN 1::BIGINT << (((doc_id // 41) * 4 + 2) % 60) ELSE 0 END) AS simhash
-      |  FROM documents)
+      |  FROM documents WHERE doc_id < 600)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -1466,8 +1476,16 @@ object Queries {
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
     // one scan: the per-row gram fractions ride along through the
     // explode and are carried by first() — a separate branch would
-    // re-read and re-tokenize the corpus and add a join shuffle
+    // re-read and re-tokenize the corpus and add a join shuffle.
+    // repartition BEFORE the gram projection (same precedent as the
+    // all-pairs jaccard BNLJ): the gram transforms evaluate their
+    // lambdas interpreted, so this is the query's dominant cost, and
+    // glued to scan parallelism it runs as wide as the FILE LAYOUT —
+    // a single-file corpus (one row group) computed 500k docs on one
+    // core at the 100× derived set. One small (doc_id, text) shuffle
+    // buys compute at full cluster width regardless of layout.
     Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
         dupFrac(grams(2)).as("d2"), dupFrac(grams(3)).as("d3"),
         explode(toks).as("tok"))

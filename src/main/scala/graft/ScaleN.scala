@@ -18,7 +18,16 @@ object ScaleN {
 
   /** One scan, not N: explode a copy index and shift the listed key
     * columns by `index * step` — an N-way union of reads would scan
-    * the source N times. */
+    * the source N times.
+    *
+    * The output is repartitioned before writing: the source SF tables
+    * are single small files, so without it the exploded table writes
+    * from the source's scan tasks — one or two files, i.e. one or two
+    * parquet row groups, and every downstream scan of the derived set
+    * is then capped at that parallelism (found at 100×: the 500k-doc
+    * documents table was one row group and per-doc HOF queries ran
+    * single-core). The shuffle is the price of a derived set whose
+    * FILE LAYOUT scales with its data. */
   private def times(df: DataFrame, copies: Int,
                     shifts: Map[String, Long]): DataFrame = {
     val copied = df.withColumn("__i",
@@ -26,6 +35,7 @@ object ScaleN {
     copied.select(df.columns.map(c => shifts.get(c)
       .map(step => (col(c) + col("__i") * step).as(c))
       .getOrElse(col(c))).toSeq: _*)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Smallest power of 10 strictly above the column's max — a shift

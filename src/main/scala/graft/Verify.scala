@@ -25,7 +25,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses the last
+      // stage to one task, and for a shuffle-free map query that is
+      // the ENTIRE computation single-threaded — at the 100× derived
+      // set, text_repetition's interpreted array slices ran 20+ min
+      // on one core. The repartition shuffle keeps the compute
+      // parallel and only the writer is single (one file, as the
+      // driver compare expects).
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -325,7 +325,17 @@ object Dedup {
 
   /** Near-dup pairs with hamming(simhash) <= maxHamming. Pigeonhole
     * bucketing: 4 16-bit chunks — any pair within hamming 3 shares at
-    * least one chunk, so candidates come from a chunk-equality join. */
+    * least one chunk, so candidates come from a chunk-equality join.
+    *
+    * Sensitivity on real text, measured (tools/SimhashProbe, sf0.1
+    * corpus, docs >= 32 tokens, j tokens replaced at even spacing):
+    * recall at maxHamming=3 is ~0.86 / 0.65 / 0.40 / 0.18 / 0.04 for
+    * j = 1 / 2 / 4 / 8 / 16. The 64-bit signature with a hamming-3
+    * cut is a NEAR-EXACT duplicate detector (boilerplate, trivial
+    * re-hosting edits) — for paraphrase-level fuzziness use
+    * [[minhashPairs]], whose banding is recall-tunable; widening
+    * maxHamming past 3 here would also break the 4-chunk pigeonhole's
+    * completeness guarantee. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame =
     simhashPairsFromSigs(withSimhash(docs, idCol, textCol), maxHamming)
@@ -339,21 +349,38 @@ object Dedup {
     * exhaustive all-pairs hamming scan (`dedup_simhash_sound`). At
     * maxHamming <= 3 the 4-chunk pigeonhole is COMPLETE (any pair
     * within hamming 3 agrees on >= 1 chunk), so the gate demands
-    * recall 1.0, not a probabilistic bound. */
+    * recall 1.0, not a probabilistic bound.
+    *
+    * Identical signatures collapse first (same rationale as the
+    * minhash/embedding step 0, with a sharper twist: the signature IS
+    * the dedup key, so collapsing by it is lossless — a member's
+    * hamming to ANY signature equals its group signature's hamming,
+    * making the expansion exact, not approximate). Duplicate-heavy
+    * corpora make this the difference between the chunk join seeing
+    * O(distinct sigs) and O(corpus) rows: measured at the 100×
+    * derived set (500k docs in 100-deep dup groups), the uncollapsed
+    * join ran 25 s with 6.9 GB spilled — quadratic member pairing in
+    * every chunk bucket. */
   def simhashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // cache: the signature table is tiny (one long per doc) but feeds
-    // both sides of the self-join — recomputing it doubles the cost
-    val sims = sigs.select(col("id"), col("simhash")).cache()
-    val chunked = sims.selectExpr("id", "simhash",
+    // one window shuffle on the signature yields the member→group map
+    // AND the unique set; localCheckpoint (not cache) so the three
+    // readers below see a materialized leaf (see memberTable)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))
+    val members = sigs.select(col("id"), col("simhash"))
+      .withColumn("gid", min("id").over(w))
+      .localCheckpoint()
+    val uniques = members.where(col("id") === col("gid"))
+      .select(col("gid").as("id"), col("simhash"))
+    val chunked = uniques.selectExpr("id", "simhash",
       "posexplode(transform(sequence(0, 3), j -> (shiftright(simhash, j * 16) & 65535L))) AS (chunk_idx, chunk_val)")
     // hamming filter BEFORE distinct: bit_count of two longs is ~free,
     // and near-dup clusters in real corpora make the raw candidate set
     // quadratic — distinct-ing it first shuffles millions of pairs that
     // the filter would drop anyway
-    // chunk self-join: O(corpus) on both sides — pinned to sort-merge
-    // like the minhash band join (a broadcast would ship the whole
-    // signature table)
-    chunked.as("a")
+    // chunk self-join: O(distinct sigs) on both sides — pinned to
+    // sort-merge like the minhash band join (a broadcast would ship
+    // the whole signature table)
+    val upairs = chunked.as("a")
       .join(chunked.as("b").hint("merge"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
@@ -362,6 +389,24 @@ object Dedup {
               expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+    // expand group pairs to member pairs through the same ONE join
+    // pipeline as minhashPairs: within-group pairs are hamming 0 by
+    // construction (identical signatures), cross-group pairs inherit
+    // the group hamming exactly. The pair stream is bounded by the
+    // near-dup rate → build side of the shuffled-hash expansion joins;
+    // the member table is corpus-sized and streams past.
+    val dupGroups = members.where(col("id") =!= col("gid"))
+      .select(col("gid").as("doc_a"), col("gid").as("doc_b"),
+              lit(0).cast("integer").as("hamming"))
+      .distinct()
+    upairs.union(dupGroups)
+      .hint("shuffle_hash")
+      .join(members.select(col("gid").as("doc_a"), col("id").as("ida")), "doc_a")
+      .hint("shuffle_hash")
+      .join(members.select(col("gid").as("doc_b"), col("id").as("idb")), "doc_b")
+      .where(col("doc_a") =!= col("doc_b") || col("ida") < col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
   }
 
   // ------------------------------------------------ cluster resolution
@@ -567,11 +612,27 @@ object Dedup {
     * Tunable via session conf `spark.graft.autoStarMaxDegree`. */
   private final val AutoStarMaxDegree = 10000L
 
+  /** MEAN-degree cutoff above which [[clustersAuto]] prefers star even
+    * without a hub. Dense graphs are where star's partial aggregation
+    * pays: each round's `min` compresses the edge stream to one row
+    * per node BEFORE the shuffle, while the jump loop must shuffle-join
+    * the full edge list against the label table every round — edge
+    * mass that dense dup-cliques make quadratic in group depth.
+    * Measured at the 100× derived corpus (27.3M edges / 500k nodes =
+    * mean degree 109, max only ~200): star 14.4 s with ZERO spill vs
+    * jump 27.7 s spilling 6.5 GB mem + 0.8 GB disk (SCALE100.md). At
+    * mean degree ~1.2 (1× pair graph) they tie. The cutoff sits well
+    * inside that bracket, biased low because star's worst case is a
+    * modest constant factor while jump's is executor spill. Tunable
+    * via session conf `spark.graft.autoStarMeanDegree`. */
+  private final val AutoStarMeanDegree = 16.0
+
   /** Auto-selecting connected components: measures the pair graph's
-    * maximum degree — the one statistic that decides jump-vs-star —
-    * and routes. The stat is a partial-agg groupBy + global max over
-    * the canonicalized distinct edge set: one shuffle, map-side
-    * combined, cheap next to any CC round. The canonical edge set is
+    * degree profile — maximum (hub concentration) and mean (edge
+    * density) — and routes to star when either passes its cutoff.
+    * Both stats come from one partial-agg groupBy over the
+    * canonicalized distinct edge set: one shuffle, map-side combined,
+    * cheap next to any CC round. The canonical edge set is
     * checkpointed once so the stat and the chosen algorithm share the
     * caller's candidate-generation work (usually the expensive part);
     * both CC impls eagerly materialize their own round state, so the
@@ -588,13 +649,17 @@ object Dedup {
       .where(col("lo") =!= col("hi"))
       .distinct().localCheckpoint()
     try {
-      val maxDeg = canon
+      val deg = canon
         .select(explode(array(col("lo"), col("hi"))).as("u"))
         .groupBy("u").count()
-        .agg(coalesce(max("count"), lit(0L)).as("d")).head.getLong(0)
-      val cutoff = sess.conf.get("spark.graft.autoStarMaxDegree",
+        .agg(coalesce(max("count"), lit(0L)).as("mx"),
+             coalesce(avg("count"), lit(0.0)).as("mean")).head
+      val (maxDeg, meanDeg) = (deg.getLong(0), deg.getDouble(1))
+      val hubCut = sess.conf.get("spark.graft.autoStarMaxDegree",
                                  AutoStarMaxDegree.toString).toLong
-      val useStar = maxDeg >= cutoff
+      val denseCut = sess.conf.get("spark.graft.autoStarMeanDegree",
+                                   AutoStarMeanDegree.toString).toDouble
+      val useStar = maxDeg >= hubCut || meanDeg >= denseCut
       sess.conf.set("spark.graft.cc.lastChoice",
                     if (useStar) "star" else "jump")
       if (useStar) clustersStar(canon, "lo", "hi")

@@ -29,6 +29,19 @@ import graft.operators.Dedup
   *    per doc, not the shingle sets;
   *  - a pair sharing several bands can emit more than once
   *    (at-least-once per pair; consumers dedupe on (doc_a, doc_b)).
+  *
+  * Exact-duplicate collapse (mirrors EmbedStream and the batch
+  * operator's step 0): identical texts produce identical signatures
+  * and share EVERY band, so a flood of F copies inside the watermark
+  * horizon would otherwise emit bands × F²/2 pairs and hold F
+  * signature copies in every band's state. An arrival whose signature
+  * equals a stored entry's emits ONE pair to that first-seen keeper
+  * (from band 0 only — one output row per copy, est_jaccard 1.0,
+  * exactly what pairwise evaluation would have scored it), is never
+  * added to state, and refreshes the keeper's expiry so the group
+  * stays resident while the flood continues. The copy's pairs to the
+  * keeper's other near-dup partners are not emitted — cluster
+  * resolution recovers them transitively, see EmbedStream's scaladoc.
   */
 object DocsStream extends Serializable {
 
@@ -80,11 +93,26 @@ object DocsStream extends Serializable {
       val out = List.newBuilder[NearDup]
       for (d <- incoming) {
         val s = d.sig.toList
-        for (e <- seen if e.id != d.doc_id) {
-          val est = estJaccard(e.sig, s)
-          if (est >= tau) out += NearDup(e.id, d.doc_id, est, d.ts)
+        seen.find(e => e.id != d.doc_id && e.sig == s) match {
+          case Some(keeper) => // exact-signature collapse: one pair
+            // per copy (band 0 emits; other bands stay silent), keeper
+            // expiry refreshed, copy NOT added to state
+            if (key._1 == 0)
+              out += NearDup(keeper.id, d.doc_id, 1.0, d.ts)
+            val tsU = micros(d.ts)
+            seen = seen.map(e =>
+              if (e.id == keeper.id && e.tsUs < tsU) e.copy(tsUs = tsU)
+              else e)
+          case None =>
+            for (e <- seen if e.id != d.doc_id) {
+              val est = estJaccard(e.sig, s)
+              if (est >= tau) out += NearDup(e.id, d.doc_id, est, d.ts)
+            }
+            // replace rather than prepend on same-id replay, so a
+            // redelivered doc can't duplicate its state entry
+            seen = Seen(d.doc_id, micros(d.ts), s) ::
+              seen.filterNot(_.id == d.doc_id)
         }
-        seen = Seen(d.doc_id, micros(d.ts), s) :: seen
       }
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       seen = seen.filter(_.tsUs + horizonUs >= wmUs)

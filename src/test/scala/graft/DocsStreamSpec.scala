@@ -34,10 +34,37 @@ class DocsStreamSpec extends SparkSpec {
     val out = spark.table("neardup_t")
       .select("doc_a", "doc_b", "est_jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // pairs are arrival-ordered; multi-band emissions collapse in the Map
-    assert(out.keySet === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // pairs are arrival-ordered; multi-band emissions collapse in the
+    // Map. 4 is an exact dup of 1, so it pairs ONLY with its keeper 1
+    // — (2,4) is recovered transitively by cluster resolution, not
+    // emitted (exact-signature collapse; see DocsStream's scaladoc)
+    assert(out.keySet === Set((1L, 2L), (1L, 4L)))
     assert(out((1L, 4L)) === 1.0) // exact dup: every minhash position matches
-    assert(out((1L, 2L)) >= 0.35 && out((2L, 4L)) >= 0.35)
+    assert(out((1L, 2L)) >= 0.35)
+  }
+
+  test("identical-doc flood emits one pair per copy, not quadratic") {
+    // 150 copies of one text inside the horizon: without the collapse
+    // this emits bands × F²/2 ≈ 178k rows; with it, exactly F-1 rows
+    // (keeper, copy) and ONE signature held per band bucket.
+    val tmp = Files.createTempDirectory("docs-flood").toString
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val docs = (0 until 150).map(i => (i.toLong, t(i % 30), base))
+      .toDF("doc_id", "ts", "text")
+    docs.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+    val q = DocsStream.nearDupPairs(spark, stream, horizonMinutes = 60,
+        numHashes = 16, bands = 16, tau = 0.5)
+      .writeStream.format("memory").queryName("neardup_flood")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("neardup_flood")
+      .select("doc_a", "doc_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 149, s"flood not collapsed: ${rows.length} rows")
+    assert(rows.map(_._1).forall(_ == 0L))
+    assert(rows.map(_._2).toSet === (1L to 149L).toSet)
+    assert(rows.map(_._3).forall(_ === 1.0))
   }
 
   test("bucket state expires with the watermark horizon") {

@@ -124,6 +124,16 @@ class PruneSpec extends SparkSpec {
                           expectedKeys = 1000000000L)
     }
     assert(ex.getMessage.contains("maxNumBits"))
+
+    // the maxNumItems clamp band (r6 advice): 5M keys at 3% need
+    // ~36.5M bits — inside maxNumBits=64M — but exceed the default
+    // maxNumItems=4M, where BloomFilterAggregate would silently
+    // mis-size its hash-function count. Must also refuse.
+    val ex2 = intercept[IllegalArgumentException] {
+      Prune.bloomSemiJoin(fact, "l_orderkey", dim, "o_orderkey",
+                          expectedKeys = 5000000L)
+    }
+    assert(ex2.getMessage.contains("maxNumItems"))
   }
 
   test("wrong SQL arity gets a readable error, not IndexOutOfBounds") {

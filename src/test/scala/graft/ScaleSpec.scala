@@ -43,6 +43,16 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(spark.conf.get("spark.graft.cc.lastChoice") === "jump")
     assert(out2 === (0L until 100L).map(i => (i, i - i % 2)).toSet)
+    // dense dup-cliques: max degree 39 (far below the hub cutoff) but
+    // mean degree 39 ≥ 16 → star, the SCALE100 regime where jump
+    // spills on edge mass alone (5 cliques of 40 nodes each)
+    val dense = (for { c <- 0 until 5; i <- 0 until 40; j <- i + 1 until 40 }
+      yield (c * 100L + i, c * 100L + j)).toDF("a", "b")
+    val out3 = Dedup.clustersAuto(dense, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.cc.lastChoice") === "star")
+    assert(out3 === (for (c <- 0 until 5; i <- 0 until 40)
+      yield (c * 100L + i, c * 100L)).toSet)
   }
 
   test("salted join returns exactly the plain join's rows") {

@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators.{Cdc, Dedup}
+
+/** Scale-validation harness (test scope — never ships): runs the
+  * dedup + CDC families and the headline analytics against an N×
+  * derived SF dir (generate with `graft.ScaleN <sf0.1> <out> 100`),
+  * printing one JSON line per query with wall seconds AND the
+  * stage-metric evidence the 10× runs could not provide: bytes
+  * spilled (memory/disk), shuffle read/write volume, and peak
+  * execution memory. This is the artifact behind SURVEY §5a — the
+  * point where "would survive 100×" claims stop being extrapolation.
+  *
+  * Usage: Test/runMain graft.tools.Scale100 /tmp/sf100x [outJson]
+  */
+object Scale100 {
+
+  final class StageMetrics extends SparkListener {
+    private var spillMem, spillDisk, shufRead, shufWrite, taskMs = 0L
+    private var peakExec = 0L
+    def reset(): Unit = synchronized {
+      spillMem = 0; spillDisk = 0; shufRead = 0; shufWrite = 0
+      taskMs = 0; peakExec = 0
+    }
+    def snapshot: Map[String, Long] = synchronized {
+      Map("spill_mem" -> spillMem, "spill_disk" -> spillDisk,
+          "shuffle_read" -> shufRead, "shuffle_write" -> shufWrite,
+          "task_ms" -> taskMs, "peak_exec_mem" -> peakExec)
+    }
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          spillMem += m.memoryBytesSpilled
+          spillDisk += m.diskBytesSpilled
+          shufRead += m.shuffleReadMetrics.totalBytesRead
+          shufWrite += m.shuffleWriteMetrics.bytesWritten
+          taskMs += m.executorRunTime
+          peakExec = math.max(peakExec, m.peakExecutionMemory)
+        }
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf100x")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    // warmup (untimed): JVM/codegen costs identical to Bench's rationale
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, dir).limit(1000).groupBy("l_returnflag").count().collect()
+
+    val out = new StringBuilder
+    def run(label: String)(df: => DataFrame): Unit = {
+      // settle the async listener bus so the previous query's last
+      // stages don't bleed into this window (diagnostic tool: a 1 s
+      // sleep is simpler than reaching into the private listener bus)
+      Thread.sleep(1000); metrics.reset()
+      val t0 = System.nanoTime()
+      val n = try df.count()
+              catch { case t: Throwable =>
+                System.err.println(s"SCALE FAIL $label: $t"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Blocks.freeAll(spark)
+      Thread.sleep(1000)
+      val m = metrics.snapshot
+      val line = f"""{"query":"$label","rows":$n,"sec":$sec%.2f,""" +
+        m.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}")
+      println("SCALE100 " + line)
+      out.append(line).append('\n')
+    }
+
+    // ---- headline analytics (scale linearly with facts)
+    run("pipeline_material_demand")(
+      SparkEntry.queries("pipeline_material_demand")(spark, dir))
+    run("agg_groupby_sum")(SparkEntry.queries("agg_groupby_sum")(spark, dir))
+    run("q3_shipping_priority")(
+      SparkEntry.queries("q3_shipping_priority")(spark, dir))
+    run("events_sessionize")(SparkEntry.queries("events_sessionize")(spark, dir))
+
+    // ---- CDC family (verdict r6 #7: SortAggregate spill behavior).
+    // The registered queries run on the full orders/lineitem feeds, so
+    // they scale 100× with the dir. mergeApply additionally compared
+    // merge (default) vs shuffle_hash at this scale.
+    run("cdc_latest_per_key")(SparkEntry.queries("cdc_latest_per_key")(spark, dir))
+    run("cdc_merge_apply")(SparkEntry.queries("cdc_merge_apply")(spark, dir))
+    run("cdc_merge_apply_shj") {
+      val latest = Queries.cdcLatestPerKey(spark, dir).select(
+        col("order_key"), col("op"),
+        col("new_price").as("total_price"), lit("NEW").as("status"))
+      val target = Tables.orders(spark, dir).select( // = Queries.cdcTarget
+        col("o_orderkey").as("order_key"),
+        col("o_totalprice").as("total_price"),
+        col("o_orderstatus").as("status"))
+      Cdc.mergeApply(target, latest, "order_key", joinHint = "shuffle_hash")
+    }
+    run("upsert_on_conflict")(SparkEntry.queries("upsert_on_conflict")(spark, dir))
+    run("scd2_dimension")(SparkEntry.queries("scd2_dimension")(spark, dir))
+
+    // ---- dedup family on the FULL 100× corpus (500k docs in
+    // 100-deep exact-dup groups — the adversarial shape for LSH)
+    run("dedup_exact")(SparkEntry.queries("dedup_exact")(spark, dir))
+    run("dedup_minhash_pairs")(
+      SparkEntry.queries("dedup_minhash_pairs")(spark, dir))
+    run("dedup_minhash_pairs_auto")(
+      Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+                         pairJoinHint = "auto"))
+    run("dedup_embedding_cosine")(
+      SparkEntry.queries("dedup_embedding_cosine")(spark, dir))
+    run("dedup_simhash")(SparkEntry.queries("dedup_simhash")(spark, dir))
+
+    // ---- connected components on the REAL pair graph at 100×
+    // (registered dedup_clusters filters doc_id<200 and would not
+    // scale; here the pairs come from the full corpus). Materialize
+    // the pair stream once so the three CC variants compete on
+    // identical input — this is the jump-vs-star crossover probe.
+    val pairsPath = s"$dir/__cc_pairs"
+    run("cc_pairgen_materialize") {
+      Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+        .select("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(pairsPath)
+      spark.read.parquet(pairsPath)
+    }
+    def pairs = spark.read.parquet(pairsPath)
+    run("dedup_clusters_jump")(Dedup.clusters(pairs, "doc_a", "doc_b"))
+    run("dedup_clusters_star")(Dedup.clustersStar(pairs, "doc_a", "doc_b"))
+    run("dedup_clusters_auto")(Dedup.clustersAuto(pairs, "doc_a", "doc_b"))
+    println("SCALE100 cc_choice=" +
+      spark.conf.get("spark.graft.cc.lastChoice", "?"))
+
+    args.lift(1).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
+    }
+    spark.stop()
+  }
+}
