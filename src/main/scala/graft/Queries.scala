@@ -1485,6 +1485,7 @@ object Queries {
     // core at the 100× derived set. One small (doc_id, text) shuffle
     // buys compute at full cluster width regardless of layout.
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
         dupFrac(grams(2)).as("d2"), dupFrac(grams(3)).as("d3"),

@@ -619,8 +619,8 @@ object Dedup {
     * the full edge list against the label table every round — edge
     * mass that dense dup-cliques make quadratic in group depth.
     * Measured at the 100× derived corpus (27.3M edges / 500k nodes =
-    * mean degree 109, max only ~200): star 14.4 s with ZERO spill vs
-    * jump 27.7 s spilling 6.5 GB mem + 0.8 GB disk (SCALE100.md). At
+    * mean degree 109, max only ~200): star 15.1 s with ZERO spill vs
+    * jump 25.0 s spilling 6.5 GB mem + 0.8 GB disk (SCALE100.md). At
     * mean degree ~1.2 (1× pair graph) they tie. The cutoff sits well
     * inside that bracket, biased low because star's worst case is a
     * modest constant factor while jump's is executor spill. Tunable

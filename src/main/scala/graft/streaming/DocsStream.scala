@@ -89,7 +89,18 @@ object DocsStream extends Serializable {
     def fn(key: (Int, Long), it: Iterator[BandedDoc],
            state: GroupState[List[Seen]]): Iterator[NearDup] = {
       val incoming = it.toList.sortBy(d => (micros(d.ts), d.doc_id))
+      // expire BEFORE processing, not after: bucket functions fire only
+      // when their bucket receives data, so a post-loop filter leaves
+      // stale keepers resident in quiet buckets while busy buckets of
+      // the same band set already evicted theirs — and the collapse
+      // branch would then match a past-horizon keeper in some bands but
+      // not others (suppressing the pair everywhere but band 0 while
+      // band 0 elects a fresh keeper: a silently split dup group).
+      // Filtering first makes keeper presence a pure function of the
+      // watermark, identical across every bucket this batch touches.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       var seen = state.getOption.getOrElse(Nil)
+        .filter(_.tsUs + horizonUs >= wmUs)
       val out = List.newBuilder[NearDup]
       for (d <- incoming) {
         val s = d.sig.toList
@@ -109,13 +120,15 @@ object DocsStream extends Serializable {
               if (est >= tau) out += NearDup(e.id, d.doc_id, est, d.ts)
             }
             // replace rather than prepend on same-id replay, so a
-            // redelivered doc can't duplicate its state entry
-            seen = Seen(d.doc_id, micros(d.ts), s) ::
+            // redelivered doc can't duplicate its state entry — keeping
+            // the LATEST sighting (a late redelivery must not rewind
+            // the doc's expiry, same guard as the keeper refresh)
+            val tsU = math.max(micros(d.ts),
+              seen.find(_.id == d.doc_id).map(_.tsUs).getOrElse(0L))
+            seen = Seen(d.doc_id, tsU, s) ::
               seen.filterNot(_.id == d.doc_id)
         }
       }
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
-      seen = seen.filter(_.tsUs + horizonUs >= wmUs)
       if (seen.nonEmpty) {
         state.update(seen)
         state.setTimeoutTimestamp(

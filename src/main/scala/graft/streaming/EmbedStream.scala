@@ -99,7 +99,13 @@ object EmbedStream extends Serializable {
     def fn(key: (Int, Long), it: Iterator[BandedVec],
            state: GroupState[List[SeenVec]]): Iterator[VecNearDup] = {
       val incoming = it.toList.sortBy(d => (micros(d.ts), d.vec_id))
+      // expire BEFORE processing (see DocsStream.fn): a stale keeper
+      // surviving in a quiet bucket would otherwise absorb copies
+      // silently (non-zero bands suppress emission) while band 0
+      // elects a fresh keeper — splitting an exact-dup group.
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
       var seen = state.getOption.getOrElse(Nil)
+        .filter(_.tsUs + horizonUs >= wmUs)
       val out = List.newBuilder[VecNearDup]
       for (d <- incoming) {
         // exact-dup collapse: bit-identical vectors share the full
@@ -125,13 +131,15 @@ object EmbedStream extends Serializable {
               if (c >= tau) out += VecNearDup(e.id, d.vec_id, c, d.ts)
             }
             // replace rather than prepend on same-id replay, so a
-            // redelivered vector can't duplicate its state entry
-            seen = SeenVec(d.vec_id, micros(d.ts), d.bucket, d.vec) ::
+            // redelivered vector can't duplicate its state entry —
+            // keeping the LATEST sighting (a late redelivery must not
+            // rewind the expiry, same guard as the keeper refresh)
+            val tsU = math.max(micros(d.ts),
+              seen.find(_.id == d.vec_id).map(_.tsUs).getOrElse(0L))
+            seen = SeenVec(d.vec_id, tsU, d.bucket, d.vec) ::
               seen.filterNot(_.id == d.vec_id)
         }
       }
-      val wmUs = state.getCurrentWatermarkMs() * 1000L
-      seen = seen.filter(_.tsUs + horizonUs >= wmUs)
       if (seen.nonEmpty) {
         state.update(seen)
         state.setTimeoutTimestamp(

@@ -56,7 +56,9 @@ object SimhashProbe {
         .where(col("doc_b") - col("doc_a") === offset)
         .count()
       println(f"SIMHASH_RECALL $dir edits=$j%2d recall=${found.toDouble / nDocs}%.3f ($found/$nDocs)")
-      graft.Blocks.freeAll(spark) // simhashPairs caches the sig table
+      // simhashPairs localCheckpoints its member table — clearCache()
+      // alone would leave those blocks resident across iterations
+      graft.Blocks.freeAll(spark)
     }
     spark.stop()
   }
