@@ -67,6 +67,42 @@ class DocsStreamSpec extends SparkSpec {
     assert(rows.map(_._3).forall(_ === 1.0))
   }
 
+  test("stale keeper cannot absorb copies after its horizon passes") {
+    // The window the EventTimeTimeout cleanup can NOT cover: a bucket
+    // that RECEIVES data in the same micro-batch where its stored
+    // entry went past-horizon never gets a timeout invocation (keys
+    // with data aren't timed out), so the state function sees the
+    // stale entry alongside the arrival. Matching before expiring
+    // would emit a pair to the expired keeper, resurrect it via the
+    // expiry refresh, and never install the copy as the new keeper —
+    // splitting the group. maxFilesPerTrigger=1 forces one file per
+    // micro-batch so the watermark advances BETWEEN the unrelated doc
+    // and the copy's arrival.
+    val tmp = Files.createTempDirectory("docs-stream-stale").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def add(rows: (Long, Timestamp, String)*): Unit = {
+      rows.toDF("doc_id", "ts", "text")
+        .write.mode("append").parquet(s"$tmp/in")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    add((1L, t("2024-01-01 10:00:00"), base))
+    add((9L, t("2024-01-01 15:00:00"), "totally unrelated filler text"))
+    add((4L, t("2024-01-01 15:10:00"), base)) // copy; keeper 1 is stale
+    add((5L, t("2024-01-01 15:20:00"), base)) // copy; keeper must be 4
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = DocsStream.nearDupPairs(spark, stream, horizonMinutes = 30,
+        numHashes = 16, bands = 16, tau = 0.5)
+      .writeStream.format("memory").queryName("neardup_stale")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val pairs = spark.table("neardup_stale")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((4L, 5L)),
+      s"stale keeper leaked into pairing: $pairs")
+  }
+
   test("bucket state expires with the watermark horizon") {
     val tmp = Files.createTempDirectory("docs-stream-exp").toString
     val cp = s"$tmp/cp"
