@@ -64,6 +64,41 @@ class EmbedStreamSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)), s"expired entry still matched: $pairs")
   }
 
+  test("stale keeper cannot absorb copies after its horizon passes") {
+    // Same window as DocsStreamSpec's twin test: the copy arrives in
+    // the same micro-batch where its keeper went past-horizon, so the
+    // timeout path (keys without data) can't clean the bucket first —
+    // the state function itself must expire before matching, or the
+    // stale keeper absorbs the copy (no pair outside band 0, keeper
+    // resurrected, group split).
+    val tmp = Files.createTempDirectory("embed-stale").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def add(rows: (Long, Timestamp, Array[Float])*): Unit = {
+      rows.toDF("vec_id", "ts", "vec")
+        .write.mode("append").parquet(s"$tmp/in")
+      Thread.sleep(1100) // distinct mtimes → deterministic batch order
+    }
+    add((1L, t("2024-01-01 10:00:00"), v))
+    add((9L, t("2024-01-01 15:00:00"),
+         Array.fill(64)(rnd.nextGaussian().toFloat)))
+    add((4L, t("2024-01-01 15:10:00"), v)) // copy; keeper 1 is stale
+    add((5L, t("2024-01-01 15:20:00"), v)) // copy; keeper must be 4
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/in").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in")
+    val q = EmbedStream.nearDupPairs(spark, stream, horizonMinutes = 30,
+        tau = 0.95)
+      .writeStream.format("memory").queryName("embdup_stale")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val pairs = spark.table("embdup_stale")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((4L, 5L)),
+      s"stale keeper leaked into pairing: $pairs")
+  }
+
   test("identical-vector flood emits one pair per copy, not quadratic") {
     // 200 copies of one vector inside the horizon: without the
     // exact-dup collapse this emits bands × F²/2 ≈ 160k rows and
