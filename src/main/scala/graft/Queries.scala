@@ -723,6 +723,55 @@ object Queries {
       |UNION ALL
       |SELECT 8 AS nprobe, TRUE AS recall_ok""".stripMargin
 
+  /** IVF-PQ lossless-plumbing gate (#29f): with nprobe = cells and an
+    * unbounded re-rank, the cell probe and the approximate cut keep
+    * every vector and the exact re-rank IS brute force — any row lost
+    * in the encode/decode/candidate plumbing breaks the hash match.
+    * Oracle = the same exhaustive ranking as ann_bruteforce_topk. */
+  def annPqFull(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.pqTopK(spark, emb.where(col("vec_id") < 10), emb, 5,
+      cells = 16, nprobe = 16, rerank = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** IVF-PQ recall gate at realistic re-rank widths (#29f): what the
+    * compressed path recalls when the searched artifact is the 32×
+    * smaller code table. recall@10 vs in-query brute force over 20
+    * queries at nprobe=4, one row per re-rank width (ann_ivf_recall
+    * pattern — seeded training + deterministic data make the flags
+    * deterministic). Measured (tools/PqProbe, near-uniform synthetic
+    * vectors — the WORST case for PQ, no cluster structure to absorb
+    * quantization error): rerank=10 (pure ADC ranking) recalls
+    * 0.33/0.24 at sf0.01/sf0.1, rerank=100 (exact re-rank repairing
+    * the approximate cut) 0.59/0.46. Gates sit between measurement
+    * and the ~rerank/probed-pool ≈ 0.01 a broken ADC ranking would
+    * score: 0.15 and 0.30. */
+  def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") < 20)
+    val k = 10
+    val bf = Similarity.bruteForceTopK(queries, emb, k)
+      .select(col("query_id"), col("neighbor_id"))
+    // denominator derived Spark-side only, as in annIvfRecall
+    val denom = bf.agg(count(lit(1)).as("n_pairs"))
+    def gate(rerank: Int, target: Double): DataFrame =
+      Similarity.pqTopK(spark, queries, emb, k,
+          cells = 16, nprobe = 4, rerank = rerank)
+        .join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(denom)
+        .select(lit(rerank).as("rerank"),
+          (col("hits").cast("double") / col("n_pairs") >= target)
+            .as("recall_ok"))
+    gate(10, 0.15).union(gate(100, 0.30))
+  }
+
+  private val annPqRecallSql =
+    """SELECT 10 AS rerank, TRUE AS recall_ok
+      |UNION ALL
+      |SELECT 100 AS rerank, TRUE AS recall_ok""".stripMargin
+
   /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
     * to cos ≈ 0 lands in a shared bucket w.p. > 0.9999, so the
     * bucketed search must return the exact brute-force top-k here. */
@@ -1867,6 +1916,8 @@ object Queries {
     "dedup_clusters_star"      -> (dedupClustersStar _),
     "dedup_clusters_auto"      -> (dedupClustersAuto _),
     "ann_ivf_recall"           -> (annIvfRecall _),
+    "ann_pq_full"              -> (annPqFull _),
+    "ann_pq_recall"            -> (annPqRecall _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
     "ann_lsh_topk"             -> (annLshTopk _),
@@ -1958,6 +2009,8 @@ object Queries {
     "dedup_clusters_star"      -> dedupClustersSql,
     "dedup_clusters_auto"      -> dedupClustersSql,
     "ann_ivf_recall"           -> annIvfRecallSql,
+    "ann_pq_full"              -> annBruteforceTopkSql,
+    "ann_pq_recall"            -> annPqRecallSql,
     "dedup_cross_corpus"       -> dedupCrossCorpusSql,
     "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -144,6 +144,25 @@ object Similarity {
     centers.zipWithIndex.map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
   }
 
+  /** Deterministic UNIFORM hash-bucket training sample, collected to
+    * the driver (BOUNDED: ~1.25 × target rows — ~1 MB at 64 dims for
+    * the defaults). Centroid/codebook quality needs thousands of
+    * points, not the corpus — and an id-ordered head would bias
+    * training toward early ids whenever ingestion order correlates
+    * with content (the common case). The count() is
+    * parquet-metadata-only, no data scan. */
+  private[graft] def sampleVectors(corpus: DataFrame,
+                                   target: Int): Array[Array[Float]] = {
+    val n = math.max(corpus.count(), 1L)
+    val buckets = 1L << 20
+    val t = math.min(buckets,
+      math.ceil(target.toDouble * 1.25 / n * buckets).toLong)
+    corpus
+      .where(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(t))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
   /** IVF-style ANN: k-means learns `cells` centroids (on a sample —
     * centroid quality doesn't need the full corpus), every corpus
     * vector is assigned to its nearest cell once, and each query
@@ -160,20 +179,7 @@ object Similarity {
     // query probing rank by COSINE against them — mixing Euclidean
     // assignment with cosine probing opens a systematic recall hole
     // for unnormalized vectors.
-    // Train on a deterministic UNIFORM hash-bucket sample: centroid
-    // quality needs thousands of points, not the corpus — and an
-    // id-ordered head would bias centroids toward early ids whenever
-    // ingestion order correlates with content (the common case). The
-    // count() below is parquet-metadata-only, no data scan.
-    val target = math.max(cells * 256, 2048)
-    val n = math.max(corpus.count(), 1L)
-    val buckets = 1L << 20
-    val t = math.min(buckets,
-      math.ceil(target.toDouble * 1.25 / n * buckets).toLong)
-    val sample = corpus
-      .where(pmod(xxhash64(col("vec_id")), lit(buckets)) < lit(t))
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = sampleVectors(corpus, math.max(cells * 256, 2048))
     val centroids = trainCentroids(sample, cells)
     val centroidDf = broadcast(
       spark.createDataFrame(centroids).toDF("cell", "centroid"))
@@ -192,6 +198,148 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(assigned, "cell")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  // ------------------------------------------------ product quantization
+
+  /** Per-subspace PQ codebooks: the vector space splits into `m`
+    * contiguous subspaces of dim/m floats and each learns its own
+    * `ksub`-codeword k-means codebook (reusing [[trainCentroids]],
+    * seeded per subspace so codebooks are deterministic and
+    * independent). Codebook size is m × ksub × dim/m floats total —
+    * always driver-trivial. */
+  private[graft] def trainPqCodebooks(sample: Array[Array[Float]],
+                                      m: Int, ksub: Int): Seq[Seq[(Int, Array[Float])]] = {
+    require(sample.nonEmpty, "empty training sample")
+    require(ksub >= 2, s"ksub=$ksub: need at least 2 codewords")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { s =>
+      trainCentroids(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * d, (s + 1) * d)),
+        ksub, seed = 42L + s)
+    }
+  }
+
+  /** PQ-encode: per subspace, the nearest codeword by L2 — written as
+    * a per-row argmax of (x_s · c − ‖c‖²/2) over literal codewords
+    * (the L2 argmin with the row-constant ‖x_s‖² term dropped), the
+    * same zero-exchange shape as [[assignCells]]: one codegen'd dot
+    * per codeword per subspace, no join, no explosion. Adds
+    * `codes array<int>` — m small ints per vector. At 100 TB THIS is
+    * the searched artifact: written to the lake it holds
+    * dim·4 / (m·log₂ksub/8) ≈ 32× less data than the raw vectors at
+    * the defaults (64 dims → 8 nibble codes), so the ANN scan reads
+    * 32× fewer bytes. */
+  private[graft] def pqEncode(df: DataFrame, vecCol: String,
+                              codebooks: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
+    val d = codebooks.head.head._2.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(col(vecCol), s * d + 1, d)
+      val scored = cb.map { case (i, arr) =>
+        val half = arr.map(x => x.toDouble * x).sum / 2.0
+        struct(
+          (graft.functions.GraftFunctions.dot(sub, typedLit(arr.toSeq)) - lit(half)).as("s"),
+          lit(-i).as("negcode"))
+      }
+      -greatest(scored: _*).getField("negcode")
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** Decode codes to the codeword concatenation x̂ (`array<float>`).
+    * The codebook rides as a nested literal; per row this is m
+    * element_at lookups and a flatten. Asymmetric-distance scoring
+    * (query against x̂, never against the raw vector) runs on top of
+    * this with the same native cosine as every other operator. */
+  private[graft] def pqDecode(codes: Column,
+                              codebooks: Seq[Seq[(Int, Array[Float])]]): Column = {
+    val cb = typedLit(codebooks.map(_.map(_._2.toSeq)))
+    flatten(transform(codes,
+      (code, s) => element_at(element_at(cb, s + lit(1)), code + lit(1))))
+  }
+
+  /** IVF-PQ ANN with exact re-ranking — the memory/IO-bounded scale
+    * path. Three stages, each with its own knob:
+    *  1. IVF cells prune the corpus to the query's `nprobe` nearest
+    *     cells (same centroids machinery as [[ivfTopK]]);
+    *  2. PQ codes rank the surviving vectors by ASYMMETRIC distance —
+    *     cosine of the query against the decoded codeword
+    *     concatenation — so this stage never touches the raw vectors:
+    *     its input is the (cell, codes) table, ~32× smaller than the
+    *     corpus at the defaults;
+    *  3. the top `rerank` approximate hits per query are re-scored
+    *     EXACTLY by fetching the raw vectors back by id — an id join
+    *     moving only |queries| × rerank rows — which repairs most of
+    *     the quantization error in the final top-k.
+    * With nprobe = cells and rerank ≥ |corpus| stages 1-2 become
+    * lossless plumbing and the result is exactly brute force (the
+    * ann_pq_full driver gate).
+    *
+    * A note on ADC in Spark: the classical per-query lookup-table
+    * trick saves the multiplies by precomputing q_s · c for every
+    * codeword once per query; that needs per-query state below the
+    * row-expression abstraction. Here the decode+dot costs the same
+    * flops as a full dot — the win this operator banks is the 32×
+    * smaller scan in stage 2, which is what dominates at 100 TB
+    * (scoring is codegen'd and compute-cheap; the corpus bytes are
+    * the bottleneck). A custom stateful Expression could add the LUT
+    * later; nothing downstream would change. */
+  def pqTopK(spark: org.apache.spark.sql.SparkSession,
+             queries: DataFrame, corpus: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16,
+             cells: Int = 16, nprobe: Int = 4,
+             rerank: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sample = sampleVectors(corpus,
+      math.max(math.max(cells, ksub) * 256, 2048))
+    val centroids = trainCentroids(sample, cells)
+    val codebooks = trainPqCodebooks(sample, m, ksub)
+    // the searched artifact: id, cell, codes — no raw vectors. The
+    // codeword concatenation x̂ is decoded HERE, corpus-side of the
+    // probe join, so the (interpreted-HOF) decode runs once per
+    // corpus row — inside the join it would run once per
+    // (query, corpus) pair, nprobe-fold more
+    val encoded = pqEncode(
+      assignCells(corpus.select(col("vec_id").as("neighbor_id"),
+                                col("embedding").as("cvec")),
+                  "cvec", centroids),
+      "cvec", codebooks)
+      .select(col("neighbor_id"), col("cell"),
+              pqDecode(col("codes"), codebooks).as("xhat"))
+    val centroidDf = broadcast(
+      spark.createDataFrame(centroids).toDF("cell", "centroid"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probes = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        .crossJoin(centroidDf)
+        .withColumn("centroid_cos", Dedup.cosine(col("qvec"), col("centroid")))
+        .withColumn("prk", row_number().over(probeW))
+        .where(col("prk") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("cell")))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val cands = probes.join(encoded, "cell")
+      .withColumn("acos", Dedup.cosine(col("qvec"), col("xhat")))
+      .withColumn("ark", row_number().over(approxW))
+      .where(col("ark") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank on the bounded candidate set: raw vectors come
+    // back via an id join (corpus side streams; the candidate set is
+    // |queries| × rerank rows)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+                          col("embedding").as("cvec")), "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+                                     col("embedding").as("qvec"))), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
