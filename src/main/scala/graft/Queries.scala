@@ -1626,6 +1626,32 @@ object Queries {
       |  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Mixture rebalance gate (#43a): `source_mixture` REPORTS the mix;
+    * this PRODUCES the corpus at a desired mix — a 4:3:2:1 target over
+    * four sources, every other source dropped. The kept set is a pure
+    * function of the ids (md5-bucket thresholds from integer-exact
+    * arithmetic), so the oracle recomputes it row for row. */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sampleMixture(Tables.documents(spark, dir), "source", "doc_id",
+        Map("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1))
+      .select(col("doc_id"), col("source"))
+
+  private val mixtureRebalanceSql =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS bucket
+      |  FROM documents),
+      |w(source, w_s) AS (VALUES ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1)),
+      |c AS (SELECT b.source, w_s, COUNT(*) AS n_s
+      |      FROM b JOIN w USING (source) GROUP BY 1, 2),
+      |nm AS (SELECT MIN(n_s * 10 // w_s) AS n_max FROM c),
+      |t AS (SELECT source, w_s * n_max * 65536 // (10 * n_s) AS t_s FROM c, nm)
+      |SELECT doc_id, source FROM b JOIN t USING (source)
+      |WHERE bucket < t_s""".stripMargin
+
   /** Near-dup cluster resolution: unigram-jaccard ≥ 0.95 pair graph →
     * connected components (Dedup.clusters min-label propagation). The
     * recursive-CTE oracle checks the full transitive closure — i.e.
@@ -1964,6 +1990,7 @@ object Queries {
     "text_repetition"          -> (textRepetition _),
     "doc_pack"                 -> (docPack _),
     "source_mixture"           -> (sourceMixture _),
+    "mixture_rebalance"        -> (mixtureRebalance _),
     "dedup_clusters"           -> (dedupClusters _),
     "profile_columns"          -> (profileColumns _),
     "dq_checks"                -> (dqChecks _),
@@ -2040,6 +2067,7 @@ object Queries {
     "text_repetition"          -> textRepetitionSql,
     "doc_pack"                 -> docPackSql,
     "source_mixture"           -> sourceMixtureSql,
+    "mixture_rebalance"        -> mixtureRebalanceSql,
     "dedup_clusters"           -> dedupClustersSql,
     "profile_columns"          -> profileColumnsSql,
     "dq_checks"                -> dqChecksSql,

@@ -125,4 +125,36 @@ class TemporalSpec extends SparkSpec {
     assert(dist.values.sum === docs.count())
     assert(dist("train") > dist("val") && dist("train") > dist("test"))
   }
+
+  test("sampleMixture keeps exactly the threshold-rule set at the target mix") {
+    val docs = Tables.documents(spark, sfDir)
+    val weights = Map("src0" -> 4, "src1" -> 3, "src2" -> 2, "src3" -> 1)
+    val kept = Sampling.sampleMixture(docs, "source", "doc_id", weights)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    // recompute the integer-exact rule driver-side: thresholds from
+    // per-source counts, bucket from md5 — the kept set is a pure
+    // function of the ids, so the expectation is EXACT, not statistical
+    val all = docs.select("doc_id", "source").as[(Long, String)].collect()
+    val nS = all.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wTot = weights.values.sum
+    val nMax = weights.map { case (s, w) => nS(s) * wTot / w }.min
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(28, 32), 16)
+    }
+    val want = all.filter { case (id, s) =>
+      weights.get(s).exists(w =>
+        bucket(id) < w * nMax * 65536L / (wTot * nS(s)))
+    }.toSet
+    assert(kept === want)
+    // layout independence: same set from a differently-partitioned input
+    val kept2 = Sampling
+      .sampleMixture(docs.repartition(7), "source", "doc_id", weights)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(kept2 === kept)
+    // unlisted sources are gone; listed ones survive in rough w-order
+    assert(kept.map(_._2).subsetOf(weights.keySet))
+  }
 }
