@@ -1652,6 +1652,62 @@ object Queries {
       |SELECT doc_id, source FROM b JOIN t USING (source)
       |WHERE bucket < t_s""".stripMargin
 
+  /** Segment-level corpus dedup (#23a, Corpus.dedupLines): 8-token
+    * segments appearing in >2 distinct docs are boilerplate and get
+    * dropped from every doc; docs are reassembled in segment order.
+    * The oracle recomputes the whole pass — segmentation arithmetic,
+    * corpus frequencies, order-preserving reassembly — exactly. */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame =
+    Corpus.dedupLines(Tables.documents(spark, dir), "doc_id", "text",
+      segTokens = 8, maxDocs = 2)
+
+  private val dedupLinesSql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, i AS seg_idx,
+      |        array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+      |      FROM t, UNNEST(generate_series(0, greatest((len(toks)+7)//8 - 1, 0))) AS u(i)),
+      |c AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs FROM s GROUP BY 1),
+      |f AS (SELECT s.doc_id, s.seg_idx, s.seg, c.n_docs <= 2 AS kept
+      |      FROM s JOIN c USING (seg))
+      |SELECT doc_id,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS clean_text,
+      |  CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+      |FROM f GROUP BY 1""".stripMargin
+
+  /** Benchmark decontamination (#23b, Corpus.decontaminate): docs with
+    * doc_id % 10 == 0 stand in for the eval suite; every training doc
+    * sharing any distinct 8-gram with it is flagged with the shared
+    * count. Non-degenerate at every SF (the planted near-dup groups
+    * straddle the id split). */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.decontaminate(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+  }
+
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - 7, 1)),
+      |      i -> array_to_string(toks[i:i+7], ' ')))) AS gram
+      |  FROM t),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+      |h AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |      FROM g WHERE doc_id % 10 <> 0
+      |        AND gram IN (SELECT gram FROM ev) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+      |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+      |LEFT JOIN h USING (doc_id)""".stripMargin
+
   /** Near-dup cluster resolution: unigram-jaccard ≥ 0.95 pair graph →
     * connected components (Dedup.clusters min-label propagation). The
     * recursive-CTE oracle checks the full transitive closure — i.e.
@@ -1760,6 +1816,46 @@ object Queries {
       |UNION ALL SELECT 'l_shipdate', n - nn4, nd4 FROM s
       |UNION ALL SELECT 'l_quantity', n - nn5, nd5 FROM s
       |UNION ALL SELECT 'l_extendedprice', n - nn6, nd6 FROM s""".stripMargin
+
+  /** Approx-NDV profile gate (#46a): the 100 TB swap profile_columns'
+    * doc promises — HLL++ `approx_count_distinct` instead of the exact
+    * expand — with the error bound regression-gated the recall-gate
+    * way. Each row carries the EXACT NDV (oracle recomputes it) plus a
+    * flag that the approx estimate landed within 4×rsd or ±8 absolute
+    * (HLL++ is exact in sparse mode, so small NDVs need the absolute
+    * slack, large ones the relative one; rsd=0.05 → ±20%). HLL merge
+    * is register-wise max — commutative and associative — so the
+    * estimate and therefore the flag are deterministic under any
+    * partitioning. The exact NDVs here are the GATE'S price, not the
+    * production plan: a profiling run at scale issues only the approx
+    * aggs and skips the expand entirely. */
+  def profileColumnsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
+                   "l_shipdate", "l_quantity", "l_extendedprice")
+    val rsd = 0.05
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"nd_$c"),
+      approx_count_distinct(col(c), rsd).as(s"ad_$c")))
+    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nd_$c, abs(ad_$c - nd_$c) <= greatest(cast(${4 * rsd} * nd_$c as bigint), 8)")
+      .mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, approx_ok)")
+  }
+
+  private val profileColumnsApproxSql =
+    """WITH s AS (SELECT
+      |  COUNT(DISTINCT l_orderkey) AS nd1, COUNT(DISTINCT l_suppkey) AS nd2,
+      |  COUNT(DISTINCT l_returnflag) AS nd3, COUNT(DISTINCT l_shipdate) AS nd4,
+      |  COUNT(DISTINCT l_quantity) AS nd5, COUNT(DISTINCT l_extendedprice) AS nd6
+      |  FROM lineitem)
+      |SELECT 'l_orderkey' AS col_name, nd1 AS n_distinct, TRUE AS approx_ok FROM s
+      |UNION ALL SELECT 'l_suppkey', nd2, TRUE FROM s
+      |UNION ALL SELECT 'l_returnflag', nd3, TRUE FROM s
+      |UNION ALL SELECT 'l_shipdate', nd4, TRUE FROM s
+      |UNION ALL SELECT 'l_quantity', nd5, TRUE FROM s
+      |UNION ALL SELECT 'l_extendedprice', nd6, TRUE FROM s""".stripMargin
 
   /** Data-quality gate: referential + row-level + key-uniqueness checks
     * as one report. Row-level predicates fuse into a single scan's
@@ -1991,6 +2087,9 @@ object Queries {
     "doc_pack"                 -> (docPack _),
     "source_mixture"           -> (sourceMixture _),
     "mixture_rebalance"        -> (mixtureRebalance _),
+    "dedup_lines"              -> (dedupLines _),
+    "decontaminate"            -> (decontaminate _),
+    "profile_columns_approx"   -> (profileColumnsApprox _),
     "dedup_clusters"           -> (dedupClusters _),
     "profile_columns"          -> (profileColumns _),
     "dq_checks"                -> (dqChecks _),
@@ -2068,6 +2167,9 @@ object Queries {
     "doc_pack"                 -> docPackSql,
     "source_mixture"           -> sourceMixtureSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
+    "dedup_lines"              -> dedupLinesSql,
+    "decontaminate"            -> decontaminateSql,
+    "profile_columns_approx"   -> profileColumnsApproxSql,
     "dedup_clusters"           -> dedupClustersSql,
     "profile_columns"          -> profileColumnsSql,
     "dq_checks"                -> dqChecksSql,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus-level text hygiene for training-data pipelines: segment-level
+  * (line-level) dedup and benchmark decontamination — the two cleanup
+  * passes that operate ACROSS documents rather than within one (the
+  * within-doc family lives in Queries' text_* ops; the whole-doc dedup
+  * family in [[Dedup]]).
+  *
+  * Scale design: both ops are explode → one key-partitioned aggregation
+  * → rejoin, with no per-doc driver loops and no O(n²) joins. The only
+  * broadcast is the decontamination gram set — benchmark suites are
+  * MB-scale by nature while the corpus is the 100 TB side, so that
+  * asymmetry is structural, not an assumption about this test data.
+  */
+object Corpus {
+
+  /** Segment-level corpus dedup (CCNet/RefinedWeb-style "line" dedup,
+    * re-gridded to fixed `segTokens`-token segments because the corpus
+    * has no newlines): a segment that appears in more than `maxDocs`
+    * distinct documents is boilerplate (headers, navigation, license
+    * blocks) and is dropped from EVERY document; each document is then
+    * reassembled in original segment order. Output keeps every input
+    * document (possibly with empty `clean_text`) plus kept/dropped
+    * segment counts.
+    *
+    * Shape: tokenize → non-overlapping segments (posexplode) → one
+    * groupBy(seg) countDistinct for corpus frequencies → rejoin on seg
+    * → groupBy(doc) order-preserving reassembly. Three corpus-sized
+    * shuffles, all on high-cardinality keys; the rejoin is
+    * size-adaptive — Catalyst broadcasts the frequency table while it
+    * fits (test scale) and falls back to sort-merge/SHJ when it is
+    * corpus-sized, which is the correct plan at each scale and needs
+    * no hint. The repartition before the segment transform
+    * decouples the interpreted HOF lambdas from file layout (the 100×
+    * lesson — see textRepetition): compute runs at shuffle width even
+    * if the corpus arrives as one row group. Reassembly buffers one
+    * document's segments per group — bounded by max doc length, the
+    * same guarantee the pack/repetition ops rely on. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 segTokens: Int = 8, maxDocs: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
+    val exploded = docs
+      .select(col(idCol),
+        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), greatest(nSegs - 1, lit(0))),
+        i => concat_ws(" ",
+          slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
+      .toDF(idCol, "seg_idx", "seg")
+    val counts = exploded.groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    exploded.join(counts, "seg")
+      .withColumn("kept", col("n_docs") <= maxDocs)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("seg_idx"), col("kept"),
+                                           col("seg")))),
+            s => s("kept")),
+          s => s("seg"))).as("clean_text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
+  /** Benchmark decontamination (the n-gram-overlap pass every serious
+    * training corpus runs against its eval suites): a training document
+    * sharing ANY distinct word `n`-gram with the eval set is flagged,
+    * with the count of distinct shared grams. Output has one row per
+    * training document — the caller filters `contaminated` to drop, or
+    * keeps the counts for audit.
+    *
+    * Shape: eval grams explode → distinct → BROADCAST (eval suites are
+    * MB-scale; the corpus side is the big one and is never collected
+    * or broadcast); train grams explode → broadcast-hash semi-ish join
+    * → per-doc hit counts → left join back onto the id spine so clean
+    * documents still get a row. Gram extraction reuses
+    * [[Dedup.shingles]] — distinct sliding n-grams over normalized
+    * text, docs shorter than n shingling to their whole text. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-token segments over 8-token docs → 2 segments per doc, so every
+  // planted repeat is exactly one segment and the expectations are
+  // hand-computable.
+  private val boiler = "all rights reserved legal"
+  private def corpus = Seq(
+    (1L, s"$boiler alpha bravo charlie delta"),
+    (2L, s"$boiler echo foxtrot golf hotel"),
+    (3L, s"$boiler india juliet kilo lima"),
+    (4L, s"mike november oscar papa quebec romeo sierra tango"),
+    (5L, s"$boiler $boiler") // both segments boilerplate → empty doc
+  ).toDF("doc_id", "text")
+
+  test("dedupLines drops corpus-frequent segments, keeps order, keeps empty docs") {
+    val out = Corpus.dedupLines(corpus, "doc_id", "text",
+        segTokens = 4, maxDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // boilerplate segment is in 4 distinct docs (> maxDocs=2) → dropped
+    // everywhere; unique tails survive verbatim and in order.
+    assert(out === Array(
+      (1L, "alpha bravo charlie delta", 1L, 1L),
+      (2L, "echo foxtrot golf hotel", 1L, 1L),
+      (3L, "india juliet kilo lima", 1L, 1L),
+      (4L, "mike november oscar papa quebec romeo sierra tango", 2L, 0L),
+      (5L, "", 0L, 2L)))
+  }
+
+  test("dedupLines counts distinct docs, not occurrences") {
+    // a segment repeated 3× INSIDE one doc is not boilerplate
+    val df = Seq(
+      (1L, s"$boiler $boiler $boiler"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(df, "doc_id", "text", 4, 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, s"$boiler $boiler $boiler", 3L, 0L)))
+    assert(out(1)._4 === 0L)
+  }
+
+  test("dedupLines is layout-independent and handles ragged tails") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Corpus.dedupLines(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val b = Corpus.dedupLines(docs.repartition(7), "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(a === b)
+    // segment accounting: kept+dropped == ceil(tokens/8) for every doc
+    val expect = docs.select(col("doc_id"),
+        expr("cast((size(split(regexp_replace(lower(trim(text)),'\\\\s+',' '),' ')) + 7) div 8 as long)"))
+      .as[(Long, Long)].collect().toMap
+    a.foreach { case (id, _, k, d) => assert(k + d === expect(id), s"doc $id") }
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    val train = Seq(
+      (10L, "one two three four five six seven eight nine"),   // contains eval gram
+      (11L, "alpha bravo charlie delta echo foxtrot golf hotel"), // clean
+      (12L, "zero one two three four five six seven eight")    // shares 2 grams
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (90L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc 10: grams {one..eight, two..nine} → 1 hit; doc 12: grams
+    // {zero..seven, one..eight} → 1 hit (eval has a single 8-gram)
+    assert(out === Array(
+      (10L, 1L, true), (11L, 0L, false), (12L, 1L, true)))
+  }
+
+  test("decontaminate short docs shingle to whole text; clean corpus all-false") {
+    val train = Seq((1L, "tiny doc"), (2L, "another tiny")).toDF("doc_id", "text")
+    val eval = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(train, eval, "doc_id", "text", n = 8)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array((1L, 1L, true), (2L, 0L, false)))
+  }
+}
