@@ -1833,10 +1833,17 @@ object Queries {
     val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
                    "l_shipdate", "l_quantity", "l_extendedprice")
     val rsd = 0.05
-    val aggs = cols.flatMap(c => Seq(
-      countDistinct(col(c)).as(s"nd_$c"),
-      approx_count_distinct(col(c), rsd).as(s"ad_$c")))
-    val one = Tables.lineitem(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val li = Tables.lineitem(spark, dir)
+    // exact and approx in SEPARATE aggregations: a single agg mixing
+    // six DISTINCT columns with HLL aggs runs the HLL update on every
+    // expand branch — 6× the sketch work (measured 4.9 s vs 2.9 s
+    // split at sf0.1). Split, the approx side is one expand-free scan
+    // (the actual production plan) and the exact side is
+    // profile_columns' expand, paid only because the gate compares.
+    val exactAggs = cols.map(c => countDistinct(col(c)).as(s"nd_$c"))
+    val approxAggs = cols.map(c => approx_count_distinct(col(c), rsd).as(s"ad_$c"))
+    val one = li.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
     val stackArgs = cols.map(c =>
       s"'$c', nd_$c, abs(ad_$c - nd_$c) <= greatest(cast(${4 * rsd} * nd_$c as bigint), 8)")
       .mkString(", ")
