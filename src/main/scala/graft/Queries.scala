@@ -389,6 +389,31 @@ object Queries {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  /** Consecutive-duplicate event compaction (#22w): keep an event only
+    * when its type CHANGES from the user's previous event — the
+    * telemetry/state-stream compaction that turns a chatty sensor feed
+    * into its change log (the streaming analogue of CDC latest-per-key,
+    * but keeping every transition, not just the last). One shuffle on
+    * user_id for the lag window; deterministic (ts, event_id) order so
+    * engines agree on ties. */
+  def eventsCompactChanges(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNull ||
+             col("prev_type") =!= col("event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  private val eventsCompactChangesSql =
+    """WITH x AS (SELECT event_id, user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |FROM events)
+      |SELECT event_id, user_id, event_type FROM x
+      |WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin
+
   // ------------------------------------------- text analysis (#30-33)
 
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1602,6 +1627,42 @@ object Queries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY source, pack_id""".stripMargin
 
+  /** Sliding-window document chunking (#42a): long docs split into
+    * 32-token chunks with stride 16 (50% overlap) — the long-document
+    * preparation step for fixed context windows, where doc_pack handles
+    * the short-document side. Pure map-side projection: the only
+    * exchange is the round-robin repartition that decouples the
+    * interpreted HOF lambdas from file layout (textRepetition
+    * precedent); no agg, no join, so at 100 TB this runs at scan
+    * speed. Chunk-count arithmetic is all-integer with a greatest()
+    * floor so Spark's truncated `div` and DuckDB's floored `//` agree
+    * on every document length. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (c, s) = (32, 16)
+    val nChunks = greatest(
+      expr(s"(size(toks) - $c + $s - 1) div $s"), lit(0)) + lit(1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(TextFunctions.normalize(col("text")), " ").as("toks"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nChunks - 1),
+        i => slice(col("toks"), i * s + lit(1), lit(c)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
+  private val docChunksSql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id, i AS chunk_idx,
+      |  array_to_string(toks[(i*16+1):(i*16+32)], ' ') AS chunk_text,
+      |  CAST(len(toks[(i*16+1):(i*16+32)]) AS BIGINT) AS n_tokens
+      |FROM t, UNNEST(generate_series(0,
+      |  greatest((len(toks) - 32 + 15) // 16, 0))) AS u(i)""".stripMargin
+
   /** Dataset mixture: per-source sampling weights applied via the
     * deterministic md5 bucket — reweighting corpus sources (the
     * up/down-sampling step of training-data assembly) as a pure filter,
@@ -2092,6 +2153,8 @@ object Queries {
     "embedding_norm_quant"     -> (embeddingNormQuant _),
     "text_repetition"          -> (textRepetition _),
     "doc_pack"                 -> (docPack _),
+    "doc_chunks"               -> (docChunks _),
+    "events_compact_changes"   -> (eventsCompactChanges _),
     "source_mixture"           -> (sourceMixture _),
     "mixture_rebalance"        -> (mixtureRebalance _),
     "dedup_lines"              -> (dedupLines _),
@@ -2172,6 +2235,8 @@ object Queries {
     "embedding_norm_quant"     -> embeddingNormQuantSql,
     "text_repetition"          -> textRepetitionSql,
     "doc_pack"                 -> docPackSql,
+    "doc_chunks"               -> docChunksSql,
+    "events_compact_changes"   -> eventsCompactChangesSql,
     "source_mixture"           -> sourceMixtureSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
     "dedup_lines"              -> dedupLinesSql,
