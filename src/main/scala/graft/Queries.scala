@@ -1663,6 +1663,96 @@ object Queries {
       |FROM t, UNNEST(generate_series(0,
       |  greatest((len(toks) - 32 + 15) // 16, 0))) AS u(i)""".stripMargin
 
+  /** Per-source quality-percentile filter (#31a): keep each source's
+    * top half by quality score — the corpus-filter step between
+    * scoring (`text_quality`) and assembly. cume_dist over a
+    * tie-broken (quality DESC, doc_id) order is deterministic and
+    * engine-portable (unlike percent_rank's 0/0 on single-row groups).
+    * Scale: a per-source window is a full sort of the largest source —
+    * fine into the tens of billions of rows per source with
+    * range-partitioned sort, but the 100 TB swap (same shape as
+    * profile_columns → approx) is an `approx_percentile` threshold per
+    * source broadcast back as a plain filter. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .withColumn("cd", cume_dist().over(w))
+      .where(col("cd") <= 0.5)
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  private val qualityFilterSql =
+    """WITH q AS (SELECT doc_id, source,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) * 0.5
+      |  + CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |    / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 0.3
+      |  + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 AS quality
+      |FROM documents),
+      |c AS (SELECT doc_id, source, quality,
+      |  cume_dist() OVER (PARTITION BY source
+      |    ORDER BY quality DESC, doc_id) AS cd FROM q)
+      |SELECT doc_id, source, quality FROM c WHERE cd <= 0.5""".stripMargin
+
+  /** Deterministic per-source cap (#36a): at most K docs per source,
+    * chosen by md5-bucket pseudo-random order — balanced subsampling
+    * without a corpus-wide sort. Runs on the typed [[Aggregators.TopKAgg]]
+    * (row 35c), which carries AT MOST k rows per source out of each map
+    * task: shuffle O(sources·k) regardless of group size — the shape
+    * that survives a source with 10¹¹ docs, where the window form
+    * shuffles and sorts every row. This query is also the Aggregator's
+    * driver gate: the oracle recomputes the same top-k with a window. */
+  def samplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 20
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        Sampling.bucket65536(col("doc_id")).cast("double").as("score"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.Aggregators.Scored(t._2, t._3))
+      .agg(graft.functions.Aggregators.topK(k).toColumn.name("top"))
+      .flatMap { case (src, top) => top.map(s => (s.id, src)) }
+      .toDF("doc_id", "source")
+  }
+
+  private val samplePerSourceSql =
+    """WITH b AS (SELECT doc_id, source,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS bucket
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source
+      |        ORDER BY bucket DESC, doc_id) AS rk FROM b)
+      |SELECT doc_id, source FROM r WHERE rk <= 20""".stripMargin
+
+  /** Token-length histogram (#46b): corpus length distribution in
+    * 10-token buckets (capped at 190+) — the profile a pipeline reads
+    * before choosing pack/chunk sizes. All-integer bucket arithmetic;
+    * one partial-agg shuffle of ≤20 rows. */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(least(TextFunctions.bpeTokenCount(col("text")).cast("long")
+        .divide(10).cast("long"), lit(19L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("bucket"), (col("bucket") * 10).as("lo_tokens"),
+        col("n_docs"))
+
+  private val docLengthHistogramSql =
+    """WITH t AS (SELECT least(
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) // 10,
+      |    19) AS bucket FROM documents)
+      |SELECT bucket, bucket * 10 AS lo_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM t GROUP BY 1""".stripMargin
+
   /** Dataset mixture: per-source sampling weights applied via the
     * deterministic md5 bucket — reweighting corpus sources (the
     * up/down-sampling step of training-data assembly) as a pure filter,
@@ -2156,6 +2246,9 @@ object Queries {
     "doc_chunks"               -> (docChunks _),
     "events_compact_changes"   -> (eventsCompactChanges _),
     "source_mixture"           -> (sourceMixture _),
+    "quality_filter"           -> (qualityFilter _),
+    "sample_per_source"        -> (samplePerSource _),
+    "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
     "dedup_lines"              -> (dedupLines _),
     "decontaminate"            -> (decontaminate _),
@@ -2238,6 +2331,9 @@ object Queries {
     "doc_chunks"               -> docChunksSql,
     "events_compact_changes"   -> eventsCompactChangesSql,
     "source_mixture"           -> sourceMixtureSql,
+    "quality_filter"           -> qualityFilterSql,
+    "sample_per_source"        -> samplePerSourceSql,
+    "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
     "dedup_lines"              -> dedupLinesSql,
     "decontaminate"            -> decontaminateSql,
