@@ -414,6 +414,138 @@ object Queries {
       |SELECT event_id, user_id, event_type FROM x
       |WHERE prev_type IS NULL OR prev_type <> event_type""".stripMargin
 
+  /** Event transition matrix (#22x): counts of consecutive
+    * (prev_type → event_type) pairs per user stream — the Markov /
+    * funnel-edge profile product analytics reads. One lag window on
+    * user_id + one small groupBy. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH x AS (SELECT event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |FROM events)
+      |SELECT prev_type, event_type, COUNT(*) AS n FROM x
+      |WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin
+
+  /** Exact per-group tail percentiles (#22y): nearest-rank p50/p90/p99
+    * of event value per type — median_price generalized to groups and
+    * tails (the latency-SLO shape). Engine-portable by construction:
+    * nearest-rank picks an ACTUAL row value at rank ⌈p·n⌉ under a
+    * tie-broken total order, so there is no interpolation for engines
+    * to disagree on. One window sort per type + one conditional agg.
+    * Scale: per-type sort; at 100 TB swap to `percentile_approx`
+    * (sketch_sound gates that path's error bounds). */
+  def valuePercentilesByType(spark: SparkSession, dir: String): DataFrame = {
+    val wo = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("value")))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(wa))
+      .groupBy(col("event_type"))
+      .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
+  private val valuePercentilesByTypeSql =
+    """WITH x AS (SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      |FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM x GROUP BY 1""".stripMargin
+
+  /** BM25 keyword retrieval (#39a): top-10 docs for a literal query
+    * term set — the retrieval step of curation workflows (find docs
+    * like the benchmark, audit a topic's coverage). tf and df from one
+    * explode each (df is |terms| rows → broadcast); the score keeps
+    * BM25's tf-saturation and length normalization but swaps ln-idf
+    * for the rational (N - df + 0.5)/(df + 0.5) — tfidf_top_term
+    * precedent: transcendental functions differ across engines in the
+    * last ulp, rational arithmetic does not, and the ranking is
+    * preserved (the surrogate is a monotone transform of Robertson
+    * idf). Only docs containing ≥1 term reach the final top-k window. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "merge")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      split(TextFunctions.normalize(col("text")), " ").as("toks"))
+    // avgdl as exact-integer sum / count, NOT avg(): an engine's AVG
+    // may accumulate incrementally and land one ulp off sum/count;
+    // the integer token-count sum is exact at any scale, so this
+    // division is the same double everywhere
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      (sum(size(col("toks"))).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val toks = docs.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(terms))
+    val df = toks.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("s", col("idf") * (col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    // per-term scores summed in FIXED term order via pivot — a float
+    // sum whose addition order no engine or partitioning can change,
+    // so the score (and therefore the ranking) is bit-exact without
+    // routing messy doubles through a tie-prone decimal cast
+    val scored = perTerm.groupBy(col("doc_id"))
+      .pivot("term", terms).agg(first(col("s")))
+      .select(col("doc_id"),
+        terms.map(t => coalesce(col(t), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+  }
+
+  private val bm25SearchSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |st AS (SELECT COUNT(*) AS n_docs,
+      |       CAST(SUM(len(toks)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM d),
+      |tk AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+      |ft AS (SELECT * FROM tk WHERE term IN ('spark', 'window', 'merge')),
+      |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ft GROUP BY 1),
+      |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM ft GROUP BY 1, 2, 3),
+      |s AS (SELECT doc_id, term,
+      |    -- e0 suffixes force DOUBLE literals: DuckDB parses bare 2.2
+      |    -- as DECIMAL and keeps tf*2.2 exact, which lands one ulp off
+      |    -- Spark's long*double at the final rounding
+      |    ((CAST(n_docs AS DOUBLE) - df + 0.5e0) / (CAST(df AS DOUBLE) + 0.5e0))
+      |    * (tf * 2.2e0)
+      |    / (tf + 1.2e0 * (0.25e0 + 0.75e0 * CAST(dl AS DOUBLE) / avgdl)) AS sc
+      |  FROM tf JOIN df USING (term), st),
+      |p AS (SELECT doc_id,
+      |    COALESCE(MAX(CASE WHEN term = 'spark' THEN sc END), 0.0e0)
+      |  + COALESCE(MAX(CASE WHEN term = 'window' THEN sc END), 0.0e0)
+      |  + COALESCE(MAX(CASE WHEN term = 'merge' THEN sc END), 0.0e0) AS score
+      |  FROM s GROUP BY doc_id)
+      |SELECT doc_id, score,
+      |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |FROM p QUALIFY rk <= 10""".stripMargin
+
   // ------------------------------------------- text analysis (#30-33)
 
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -2245,6 +2377,9 @@ object Queries {
     "doc_pack"                 -> (docPack _),
     "doc_chunks"               -> (docChunks _),
     "events_compact_changes"   -> (eventsCompactChanges _),
+    "event_transitions"        -> (eventTransitions _),
+    "value_percentiles_by_type" -> (valuePercentilesByType _),
+    "bm25_search"              -> (bm25Search _),
     "source_mixture"           -> (sourceMixture _),
     "quality_filter"           -> (qualityFilter _),
     "sample_per_source"        -> (samplePerSource _),
@@ -2330,6 +2465,9 @@ object Queries {
     "doc_pack"                 -> docPackSql,
     "doc_chunks"               -> docChunksSql,
     "events_compact_changes"   -> eventsCompactChangesSql,
+    "event_transitions"        -> eventTransitionsSql,
+    "value_percentiles_by_type" -> valuePercentilesByTypeSql,
+    "bm25_search"              -> bm25SearchSql,
     "source_mixture"           -> sourceMixtureSql,
     "quality_filter"           -> qualityFilterSql,
     "sample_per_source"        -> samplePerSourceSql,
