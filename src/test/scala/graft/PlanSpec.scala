@@ -98,6 +98,44 @@ class PlanSpec extends SparkSpec {
            s"pair verify not repartitioned\n$p")
   }
 
+  test("doc_chunks is one round-robin exchange and nothing else") {
+    // the scan-speed claim: no agg, no join, no hash shuffle — the only
+    // exchange is the repartition gluing compute width to cluster, not
+    // file, layout
+    val p = plan("doc_chunks")
+    assert(p.contains("Exchange RoundRobinPartitioning"), p)
+    assert(p.split("Exchange").length - 1 === 1, s"extra exchanges\n$p")
+    assert(!p.contains("Aggregate") && !p.contains("Join"), p)
+  }
+
+  test("sample_per_source partial-aggregates: no window, no full sort") {
+    // the O(sources·k) shuffle claim: TopKAgg runs as a two-phase
+    // object agg (partial_topkagg map-side), never a per-group window
+    // sort of every row
+    val p = plan("sample_per_source")
+    assert(p.contains("partial_topkagg"), s"no map-side partial top-k\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "), p)
+  }
+
+  test("group-window queries reuse one partitioning end-to-end") {
+    // quality_filter: one exchange feeds the source window;
+    // value_percentiles_by_type: ONE exchange feeds row_number, the
+    // count window AND the final agg (all keyed by event_type)
+    for (q <- Seq("quality_filter", "value_percentiles_by_type")) {
+      val p = plan(q)
+      assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+             s"$q: window/agg partitioning not reused\n$p")
+    }
+  }
+
+  test("bm25 broadcasts term stats and plans global top-k as TakeOrdered") {
+    val p = plan("bm25_search")
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast\n$p")
+    // the rk<=10 filter must push a limit below the rank window — a
+    // single-partition full sort of every scored doc would not scale
+    assert(p.contains("TakeOrderedAndProject"), s"global sort not limited\n$p")
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
