@@ -469,6 +469,39 @@ object Queries {
       |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
       |FROM x GROUP BY 1""".stripMargin
 
+  /** Retention cohort matrix (#22z): users grouped by first-seen week,
+    * counted per week-offset they return in — the activation/retention
+    * grid. ONE corpus-sized shuffle: the per-user groupBy collects
+    * min-date + the distinct active-day set (bounded by calendar span,
+    * not event count — partial_collect_set dedups map-side), offsets
+    * derive from that set per user with array HOFs, and the final
+    * (cohort, offset) agg is cohort-matrix-sized. The naive window +
+    * 3-column distinct formulation shuffles the corpus twice. Week
+    * truncation is ISO-Monday in both engines; offsets are
+    * non-negative day-diffs, where floor and truncated /7 agree. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_d"), collect_set(col("d")).as("days"))
+      .select(date_trunc("week", col("first_d")).cast("date").as("cohort_week"),
+        explode(array_distinct(transform(col("days"),
+          d => floor(datediff(d, col("first_d")) / lit(7)).cast("long"))))
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
+  private val retentionCohortsSql =
+    """WITH f AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  min(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id) AS first_ts
+      |  FROM events),
+      |x AS (SELECT DISTINCT
+      |  CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+      |  date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) // 7 AS week_offset,
+      |  user_id FROM f)
+      |SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** BM25 keyword retrieval (#39a): top-10 docs for a literal query
     * term set — the retrieval step of curation workflows (find docs
     * like the benchmark, audit a topic's coverage). tf and df from one
@@ -2378,6 +2411,7 @@ object Queries {
     "doc_chunks"               -> (docChunks _),
     "events_compact_changes"   -> (eventsCompactChanges _),
     "event_transitions"        -> (eventTransitions _),
+    "retention_cohorts"        -> (retentionCohorts _),
     "value_percentiles_by_type" -> (valuePercentilesByType _),
     "bm25_search"              -> (bm25Search _),
     "source_mixture"           -> (sourceMixture _),
@@ -2466,6 +2500,7 @@ object Queries {
     "doc_chunks"               -> docChunksSql,
     "events_compact_changes"   -> eventsCompactChangesSql,
     "event_transitions"        -> eventTransitionsSql,
+    "retention_cohorts"        -> retentionCohortsSql,
     "value_percentiles_by_type" -> valuePercentilesByTypeSql,
     "bm25_search"              -> bm25SearchSql,
     "source_mixture"           -> sourceMixtureSql,

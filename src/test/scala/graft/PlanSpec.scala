@@ -128,6 +128,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("retention_cohorts shuffles the corpus once, dedups days map-side") {
+    val p = plan("retention_cohorts")
+    // user groupBy (corpus-sized) + cohort-matrix agg (tiny) — and the
+    // day set must dedup in the partial aggregate, not on the reducer
+    assert(p.split("Exchange hashpartitioning").length - 1 === 2, p)
+    assert(p.contains("partial_collect_set"), s"no map-side day dedup\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("bm25 broadcasts term stats and plans global top-k as TakeOrdered") {
     val p = plan("bm25_search")
     assert(p.contains("BroadcastHashJoin"), s"df table not broadcast\n$p")
