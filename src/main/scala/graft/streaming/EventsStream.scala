@@ -90,6 +90,70 @@ object EventsStream extends Serializable {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  case class Change(event_id: Long, user_id: Long, ts: Instant,
+                    event_type: String)
+  /** last = type of the newest FLUSHED event ("" before any); buffer =
+    * events still inside the watermark horizon, unflushed. */
+  case class CompactState(last: String, buffer: List[BufEvent])
+  case class BufEvent(id: Long, ts: Long, tpe: String)
+
+  /** Streaming twin of `events_compact_changes`: emit an event only
+    * when its type differs from the user's previous event, in EVENT
+    * time order. Arrival order is not event order, so incoming events
+    * buffer in keyed state until the watermark passes them — only then
+    * can no earlier event still arrive — and flush through the
+    * last-emitted-type comparison sorted by (ts, event_id), exactly
+    * the batch ordering. State per user is the unflushed horizon
+    * window plus one string, and self-expires via event-time timeout
+    * one horizon after the user's last activity. A user idle past the
+    * horizon restarts compaction (their next event always emits) —
+    * the right call for monitoring feeds, where "first event after a
+    * long silence" is signal, and the price of bounded state. */
+  def compactChanges(spark: SparkSession, events: DataFrame,
+                     delayMinutes: Int = 30): Dataset[Change] = {
+    import spark.implicits._
+    val horizonUs = delayMinutes * 60000000L
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[CompactState]): Iterator[Change] = {
+      val incoming = it.toSeq
+        .map(e => BufEvent(e.event_id, micros(e.ts), e.event_type))
+      val st = state.getOption.getOrElse(CompactState("", Nil))
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (ready, pending) = (st.buffer ++ incoming)
+        .sortBy(b => (b.ts, b.id))
+        .partition(_.ts < wmUs)
+      var last = st.last
+      val out = ready.flatMap { b =>
+        val emit = last.isEmpty || b.tpe != last
+        last = b.tpe
+        if (emit) Some(Change(b.id, userId, instant(b.ts), b.tpe)) else None
+      }
+      if (pending.isEmpty && state.hasTimedOut) {
+        state.remove() // idle past the horizon: forget the user
+      } else {
+        state.update(CompactState(last, pending))
+        // a pending event is flushable the moment the watermark passes
+        // its ts — anchor the timeout at the EARLIEST pending event
+        // (sessionize precedent: min open end), not the latest, or the
+        // stream-tail key's buffer outlives every watermark advance;
+        // with nothing pending, expire the idle user one horizon out
+        val fireAtMs = pending.headOption match {
+          case Some(b) => b.ts / 1000L + 1
+          case None    => (math.max(wmUs, 0L) + horizonUs) / 1000L + 1
+        }
+        state.setTimeoutTimestamp(math.max(fireAtMs, wmUs / 1000L + 1))
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", s"$delayMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /** Stream-stream interval join: each purchase matched to the same
     * user's clicks within the preceding `windowMinutes`. Watermarks on
     * BOTH sides plus the time-range predicate let the engine expire

@@ -76,6 +76,44 @@ class StreamingSpec extends SparkSpec {
       s"\nmissing(${missing.size}): ${missing.take(5)}\nextra(${extra.size}): ${extra.take(5)}")
   }
 
+  test("streaming compact-changes matches the batch twin in event-time order") {
+    val tmp = Files.createTempDirectory("stream-compact").toString
+    val cp = s"$tmp/cp"
+    val base = eventCols(Tables.events(spark, sfDir))
+    base.write.parquet(s"$tmp/in")
+
+    def run(): Unit = {
+      val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+      val q = EventsStream.compactChanges(spark, stream, 30).writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    run()
+    // sentinels 2h past each user's last event push the watermark past
+    // every real event, flushing all buffered state
+    base.groupBy("user_id")
+      .agg(max("ts").as("maxts"), max("event_id").as("maxid"))
+      .select((col("maxid") + 1000000L).as("event_id"),
+              (col("maxts") + expr("INTERVAL 2 HOURS")).as("ts"),
+              col("user_id"), lit("sentinel").as("event_type"),
+              lit(0.0).as("value"))
+      .write.mode("append").parquet(s"$tmp/in")
+    run()
+
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .where(col("event_type") =!= "sentinel")
+      .select("event_id", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Queries.all("events_compact_changes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val missing = batch -- streamed
+    val extra = streamed -- batch
+    assert(streamed === batch,
+      s"\nmissing(${missing.size}): ${missing.take(5)}\nextra(${extra.size}): ${extra.take(5)}")
+  }
+
   test("stream-stream interval join matches the batch join") {
     val tmp = Files.createTempDirectory("stream-join").toString
     val base = eventCols(Tables.events(spark, sfDir))
