@@ -1630,6 +1630,40 @@ object Queries {
       |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, word) AS INT) AS rk
       |FROM c QUALIFY rk <= 20""".stripMargin
 
+  /** BPE merge-candidate pairs (#38a): corpus-wide counts of ADJACENT
+    * token pairs, top 20 — one round of the pair-counting that drives
+    * BPE/WordPiece vocabulary induction (the highest-count pair is the
+    * next merge). Pairs come from zipping each token list with its own
+    * tail (no index explosion beyond the pairs themselves); the global
+    * top-k runs as explicit limit-after-sort so TakeOrdered's map-side
+    * heads do the work, vocab_top_words precedent. */
+  def bpeTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(TextFunctions.normalize(col("text")), " ")
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val counts = Tables.documents(spark, dir)
+      .select(toks.as("toks"))
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1))).as("p"))
+      .select(concat_ws(" ", col("p.0"), col("p.1")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("pair"))
+    counts.orderBy(col("n_occurrences").desc, col("pair")).limit(20)
+      .withColumn("rk", row_number().over(w))
+  }
+
+  private val bpeTopPairsSql =
+    """WITH t AS (SELECT
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |p AS (SELECT toks[i] || ' ' || toks[i+1] AS pair
+      |      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |      WHERE len(toks) > 1),
+      |c AS (SELECT pair, COUNT(*) AS n_occurrences FROM p GROUP BY 1)
+      |SELECT pair, n_occurrences,
+      |  CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT) AS rk
+      |FROM c QUALIFY rk <= 20""".stripMargin
+
   /** TF-IDF-style top term per document: score = tf/df (rank-identical
     * to tf·idf with reciprocal-df idf, and a single exact double
     * division instead of engine-varying log()). The document-frequency
@@ -2416,6 +2450,7 @@ object Queries {
     "bm25_search"              -> (bm25Search _),
     "source_mixture"           -> (sourceMixture _),
     "quality_filter"           -> (qualityFilter _),
+    "bpe_top_pairs"            -> (bpeTopPairs _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -2505,6 +2540,7 @@ object Queries {
     "bm25_search"              -> bm25SearchSql,
     "source_mixture"           -> sourceMixtureSql,
     "quality_filter"           -> qualityFilterSql,
+    "bpe_top_pairs"            -> bpeTopPairsSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
