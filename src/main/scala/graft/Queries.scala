@@ -502,6 +502,35 @@ object Queries {
       |SELECT cohort_week, week_offset, COUNT(*) AS n_users
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Winsorize / outlier clipping (#22y2): cap each event's value at
+    * its type's exact p99 — the pre-training numeric cleanup that
+    * tames heavy tails without dropping rows. Composes the
+    * nearest-rank percentile machinery (`value_percentiles_by_type`),
+    * so the threshold is an ACTUAL data value and every comparison is
+    * exact; the ≤20-row threshold table broadcasts back onto the fact
+    * scan as a per-row projection. */
+  def clipOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val p99 = valuePercentilesByType(spark, dir)
+      .select(col("event_type"), col("p99"))
+    Tables.events(spark, dir)
+      .join(broadcast(p99), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(col("value"), col("p99")).as("value_clipped"),
+        (col("value") > col("p99")).as("clipped"))
+  }
+
+  private val clipOutliersSql =
+    """WITH x AS (SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  COUNT(*) OVER (PARTITION BY event_type) AS n
+      |FROM events),
+      |t AS (SELECT event_type,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+      |FROM x GROUP BY 1)
+      |SELECT event_id, event_type, value,
+      |  least(value, p99) AS value_clipped, value > p99 AS clipped
+      |FROM events JOIN t USING (event_type)""".stripMargin
+
   /** BM25 keyword retrieval (#39a): top-10 docs for a literal query
     * term set — the retrieval step of curation workflows (find docs
     * like the benchmark, audit a topic's coverage). tf and df from one
@@ -2447,6 +2476,7 @@ object Queries {
     "event_transitions"        -> (eventTransitions _),
     "retention_cohorts"        -> (retentionCohorts _),
     "value_percentiles_by_type" -> (valuePercentilesByType _),
+    "clip_outliers"            -> (clipOutliers _),
     "bm25_search"              -> (bm25Search _),
     "source_mixture"           -> (sourceMixture _),
     "quality_filter"           -> (qualityFilter _),
@@ -2537,6 +2567,7 @@ object Queries {
     "event_transitions"        -> eventTransitionsSql,
     "retention_cohorts"        -> retentionCohortsSql,
     "value_percentiles_by_type" -> valuePercentilesByTypeSql,
+    "clip_outliers"            -> clipOutliersSql,
     "bm25_search"              -> bm25SearchSql,
     "source_mixture"           -> sourceMixtureSql,
     "quality_filter"           -> qualityFilterSql,
