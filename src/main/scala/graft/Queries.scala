@@ -660,6 +660,30 @@ object Queries {
       |    / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS stopword_ratio
       |FROM documents) t""".stripMargin
 
+  /** Language-ID confusion matrix (#30a): predicted vs labeled lang
+    * counts — the eval grid for the heuristic classifier (row 30), run
+    * as a query so classifier drift shows up in the correctness gate,
+    * not just in aggregate accuracy. One scan + a tiny groupBy. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  private val langConfusionSql =
+    """WITH p AS (SELECT lang,
+      |  CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+      |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |       WHEN s_es >= s_fr THEN 'es'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM (SELECT lang, text,
+      |  len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS s_en,
+      |  len(regexp_extract_all(lower(text), '\b(der|und|die|das|ist)\b')) AS s_de,
+      |  len(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS s_es,
+      |  len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr
+      |FROM documents) t)
+      |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM p GROUP BY 1, 2""".stripMargin
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -2481,6 +2505,7 @@ object Queries {
     "source_mixture"           -> (sourceMixture _),
     "quality_filter"           -> (qualityFilter _),
     "bpe_top_pairs"            -> (bpeTopPairs _),
+    "lang_confusion"           -> (langConfusion _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -2572,6 +2597,7 @@ object Queries {
     "source_mixture"           -> sourceMixtureSql,
     "quality_filter"           -> qualityFilterSql,
     "bpe_top_pairs"            -> bpeTopPairsSql,
+    "lang_confusion"           -> langConfusionSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

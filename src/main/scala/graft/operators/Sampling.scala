@@ -42,7 +42,10 @@ object Sampling {
     * profiling (`source_mixture` reports the current mix; this
     * produces the corpus at the DESIRED mix). `weights` gives integer
     * relative weights per source; sources not listed are dropped.
-    * The achievable total is bounded by the scarcest source
+    * A weighted source ABSENT from the data is ignored (it
+    * contributes no count row): the mix balances among the sources
+    * actually present rather than collapsing the kept set to zero.
+    * The achievable total is bounded by the scarcest PRESENT source
     * (N = min over s of n_s·W/w_s, W = Σw): each source keeps
     * ~w_s·N/W docs via an md5-bucket threshold, so the kept set is a
     * pure function of the ids — stable across runs, partitionings and

@@ -50,6 +50,48 @@ class EdgeCaseSpec extends SparkSpec {
     Dedup.minhashPairs(docs, "doc_id", "text").count()
   }
 
+  test("corpus ops tolerate empty, whitespace-only and single-token docs") {
+    import graft.operators.Corpus
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one"),
+                   (4L, "real content here truly")).toDF("doc_id", "text")
+    // every doc keeps a row; "" and "   " normalize to one empty
+    // segment SHARED by two docs — with maxDocs=2 it survives, and
+    // the reassembled text is the normalized original
+    val lines = Corpus.dedupLines(docs, "doc_id", "text", segTokens = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(lines.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(lines(0)._2 === "" && lines(1)._2 === "")
+    assert(lines(2) === ((3L, "one", 1L, 0L)))
+    assert(lines(3) === ((4L, "real content here truly", 2L, 0L)))
+    // decontaminate with an EMPTY eval set flags nothing, keeps a row
+    // per train doc
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dec = Corpus.decontaminate(docs, empty, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect()
+    assert(dec.length === 4 && dec.forall(d => d._2 === 0L && !d._3))
+  }
+
+  test("sampleMixture ignores weights for absent sources (documented)") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "a", "src0"), (2L, "b", "src0"), (3L, "c", "src1"))
+      .toDF("doc_id", "text", "source")
+    // "ghost" never occurs in the data: it contributes no count row,
+    // so it neither throws nor drags the scarcest-source bound to
+    // zero — the mix is balanced among the sources actually present
+    val kept = Sampling.sampleMixture(docs, "source", "doc_id",
+        Map("src0" -> 1, "src1" -> 1, "ghost" -> 5))
+      .select("source").as[String].collect()
+    assert(kept.nonEmpty && kept.forall(Set("src0", "src1")))
+    // identical result to the same call without the ghost entry
+    val ref = Sampling.sampleMixture(docs, "source", "doc_id",
+        Map("src0" -> 1, "src1" -> 1))
+      .select("doc_id").as[Long].collect().toSet
+    val got = Sampling.sampleMixture(docs, "source", "doc_id",
+        Map("src0" -> 1, "src1" -> 1, "ghost" -> 5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === ref)
+  }
+
   test("cosine of zero vectors is NULL, not a job-killing ANSI error") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
