@@ -87,4 +87,26 @@ object Lake {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Training-shard export: one directory per `shardCol` value (a
+    * loader can mount each source/split independently), each file
+    * capped at `maxRowsPerFile` rows so shards stream with bounded
+    * memory and parallelize at file granularity — the layout training
+    * jobs actually consume. `maxRecordsPerFile` does the capping
+    * inside the writer (a task emits multiple files when its partition
+    * exceeds the cap), so no pre-shuffle row counting is needed. The
+    * repartition key is (shard, row-hash salt): shard alone would
+    * funnel each shard's entire row mass through ONE task — write
+    * throughput capped at one core per source no matter the cluster —
+    * while the salt spreads every shard over `tasksPerShard` tasks and
+    * the writer still routes rows to their shard directory. */
+  def writeSharded(df: DataFrame, path: String, shardCol: String,
+                   maxRowsPerFile: Long, tasksPerShard: Int = 8): Unit = {
+    val salt = pmod(hash(df.columns.map(col): _*), lit(tasksPerShard))
+    df.repartition(col(shardCol), salt)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRowsPerFile)
+      .partitionBy(shardCol)
+      .parquet(path)
+  }
 }

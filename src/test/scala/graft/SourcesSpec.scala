@@ -90,6 +90,34 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sorted").count() === orders.count())
   }
 
+  test("Lake.writeSharded caps rows per file inside per-shard dirs") {
+    val tmp = Files.createTempDirectory("sharded").toString
+    val docs = Tables.documents(spark, sfDir)
+    Lake.writeSharded(docs, s"$tmp/shards", "source",
+      maxRowsPerFile = 7, tasksPerShard = 3)
+    val root = new java.io.File(s"$tmp/shards")
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("source="))
+    // one directory per source value
+    val sources = docs.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(shardDirs.map(_.getName.stripPrefix("source=")).toSet === sources)
+    // every file respects the row cap, and each shard got parallel
+    // writers (more than one file even below the cap-induced minimum)
+    for (d <- shardDirs) {
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, d.getName)
+      for (f <- files) {
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 7, s"${f.getName}: $n rows > cap")
+      }
+    }
+    // round-trip intact including the partition column
+    val back = spark.read.parquet(s"$tmp/shards")
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id", "source").collect().toSet ===
+           docs.select("doc_id", "source").collect().toSet)
+  }
+
   test("Json round-trips with explicit schema and quarantines bad lines") {
     val tmp = Files.createTempDirectory("json").toString
     import spark.implicits._
