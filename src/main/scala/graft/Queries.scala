@@ -1879,6 +1879,40 @@ object Queries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       |FROM c GROUP BY source, pack_id""".stripMargin
 
+  /** Quality-weighted importance sampling (#36b): keep each doc with
+    * probability equal to its quality score (clamped to [0,1]) — the
+    * FineWeb-Edu-style soft filter that favors high-quality text
+    * without a hard percentile cut. Deterministic: keep iff the doc's
+    * md5 bucket < floor(quality·65536), so the kept set is a pure
+    * function of (id, text) — reproducible across runs, partitionings
+    * and engines (floor() explicit in both: DuckDB CAST rounds where
+    * Spark's truncates). Pure per-row filter, zero shuffle. */
+  def sampleByQuality(spark: SparkSession, dir: String): DataFrame = {
+    val q = least(greatest(TextFunctions.qualityScore(col("text")), lit(0.0)),
+      lit(1.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), q.as("quality"))
+      .where(Sampling.bucket65536(col("doc_id")) <
+             floor(col("quality") * 65536).cast("long"))
+  }
+
+  private val sampleByQualitySql =
+    """WITH q AS (SELECT doc_id, source,
+      |  least(greatest(
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) * 0.5
+      |    + CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |      / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 0.3
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2, 0.0e0), 1.0e0) AS quality,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, source, quality FROM q
+      |WHERE bucket < CAST(floor(quality * 65536) AS BIGINT)""".stripMargin
+
   /** Sliding-window document chunking (#42a): long docs split into
     * 32-token chunks with stride 16 (50% overlap) — the long-document
     * preparation step for fixed context windows, where doc_pack handles
@@ -2506,6 +2540,7 @@ object Queries {
     "quality_filter"           -> (qualityFilter _),
     "bpe_top_pairs"            -> (bpeTopPairs _),
     "lang_confusion"           -> (langConfusion _),
+    "sample_by_quality"        -> (sampleByQuality _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -2598,6 +2633,7 @@ object Queries {
     "quality_filter"           -> qualityFilterSql,
     "bpe_top_pairs"            -> bpeTopPairsSql,
     "lang_confusion"           -> langConfusionSql,
+    "sample_by_quality"        -> sampleByQualitySql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
