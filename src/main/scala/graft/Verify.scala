@@ -22,6 +22,15 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c restricts to a subset for local iteration
     // (the driver never sets it — its runs always dump everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a typo'd name in the filter would otherwise verify nothing and
+    // look like success
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: SPARK_GRAFT_ONLY names not registered: " +
+            unknown.toSeq.sorted.mkString(", "))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
