@@ -1465,6 +1465,30 @@ object Queries {
       |FROM p ASOF LEFT JOIN c
       |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts""".stripMargin
 
+  /** Forward as-of (#22q2): each purchase matched to the user's NEXT
+    * click at-or-after it — the mirrored frame of asof_clicks, same
+    * single-shuffle union-sort-window core. */
+  def asofNextClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    Temporal.asofJoinForward(purchases, clicks,
+      "user_id", "purchase_ts", "click_ts")
+  }
+
+  private val asofNextClickSql =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |             MAX(event_id) AS click_id
+      |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.purchase_ts, c.click_id, c.click_ts
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.purchase_ts <= c.click_ts""".stripMargin
+
   /** Range join: orders bucketed into 50k price bands via the binned
     * equi-join (no BroadcastNestedLoopJoin — survives interval tables
     * too big to broadcast). */
@@ -2517,6 +2541,7 @@ object Queries {
       Multimodal.frameSample(
         Multimodal.attachBlob(Tables.documents(s, d)), 4, 2)),
     "asof_clicks"              -> (asofClicks _),
+    "asof_next_click"          -> (asofNextClick _),
     "range_join_bands"         -> (rangeJoinBands _),
     "window_rank_stats"        -> (windowRankStats _),
     "order_gap_days"           -> (orderGapDays _),
@@ -2610,6 +2635,7 @@ object Queries {
     "q7_nation_trade"          -> q7NationTradeSql,
     "above_group_avg"          -> aboveGroupAvgSql,
     "asof_clicks"              -> asofClicksSql,
+    "asof_next_click"          -> asofNextClickSql,
     "range_join_bands"         -> rangeJoinBandsSql,
     "window_rank_stats"        -> windowRankStatsSql,
     "order_gap_days"           -> orderGapDaysSql,

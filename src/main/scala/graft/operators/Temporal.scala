@@ -34,7 +34,20 @@ object Temporal {
     * Column names other than `key` must not collide across sides.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, forward = false)
+
+  /** Forward as-of join: the single right row with the SMALLEST
+    * `rightTs >= leftTs` per key — next-quote-after-trade /
+    * next-event-after-order semantics. Same union-sort-window shape
+    * (one shuffle) with the frame mirrored. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String): DataFrame =
+    asofJoinImpl(left, right, key, leftTs, rightTs, forward = true)
+
+  private def asofJoinImpl(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           forward: Boolean): DataFrame = {
     val lCols = left.columns.filterNot(c => c == key || c == leftTs).toSeq
     val rCols = right.columns.filterNot(_ == key).toSeq // incl. rightTs
     val nullOf: (DataFrame, String) => Column =
@@ -47,23 +60,31 @@ object Temporal {
     // rather than letting nulls-first ordering leak them to every row.
     val rPayType = org.apache.spark.sql.types.StructType(
       rCols.map(c => right.schema(c)))
+    // side ordering makes coincident right rows visible to the left
+    // row in BOTH directions (>= / <= semantics): backward wants the
+    // right row BEFORE the left at equal ts, forward wants it AFTER.
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val lTagged = left.select(
-      col(key) +: col(leftTs).as("__ts") +: lit(1).as("__side") +:
+      col(key) +: col(leftTs).as("__ts") +: lit(lSide).as("__side") +:
         lCols.map(col) :+ lit(null).cast(rPayType).as("__rpay"): _*)
     val rTagged = right.where(col(rightTs).isNotNull).select(
-      col(key) +: col(rightTs).as("__ts") +: lit(0).as("__side") +:
+      col(key) +: col(rightTs).as("__ts") +: lit(rSide).as("__side") +:
         lCols.map(nullOf(left, _)) :+ struct(rCols.map(col): _*).as("__rpay"): _*)
 
-    // side=0 sorts before side=1 at equal ts, so an exactly-coincident
-    // right row IS visible to the left row (>= semantics).
-    val w = Window.partitionBy(col(key))
+    val base = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val (w, pick) =
+      if (forward)
+        (base.rowsBetween(0, Window.unboundedFollowing),
+         (c: Column) => first(c, ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, 0),
+         (c: Column) => last(c, ignoreNulls = true))
     lTagged.unionByName(rTagged)
       .select(
         col(key) +: col("__ts") +: col("__side") +: lCols.map(col) :+
-          last(col("__rpay"), ignoreNulls = true).over(w).as("__rpay"): _*)
-      .where(col("__side") === 1)
+          pick(col("__rpay")).over(w).as("__rpay"): _*)
+      .where(col("__side") === lit(lSide))
       .select(
         col(key) +: col("__ts").as(leftTs) +: lCols.map(col) ++:
           rCols.map(c => col(s"__rpay.$c").as(c)): _*)

@@ -72,6 +72,32 @@ class TemporalSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("asofJoinForward equals brute-force min-above join on real events") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("pts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("cts"))
+      .agg(max("event_id").as("click_id"))
+    val fast = Temporal
+      .asofJoinForward(purchases, clicks, "user_id", "pts", "cts")
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    // brute force: all-pairs join, keep MIN click ts at-or-after
+    val brute = purchases.as("p")
+      .join(clicks.as("c"),
+        $"p.user_id" === $"c.user_id" && $"p.pts" <= $"c.cts", "left")
+      .groupBy($"p.event_id")
+      .agg(min_by(struct($"c.cts", $"c.click_id"), $"c.cts")("click_id")
+        .as("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast === brute)
+    assert(fast.nonEmpty)
+    // forward and backward disagree somewhere (frames really mirrored)
+    val back = Temporal.asofJoin(purchases, clicks, "user_id", "pts", "cts")
+      .select("event_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    assert(fast !== back)
+  }
+
   test("binnedRangeJoin equals naive interval join, incl. unaligned bins") {
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 17.5), (4L, 99.0))
       .toDF("id", "v")
