@@ -2474,6 +2474,226 @@ object Queries {
       |  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
       |GROUP BY p.user_id""".stripMargin
 
+  // ------------------------------------------------------- #17a (Q2 shape)
+
+  /** Min-cost supplier per part (TPC-H Q2's argmin-with-rejoin shape,
+    * partsupp stood in by lineitem offers): per part the minimum offer
+    * price, re-joined to recover WHICH supplier attains it (min suppkey
+    * breaks price ties deterministically). The min-agg and the rejoin
+    * shuffle on the SAME key (l_partkey) so AQE reuses the exchange;
+    * part/supplier dims broadcast. Scale shape: two partial-agg
+    * shuffles on the fact, zero fact-fact joins. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val offers = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val minPrice = offers.groupBy(col("l_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    val winner = offers.join(minPrice, Seq("l_partkey"))
+      .where(col("l_extendedprice") === col("min_price"))
+      .groupBy(col("l_partkey"), col("min_price"))
+      .agg(min(col("l_suppkey")).as("s_suppkey"))
+    winner
+      .join(broadcast(Tables.part(spark, dir)
+        .where(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_name"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))), Seq("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+              col("s_name"), col("min_price"))
+  }
+
+  private val minCostSupplierSql =
+    """WITH m AS (SELECT l_partkey, MIN(l_extendedprice) AS min_price
+      |           FROM lineitem GROUP BY 1),
+      |w AS (SELECT l.l_partkey, m.min_price, MIN(l.l_suppkey) AS s_suppkey
+      |      FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey
+      |       AND l.l_extendedprice = m.min_price
+      |      GROUP BY 1, 2)
+      |SELECT p.p_partkey, p.p_name, w.s_suppkey, s.s_name, w.min_price
+      |FROM w JOIN part p ON w.l_partkey = p.p_partkey
+      |       JOIN supplier s ON w.s_suppkey = s.s_suppkey
+      |WHERE p.p_size <= 10""".stripMargin
+
+  // ------------------------------------------------------- #17b (Q11 shape)
+
+  /** Important parts (TPC-H Q11's global-scalar HAVING shape): parts
+    * whose shipped volume exceeds 1.5× the per-part average — the
+    * threshold is a GLOBAL aggregate of the grouped result, broadcast
+    * back as a single-row cross join. The filter arithmetic stays in
+    * BIGINT (quantities are integral) so the gate is exact at any
+    * scale: vol·n_parts·2 > tot·3 ⟺ vol > 1.5·avg, no division, no
+    * float threshold. Revenue rides along via the decimal-sum recipe
+    * but does not drive the filter. */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("part_qty"),
+           Relational.dsum(Relational.discPriceDec).as("part_value"))
+    val tot = vol.agg(sum(col("part_qty")).as("tot_qty"),
+                      count(lit(1)).as("n_parts"))
+    vol.crossJoin(broadcast(tot))
+      .where(col("part_qty") * col("n_parts") * 2 > col("tot_qty") * 3)
+      .select(col("l_partkey"), col("part_qty"), col("part_value"))
+  }
+
+  private val importantPartsSql =
+    """WITH v AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS part_qty,
+      |    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6)))
+      |      AS VARCHAR) AS DOUBLE) AS part_value
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(part_qty) AS BIGINT) AS tot_qty,
+      |             COUNT(*) AS n_parts FROM v)
+      |SELECT l_partkey, part_qty, part_value
+      |FROM v, t WHERE part_qty * n_parts * 2 > tot_qty * 3""".stripMargin
+
+  // ------------------------------------------------------- #17c (Q13 shape)
+
+  /** Order-count distribution (TPC-H Q13): how many customers placed
+    * exactly k orders, INCLUDING k=0. Orders pre-aggregate to one row
+    * per custkey BEFORE the customer join (the join carries |customer|
+    * rows, not |orders| — the formulation that survives a 100 TB
+    * orders table), then a left join + coalesce(0) + histogram. */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val orderCountDistributionSql =
+    """WITH pc AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1)
+      |SELECT COALESCE(pc.n, 0) AS n_orders, COUNT(*) AS n_customers
+      |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- #17d (Q22 shape)
+
+  /** Idle rich customers (TPC-H Q22's shape): customers whose balance
+    * beats the average AND who never placed an URGENT order, counted
+    * per nation. Three scale-bearing pieces: the global-average
+    * threshold is a broadcast single-row cross join compared in exact
+    * integer cents (bal_cents·n > sum_cents — no division, no float
+    * threshold), the "never urgent" test is a LEFT ANTI join against
+    * the pre-filtered orders side, and the nation dim broadcasts.
+    * Balances are 2-decimal so round(bal·100) is exact in both
+    * engines. */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+              round(col("c_acctbal") * 100).cast("bigint").as("bal_cents"))
+    val avg = cust.agg(sum(col("bal_cents")).as("sum_cents"),
+                       count(lit(1)).as("n_cust"))
+    val rich = cust.crossJoin(broadcast(avg))
+      .where(col("bal_cents") * col("n_cust") > col("sum_cents"))
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    rich.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           (sum(col("bal_cents")) / 100.0).as("total_acctbal"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_customers"),
+              col("total_acctbal"))
+  }
+
+  private val idleRichCustomersSql =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |a AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+      |             COUNT(*) AS n_cust FROM c),
+      |r AS (SELECT c.* FROM c, a WHERE bal_cents * n_cust > sum_cents),
+      |i AS (SELECT * FROM r WHERE NOT EXISTS
+      |        (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+      |           AND o.o_orderpriority = '1-URGENT'))
+      |SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+      |  CAST(SUM(bal_cents) AS BIGINT) / 100.0 AS total_acctbal
+      |FROM i JOIN nation n ON i.c_nationkey = n.n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------- #20a
+
+  /** GROUPING SETS — the irregular cousin of rollup/cube (#20/#22u):
+    * (year,prio), (year), (prio) but NOT the grand total, which neither
+    * rollup nor cube can express without a post-filter. Same expand-
+    * based single-shuffle plan; same decimal-sum recipe as
+    * rollup_volume. */
+  def groupingSetsVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("y"),
+              col("o_orderpriority").as("prio"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("y"), col("prio")), Seq(col("y")), Seq(col("prio"))),
+        col("y"), col("prio"))
+      .agg(count(lit(1)).as("n_orders"),
+           Relational.dsum(col("o_totalprice")).as("total_price"),
+           grouping(col("y")).as("gy"), grouping(col("prio")).as("gp"))
+      .select(
+        when(col("gy") === 1, lit(-1)).otherwise(col("y")).as("year"),
+        when(col("gp") === 1, lit("ALL")).otherwise(col("prio")).as("priority"),
+        col("n_orders"), col("total_price"))
+
+  private val groupingSetsVolumeSql =
+    """SELECT
+      |  CASE WHEN GROUPING(y) = 1 THEN -1 ELSE y END AS year,
+      |  CASE WHEN GROUPING(prio) = 1 THEN 'ALL' ELSE prio END AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_price
+      |FROM (SELECT year(o_orderdate) AS y, o_orderpriority AS prio, o_totalprice
+      |      FROM orders) t
+      |GROUP BY GROUPING SETS ((y, prio), (y), (prio))""".stripMargin
+
+  // ------------------------------------------------------- #31a
+
+  /** Corpus-LM rarity signals (#31a): per-doc token/type counts, the
+    * corpus frequency of its rarest token, and its hapax-legomena
+    * count — the cheap unigram-LM stand-ins for perplexity filtering
+    * (a doc full of corpus-hapax tokens is boilerplate-junk or OCR
+    * noise). Shape that survives web scale: tokens collapse to
+    * per-doc (tok, cnt) BEFORE anything global (the within-doc dedup
+    * cuts the join volume ~4×), the vocabulary table derives from a
+    * partial-agg re-sum of those rows (the corpus is never re-
+    * exploded), and the vocab join shuffles on tok where AQE's skew
+    * split handles the stopword head ("the" is one build row but
+    * millions of probe rows). All outputs integral — exact at any
+    * scale. */
+  def rareTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = perDoc.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("f"))
+    perDoc.join(vocab, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           min(col("f")).as("min_tok_freq"),
+           sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
+  private val rareTokenStatsSql =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |pd AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+      |fr AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS f FROM pd GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  MIN(f) AS min_tok_freq,
+      |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM pd JOIN fr USING (tok)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2577,7 +2797,13 @@ object Queries {
     "dq_checks"                -> (dqChecks _),
     "gapfill_daily_demand"     -> (gapfillDailyDemand _),
     "fuzzy_name_match"         -> (fuzzyNameMatch _),
-    "funnel_conversion"        -> (funnelConversion _)
+    "funnel_conversion"        -> (funnelConversion _),
+    "min_cost_supplier"        -> (minCostSupplier _),
+    "important_parts"          -> (importantParts _),
+    "order_count_distribution" -> (orderCountDistribution _),
+    "idle_rich_customers"      -> (idleRichCustomers _),
+    "grouping_sets_volume"     -> (groupingSetsVolume _),
+    "rare_token_stats"         -> (rareTokenStats _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2671,7 +2897,13 @@ object Queries {
     "dq_checks"                -> dqChecksSql,
     "gapfill_daily_demand"     -> gapfillDailyDemandSql,
     "fuzzy_name_match"         -> fuzzyNameMatchSql,
-    "funnel_conversion"        -> funnelConversionSql
+    "funnel_conversion"        -> funnelConversionSql,
+    "min_cost_supplier"        -> minCostSupplierSql,
+    "important_parts"          -> importantPartsSql,
+    "order_count_distribution" -> orderCountDistributionSql,
+    "idle_rich_customers"      -> idleRichCustomersSql,
+    "grouping_sets_volume"     -> groupingSetsVolumeSql,
+    "rare_token_stats"         -> rareTokenStatsSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/
