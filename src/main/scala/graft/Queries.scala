@@ -2694,6 +2694,46 @@ object Queries {
       |FROM pd JOIN fr USING (tok)
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------------- #38b
+
+  /** Heavy hitters per language via the Misra-Gries typed Aggregator
+    * (#38b, Aggregators.HeavyHittersAgg). `heavy_hitters_sound` is the
+    * driver gate: capacity 1024 ≥ the whole vocabulary, where MG is
+    * provably exact, so the top-5-per-lang output hash-matches an
+    * exact GROUP BY/window oracle while still driving the full sketch
+    * machinery (map-side partial summaries, mergeable-summary
+    * combine). The production-shaped twin below runs capacity 8 —
+    * genuinely lossy on this corpus — and is rows-only checked, since
+    * MG estimates depend on the merge tree. */
+  private def heavyHittersBy(spark: SparkSession, dir: String,
+                             capacity: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.Aggregators.heavyHitters(capacity)
+             .toColumn.name("hh"))
+      .flatMap { case (lang, hits) => hits.take(k).map(h => (lang, h.token, h.est)) }
+      .toDF("lang", "token", "n_est")
+  }
+
+  def heavyHittersSound(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersBy(spark, dir, capacity = 1024, k = 5)
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersBy(spark, dir, capacity = 8, k = 5)
+
+  private val heavyHittersSoundSql =
+    """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |c AS (SELECT lang, tok AS token, COUNT(*) AS n_est
+      |      FROM tk GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |        ORDER BY n_est DESC, token) AS rk FROM c)
+      |SELECT lang, token, n_est FROM r WHERE rk <= 5""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2803,7 +2843,9 @@ object Queries {
     "order_count_distribution" -> (orderCountDistribution _),
     "idle_rich_customers"      -> (idleRichCustomers _),
     "grouping_sets_volume"     -> (groupingSetsVolume _),
-    "rare_token_stats"         -> (rareTokenStats _)
+    "rare_token_stats"         -> (rareTokenStats _),
+    "heavy_hitters_sound"      -> (heavyHittersSound _),
+    "heavy_hitters"            -> (heavyHitters _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2903,7 +2945,8 @@ object Queries {
     "order_count_distribution" -> orderCountDistributionSql,
     "idle_rich_customers"      -> idleRichCustomersSql,
     "grouping_sets_volume"     -> groupingSetsVolumeSql,
-    "rare_token_stats"         -> rareTokenStatsSql
+    "rare_token_stats"         -> rareTokenStatsSql,
+    "heavy_hitters_sound"      -> heavyHittersSoundSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

@@ -36,4 +36,65 @@ object Aggregators {
   }
 
   def topK(k: Int): TopKAgg = new TopKAgg(k)
+
+  case class TokenCount(token: String, est: Long)
+
+  /** Misra-Gries heavy hitters — a MERGEABLE one-pass frequency
+    * summary (Agarwal et al., "Mergeable Summaries", PODS'12). The
+    * scale story: exact top-k terms needs a full vocabulary shuffle
+    * (O(distinct) rows); this carries at most `capacity` (token,
+    * count) pairs out of each map task and merges them losslessly
+    * w.r.t. the MG error bound, so the shuffle is O(tasks·capacity)
+    * no matter how large the corpus. Guarantees after any merge tree
+    * over a stream of n items: every estimate is an UNDERCOUNT by at
+    * most n/(capacity+1), and every item with true frequency >
+    * n/(capacity+1) survives in the summary. Estimates (and in edge
+    * cases the survivor set) depend on the merge order, so production
+    * use is rows-only checked; the `heavy_hitters_sound` gate runs
+    * capacity ≥ vocabulary where the summary is provably exact.
+    *
+    * reduce() is the classic per-item step (hit: +1; miss with room:
+    * insert; miss when full: decrement-all — amortized O(1) per item
+    * since each decrement pays back an earlier insert). merge() is
+    * the summary-sum + subtract-(capacity+1)-th-largest step from the
+    * paper. Buffer is an immutable Map (capacity entries, small by
+    * construction); the typed agg runs as a map-side-partial
+    * SortAggregate like every struct-buffered Aggregator. */
+  class HeavyHittersAgg(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Seq[TokenCount]] {
+    require(capacity > 0, "capacity must be positive")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c)                   => b.updated(tok, c + 1)
+        case None if b.size < capacity => b.updated(tok, 1L)
+        case None =>
+          b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+      }
+
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = y.foldLeft(x) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= capacity) sum
+      else {
+        val d = sum.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
+        sum.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+      }
+    }
+
+    /** Deterministic presentation order: estimate desc, token asc. */
+    override def finish(r: Map[String, Long]): Seq[TokenCount] =
+      r.toSeq.map { case (t, c) => TokenCount(t, c) }
+        .sortBy(tc => (-tc.est, tc.token))
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[TokenCount]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TokenCount]]()
+  }
+
+  def heavyHitters(capacity: Int): HeavyHittersAgg = new HeavyHittersAgg(capacity)
 }
