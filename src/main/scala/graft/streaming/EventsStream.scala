@@ -43,6 +43,26 @@ object EventsStream extends Serializable {
       .select(col("window.start").as("bucket"), col("event_type"),
               col("n_events"), col("value_sum"))
 
+  /** Sliding-window rates (#35d): overlapping windows of `length`
+    * advancing every `slide` — the smoothed-rate view a tumbling
+    * window can't give (a spike at a bucket boundary halves). Each
+    * event lands in length/slide windows; Spark's TimeWindow expand
+    * does that replication BEFORE the partial agg, so the shuffle
+    * carries (window, type) partials, not events — the same
+    * map-side-combine shape as the tumbling path, length/slide×
+    * wider. Watermark = one window length: a window finalizes once
+    * no in-horizon event can still join it. */
+  def slidingCounts(events: DataFrame, length: String = "1 hour",
+                    slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", length)
+      .groupBy(window(col("ts"), length, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("bucket_start"),
+              col("window.end").as("bucket_end"), col("event_type"),
+              col("n_events"), col("value_sum"))
+
   /** Gap sessionization with keyed state. State holds ALL open
     * sessions inside the watermark horizon (not just the latest one):
     * out-of-order events within the watermark merge correctly — an

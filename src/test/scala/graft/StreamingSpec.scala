@@ -29,6 +29,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming sliding-window counts equal the batch sliding window") {
+    val tmp = Files.createTempDirectory("stream-sliding").toString
+    val base = eventCols(Tables.events(spark, sfDir))
+    base.write.parquet(s"$tmp/in")
+    val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+    val q = EventsStream.slidingCounts(stream).writeStream
+      .format("memory").queryName("sliding_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("bucket_start", "bucket_end", "event_type", "n_events")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val streamed = key(spark.table("sliding_t"))
+    val batch = key(base
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket_start"),
+              col("window.end").as("bucket_end"), col("event_type"),
+              col("n_events")))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // each event lands in exactly length/slide = 4 overlapping windows
+    assert(streamed.toSeq.map(_._4).sum === 4 * base.count())
+  }
+
   test("streaming sessionize with keyed state matches batch gap sessions") {
     val tmp = Files.createTempDirectory("stream-sess").toString
     val cp = s"$tmp/cp"
