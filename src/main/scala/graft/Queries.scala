@@ -2734,6 +2734,100 @@ object Queries {
       |        ORDER BY n_est DESC, token) AS rk FROM c)
       |SELECT lang, token, n_est FROM r WHERE rk <= 5""".stripMargin
 
+  // ------------------------------------------------------- #38c
+
+  /** PMI collocations (#38c): top token pairs by pointwise mutual
+    * information over document co-occurrence. Everything upstream of
+    * the ranking is exact integers: doc-frequency per token, co-doc
+    * frequency per (within-doc distinct) pair, corpus doc count. PMI
+    * ∝ log(cooc·N / (df_a·df_b)) and log is monotone, so ranking by
+    * the RATIO needs no log: both engines compute the identical IEEE
+    * double from identical bigint products (each < 2^53 — overflow-
+    * checked domain). Scale shape: within-doc DISTINCT collapse
+    * first, then the per-doc pair expansion flows straight into a
+    * map-side partial agg keyed by (tok_a, tok_b) — pairs-per-doc is
+    * bounded by per-doc type count squared, and the shuffle carries
+    * only the ~|vocab|² surviving keys, not the expansion. Top-k via
+    * limit-after-sort (TakeOrdered map-side heads), vocab_top_words
+    * precedent. */
+  def pmiTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val df = docTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val cooc = docTok.as("a")
+      .join(docTok.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("cooc"))
+    val scored = cooc
+      .join(broadcast(df).withColumnRenamed("tok", "tok_a")
+              .withColumnRenamed("df", "df_a"), Seq("tok_a"))
+      .join(broadcast(df).withColumnRenamed("tok", "tok_b")
+              .withColumnRenamed("df", "df_b"), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("cooc"),
+        ((col("cooc") * col("n_docs")).cast("double") /
+         (col("df_a") * col("df_b")).cast("double")).as("pmi_ratio"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_ratio").desc, col("tok_a"), col("tok_b"))
+    scored.orderBy(col("pmi_ratio").desc, col("tok_a"), col("tok_b")).limit(20)
+      .withColumn("rk", row_number().over(w))
+  }
+
+  private val pmiTopPairsSql =
+    """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents),
+      |f AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |c AS (SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS cooc
+      |      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |      GROUP BY 1, 2),
+      |s AS (SELECT tok_a, tok_b, cooc,
+      |        CAST(cooc * n_docs AS DOUBLE) / CAST(fa.df * fb.df AS DOUBLE)
+      |          AS pmi_ratio
+      |      FROM c, n
+      |      JOIN f fa ON c.tok_a = fa.tok JOIN f fb ON c.tok_b = fb.tok)
+      |SELECT tok_a, tok_b, cooc, pmi_ratio,
+      |  CAST(row_number() OVER (ORDER BY pmi_ratio DESC, tok_a, tok_b) AS INT) AS rk
+      |FROM s QUALIFY rk <= 20""".stripMargin
+
+  // ------------------------------------------------------- #47a
+
+  /** Corpus mixture drift (#47a): per-(lang, source) cell comparison
+    * between two corpus snapshots (even vs odd doc_id standing in for
+    * yesterday/today), with the total-variation contribution kept in
+    * EXACT integers: |p_a − p_b| scaled by tot_a·tot_b is
+    * |cnt_a·tot_b − cnt_b·tot_a| — the drift monitor a retraining
+    * pipeline gates on, with no float division anywhere. Single scan,
+    * one partial-agg shuffle of |lang×source| cells, broadcast
+    * single-row totals. */
+  def mixtureDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("cnt_a"),
+           sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cnt_b"))
+    val tot = cells.agg(sum(col("cnt_a")).as("tot_a"),
+                        sum(col("cnt_b")).as("tot_b"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("cnt_a"), col("cnt_b"),
+        abs(col("cnt_a") * col("tot_b") - col("cnt_b") * col("tot_a"))
+          .as("drift_scaled"))
+  }
+
+  private val mixtureDriftSql =
+    """WITH c AS (SELECT lang, source,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+      |    CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS tot_a,
+      |             CAST(SUM(cnt_b) AS BIGINT) AS tot_b FROM c)
+      |SELECT lang, source, cnt_a, cnt_b,
+      |  abs(cnt_a * tot_b - cnt_b * tot_a) AS drift_scaled
+      |FROM c, t""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2845,7 +2939,9 @@ object Queries {
     "grouping_sets_volume"     -> (groupingSetsVolume _),
     "rare_token_stats"         -> (rareTokenStats _),
     "heavy_hitters_sound"      -> (heavyHittersSound _),
-    "heavy_hitters"            -> (heavyHitters _)
+    "heavy_hitters"            -> (heavyHitters _),
+    "pmi_top_pairs"            -> (pmiTopPairs _),
+    "mixture_drift"            -> (mixtureDrift _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -2946,7 +3042,9 @@ object Queries {
     "idle_rich_customers"      -> idleRichCustomersSql,
     "grouping_sets_volume"     -> groupingSetsVolumeSql,
     "rare_token_stats"         -> rareTokenStatsSql,
-    "heavy_hitters_sound"      -> heavyHittersSoundSql
+    "heavy_hitters_sound"      -> heavyHittersSoundSql,
+    "pmi_top_pairs"            -> pmiTopPairsSql,
+    "mixture_drift"            -> mixtureDriftSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/
