@@ -145,6 +145,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort not limited\n$p")
   }
 
+  test("min_cost_supplier broadcasts both dims, shuffle-joins only the fact") {
+    val p = plan("min_cost_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the argmin rejoin is fact-to-agg on l_partkey — never a broadcast
+    // of the fact side: exactly one non-broadcast join pair
+    assert(p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) <= 1, p)
+  }
+
+  test("global-scalar thresholds broadcast one row, never shuffle the compare") {
+    for (q <- Seq("important_parts", "idle_rich_customers", "mixture_drift")) {
+      val p = plan(q)
+      // the scalar side arrives as a broadcast (nested-loop on a
+      // single-row build is the planned shape for a no-key cross join)
+      assert(p.contains("Broadcast"), s"$q: scalar not broadcast\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian\n$p")
+    }
+  }
+
+  test("order_count_distribution pre-aggregates orders before the customer join") {
+    val p = plan("order_count_distribution")
+    // partial agg on o_custkey must sit below the join: an aggregate
+    // appears before (deeper than) the left outer join in the plan
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("o_custkey"))
+    val joinIdx = lines.indexWhere(_.contains("LeftOuter"))
+    assert(aggIdx > joinIdx && joinIdx >= 0,
+      s"orders not pre-aggregated below the join\n$p")
+  }
+
+  test("pmi pair expansion partial-aggregates; unigram stats broadcast") {
+    val p = plan("pmi_top_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // pair counts must combine map-side: partial_count over the
+    // (tok_a, tok_b) keys
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("heavy hitters aggregate map-side partially (MG summaries merge)") {
+    val p = Queries.heavyHittersSound(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial"), p)  // ObjectHashAggregate/SortAggregate partial
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
