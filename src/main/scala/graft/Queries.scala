@@ -2828,6 +2828,61 @@ object Queries {
       |  abs(cnt_a * tot_b - cnt_b * tot_a) AS drift_scaled
       |FROM c, t""".stripMargin
 
+  // ------------------------------------------------------- #17e (Q21 shape)
+
+  /** Blame the uniquely-late shipper (TPC-H Q21's correlated
+    * EXISTS + NOT-EXISTS shape, receiptdate stood in by shipdate):
+    * suppliers who shipped LAST in a multi-supplier order, with no
+    * co-supplier tied at the max. The two correlated subqueries
+    * decorrelate into WINDOW functions over the per-(order, supplier)
+    * aggregate — EXISTS(other supplier) becomes count(*) over the
+    * order partition >= 2, NOT EXISTS(other equally-late) becomes
+    * "exactly one row attains the partition max". Both windows share
+    * the l_orderkey partitioning, so the whole query is ONE lineitem
+    * scan, one (orderkey, suppkey) partial agg, one orderkey exchange
+    * feeding two chained window passes, and a tiny suppkey rollup —
+    * vs the naive self-join formulation that rescans the fact table
+    * once per subquery. This is how a correlated EXISTS survives a
+    * 100 TB fact table: it never runs per-row, and it never rescans. */
+  def lateShippers(spark: SparkSession, dir: String): DataFrame = {
+    val byOrder =
+      org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+    val os = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("supp_last"))
+      .withColumn("order_last", max(col("supp_last")).over(byOrder))
+      .withColumn("n_supps", count(lit(1)).over(byOrder))
+      // second pass over the SAME partitioning — planned without a
+      // new exchange; counts the rows tied at the order max
+      .withColumn("n_late",
+        sum(when(col("supp_last") === col("order_last"), 1L).otherwise(0L))
+          .over(byOrder))
+    os.where(col("n_supps") >= 2 && col("supp_last") === col("order_last") &&
+             col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_blamed"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_blamed"))
+  }
+
+  private val lateShippersSql =
+    """WITH os AS (SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+      |            FROM lineitem GROUP BY 1, 2),
+      |o AS (SELECT l_orderkey, MAX(supp_last) AS order_last,
+      |             COUNT(*) AS n_supps FROM os GROUP BY 1),
+      |att AS (SELECT os.l_orderkey, COUNT(*) AS n_late
+      |        FROM os JOIN o USING (l_orderkey)
+      |        WHERE supp_last = order_last GROUP BY 1),
+      |b AS (SELECT os.l_suppkey
+      |      FROM os JOIN o USING (l_orderkey) JOIN att USING (l_orderkey)
+      |      WHERE o.n_supps >= 2 AND os.supp_last = o.order_last
+      |        AND att.n_late = 1)
+      |SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_blamed
+      |FROM b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2941,7 +2996,8 @@ object Queries {
     "heavy_hitters_sound"      -> (heavyHittersSound _),
     "heavy_hitters"            -> (heavyHitters _),
     "pmi_top_pairs"            -> (pmiTopPairs _),
-    "mixture_drift"            -> (mixtureDrift _)
+    "mixture_drift"            -> (mixtureDrift _),
+    "late_shippers"            -> (lateShippers _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3044,7 +3100,8 @@ object Queries {
     "rare_token_stats"         -> rareTokenStatsSql,
     "heavy_hitters_sound"      -> heavyHittersSoundSql,
     "pmi_top_pairs"            -> pmiTopPairsSql,
-    "mixture_drift"            -> mixtureDriftSql
+    "mixture_drift"            -> mixtureDriftSql,
+    "late_shippers"            -> lateShippersSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

@@ -193,6 +193,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("late_shippers decorrelates to one fact scan and chained windows") {
+    val p = plan("late_shippers")
+    // the Q21 EXISTS/NOT-EXISTS pair must NOT rescan lineitem per
+    // subquery: exactly one fact scan feeds the whole query
+    assert(p.split("lineitem").length - 1 === 1, p)
+    // both window passes share the l_orderkey partitioning: two Window
+    // nodes, and no exchange between them (3 total: agg, window, rollup)
+    assert(p.split("\\+- Window").length - 1 === 2, p)
+    assert(p.split("Exchange hashpartitioning").length - 1 === 3, p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
