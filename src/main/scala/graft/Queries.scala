@@ -2883,6 +2883,83 @@ object Queries {
       |FROM b JOIN supplier s ON b.l_suppkey = s.s_suppkey
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- #51 k-means
+
+  /** Fixed 8 centroids for the k-means driver gates: the embeddings of
+    * vec_id < 8, collected once at plan build (8 rows — bounded, like
+    * the IVF training sample). Fixed rather than learned so the DuckDB
+    * oracle can recompute the assignment exactly. */
+  private def fixedCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Float])] =
+    Tables.embeddings(spark, dir).where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** K-means assignment driver gate (#51): Cluster.assign (the per-row
+    * zero-exchange cosine argmax — the same path Cluster.fit iterates)
+    * against the 8 fixed centroids, summarized per cluster with
+    * integer-exact members/id-sum. The oracle recomputes the argmax
+    * with list_cosine_similarity; comparisons agree across engines
+    * (the dedup_embedding_sound precedent) and random-vector margins
+    * are far above ulp scale, so membership is deterministic. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    Cluster.assign(Tables.embeddings(spark, dir), "vec_id", "embedding",
+                   fixedCentroids(spark, dir))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+
+  private val kmeansAssignSql =
+    """WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+      |           FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT v.vec_id, c.cell,
+      |        row_number() OVER (PARTITION BY v.vec_id
+      |          ORDER BY list_cosine_similarity(v.embedding, c.cvec) DESC,
+      |                   c.cell) AS rk
+      |      FROM embeddings v, c)
+      |SELECT cell AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |       CAST(SUM(vec_id) AS BIGINT) AS id_sum
+      |FROM a WHERE rk = 1 GROUP BY 1""".stripMargin
+
+  /** Prototypicality pruning gate (#51a): keep the half of each
+    * cluster most similar to its centroid — cluster-balanced curation
+    * (every cluster keeps its quota; a global similarity cut would
+    * empty whole clusters). Ids-only output for the same
+    * comparisons-agree reason as the assignment gate. */
+  def kmeansPrune(spark: SparkSession, dir: String): DataFrame =
+    Cluster.prototypicalPrune(Tables.embeddings(spark, dir), "vec_id",
+                              "embedding", fixedCentroids(spark, dir), 0.5)
+      .select(col("vec_id"), col("cluster_id"))
+
+  private val kmeansPruneSql =
+    """WITH c AS (SELECT vec_id AS cell, embedding AS cvec
+      |           FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT v.vec_id, c.cell,
+      |        list_cosine_similarity(v.embedding, c.cvec) AS cos,
+      |        row_number() OVER (PARTITION BY v.vec_id
+      |          ORDER BY list_cosine_similarity(v.embedding, c.cvec) DESC,
+      |                   c.cell) AS rk
+      |      FROM embeddings v, c),
+      |b AS (SELECT vec_id, cell, cos FROM a WHERE rk = 1),
+      |r AS (SELECT vec_id, cell,
+      |        row_number() OVER (PARTITION BY cell
+      |          ORDER BY cos DESC, vec_id) AS mrk,
+      |        COUNT(*) OVER (PARTITION BY cell) AS n
+      |      FROM b)
+      |SELECT vec_id, cell AS cluster_id FROM r
+      |WHERE mrk <= CEIL(n * 0.5)""".stripMargin
+
+  /** Distributed k-means end to end (#51, rows-only — the float
+    * iteration isn't oracle-expressible; ClusterSpec carries exact
+    * parity vs an independent Lloyd's on integer-planted data):
+    * seeded k-means++ init, 5 Lloyd iterations over the whole corpus
+    * (one partial-agg shuffle each), final cluster census. */
+  def kmeansFitSizes(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = Cluster.fit(emb, "vec_id", "embedding", k = 8, maxIters = 5)
+    Cluster.assign(emb, "vec_id", "embedding", cents)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2997,7 +3074,10 @@ object Queries {
     "heavy_hitters"            -> (heavyHitters _),
     "pmi_top_pairs"            -> (pmiTopPairs _),
     "mixture_drift"            -> (mixtureDrift _),
-    "late_shippers"            -> (lateShippers _)
+    "late_shippers"            -> (lateShippers _),
+    "kmeans_assign"            -> (kmeansAssign _),
+    "kmeans_prune"             -> (kmeansPrune _),
+    "kmeans_fit_sizes"         -> (kmeansFitSizes _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3101,7 +3181,9 @@ object Queries {
     "heavy_hitters_sound"      -> heavyHittersSoundSql,
     "pmi_top_pairs"            -> pmiTopPairsSql,
     "mixture_drift"            -> mixtureDriftSql,
-    "late_shippers"            -> lateShippersSql
+    "late_shippers"            -> lateShippersSql,
+    "kmeans_assign"            -> kmeansAssignSql,
+    "kmeans_prune"             -> kmeansPruneSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

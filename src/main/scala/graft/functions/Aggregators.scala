@@ -97,4 +97,39 @@ object Aggregators {
   }
 
   def heavyHitters(capacity: Int): HeavyHittersAgg = new HeavyHittersAgg(capacity)
+
+  case class VecSum(sum: Seq[Double], n: Long)
+
+  /** Element-wise vector sum + count — the centroid-update aggregate
+    * for distributed k-means (graft.operators.Cluster). Algebraic, so
+    * each map task emits ONE (dim-doubles, count) buffer per cluster
+    * and partials merge map-side: the shuffle is O(tasks·k·dim)
+    * regardless of corpus size, and no task ever materializes a
+    * member list (the explode-by-dimension formulation ships dim×
+    * rows; this ships one). Accumulates in Double so integer-valued
+    * inputs stay exact (the ClusterSpec parity gate relies on it). */
+  class VecSumAgg extends Aggregator[Seq[Float], VecSum, VecSum] {
+    override def zero: VecSum = VecSum(Nil, 0L)
+    override def reduce(b: VecSum, v: Seq[Float]): VecSum = {
+      val s = if (b.n == 0L) new Array[Double](v.length) else b.sum.toArray
+      var i = 0
+      while (i < v.length) { s(i) += v(i); i += 1 }
+      VecSum(s.toSeq, b.n + 1)
+    }
+    override def merge(x: VecSum, y: VecSum): VecSum =
+      if (x.n == 0L) y
+      else if (y.n == 0L) x
+      else {
+        val s = x.sum.toArray
+        var i = 0
+        while (i < s.length) { s(i) += y.sum(i); i += 1 }
+        VecSum(s.toSeq, x.n + y.n)
+      }
+    override def finish(r: VecSum): VecSum = r
+    override def bufferEncoder: Encoder[VecSum] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[VecSum]()
+    override def outputEncoder: Encoder[VecSum] = bufferEncoder
+  }
+
+  def vecSum: VecSumAgg = new VecSumAgg
 }
