@@ -25,4 +25,14 @@ object Blocks {
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }
+
+  /** Unpersist the block-manager blocks behind a localCheckpoint'd
+    * frame (no-op for anything else) — iterative operators free each
+    * superseded round themselves (see the class doc). */
+  private[graft] def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -2960,6 +2960,65 @@ object Queries {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
   }
 
+  // ------------------------------------------------------- #52 link rank
+
+  /** PageRank driver gate (#52): the production Rank.pageRank loop on
+    * a PLANTED graph whose arithmetic stays exact in double — the
+    * simhash_sound pattern. Nodes are doc_id < 256; every node emits
+    * exactly two edges, (2i+1) mod 256 and (4i+2) mod 256, so
+    * out-degree is exactly 2 (contributions are rank/2 — dyadic) while
+    * in-degree varies 0/2/4 (odd targets, ≡2 mod 4 targets, rest).
+    * With damping 3/4, every intermediate is a dyadic rational with a
+    * few bits of denominator: sums are EXACT regardless of
+    * accumulation order, so Spark's distributed aggregation and
+    * DuckDB's unrolled iteration produce bit-identical doubles and
+    * the gate hash-matches — on a graph irregular enough that any
+    * mis-keyed join or lost dangling node shows up immediately. */
+  def pagerankSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val edges = Tables.documents(spark, dir)
+      .where(col("doc_id") < n).select(col("doc_id"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 2 + 1) % n).as("dst")),
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 4 + 2) % n).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Rank.pageRank(edges, "src", "dst", iters = 3, damping = 0.75)
+      .select(col("node"), col("pr"))
+  }
+
+  private val pagerankSoundSql =
+    """WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 256),
+      |e AS (SELECT i AS src, (2*i+1) % 256 AS dst FROM nn
+      |      UNION ALL SELECT i, (4*i+2) % 256 FROM nn),
+      |v AS (SELECT DISTINCT node FROM
+      |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE) AS pr FROM v),
+      |r1 AS (SELECT v.node,
+      |         0.25e0 + 0.75e0 * COALESCE(SUM(r0.pr / d.outdeg),
+      |                                    CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r0 ON r0.node = e.src
+      |       GROUP BY v.node),
+      |r2 AS (SELECT v.node,
+      |         0.25e0 + 0.75e0 * COALESCE(SUM(r1.pr / d.outdeg),
+      |                                    CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r1 ON r1.node = e.src
+      |       GROUP BY v.node),
+      |r3 AS (SELECT v.node,
+      |         0.25e0 + 0.75e0 * COALESCE(SUM(r2.pr / d.outdeg),
+      |                                    CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r2 ON r2.node = e.src
+      |       GROUP BY v.node)
+      |SELECT node, pr FROM r3""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3077,7 +3136,8 @@ object Queries {
     "late_shippers"            -> (lateShippers _),
     "kmeans_assign"            -> (kmeansAssign _),
     "kmeans_prune"             -> (kmeansPrune _),
-    "kmeans_fit_sizes"         -> (kmeansFitSizes _)
+    "kmeans_fit_sizes"         -> (kmeansFitSizes _),
+    "pagerank_sound"           -> (pagerankSound _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3183,7 +3243,8 @@ object Queries {
     "mixture_drift"            -> mixtureDriftSql,
     "late_shippers"            -> lateShippersSql,
     "kmeans_assign"            -> kmeansAssignSql,
-    "kmeans_prune"             -> kmeansPruneSql
+    "kmeans_prune"             -> kmeansPruneSql,
+    "pagerank_sound"           -> pagerankSoundSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

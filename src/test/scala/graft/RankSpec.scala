@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rank
+
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1 → {2,3}, 2 → {3}; node 3 is dangling (receives, never emits)
+  private lazy val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.as[(Long, Double)].collect().toMap
+
+  test("hand-computed fixpoint steps are exact (d=0.5)") {
+    val r1 = ranksOf(Rank.pageRank(tri, "s", "d", iters = 1, damping = 0.5))
+    assert(r1 === Map(1L -> 0.5, 2L -> 0.75, 3L -> 1.25))
+    val r2 = ranksOf(Rank.pageRank(tri, "s", "d", iters = 2, damping = 0.5))
+    // node 2: 0.5 + 0.5·(0.5/2); node 3: 0.5 + 0.5·(0.5/2 + 0.75/1)
+    assert(r2 === Map(1L -> 0.5, 2L -> 0.625, 3L -> 1.0))
+  }
+
+  test("result is independent of input partitioning (exact sums)") {
+    val n = 128
+    val base = spark.range(n).select(col("id").as("s"))
+      .select(explode(array(
+        struct(col("s"), ((col("s") * 2 + 1) % n).as("d")),
+        struct(col("s"), ((col("s") * 4 + 2) % n).as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val a = ranksOf(Rank.pageRank(base, "s", "d", iters = 3, damping = 0.75))
+    val b = ranksOf(Rank.pageRank(base.repartition(7), "s", "d",
+                                  iters = 3, damping = 0.75))
+    assert(a === b) // bit-exact: dyadic arithmetic, order-free
+    assert(a.size === n)
+  }
+
+  test("superseded rounds free their checkpoint blocks") {
+    Blocks.freeAll(spark) // earlier tests' terminal checkpoints
+    val out = Rank.pageRank(tri, "s", "d", iters = 4, damping = 0.5)
+    out.collect()
+    // alive: node spine, degree-annotated edges, and the FINAL round
+    // (the returned frame reads it) — superseded rounds must be gone
+    val alive = spark.sparkContext.getPersistentRDDs.size
+    assert(alive <= 3, s"leaked checkpoint blocks: $alive alive")
+    Blocks.freeAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
