@@ -2960,6 +2960,43 @@ object Queries {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
   }
 
+  // ------------------------------------------------------- #17f (Q19 shape)
+
+  /** Disjunctive multi-attribute predicate (TPC-H Q19's OR-of-ANDs):
+    * revenue from three brand/type/size/quantity bands. The OR spans
+    * both tables, so no single conjunct is a join-side filter — but
+    * Catalyst derives the per-table residuals (brand/type/size on
+    * part, quantity on lineitem) and pushes THOSE to the scans, then
+    * re-applies the full disjunction after the broadcast join. The
+    * scan-level prune is what matters at 100 TB: the fact side reads
+    * only quantity-banded rows, not everything. */
+  def q19BandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val band1 = col("p_brand") === "Brand#13" && col("p_type") === "ECONOMY" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(5, 25)
+    val band2 = col("p_brand") === "Brand#19" && col("p_type") === "PROMO" &&
+      col("p_size").between(5, 25) && col("l_quantity").between(10, 40)
+    val band3 = col("p_brand") === "Brand#5" && col("p_type") === "STANDARD" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+            col("l_partkey") === col("p_partkey"))
+      .where(band1 || band2 || band3)
+      .agg(Relational.dsum(Relational.discPriceDec).as("revenue"),
+           count(lit(1)).as("n_items"))
+  }
+
+  private val q19BandRevenueSql =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_type = 'ECONOMY'
+      |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
+      |   OR (p_brand = 'Brand#19' AND p_type = 'PROMO'
+      |       AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 40)
+      |   OR (p_brand = 'Brand#5' AND p_type = 'STANDARD'
+      |       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 30)""".stripMargin
+
   // ------------------------------------------------------- #52 link rank
 
   /** PageRank driver gate (#52): the production Rank.pageRank loop on
@@ -3137,7 +3174,8 @@ object Queries {
     "kmeans_assign"            -> (kmeansAssign _),
     "kmeans_prune"             -> (kmeansPrune _),
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
-    "pagerank_sound"           -> (pagerankSound _)
+    "pagerank_sound"           -> (pagerankSound _),
+    "q19_band_revenue"         -> (q19BandRevenue _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3244,7 +3282,8 @@ object Queries {
     "late_shippers"            -> lateShippersSql,
     "kmeans_assign"            -> kmeansAssignSql,
     "kmeans_prune"             -> kmeansPruneSql,
-    "pagerank_sound"           -> pagerankSoundSql
+    "pagerank_sound"           -> pagerankSoundSql,
+    "q19_band_revenue"         -> q19BandRevenueSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

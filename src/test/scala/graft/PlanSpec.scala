@@ -205,6 +205,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q19 disjunction pushes per-table OR residuals to both scans") {
+    val p = plan("q19_band_revenue")
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    val fact = scans.find(_.contains("lineitem")).getOrElse("")
+    val dim = scans.find(_.contains("part.parquet")).getOrElse("")
+    // the OR spans both tables, but Catalyst must still derive and
+    // push the single-table residual disjunctions to each scan
+    assert(fact.contains("Or(") && fact.contains("l_quantity"), fact)
+    assert(dim.contains("Or(") && dim.contains("p_brand"), dim)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
