@@ -119,6 +119,13 @@ class ClusterSpec extends SparkSpec {
     assert(sizes.size === 4, sizes.toString)
   }
 
+  test("k=1 assignment degenerates to a constant cluster") {
+    val one = Cluster.assign(df, "vec_id", "embedding",
+                             Seq(3 -> Array(1f, 1f, 1f, 1f)))
+    assert(one.select(col("cluster_id")).distinct()
+      .as[Int].collect().toSeq === Seq(3))
+  }
+
   test("update step partial-aggregates map-side (no member lists move)") {
     val p = Cluster.updateStep(
       Cluster.assign(df.repartition(4), "vec_id", "embedding", init),

@@ -34,6 +34,14 @@ class RankSpec extends SparkSpec {
     assert(a.size === n)
   }
 
+  test("self-loops feed a node's own rank back (no special-casing)") {
+    // 1 ⟲, 1 → 2: outdeg(1)=2, so r1(1) = 0.5 + 0.5·(1/2) = 0.75,
+    // r1(2) = 0.5 + 0.5·(1/2) = 0.75; then r2(1) = 0.5 + 0.5·(0.75/2)
+    val g = Seq((1L, 1L), (1L, 2L)).toDF("s", "d")
+    val r2 = ranksOf(Rank.pageRank(g, "s", "d", iters = 2, damping = 0.5))
+    assert(r2 === Map(1L -> 0.6875, 2L -> 0.6875))
+  }
+
   test("superseded rounds free their checkpoint blocks") {
     Blocks.freeAll(spark) // earlier tests' terminal checkpoints
     val out = Rank.pageRank(tri, "s", "d", iters = 4, damping = 0.5)
