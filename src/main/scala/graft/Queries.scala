@@ -3294,6 +3294,10 @@ object Queries {
     // xxhash64-fed SimHash64) is not SQL-expressible, so its sound
     // twin runs the chunk-join machinery on PLANTED arithmetic
     // signatures the oracle recomputes bit-exactly; DedupSpec covers
-    // the signature expression itself.
+    // the signature expression itself. kmeans_fit_sizes is rows-only
+    // for the same reason (sampled kmeans++ init + float Lloyd loop);
+    // kmeans_assign/kmeans_prune gate the assignment machinery and
+    // ClusterSpec proves the loop bit-equal to a sequential reference
+    // on integer-planted vectors.
   )
 }

@@ -57,6 +57,11 @@ object Rank {
       graft.Blocks.freeCheckpoint(ranks)
       ranks = next
     }
+    // the final round is itself checkpointed, so the spine and the
+    // degree-annotated edges are no longer reachable — free them now
+    // rather than leaving them for the caller's Blocks.freeAll
+    graft.Blocks.freeCheckpoint(nodes)
+    graft.Blocks.freeCheckpoint(withDeg)
     ranks
   }
 }

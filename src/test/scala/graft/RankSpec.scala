@@ -46,10 +46,10 @@ class RankSpec extends SparkSpec {
     Blocks.freeAll(spark) // earlier tests' terminal checkpoints
     val out = Rank.pageRank(tri, "s", "d", iters = 4, damping = 0.5)
     out.collect()
-    // alive: node spine, degree-annotated edges, and the FINAL round
-    // (the returned frame reads it) — superseded rounds must be gone
+    // alive: ONLY the final round (the returned frame reads it) — the
+    // spine, edges, and every superseded round must be gone
     val alive = spark.sparkContext.getPersistentRDDs.size
-    assert(alive <= 3, s"leaked checkpoint blocks: $alive alive")
+    assert(alive <= 1, s"leaked checkpoint blocks: $alive alive")
     Blocks.freeAll(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
