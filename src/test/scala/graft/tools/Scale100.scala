@@ -141,6 +141,27 @@ object Scale100 {
     println("SCALE100 cc_choice=" +
       spark.conf.get("spark.graft.cc.lastChoice", "?"))
 
+    // ---- iterative rank/cluster operators on the REAL 100× inputs
+    // (their registered gates run planted/small-k shapes; these are
+    // the production-scale datapoints: rank over the symmetrized
+    // ~55M-directed-edge pair graph, k-means over the full 200k
+    // embeddings at a realistic cell count)
+    run("pagerank_pair_graph") {
+      val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      graft.operators.Rank.pageRank(edges, "src", "dst",
+                                    iters = 3, damping = 0.85)
+    }
+    run("kmeans_fit_k64") {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = graft.operators.Cluster.fit(emb, "vec_id", "embedding",
+                                              k = 64, maxIters = 3)
+      graft.operators.Cluster.assign(emb, "vec_id", "embedding", cents)
+        .groupBy(col("cluster_id")).count()
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
