@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions.{call_function, lit}
-import graft.functions.expressions.{DotProduct, MinHashSignature, SignBucket, SimHash64}
+import graft.functions.expressions.{DotProduct, MinHashSignature, NearestCentroid, SignBucket, SimHash64}
 
 /** Registration of graft's native Catalyst expressions into a session's
   * function registry, so they're usable from both the Column API and
@@ -16,6 +16,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash"
   val MinHashName = "graft_minhash"
   val SignBucketName = "graft_signbucket"
+  val NearestCentroidName = "graft_nearest_centroid"
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
 
@@ -43,6 +44,10 @@ object GraftFunctions {
     (SignBucketName, classOf[SignBucket],
       (c0: Seq[Expression]) => { val c = arity(SignBucketName, "vec, planes", 2, c0)
         SignBucket(c(0), c(1)) }),
+    (NearestCentroidName, classOf[NearestCentroid],
+      (c0: Seq[Expression]) => { val c = arity(NearestCentroidName,
+          "vec, ids, centroids, mode, offset", 5, c0)
+        NearestCentroid(c(0), c(1), c(2), c(3), c(4)) }),
     // Spark ships tested bloom expressions but registers them only for
     // its internal runtime-filter rewrite — surface them under graft
     // names so operators (Prune.bloomSemiJoin) and SQL users can build
@@ -99,6 +104,23 @@ object GraftFunctions {
   def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(SignBucketName, vec, org.apache.spark.sql.functions.typedLit(planes))
+  }
+
+  /** Fused nearest-centroid argmax against a constant centroid matrix:
+    * `struct<cell int, score double>` in one codegen'd loop —
+    * generated-code size stays O(1) in k where the composed
+    * greatest-of-k-structs form falls out of JIT past k≈16 (see
+    * [[graft.functions.expressions.NearestCentroid]]). Modes:
+    * `cosine` | `dot_norm` | `dot_bias`; `offset` scores against the
+    * in-place subspace `vec[offset, offset+dim)`. */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Array[Float])],
+                      mode: String, offset: Int = 0): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    val sorted = centroids.sortBy(_._1)
+    call_function(NearestCentroidName, vec,
+      org.apache.spark.sql.functions.typedLit(sorted.map(_._1)),
+      org.apache.spark.sql.functions.typedLit(sorted.map(_._2.toSeq)),
+      lit(mode), lit(offset))
   }
 
   /** Codegen'd dot product. Registers on the active session if needed

@@ -35,24 +35,23 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
-  /** Nearest-centroid assignment as a per-row cosine argmax over
-    * literal centroids: zero Exchange. Appends `cluster_id` (and
-    * `centroid_cos`, the winning similarity — curation ranks on it). */
+  /** Nearest-centroid assignment as a per-row cosine argmax via the
+    * fused [[graft.functions.expressions.NearestCentroid]] expression:
+    * zero Exchange, generated-code size O(1) in k (the composed
+    * greatest-of-k-structs form fell out of JIT past k≈16 — 40 s for
+    * a 200k×64 assignment that now runs in ~1 s). Appends
+    * `cluster_id` (and `centroid_cos`, the winning similarity —
+    * curation ranks on it). */
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
              centroids: Seq[(Int, Array[Float])]): DataFrame = {
     require(centroids.nonEmpty, "no centroids")
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val scored = centroids.map { case (i, arr) =>
-      struct(
-        graft.functions.GraftFunctions
-          .cosine(col(vecCol), typedLit(arr.toSeq)).as("s"),
-        lit(-i).as("negcell"))
-    }
-    val best =
-      if (scored.length == 1) scored.head else greatest(scored: _*)
+    val nc = graft.functions.GraftFunctions
+      .nearestCentroid(col(vecCol), centroids, "cosine")
     vectors
-      .withColumn("cluster_id", -best.getField("negcell"))
-      .withColumn("centroid_cos", best.getField("s"))
+      .withColumn("__nc", nc)
+      .withColumn("cluster_id", col("__nc").getField("cell"))
+      .withColumn("centroid_cos", col("__nc").getField("score"))
+      .drop("__nc")
   }
 
   /** One centroid-update step: per-cluster element-wise vector sums +

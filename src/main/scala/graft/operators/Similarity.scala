@@ -71,16 +71,10 @@ object Similarity {
     * is identical — one codegen'd dot per cell per row. Ties break to
     * the smallest cell id, like the former (cos DESC, cell) ordering. */
   private[graft] def assignCells(df: DataFrame, vecCol: String,
-                                 centroids: Seq[(Int, Array[Float])]): DataFrame = {
-    val scored = centroids.map { case (i, arr) =>
-      val norm = math.sqrt(arr.map(x => x.toDouble * x).sum)
-      val inv = if (norm == 0.0) 0.0 else 1.0 / norm
-      struct(
-        (graft.functions.GraftFunctions.dot(col(vecCol), typedLit(arr.toSeq)) * lit(inv)).as("s"),
-        lit(-i).as("negcell"))
-    }
-    df.withColumn("cell", -greatest(scored: _*).getField("negcell"))
-  }
+                                 centroids: Seq[(Int, Array[Float])]): DataFrame =
+    df.withColumn("cell", graft.functions.GraftFunctions
+      .nearestCentroid(col(vecCol), centroids, "dot_norm")
+      .getField("cell"))
 
   /** Seeded k-means++ init + Lloyd's iterations over an in-memory
     * sample. Training runs on the DRIVER by design: centroid quality
@@ -240,14 +234,10 @@ object Similarity {
                               codebooks: Seq[Seq[(Int, Array[Float])]]): DataFrame = {
     val d = codebooks.head.head._2.length
     val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
-      val sub = slice(col(vecCol), s * d + 1, d)
-      val scored = cb.map { case (i, arr) =>
-        val half = arr.map(x => x.toDouble * x).sum / 2.0
-        struct(
-          (graft.functions.GraftFunctions.dot(sub, typedLit(arr.toSeq)) - lit(half)).as("s"),
-          lit(-i).as("negcode"))
-      }
-      -greatest(scored: _*).getField("negcode")
+      // offset reads the subspace in place — no per-row slice() copy
+      graft.functions.GraftFunctions
+        .nearestCentroid(col(vecCol), cb, "dot_bias", offset = s * d)
+        .getField("cell")
     }
     df.withColumn("codes", array(codeCols: _*))
   }

@@ -68,4 +68,129 @@ class ExpressionSpec extends SparkSpec {
       .as[(Seq[Long], Seq[Long])].collect()
     out.foreach { case (n, h) => assert(n === h) }
   }
+
+  // --- graft_nearest_centroid: bit-identical to the composed
+  // greatest-of-structs formulations it replaced (Cluster.assign /
+  // Similarity.assignCells / pqEncode), which themselves stay here as
+  // the reference semantics.
+
+  private def randCentroids(k: Int, dim: Int, seed: Long): Seq[(Int, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until k).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+  }
+
+  private def randVecs(n: Int, dim: Int, seed: Long): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  test("graft_nearest_centroid cosine equals the composed greatest form") {
+    val cents = randCentroids(7, 6, seed = 1)
+    val df = randVecs(50, 6, seed = 2).map(Tuple1(_)).toDF("vec")
+    val composed = greatest(cents.map { case (i, arr) =>
+      struct(GraftFunctions.cosine(col("vec"), typedLit(arr.toSeq)).as("s"),
+             lit(-i).as("negcell"))
+    }: _*)
+    val out = df.select(
+      GraftFunctions.nearestCentroid(col("vec"), cents, "cosine").as("nc"),
+      (-composed.getField("negcell")).as("cell2"),
+      composed.getField("s").as("s2"))
+      .select(col("nc.cell"), col("nc.score"), col("cell2"), col("s2"))
+      .as[(Int, Double, Int, Double)].collect()
+    assert(out.length === 50)
+    out.foreach { case (c1, s1, c2, s2) =>
+      assert(c1 === c2)
+      assert(java.lang.Double.doubleToRawLongBits(s1) ===
+             java.lang.Double.doubleToRawLongBits(s2))
+    }
+  }
+
+  test("graft_nearest_centroid dot_norm equals the composed argmax") {
+    val cents = randCentroids(9, 5, seed = 3)
+    val df = randVecs(40, 5, seed = 4).map(Tuple1(_)).toDF("vec")
+    val composed = greatest(cents.map { case (i, arr) =>
+      val norm = math.sqrt(arr.map(x => x.toDouble * x).sum)
+      val inv = if (norm == 0.0) 0.0 else 1.0 / norm
+      struct((GraftFunctions.dot(col("vec"), typedLit(arr.toSeq)) * lit(inv)).as("s"),
+             lit(-i).as("negcell"))
+    }: _*)
+    val out = df.select(
+      GraftFunctions.nearestCentroid(col("vec"), cents, "dot_norm")
+        .getField("cell").as("c1"),
+      (-composed.getField("negcell")).as("c2"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (c1, c2) => assert(c1 === c2) }
+  }
+
+  test("graft_nearest_centroid dot_bias with offset equals slice + composed argmax") {
+    val d = 3
+    val cents = randCentroids(8, d, seed = 5)
+    val df = randVecs(30, 2 * d, seed = 6).map(Tuple1(_)).toDF("vec")
+    for (s <- 0 to 1) {
+      val sub = slice(col("vec"), s * d + 1, d)
+      val composed = greatest(cents.map { case (i, arr) =>
+        val half = arr.map(x => x.toDouble * x).sum / 2.0
+        struct((GraftFunctions.dot(sub, typedLit(arr.toSeq)) - lit(half)).as("s"),
+               lit(-i).as("negcode"))
+      }: _*)
+      val out = df.select(
+        GraftFunctions.nearestCentroid(col("vec"), cents, "dot_bias",
+                                       offset = s * d)
+          .getField("cell").as("c1"),
+        (-composed.getField("negcode")).as("c2"))
+        .as[(Int, Int)].collect()
+      out.foreach { case (c1, c2) => assert(c1 === c2) }
+    }
+  }
+
+  test("graft_nearest_centroid edge semantics: ties, zero norms, short vectors") {
+    val cents = Seq(
+      (0, Array(0f, 1f)),
+      (1, Array(0f, 2f)),   // same direction as 0: cosine tie -> id 0
+      (2, Array(0f, 0f)))   // zero-norm centroid: never wins under cosine
+    val df = Seq(
+      (1L, Array(0f, 5f)),  // tie between 0 and 1 -> smallest id
+      (2L, Array(0f, 0f)),  // zero-norm row -> (min id, null score)
+      (3L, Array(1f))       // dim-short -> null struct
+    ).toDF("id", "vec")
+    val out = df.select(col("id"),
+      GraftFunctions.nearestCentroid(col("vec"), cents, "cosine").as("nc"))
+      .select(col("id"), col("nc.cell"), col("nc.score"),
+              col("nc").isNull.as("all_null"))
+      .collect().map(r => (r.getLong(0), r)).toMap
+    assert(out(1L).getInt(1) === 0)
+    assert(math.abs(out(1L).getDouble(2) - 1.0) < 1e-12)
+    assert(out(2L).getInt(1) === 0 && out(2L).isNullAt(2))
+    assert(out(3L).isNullAt(1) && out(3L).getBoolean(3))
+    // dot_norm: zero-norm centroid scores 0 exactly (not null) and can
+    // win against negative scores — the assignCells convention
+    val neg = Seq(Tuple1(Array(0f, -1f))).toDF("vec")
+    val cell = neg.select(
+      GraftFunctions.nearestCentroid(col("vec"), cents, "dot_norm")
+        .getField("cell")).as[Int].head()
+    assert(cell === 2)
+  }
+
+  test("graft_nearest_centroid SQL registration agrees with the Column API") {
+    // dyadic centroid values (k/256) so the SQL decimal literals parse
+    // back to the identical floats the Column path embeds
+    val rnd = new scala.util.Random(7)
+    val cents = (0 until 5).map(i =>
+      (i, Array.fill(4)((rnd.nextInt(512) - 256) / 256f)))
+    GraftFunctions.register(spark)
+    val df = randVecs(20, 4, seed = 8)
+      .map(v => Tuple1(v.map(_.toDouble))).toDF("vec")
+    df.createOrReplaceTempView("nc_probe")
+    val idsLit = cents.map(_._1).mkString("array(", ",", ")")
+    val centsLit = cents.map(_._2.map(f =>
+        s"cast($f as float)").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val viaSql = spark.sql(
+      s"SELECT graft_nearest_centroid(vec, $idsLit, $centsLit, 'cosine', 0).cell FROM nc_probe")
+      .as[Int].collect()
+    val viaCol = df.select(
+      GraftFunctions.nearestCentroid(col("vec"), cents, "cosine")
+        .getField("cell")).as[Int].collect()
+    assert(viaSql.toSeq === viaCol.toSeq)
+  }
 }

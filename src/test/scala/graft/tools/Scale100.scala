@@ -64,7 +64,13 @@ object Scale100 {
     Tables.lineitem(spark, dir).limit(1000).groupBy("l_returnflag").count().collect()
 
     val out = new StringBuilder
-    def run(label: String)(df: => DataFrame): Unit = {
+    // SCALE100_ONLY=a,b,c restricts to a label subset for local
+    // iteration (same convention as Verify's SPARK_GRAFT_ONLY);
+    // artifact runs leave it unset.
+    val only = sys.env.get("SCALE100_ONLY").map(_.split(",").toSet)
+    def run(label: String)(df: => DataFrame): Unit =
+      if (only.forall(_.contains(label))) runAlways(label)(df)
+    def runAlways(label: String)(df: => DataFrame): Unit = {
       // settle the async listener bus so the previous query's last
       // stages don't bleed into this window (diagnostic tool: a 1 s
       // sleep is simpler than reaching into the private listener bus)
