@@ -17,37 +17,54 @@ import org.apache.spark.sql.functions._
   * common simplification; callers who need the stochastic variant
   * renormalize the result.
   *
-  * Scale shape: the edge table joins its out-degrees ONCE and is
-  * localCheckpointed (static across iterations); each iteration is
-  * then one equi-join of the rank vector with the degree-annotated
-  * edges on src plus one partial-agg sum keyed by dst, and a left
-  * join back onto the node spine so zero-inlink nodes keep their
-  * (1−d) base. Two shuffles per iteration, O(edges) rows moved, no
-  * per-node state on the driver. Every superseded round's checkpoint
-  * blocks are freed eagerly (the r4 lesson — see [[graft.Blocks]]);
-  * the RETURNED frame still reads its final checkpoint, which the
-  * caller releases via Blocks.freeAll once consumed.
+  * Scale shape: everything edge-sized stays put. The bare (src, dst)
+  * edge list is cached ONCE, columnar-compressed with disk fallback
+  * (an earlier revision localCheckpointed edges joined with their
+  * out-degrees — ~5 GB of deserialized rows for a 55M-edge graph,
+  * which OOM'd a 16 GB heap at 100×; the columnar cache of two long
+  * columns is ~10× smaller and spills instead of dying). Per
+  * iteration the NODE-sized side does all the moving: contribution
+  * pr/outdeg is computed on the rank vector (one node×node join),
+  * broadcast when the node count allows, and hash-joined into the
+  * cached edges — the edge table is never sorted and never shuffled,
+  * and the map-side partial agg reduces the join output to ≤ nodes
+  * rows per task before the one real exchange (keyed by dst). A left
+  * join back onto the node spine keeps zero-inlink nodes at their
+  * (1−d) base. Past `maxBroadcastNodes` (or with it set to 0) the
+  * contribution join falls back to a shuffle join — the
+  * 1000-executor/billion-node regime where a broadcast build would
+  * not fit. Every superseded round's checkpoint blocks are freed
+  * eagerly (the r4 lesson — see [[graft.Blocks]]); the RETURNED frame
+  * still reads its final checkpoint, which the caller releases via
+  * Blocks.freeAll once consumed.
   */
 object Rank {
 
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.75): DataFrame = {
+               iters: Int = 3, damping: Double = 0.75,
+               maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
     val e = edges.select(col(srcCol).cast("long").as("src"),
                          col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val withDeg = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint()
+    // dangling nodes (no out-edges) are absent here, so the inner
+    // contribution join drops them — they receive mass but pass none
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nNodes = nodes.count()
     var ranks = nodes.select(col("node"), lit(1.0).as("pr")).localCheckpoint()
     for (_ <- 0 until iters) {
-      val mass = ranks
-        .join(withDeg, col("node") === col("src"))
-        .select(col("dst"), (col("pr") / col("outdeg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val contrib0 = ranks
+        .join(deg, col("node") === col("src"))
+        .select(col("src"), (col("pr") / col("outdeg")).as("w"))
+      val contrib = if (maxBroadcastNodes > 0 && nNodes <= maxBroadcastNodes)
+        broadcast(contrib0) else contrib0
+      val mass = e.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("w")).as("in_mass"))
       val next = nodes
         .join(mass, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -57,11 +74,12 @@ object Rank {
       graft.Blocks.freeCheckpoint(ranks)
       ranks = next
     }
-    // the final round is itself checkpointed, so the spine and the
-    // degree-annotated edges are no longer reachable — free them now
-    // rather than leaving them for the caller's Blocks.freeAll
+    // the final round is itself checkpointed, so the spine, degrees,
+    // and cached edges are no longer reachable — free them now rather
+    // than leaving them for the caller's Blocks.freeAll
     graft.Blocks.freeCheckpoint(nodes)
-    graft.Blocks.freeCheckpoint(withDeg)
+    graft.Blocks.freeCheckpoint(deg)
+    e.unpersist(false)
     ranks
   }
 }
