@@ -19,20 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects; read nanos as long and convert to a µs timestamp
-    * (integer DIV — double division would lose precision on 1.7e18-ns
-    * epochs). */
+  /** The driver's events.parquet `ts` physical type has varied by
+    * round: TIMESTAMP(NANOS) (rejected by Spark's reader — read nanos
+    * as long, integer-DIV to µs), then naive timestamp[us] (reads as
+    * TIMESTAMP_NTZ, which Structured Streaming watermarks reject).
+    * Normalize every variant to TIMESTAMP (LTZ) — under the engine's
+    * fixed UTC session zone the NTZ→LTZ cast reinterprets the same
+    * wall-clock as the same instant, so values are unchanged and both
+    * batch oracles and streaming watermarks see the type they expect. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
-    // derived/re-written events (e.g. ScaleN output) already carry a
-    // real µs timestamp — only the driver's TIMESTAMP(NANOS) source
-    // needs the nanos-long conversion
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
