@@ -99,10 +99,22 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val loadAfter = loadavg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms) — full double repr bloated the line past the
+    // driver's stdout tail buffer, truncating the recorded artifact
+    // mid-JSON (r7 advice); sub-0.1ms digits are noise anyway
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    // belt and braces for the tail-capture problem: persist the same
+    // line where a harness can load it whole even if stdout is clipped
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_results.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }
