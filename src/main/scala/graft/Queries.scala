@@ -3056,6 +3056,224 @@ object Queries {
       |       GROUP BY v.node)
       |SELECT node, pr FROM r3""".stripMargin
 
+  // ----------------------------------------------- #17g-17m TPC-H shapes
+
+  /** Q4 shape (#17g): EXISTS-driven priority census. */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame =
+    Relational.lateExistsByPriority(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      "1998-07-01", "1998-10-01", 60)
+
+  private val q4PriorityExistsSql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= '1998-07-01' AND o_orderdate < '1998-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q6 shape (#17h): scan-only banded forecast revenue — every
+    * predicate reaches the parquet scan (PlanSpec pins PushedFilters). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Relational.forecastRevenue(Tables.lineitem(spark, dir),
+      "1996-01-01", "1997-01-01", 0.04, 0.06, 24.0)
+
+  private val q6ForecastRevenueSql =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * CAST(l_discount AS DECIMAL(7,6)) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  /** Q8 shape (#17i): two-conditional-sum market share by year. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame =
+    Relational.marketShare(
+      Tables.region(spark, dir), Tables.nation(spark, dir),
+      Tables.customer(spark, dir), Tables.supplier(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.part(spark, dir),
+      "EUROPE", "ECONOMY", "NATION_13", "1996-01-01", "1998-01-01")
+
+  private val q8MarketShareSql =
+    """WITH vol AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_13'
+      |      THEN CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))
+      |      ELSE 0 END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS share_volume,
+      |    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_volume
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+      |  GROUP BY 1)
+      |SELECT o_year, share_volume, total_volume,
+      |  share_volume / total_volume AS mkt_share
+      |FROM vol""".stripMargin
+
+  /** Q9 shape (#17j): profit by supplier nation and year (unit cost
+    * proxied at 10% of retail — no partsupp in the schema). */
+  def q9ProfitByNation(spark: SparkSession, dir: String): DataFrame =
+    Relational.profitByNation(
+      Tables.nation(spark, dir), Tables.supplier(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      Tables.part(spark, dir), "PROMO", new java.math.BigDecimal("0.10"))
+
+  private val q9ProfitByNationSql =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(CAST(SUM(CAST(
+      |    CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6)))
+      |    - CAST(p_retailprice AS DECIMAL(13,6)) * CAST(l_quantity AS DECIMAL(13,6)) * CAST(0.10 AS DECIMAL(7,6))
+      |  AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q10 shape (#17k): top-20 customers by returned-line revenue in a
+    * quarter; value-total ordering keeps the cut deterministic. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame =
+    Relational.returnedItemLosses(
+      Tables.nation(spark, dir), Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      "1997-10-01", "1998-01-01", 20)
+
+  private val q10ReturnedItemsSql =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= '1997-10-01' AND o_orderdate < '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** Q15 shape (#17l): argmax-vs-global-scalar — supplier(s) at the
+    * quarterly revenue maximum, ties kept. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame =
+    Relational.topRevenueSupplier(
+      Tables.supplier(spark, dir), Tables.lineitem(spark, dir),
+      "1996-01-01", "1996-04-01")
+
+  private val q15TopSupplierSql =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(13,6)) * (1 - CAST(l_discount AS DECIMAL(7,6))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin
+
+  /** Q16 shape (#17m): supplier variety per (brand, type, size) with a
+    * NOT-IN deny list (negative balance ≙ complaints). */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame =
+    Relational.supplierVariety(
+      Tables.supplier(spark, dir), Tables.lineitem(spark, dir),
+      Tables.part(spark, dir), "Brand#1")
+
+  private val q16SupplierVarietySql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------- #53-55 graph/temporal/winnow
+
+  /** Triangle counts (#53) on the supplier co-occurrence graph: nodes
+    * are suppliers, an edge links suppliers filling ≥5 common orders
+    * (the weight threshold every similarity graph applies before
+    * structure mining). Degree-oriented wedge counting — see [[Graph]]
+    * for why this survives hub nodes at 100 TB. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val edges = pairs.as("a")
+      .join(pairs.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 5)
+      .select(col("u").cast("long"), col("v").cast("long"))
+    Graph.triangleCounts(edges)
+  }
+
+  private val triangleCountsSql =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+      |e AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |      FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+      |                       AND a.l_suppkey < b.l_suppkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT node, COUNT(*) AS n_triangles
+      |FROM (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+      |      UNION ALL SELECT c FROM t) s
+      |GROUP BY node""".stripMargin
+
+  /** EWMA demand smoothing (#54): daily order volume per priority
+    * through the bit-reproducible dyadic EWMA — see [[Temporal.ewma]]
+    * for the exactness argument. */
+  def ewmaDailyDemand(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(Relational.dsum(col("o_totalprice")).as("demand"))
+    Temporal.ewma(daily, Seq("prio"), "day", "demand", terms = 10)
+  }
+
+  private val ewmaDailyDemandSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS demand
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT prio, day, demand, ewma FROM (
+      |  SELECT prio, day, demand,
+      |    (demand * 0.5 + lag(demand, 1) OVER w * 0.25
+      |     + lag(demand, 2) OVER w * 0.125
+      |     + lag(demand, 3) OVER w * 0.0625
+      |     + lag(demand, 4) OVER w * 0.03125
+      |     + lag(demand, 5) OVER w * 0.015625
+      |     + lag(demand, 6) OVER w * 0.0078125
+      |     + lag(demand, 7) OVER w * 0.00390625
+      |     + lag(demand, 8) OVER w * 0.001953125
+      |     + lag(demand, 9) OVER w * 0.0009765625) / 0.9990234375 AS ewma,
+      |    row_number() OVER w AS rn
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY prio ORDER BY day)) t
+      |WHERE rn >= 10""".stripMargin
+
+  /** Winnowing fingerprints (#55): k=8, w=4 — see [[Corpus.winnow]]. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Corpus.winnow(Tables.documents(spark, dir), "doc_id", "text", k = 8, w = 4)
+
+  private val winnowFingerprintSql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 11),
+      |g0 AS (SELECT doc_id, text, length(text) - 7 AS ng,
+      |       unnest(range(1, length(text) - 6)) AS i FROM d),
+      |g AS (SELECT doc_id, i, ng,
+      |      md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM g0),
+      |m AS (SELECT doc_id, i, ng,
+      |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |      FROM g)
+      |SELECT DISTINCT doc_id, fp FROM m WHERE i <= ng - 3""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3175,7 +3393,17 @@ object Queries {
     "kmeans_prune"             -> (kmeansPrune _),
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
     "pagerank_sound"           -> (pagerankSound _),
-    "q19_band_revenue"         -> (q19BandRevenue _)
+    "q19_band_revenue"         -> (q19BandRevenue _),
+    "q4_priority_exists"       -> (q4PriorityExists _),
+    "q6_forecast_revenue"      -> (q6ForecastRevenue _),
+    "q8_market_share"          -> (q8MarketShare _),
+    "q9_profit_by_nation"      -> (q9ProfitByNation _),
+    "q10_returned_items"       -> (q10ReturnedItems _),
+    "q15_top_supplier"         -> (q15TopSupplier _),
+    "q16_supplier_variety"     -> (q16SupplierVariety _),
+    "triangle_counts"          -> (triangleCounts _),
+    "ewma_daily_demand"        -> (ewmaDailyDemand _),
+    "winnow_fingerprint"       -> (winnowFingerprint _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3283,7 +3511,17 @@ object Queries {
     "kmeans_assign"            -> kmeansAssignSql,
     "kmeans_prune"             -> kmeansPruneSql,
     "pagerank_sound"           -> pagerankSoundSql,
-    "q19_band_revenue"         -> q19BandRevenueSql
+    "q19_band_revenue"         -> q19BandRevenueSql,
+    "q4_priority_exists"       -> q4PriorityExistsSql,
+    "q6_forecast_revenue"      -> q6ForecastRevenueSql,
+    "q8_market_share"          -> q8MarketShareSql,
+    "q9_profit_by_nation"      -> q9ProfitByNationSql,
+    "q10_returned_items"       -> q10ReturnedItemsSql,
+    "q15_top_supplier"         -> q15TopSupplierSql,
+    "q16_supplier_variety"     -> q16SupplierVarietySql,
+    "triangle_counts"          -> triangleCountsSql,
+    "ewma_daily_demand"        -> ewmaDailyDemandSql,
+    "winnow_fingerprint"       -> winnowFingerprintSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

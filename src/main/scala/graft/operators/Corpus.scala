@@ -98,4 +98,36 @@ object Corpus {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * algorithm, public): hash every `k`-char gram, then keep the
+    * minimum hash of each sliding window of `w` consecutive gram
+    * hashes. Guarantees every shared substring of length ≥ k+w−1
+    * contributes at least one COMMON selected fingerprint between two
+    * documents, while storing only ~2/(w+1) of the gram hashes — the
+    * local-dedup / plagiarism-detection primitive between exact
+    * fingerprinting (row 33) and MinHash (row 24) in selectivity.
+    *
+    * Spark-first shape: ZERO exchanges. The naive formulation explodes
+    * per-position rows and runs a doc-partitioned window min — that
+    * shuffles corpus×length rows at 100 TB just to compare neighbors
+    * that were born adjacent. Instead the whole selection happens
+    * per-row with array HOFs (gram hashes → sliding array_min →
+    * array_distinct) and only the final fingerprint set is exploded;
+    * the plan is a single scan-project stage. Hashes are md5 hex
+    * strings compared lexicographically — a total order every engine
+    * agrees on bit-for-bit. Docs shorter than k+w−1 have no full
+    * window and are dropped, per the algorithm. */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
+    docs.where(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol),
+        expr(s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+             s"i -> md5(substring($textCol, i, $k)))").as("__hs"))
+      .select(col(idCol),
+        explode(expr(
+          s"array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
+          s"j -> array_min(slice(__hs, j, $w))))")).as("fp"))
+  }
 }

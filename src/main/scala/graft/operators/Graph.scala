@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected edge list — the local
+  * clustering signal corpus-graph curation uses alongside PageRank
+  * ([[Rank]]): rank says "which nodes matter", triangle density says
+  * "which neighborhoods are tightly knit" (link farms and boilerplate
+  * rings light up as dense triangle clusters; genuinely diverse hubs
+  * do not). Reference evidence: the warehouse star schema's
+  * co-occurrence relationships (suppliers sharing orders) — the same
+  * shape web-graph co-citation analysis runs at 100 TB.
+  *
+  * Scale shape — the degree-orientation trick (Suri & Vassilvitskii's
+  * MapReduce formulation, public): counting wedges at every node is
+  * Θ(Σ deg²) and dies on hubs; orienting every edge from its
+  * lower-(degree, id) endpoint to its higher one caps out-degree at
+  * O(√m), so the wedge join materializes at most m^(3/2) candidates
+  * TOTAL (not per hub), each closed by one hash-join probe against the
+  * oriented edge set. Every triangle has exactly one vertex whose two
+  * edges both point away under this total order, so each triangle is
+  * produced exactly once — no /3 correction, no double counting.
+  * Everything is joins + groupBys on (long, long) pairs: three
+  * shuffles end to end (orient-degree agg, wedge join, closure join),
+  * AQE free to pick broadcast for the small oriented sides at low SF.
+  */
+object Graph {
+
+  /** Canonical undirected edges (u < v, distinct) from any directed or
+    * repeated pair stream. */
+  def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("u"),
+        greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** All triangles (a, b, c) of the canonical edge set, each exactly
+    * once. Input must be canonical (see [[canonicalEdges]]). */
+  def triangles(edges: DataFrame): DataFrame = {
+    // degree over the undirected edge set
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient from lower (deg, id) to higher: out-degree ≤ O(√m)
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+             struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+    // wedges at the minimum vertex of each triangle: two out-edges of
+    // one source; the (b, c) order is fixed by node id so each
+    // unordered out-pair appears once
+    val e1 = oriented.select(col("src"), col("dst").as("b"))
+    val e2 = oriented.select(col("src"), col("dst").as("c"))
+    val wedges = e1.join(e2, Seq("src")).where(col("b") < col("c"))
+    // close the wedge against the CANONICAL edge set (b < c already
+    // holds on the wedge side, so no orientation probe is needed)
+    wedges.join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle participation counts (a node in t triangles
+    * reports t). Nodes in no triangle are absent. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val t = triangles(edges)
+    t.select(col("a").as("node"))
+      .union(t.select(col("b").as("node")))
+      .union(t.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -99,4 +99,151 @@ object Relational {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
+
+  /** TPC-H Q4-style: order count per priority where EXISTS a line item
+    * fulfilled late (shipped > `lateDays` after the order date — the
+    * schema has no commit/receipt dates, so lateness is measured
+    * against o_orderdate, which moves the date predicate INTO the
+    * join condition; Catalyst still plans it as a left-semi with the
+    * inequality as a post-probe filter). One shuffle on orderkey; the
+    * count-by-priority agg rides the broadcast-sized result. */
+  def lateExistsByPriority(orders: DataFrame, lineitem: DataFrame,
+                           from: String, to: String,
+                           lateDays: Int): DataFrame = {
+    val o = orders.where(col("o_orderdate") >= from && col("o_orderdate") < to)
+    o.join(lineitem,
+           col("l_orderkey") === col("o_orderkey") &&
+             col("l_shipdate") > col("o_orderdate") +
+               expr(s"INTERVAL $lateDays DAYS"),
+           "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q6-style forecast-revenue: pure scan-filter-agg. All three
+    * predicates push to the parquet scan (no join at all); revenue is
+    * price·discount with casts on the factors so the single output
+    * double is bit-stable cross-engine. The 100 TB shape: a full-fact
+    * scan whose row-group min/max on l_shipdate skips most of the
+    * table when the lake is date-clustered (Lake.writeSorted). */
+  def forecastRevenue(lineitem: DataFrame, from: String, to: String,
+                      discLo: Double, discHi: Double,
+                      qtyBelow: Double): DataFrame =
+    lineitem
+      .where(col("l_shipdate") >= from && col("l_shipdate") < to &&
+             col("l_discount").between(discLo, discHi) &&
+             col("l_quantity") < qtyBelow)
+      .agg(dsum(col("l_extendedprice").cast("decimal(13,6)") *
+                col("l_discount").cast("decimal(7,6)")).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** TPC-H Q8-style market share: of all order volume for one part
+    * type flowing to customers in one region, the fraction supplied
+    * from `shareNation`, by order year. Numerator and denominator are
+    * decimal-exact doubles; the share is ONE double division of two
+    * bit-stable doubles, so it is bit-stable too (IEEE division is
+    * deterministic given identical operands). Dims all broadcast; the
+    * only shuffles are the two fact-fact joins and the tiny year agg. */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                  part: DataFrame, regionName: String, partType: String,
+                  shareNation: String, from: String, to: String): DataFrame = {
+    val custNations = broadcast(
+      nation.join(broadcast(region.where(col("r_name") === regionName)),
+                  col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_nationkey")))
+    val suppNation = broadcast(
+      supplier.join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+                    col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(broadcast(part.where(col("p_type") === partType)),
+            col("l_partkey") === col("p_partkey"))
+      .join(orders.where(col("o_orderdate") >= from && col("o_orderdate") < to),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(custNations, col("c_nationkey") === col("cn_nationkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(when(col("supp_nation") === shareNation, discPriceDec)
+                  .otherwise(lit(0))).as("share_volume"),
+           dsum(discPriceDec).as("total_volume"))
+      .select(col("o_year"), col("share_volume"), col("total_volume"),
+              (col("share_volume") / col("total_volume")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-style product profit by supplier nation and year. The
+    * schema has no partsupp, so unit cost is proxied as
+    * `costRate`·p_retailprice — the join/agg shape (fact ⋈ part filter
+    * ⋈ orders ⋈ supplier ⋈ nation, two-key groupBy) is the point.
+    * Profit stays decimal on the factors: retailprice and quantity are
+    * 2-decimal sources, costRate is a 2-decimal literal, so the
+    * per-row profit is exact and the sum order-free. */
+  def profitByNation(nation: DataFrame, supplier: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame, part: DataFrame,
+                     typeFilter: String, costRate: java.math.BigDecimal): DataFrame =
+    lineitem
+      .join(broadcast(part.where(col("p_type") === typeFilter)),
+            col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(discPriceDec -
+                col("p_retailprice").cast("decimal(13,6)") *
+                  col("l_quantity").cast("decimal(13,6)") *
+                  lit(costRate).cast("decimal(7,6)")).as("profit"))
+
+  /** TPC-H Q10-style returned-item losses: top `k` customers by revenue
+    * on returned lines in a quarter. The top-k cut orders by
+    * (revenue DESC, custkey) — revenue doubles are bit-stable, so the
+    * selected set is deterministic cross-engine even through ties. */
+  def returnedItemLosses(nation: DataFrame, customer: DataFrame,
+                         orders: DataFrame, lineitem: DataFrame,
+                         from: String, to: String, k: Int): DataFrame =
+    lineitem.where(col("l_returnflag") === "R")
+      .join(orders.where(col("o_orderdate") >= from && col("o_orderdate") < to),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(discPriceDec).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** TPC-H Q15-style top supplier: the supplier(s) whose quarterly
+    * revenue equals the global maximum. The per-supplier agg happens
+    * ONCE; the global max is a single-row agg of that result joined
+    * back by value (broadcast — it is one row). Equality on doubles is
+    * safe here because both sides come from the same decimal-exact
+    * pipeline, and it keeps ties (all argmax suppliers), which is Q15's
+    * actual semantics. */
+  def topRevenueSupplier(supplier: DataFrame, lineitem: DataFrame,
+                         from: String, to: String): DataFrame = {
+    val rev = lineitem
+      .where(col("l_shipdate") >= from && col("l_shipdate") < to)
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(discPriceDec).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16-style supplier variety: distinct suppliers able to ship
+    * each (brand, type, size) combination, excluding one brand and
+    * excluding suppliers on a deny list (negative account balance — the
+    * schema's stand-in for Q16's complaint suppliers). The deny list is
+    * a broadcast left-anti (NOT IN with non-null keys ≡ anti join);
+    * countDistinct runs the standard two-phase expand. */
+  def supplierVariety(supplier: DataFrame, lineitem: DataFrame,
+                      part: DataFrame, excludeBrand: String): DataFrame =
+    lineitem
+      .join(broadcast(supplier.where(col("s_acctbal") < 0)
+              .select(col("s_suppkey").as("bad_suppkey"))),
+            col("l_suppkey") === col("bad_suppkey"), "left_anti")
+      .join(broadcast(part.where(col("p_brand") =!= excludeBrand)),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
 }

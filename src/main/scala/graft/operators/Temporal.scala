@@ -107,4 +107,37 @@ object Temporal {
       .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Exponentially-weighted moving average with α = 1/2 over the last
+    * `terms` observations — the classic demand-forecast smoother the
+    * reference's warehouse feeds (README "time-series model inputs"),
+    * built bit-reproducibly: weights 2⁻¹ … 2⁻ᵗᵉʳᵐˢ are exact dyadic
+    * doubles, each product xᵢ·2⁻ᵏ is an exact binary scaling, and the
+    * sum is written as ONE fixed left-associated expression tree — so
+    * any engine evaluating the same tree over the same doubles (IEEE
+    * ops are deterministic) produces the identical bit pattern. A
+    * running-sum formulation would instead accumulate in frame order
+    * and tie results to partitioning. Normalization divides by the
+    * exact dyadic Σ weights = 1 − 2⁻ᵗᵉʳᵐˢ.
+    *
+    * Scale: one shuffle (the window partitioning); `terms` lag columns
+    * resolve inside a single window, all codegen. Rows without full
+    * history are dropped (the caller sees only fully-warmed values).
+    */
+  def ewma(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+           valueCol: String, terms: Int = 10): DataFrame = {
+    require(terms >= 1 && terms <= 50, s"terms out of [1,50]: $terms")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val lagged = (0 until terms).map { i =>
+      val weight = math.pow(2.0, -(i + 1)) // exact dyadic
+      (if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)) * lit(weight)
+    }
+    val norm = 1.0 - math.pow(2.0, -terms) // exact dyadic
+    df.withColumn("__ewma_raw", lagged.reduceLeft(_ + _) / lit(norm))
+      .withColumn("__n", row_number().over(w))
+      .where(col("__n") >= terms)
+      .withColumn("ewma", col("__ewma_raw"))
+      .drop("__ewma_raw", "__n")
+  }
 }
