@@ -82,4 +82,33 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(out === Array((1L, 1L, true), (2L, 0L, false)))
   }
+
+  test("winnow matches a driver-side reference and honors the shared-substring guarantee") {
+    val k = 8; val w = 4
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with the lazy dog tail here"),
+      (3L, "short")).toDF("doc_id", "text")
+    val got = Corpus.winnow(docs, "doc_id", "text", k, w)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // driver-side reference implementation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String): Set[String] = {
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to text.length - k).map(i => md5hex(text.substring(i, i + k)))
+        (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+      }
+    }
+    assert(got.getOrElse(3L, Set.empty) === Set.empty[String]) // too short
+    assert(got(1L) === ref("the quick brown fox jumps over the lazy dog"))
+    assert(got(2L) === ref("a completely different sentence with the lazy dog tail here"))
+    // the winnowing guarantee: docs 1 and 2 share "the lazy dog" plus a
+    // boundary char (>= k+w-1 = 11 shared chars) -> at least one common
+    // selected fingerprint
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+  }
 }

@@ -183,4 +183,25 @@ class TemporalSpec extends SparkSpec {
     // unlisted sources are gone; listed ones survive in rough w-order
     assert(kept.map(_._2).subsetOf(weights.keySet))
   }
+
+  test("ewma equals the closed-form dyadic sum and drops unwarmed rows") {
+    import spark.implicits._
+    val terms = 4
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "t", "x")
+    val out = Temporal.ewma(df, Seq("grp"), "t", "x", terms)
+      .select("t", "ewma").as[(Long, Double)].collect().toMap
+    // rows 0..2 lack full history
+    assert(out.keySet === Set(3L, 4L, 5L, 6L))
+    val norm = 1.0 - math.pow(2.0, -terms)
+    for (t <- 3 to 6) {
+      val expect = (0 until terms)
+        .map(i => xs(t - i) * math.pow(2.0, -(i + 1)))
+        .reduceLeft(_ + _) / norm
+      assert(out(t.toLong) === expect, s"t=$t")
+    }
+    // newest observation dominates: a spike at t=5 pulls ewma(5) above ewma(4)
+    assert(out(5L) > out(4L))
+  }
 }
