@@ -108,20 +108,24 @@ object Corpus {
     * local-dedup / plagiarism-detection primitive between exact
     * fingerprinting (row 33) and MinHash (row 24) in selectivity.
     *
-    * Spark-first shape: ZERO exchanges. The naive formulation explodes
-    * per-position rows and runs a doc-partitioned window min — that
-    * shuffles corpus×length rows at 100 TB just to compare neighbors
-    * that were born adjacent. Instead the whole selection happens
-    * per-row with array HOFs (gram hashes → sliding array_min →
-    * array_distinct) and only the final fingerprint set is exploded;
-    * the plan is a single scan-project stage. Hashes are md5 hex
-    * strings compared lexicographically — a total order every engine
-    * agrees on bit-for-bit. Docs shorter than k+w−1 have no full
-    * window and are dropped, per the algorithm. */
+    * Spark-first shape: one round-robin exchange and nothing else. The
+    * naive formulation explodes per-position rows and runs a
+    * doc-partitioned window min — that shuffles corpus×length rows at
+    * 100 TB just to compare neighbors that were born adjacent. Instead
+    * the whole selection happens per-row with array HOFs (gram hashes
+    * → sliding array_min → array_distinct) and only the final
+    * fingerprint set is exploded. The repartition ahead of the HOFs
+    * decouples the O(len·w) per-doc compute from file layout (the
+    * dedupLines/textRepetition lesson: a single-row-group corpus
+    * otherwise runs the whole hash loop on one core). Hashes are md5
+    * hex strings compared lexicographically — a total order every
+    * engine agrees on bit-for-bit. Docs shorter than k+w−1 have no
+    * full window and are dropped, per the algorithm. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
     docs.where(length(col(textCol)) >= k + w - 1)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol),
         expr(s"transform(sequence(1, length($textCol) - ${k - 1}), " +
              s"i -> md5(substring($textCol, i, $k)))").as("__hs"))

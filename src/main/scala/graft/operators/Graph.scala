@@ -37,22 +37,34 @@ object Graph {
       .distinct()
 
   /** All triangles (a, b, c) of the canonical edge set, each exactly
-    * once. Input must be canonical (see [[canonicalEdges]]). */
+    * once. Input must be canonical (see [[canonicalEdges]]).
+    *
+    * The edge table is consumed four times (degree agg, orientation,
+    * wedge self-join, closure probe) and its lineage is typically an
+    * expensive aggregation (e.g. the order-co-occurrence groupBy), so
+    * it is persisted columnar-with-disk-fallback for the duration —
+    * the PageRank lesson. The oriented table is persisted too: the
+    * wedge self-join reads it twice. Both are released by the caller's
+    * `Blocks.freeAll` once the result is consumed (bench/verify do
+    * this between queries). */
   def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // degree over the undirected edge set
-    val deg = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     // orient from lower (deg, id) to higher: out-degree ≤ O(√m)
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-    val oriented = edges.join(du, "u").join(dv, "v")
+    val oriented = e.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
              struct(col("u").as("s"), col("v").as("d")))
           .otherwise(struct(col("v").as("s"), col("u").as("d"))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // wedges at the minimum vertex of each triangle: two out-edges of
     // one source; the (b, c) order is fixed by node id so each
     // unordered out-pair appears once
@@ -61,7 +73,7 @@ object Graph {
     val wedges = e1.join(e2, Seq("src")).where(col("b") < col("c"))
     // close the wedge against the CANONICAL edge set (b < c already
     // holds on the wedge side, so no orientation probe is needed)
-    wedges.join(edges.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
       .select(col("src").as("a"), col("b"), col("c"))
   }
 
