@@ -90,6 +90,51 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sorted").count() === orders.count())
   }
 
+  test("Lake.writeZOrdered keeps per-file ranges tight on BOTH z columns") {
+    val tmp = Files.createTempDirectory("zorder").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 8
+    Lake.writeZOrdered(li, s"$tmp/z", Seq("l_partkey", "l_suppkey"), nFiles)
+    Lake.writeSorted(li, s"$tmp/s", "l_partkey", nFiles)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fileRanges(dir: String, column: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val stats = reader.getFooter.getBlocks.asScala.map { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == column).get.getStatistics
+              (c.genericGetMin.asInstanceOf[Long],
+               c.genericGetMax.asInstanceOf[Long])
+            }
+            (stats.map(_._1).min, stats.map(_._2).max)
+          } finally reader.close()
+        }
+    // average covered fraction of the column's global range, per file —
+    // the probability a uniform point filter on that column CANNOT
+    // skip a given file
+    def meanFrac(dir: String, column: String): Double = {
+      val rs = fileRanges(dir, column)
+      val (lo, hi) = (rs.map(_._1).min, rs.map(_._2).max)
+      val span = (hi - lo).toDouble.max(1.0)
+      rs.map(r => (r._2 - r._1).toDouble / span).sum / rs.size
+    }
+    // single-column sort: tight on the sort column, useless on the other
+    assert(meanFrac(s"$tmp/s", "l_partkey") < 0.3)
+    assert(meanFrac(s"$tmp/s", "l_suppkey") > 0.8)
+    // z-order: materially tight on BOTH (≤ ~n^(1-1/2)/n + slack)
+    assert(meanFrac(s"$tmp/z", "l_partkey") < 0.6)
+    assert(meanFrac(s"$tmp/z", "l_suppkey") < 0.6)
+    // and the data survives intact
+    assert(spark.read.parquet(s"$tmp/z").count() === li.count())
+  }
+
   test("Lake.writeSharded caps rows per file inside per-shard dirs") {
     val tmp = Files.createTempDirectory("sharded").toString
     val docs = Tables.documents(spark, sfDir)
