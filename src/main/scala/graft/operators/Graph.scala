@@ -36,6 +36,32 @@ object Graph {
       .where(col("u") =!= col("v"))
       .distinct()
 
+  /** Sparsify a weighted co-occurrence pair table (canonical `u < v`
+    * with weight `w`) to the union of each node's top-`k` strongest
+    * edges (kept if in EITHER endpoint's top-k — standard mutual-OR
+    * kNN graph construction). This is what keeps a similarity graph
+    * SCALE-STABLE: an absolute weight cut densifies toward complete
+    * as data volume grows over a fixed entity set (weights all scale
+    * with volume, so eventually every pair clears any constant), and
+    * triangle mass then explodes combinatorially no matter the
+    * algorithm. Top-k bounds edges at `nodes·k` at ANY data scale —
+    * the graph's size tracks the entity count, as a similarity graph
+    * should. Ordering is value-total (w DESC, neighbor id) so the
+    * kept set is deterministic through weight ties. One exchange
+    * (the per-node window) over 2·|pairs| rows. */
+  def topKEdges(weighted: DataFrame, k: Int): DataFrame = {
+    val fwd = weighted.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+    val rev = weighted.select(col("v").as("node"), col("u").as("nbr"), col("w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("w").desc, col("nbr"))
+    fwd.union(rev)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(least(col("node"), col("nbr")).as("u"),
+              greatest(col("node"), col("nbr")).as("v"))
+      .distinct()
+  }
+
   /** All triangles (a, b, c) of the canonical edge set, each exactly
     * once. Input must be canonical (see [[canonicalEdges]]).
     *

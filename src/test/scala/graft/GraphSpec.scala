@@ -37,6 +37,18 @@ class GraphSpec extends SparkSpec {
     assert(counts.filter(_._1 != 0L).values.forall(_ == 1L))
   }
 
+  test("topKEdges keeps the union of per-endpoint strongest edges, drops the rest") {
+    val w = Seq(
+      (1L, 2L, 9L), (1L, 3L, 5L), (2L, 3L, 8L),
+      (3L, 4L, 1L), (2L, 4L, 7L)).toDF("u", "v", "w")
+    // k=1: 1 keeps (1,2); 2 keeps (1,2); 3 keeps (2,3); 4 keeps (2,4)
+    val e1 = Graph.topKEdges(w, 1).as[(Long, Long)].collect().toSet
+    assert(e1 === Set((1L, 2L), (2L, 3L), (2L, 4L)))
+    // k >= max degree keeps everything
+    val e3 = Graph.topKEdges(w, 3).as[(Long, Long)].collect().toSet
+    assert(e3 === Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L)))
+  }
+
   test("canonicalEdges dedupes, orders, and drops self-loops") {
     val raw = Seq((2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L)).toDF("a", "b")
     val es = Graph.canonicalEdges(raw, "a", "b").as[(Long, Long)].collect().toSet
