@@ -168,6 +168,20 @@ object Scale100 {
         .groupBy(col("cluster_id")).count()
     }
 
+    // ---- round-8 operators: the kNN-graph triangle count (the top-k
+    // construction is precisely the scale claim to validate — a weight
+    // cut died combinatorially at 10×), the zero-shuffle winnowing
+    // HOF pipeline over 500k docs, the dyadic EWMA window, and two of
+    // the new TPC-H shapes whose dims stay 1× while facts grow 100×
+    run("triangle_counts")(SparkEntry.queries("triangle_counts")(spark, dir))
+    run("winnow_fingerprint")(
+      SparkEntry.queries("winnow_fingerprint")(spark, dir))
+    run("ewma_daily_demand")(
+      SparkEntry.queries("ewma_daily_demand")(spark, dir))
+    run("q8_market_share")(SparkEntry.queries("q8_market_share")(spark, dir))
+    run("q6_forecast_revenue")(
+      SparkEntry.queries("q6_forecast_revenue")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
