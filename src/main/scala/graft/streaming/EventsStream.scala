@@ -255,4 +255,67 @@ object EventsStream extends Serializable {
   def fromParquetDir(spark: SparkSession, dir: String,
                      schemaFrom: DataFrame): DataFrame =
     spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  case class EwmaPoint(user_id: Long, ts: Instant, value: Double,
+                       ewma: Double)
+  /** Pending events not yet behind the watermark (ts µs, id, value)
+    * and the latest-first history of finalized values (≤ terms). */
+  case class EwmaState(pending: List[(Long, Long, Double)],
+                       hist: List[Double])
+
+  /** Streaming twin of [[graft.operators.Temporal.ewma]] (α = 1/2,
+    * last `terms` observations): per-key smoothed values as events
+    * finalize. The BATCH operator's exactness argument carries over
+    * verbatim — dyadic weights, one fixed left-associated sum — so a
+    * stream point and the batch row for the same (key, ts) are
+    * bit-identical doubles (EwmaStreamSpec asserts exact equality).
+    *
+    * Out-of-order arrivals inside the watermark are handled the same
+    * way sessionize handles them: incoming events BUFFER in state and
+    * only finalize — in (ts, event_id) order — once the watermark
+    * passes them, so the smoothing history is applied in event-time
+    * order no matter the arrival order. An event-time timeout flushes
+    * buffered events when the watermark advances without new data for
+    * the key. State is O(terms + in-flight window) per key: the
+    * finalized history keeps only the last `terms` values, and the
+    * pending buffer is bounded by the watermark horizon. Like the
+    * batch operator, nothing is emitted until a key has `terms`
+    * finalized observations. */
+  def ewmaStream(spark: SparkSession, events: DataFrame, terms: Int = 10,
+                 watermarkDelay: String = "30 minutes"): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    require(terms >= 1 && terms <= 50, s"terms out of [1,50]: $terms")
+    val norm = 1.0 - math.pow(2.0, -terms)
+
+    def smoothed(hist: List[Double]): Double =
+      hist.zipWithIndex
+        .map { case (v, i) => v * math.pow(2.0, -(i + 1)) }
+        .reduceLeft(_ + _) / norm
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[EwmaState]): Iterator[EwmaPoint] = {
+      val st = state.getOption.getOrElse(EwmaState(Nil, Nil))
+      val pending = st.pending ++
+        it.map(e => (micros(e.ts), e.event_id, e.value))
+      val watermarkUs = state.getCurrentWatermarkMs() * 1000L
+      val (ready, rest) = pending.partition(_._1 < watermarkUs)
+      var hist = st.hist
+      val out = ready.sortBy(p => (p._1, p._2)).flatMap { p =>
+        hist = (p._3 :: hist).take(terms)
+        if (hist.size == terms)
+          Some(EwmaPoint(userId, instant(p._1), p._3, smoothed(hist)))
+        else None
+      }
+      state.update(EwmaState(rest, hist))
+      if (rest.nonEmpty)
+        state.setTimeoutTimestamp(rest.map(_._1).min / 1000L + 1)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }
