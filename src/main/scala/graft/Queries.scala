@@ -3285,6 +3285,32 @@ object Queries {
       |      FROM g)
       |SELECT DISTINCT doc_id, fp FROM m WHERE i <= ng - 3""".stripMargin
 
+  /** Containment dedup (#24b): asymmetric doc-inside-doc pairs over
+    * the df-capped vocabulary — see [[Dedup.containmentPairs]]. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+                           dfNum = 1, dfDen = 5, minNum = 1, minDen = 2)
+
+  private val dedupContainmentSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id AS doc,
+      |    unnest(regexp_split_to_array(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+      |rare AS (SELECT tok FROM tok2 GROUP BY tok
+      |        HAVING COUNT(*) * 5 <= (SELECT COUNT(DISTINCT doc_id)
+      |                                FROM documents)),
+      |rt AS (SELECT t.doc, t.tok FROM tok2 t JOIN rare USING (tok)),
+      |sz AS (SELECT doc AS doc_a, COUNT(*) AS n_a FROM rt GROUP BY 1),
+      |sh AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+      |       FROM rt a JOIN rt b ON a.tok = b.tok AND a.doc <> b.doc
+      |       GROUP BY 1, 2)
+      |SELECT sh.doc_a, sh.doc_b,
+      |  CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      |FROM sh JOIN sz ON sz.doc_a = sh.doc_a
+      |WHERE shared * 2 >= n_a""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3414,7 +3440,8 @@ object Queries {
     "q16_supplier_variety"     -> (q16SupplierVariety _),
     "triangle_counts"          -> (triangleCounts _),
     "ewma_daily_demand"        -> (ewmaDailyDemand _),
-    "winnow_fingerprint"       -> (winnowFingerprint _)
+    "winnow_fingerprint"       -> (winnowFingerprint _),
+    "dedup_containment"        -> (dedupContainment _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3532,7 +3559,8 @@ object Queries {
     "q16_supplier_variety"     -> q16SupplierVarietySql,
     "triangle_counts"          -> triangleCountsSql,
     "ewma_daily_demand"        -> ewmaDailyDemandSql,
-    "winnow_fingerprint"       -> winnowFingerprintSql
+    "winnow_fingerprint"       -> winnowFingerprintSql,
+    "dedup_containment"        -> dedupContainmentSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

@@ -896,4 +896,59 @@ object Dedup {
       .join(memB.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  // ----------------------------------------------------- containment
+
+  /** Asymmetric containment pairs: (a, b) where at least
+    * `minNum/minDen` of A's rare tokens also occur in B — the
+    * doc-inside-doc signal symmetric Jaccard misses (a short quote
+    * fully contained in a long article has tiny Jaccard but
+    * containment ≈ 1). Vocabulary is first capped at RELATIVE
+    * document frequency ≤ `dfNum/dfDen` of the corpus: corpus-frequent
+    * tokens ("the", boilerplate) carry no containment signal AND are
+    * what makes a token equi-join quadratic — a token in k docs
+    * yields k² candidate pairs. The cap must be relative, not
+    * absolute: over a bounded vocabulary every token's df grows with
+    * corpus size, so a fixed cutoff silently empties the joinable
+    * vocabulary as data grows (found at sf0.1 — the triangle
+    * weight-cut lesson, mirrored). Both numerator and denominator
+    * range over the capped vocabulary, so the metric is well-defined
+    * on what was actually joined. Both thresholds compare in integers
+    * (df·dfDen ≤ nDocs·dfNum; shared·minDen ≥ |A|·minNum) — no float
+    * boundary; the reported containment double is one division of two
+    * exact ints, bit-stable cross-engine.
+    *
+    * Shape: per-doc-distinct token explode → vocab df agg → df-capped
+    * rejoin (size-adaptive, no hint — vocab is corpus-sized at 100 TB
+    * and Catalyst picks sort-merge there, broadcast at test scale) →
+    * token equi-join → (a,b) partial-agg count → per-doc size join.
+    * No all-pairs anywhere; candidate volume is Σ df² over the capped
+    * vocabulary. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       dfNum: Int = 1, dfDen: Int = 5, minNum: Int = 1,
+                       minDen: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(array_distinct(
+          split(TextFunctions.normalize(col(textCol)), " "))).as("tok"))
+      .where(length(col("tok")) > 0)
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val rareVocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * dfDen <= col("n_docs") * dfNum)
+      .select("tok")
+    val rare = toks.join(rareVocab, "tok")
+    val sizes = rare.groupBy(col("doc").as("doc_a"))
+      .agg(count(lit(1)).as("n_a"))
+    rare.as("a")
+      .join(rare.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "doc_a")
+      .where(col("shared") * minDen >= col("n_a") * minNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+  }
 }
