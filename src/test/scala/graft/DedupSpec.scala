@@ -291,4 +291,27 @@ class DedupSpec extends SparkSpec {
     assert(got === truth)
     assert(truth.size >= 500 * 45) // every 10-copy group alone yields 45
   }
+
+  test("containmentPairs finds the quote inside the article, not the reverse") {
+    // doc 1 = short quote, doc 2 = article containing every quote word
+    // plus many of its own; doc 3 unrelated. Filler docs keep the
+    // relative df cap (<= 1/5 of docs) from swallowing the vocabulary.
+    val docs = (Seq(
+      (1L, "quantum flux capacitor resonates deeply"),
+      (2L, "the long article says quantum flux capacitor resonates deeply " +
+           "and then continues with many unrelated words about weather " +
+           "markets shipping logistics and navigation"),
+      (3L, "completely different content about gardening tulips")) ++
+      (10L to 29L).map(i => (i, s"filler$i padding$i noise$i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // all 5 of doc 1's words occur in doc 2 -> containment 1.0
+    assert(pairs((1L, 2L)) === 1.0)
+    // doc 2 in doc 1: only 5 of its ~20 rare words -> below 1/2, absent
+    assert(!pairs.contains((2L, 1L)))
+    // unrelated docs produce nothing
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
 }
