@@ -104,16 +104,23 @@ object Bench {
     // mid-JSON (r7 advice); sub-0.1ms digits are noise anyway
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def qsJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
-    // belt and braces for the tail-capture problem: persist the same
-    // line where a harness can load it whole even if stdout is clipped
+    // FULL per-query map goes to bench_results.json (git-tracked): the
+    // driver's stdout tail keeps only the last ~2000 bytes, and a
+    // 126-query line is ~4.5 KB — its head gets clipped and the artifact
+    // records parsed:null (r6/r7/r8 advice). The stdout line is a
+    // COMPACT digest sized to survive the tail window whole: total,
+    // the slowest 20 queries, any failures, and a pointer to the file.
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () }
+    val failed = results.filter(_._2 < 0)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(line)
     spark.stop()
   }

@@ -3286,10 +3286,15 @@ object Queries {
       |SELECT DISTINCT doc_id, fp FROM m WHERE i <= ng - 3""".stripMargin
 
   /** Containment dedup (#24b): asymmetric doc-inside-doc pairs over
-    * the df-capped vocabulary — see [[Dedup.containmentPairs]]. */
+    * the df-capped vocabulary — see [[Dedup.containmentPairs]]. The
+    * oracle mirrors the k-rarest probe-token candidate generation
+    * (rank by global df, token text tie-break, k=16) exactly, so the
+    * gate is hash-exact at the operator's production parameters —
+    * candidate pruning is part of the operator's spec, not slop. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
-                           dfNum = 1, dfDen = 5, minNum = 1, minDen = 2)
+                           dfNum = 1, dfDen = 5, minNum = 1, minDen = 2,
+                           maxJoinTokens = 16)
 
   private val dedupContainmentSql =
     """WITH tok AS (
@@ -3298,17 +3303,25 @@ object Queries {
       |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
       |  FROM documents),
       |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
-      |rare AS (SELECT tok FROM tok2 GROUP BY tok
+      |rare AS (SELECT tok, COUNT(*) AS df FROM tok2 GROUP BY tok
       |        HAVING COUNT(*) * 5 <= (SELECT COUNT(DISTINCT doc_id)
       |                                FROM documents)),
-      |rt AS (SELECT t.doc, t.tok FROM tok2 t JOIN rare USING (tok)),
-      |sz AS (SELECT doc AS doc_a, COUNT(*) AS n_a FROM rt GROUP BY 1),
-      |sh AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
-      |       FROM rt a JOIN rt b ON a.tok = b.tok AND a.doc <> b.doc
+      |rt AS (SELECT t.doc, t.tok, r.df FROM tok2 t JOIN rare r USING (tok)),
+      |pk AS (SELECT doc, tok FROM (
+      |        SELECT doc, tok,
+      |          ROW_NUMBER() OVER (PARTITION BY doc ORDER BY df, tok) AS rn
+      |        FROM rt) WHERE rn <= 16),
+      |cand AS (SELECT DISTINCT k.doc AS doc_a, b.doc AS doc_b
+      |         FROM pk k JOIN rt b ON k.tok = b.tok AND k.doc <> b.doc),
+      |sz AS (SELECT doc, COUNT(*) AS n_a FROM rt GROUP BY 1),
+      |sh AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      |       FROM cand c
+      |       JOIN rt a ON a.doc = c.doc_a
+      |       JOIN rt b ON b.doc = c.doc_b AND b.tok = a.tok
       |       GROUP BY 1, 2)
       |SELECT sh.doc_a, sh.doc_b,
       |  CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
-      |FROM sh JOIN sz ON sz.doc_a = sh.doc_a
+      |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
   // ------------------------------------------------------------ registry

@@ -918,37 +918,123 @@ object Dedup {
     * boundary; the reported containment double is one division of two
     * exact ints, bit-stable cross-engine.
     *
-    * Shape: per-doc-distinct token explode → vocab df agg → df-capped
-    * rejoin (size-adaptive, no hint — vocab is corpus-sized at 100 TB
-    * and Catalyst picks sort-merge there, broadcast at test scale) →
-    * token equi-join → (a,b) partial-agg count → per-doc size join.
-    * No all-pairs anywhere; candidate volume is Σ df² over the capped
-    * vocabulary. */
+    * Two scale bounds keep the token equi-join from going quadratic
+    * on exactly the corpora this operator targets (r8 verdict):
+    *
+    *  1. **Exact-dup collapse first** (the minhash-family discipline,
+    *     [[minhashPairs]]): identical normalized texts have identical
+    *     rare-token sets, so containment is a group-level fact.
+    *     Candidates are generated between UNIQUE texts only; member
+    *     pairs expand back through two joins at the end, and
+    *     within-group pairs emit directly at containment 1.0. Without
+    *     this, a d-deep duplicate group pairs d²-fold through every
+    *     shared rare token. df keeps full-corpus semantics by
+    *     weighting each unique text with its group size — results are
+    *     bit-identical to the uncollapsed formulation.
+    *
+    *  2. **k-rarest probe tokens** (`maxJoinTokens`, default 16): the
+    *     relative df cap still admits tokens with df = O(corpus)
+    *     (candidate volume Σ df² ≈ 0.04·n² per admitted token at the
+    *     default 1/5 cap). So only each doc's `maxJoinTokens` RAREST
+    *     in-vocab tokens (ranked by global df, token text as the
+    *     deterministic tie-break) are used as join probes; the
+    *     verification counts shared tokens over the FULL capped
+    *     vocabulary of both docs (array_intersect of the complete
+    *     per-doc token sets), so the reported containment and the
+    *     n_a denominator are unchanged. This is the operator's
+    *     banding knob, like LSH bands: a pair is found iff any of A's
+    *     k rarest tokens occurs in B — rare tokens are precisely
+    *     where the containment signal lives, and the per-token join
+    *     fan-out is bounded by (docs probing with t) × df(t) instead
+    *     of df(t)². `maxJoinTokens <= 0` disables the bound (exact
+    *     candidate generation, test-scale only). The driver oracle
+    *     mirrors the same ranking in SQL, so the gate is hash-exact
+    *     at ANY k, not just recall-saturating ones.
+    *
+    * Shape: collapse window → per-unique-doc distinct-token explode →
+    * weighted vocab df agg → df-capped rejoin → k-rarest probe join →
+    * bare (ga,gb) distinct → full-set verify via array_intersect →
+    * member expansion. Payload joins after the distinct follow
+    * `pairJoinHint` ("auto" counts the bounded pair stream and picks
+    * SHJ vs sort-merge, [[resolvePairHint]]). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Int = 1, dfDen: Int = 5, minNum: Int = 1,
-                       minDen: Int = 2): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
+                       minDen: Int = 2, maxJoinTokens: Int = 16,
+                       pairJoinHint: String = "auto"): DataFrame = {
+    // collapse: (id, gid) member map, keeper rows carry the text.
+    // ONE window shuffle, checkpointed (materialized once, lineage
+    // truncated) — same rationale as the minhash memberTable.
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val mem = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .withColumn("gid", min("id").over(wnd))
+      .select(col("id"), col("gid"),
+        when(col("id") === col("gid"), col("text")).as("text"))
+      .localCheckpoint()
+    val weights = mem.groupBy(col("gid").as("doc")).agg(count(lit(1)).as("w"))
+    val toks = mem.where(col("id") === col("gid"))
+      .select(col("gid").as("doc"),
         explode(array_distinct(
-          split(TextFunctions.normalize(col(textCol)), " "))).as("tok"))
+          split(TextFunctions.normalize(col("text")), " "))).as("tok"))
       .where(length(col("tok")) > 0)
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
-    val rareVocab = toks.groupBy("tok")
-      .agg(count(lit(1)).as("df"))
+    // weighted df == per-doc df over the FULL corpus (dups included)
+    val vocab = toks.join(weights, "doc")
+      .groupBy("tok").agg(sum(col("w")).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") * dfDen <= col("n_docs") * dfNum)
-      .select("tok")
-    val rare = toks.join(rareVocab, "tok")
-    val sizes = rare.groupBy(col("doc").as("doc_a"))
-      .agg(count(lit(1)).as("n_a"))
-    rare.as("a")
-      .join(rare.as("b"),
-            col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes, "doc_a")
+      .select(col("tok"), col("df"))
+    // (doc, tok, df) over uniques — used by probes, sets, and sizes;
+    // checkpoint so the explode+df join runs once, not three times
+    val rare = toks.join(vocab, "tok").localCheckpoint()
+    val rareSets = rare.groupBy(col("doc"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"),
+           count(lit(1)).as("n_a"))
+      .localCheckpoint()
+    val probes =
+      if (maxJoinTokens <= 0) rare.select("doc", "tok")
+      else {
+        val kw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
+        rare.withColumn("rn", row_number().over(kw))
+          .where(col("rn") <= maxJoinTokens).select("doc", "tok")
+      }
+    // probe join stays sort-merge (both sides corpus-sized, spillable);
+    // the distinct ships bare (long, long) pairs only
+    val candsRaw = probes.as("a")
+      .join(rare.select(col("doc"), col("tok")).as("b").hint("merge"),
+        col("a.tok") === col("b.tok") && col("a.doc") =!= col("b.doc"))
+      .select(col("a.doc").as("ga"), col("b.doc").as("gb"))
+      .distinct()
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    val verified = cands0.hint(hint)
+      .join(rareSets.select(col("doc").as("ga"), col("toks").as("toks_a"),
+                            col("n_a")), "ga")
+      .hint(hint)
+      .join(rareSets.select(col("doc").as("gb"), col("toks").as("toks_b")),
+            "gb")
+      .select(col("ga"), col("gb"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("shared"),
+        col("n_a"))
       .where(col("shared") * minDen >= col("n_a") * minNum)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ga"), col("gb"),
         (col("shared").cast("double") / col("n_a").cast("double"))
           .as("containment"))
+    // within-group pairs: identical texts, shared == n_a, so they pass
+    // any threshold <= 1 provided the group has >= 1 in-vocab token
+    val dupGroups = mem.where(col("id") =!= col("gid"))
+      .select(col("gid")).distinct()
+      .join(rareSets.select(col("doc").as("gid")), "gid")
+      .select(col("gid").as("ga"), col("gid").as("gb"),
+              lit(1.0).as("containment"))
+      .where(lit(minDen) >= lit(minNum))
+    verified.union(dupGroups)
+      .hint(hint)
+      .join(mem.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
+      .hint(hint)
+      .join(mem.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
+      .where(col("ga") =!= col("gb") || col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+              col("containment"))
   }
 }

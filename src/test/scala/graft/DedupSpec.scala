@@ -314,4 +314,56 @@ class DedupSpec extends SparkSpec {
     // unrelated docs produce nothing
     assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L))
   }
+
+  /** Per-doc reference computation of containmentPairs' spec: relative
+    * df cap, k-rarest probe candidates (df then token tie-break),
+    * exact shared count over the full capped vocabulary. */
+  private def bruteContainment(rows: Seq[(Long, String)],
+                               k: Int): Set[(Long, Long, Double)] = {
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val tokSets = rows.map { case (id, t) =>
+      id -> norm(t).split(" ").filter(_.nonEmpty).toSet }.toMap
+    val n = rows.size
+    val df = tokSets.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val vocab = df.filter { case (_, d) => d * 5 <= n }.keySet
+    val rare = tokSets.view.mapValues(_ & vocab).toMap
+    def probes(s: Set[String]) =
+      if (k <= 0) s
+      else s.toSeq.sortBy(t => (df(t), t)).take(k).toSet
+    (for {
+      (a, sa) <- rare.toSeq; (b, sb) <- rare.toSeq
+      if a != b && sa.nonEmpty && (probes(sa) & sb).nonEmpty
+      shared = (sa & sb).size
+      if shared * 2 >= sa.size
+    } yield (a, b, shared.toDouble / sa.size)).toSet
+  }
+
+  test("containmentPairs: dup collapse + k-rarest probes match the " +
+       "per-doc reference on a dup-heavy corpus") {
+    // exact-dup groups (quote x3, article x2) — the shape where the
+    // uncollapsed token join went quadratic (r8 verdict). Weighted df
+    // must keep full-corpus semantics: the reference computes per-doc.
+    val quote = "quantum flux capacitor resonates deeply"
+    val article = "the long article says quantum flux capacitor " +
+      "resonates deeply and then continues with many unrelated words " +
+      "about weather markets shipping logistics and navigation"
+    val rows = Seq(
+      (1L, quote), (2L, article), (3L, "totally other gardening tulips"),
+      (4L, quote), (5L, quote), (6L, article)) ++
+      (10L to 29L).map(i => (i, s"filler$i padding$i noise$i"))
+    val docs = rows.toDF("doc_id", "text")
+    for (k <- Seq(0, 2, 16)) {
+      val got = Dedup.containmentPairs(docs, "doc_id", "text",
+          maxJoinTokens = k)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === bruteContainment(rows, k), s"maxJoinTokens=$k")
+    }
+    // the within-group expansion: 3 identical quotes give all 6
+    // ordered pairs at containment 1.0
+    val got16 = Dedup.containmentPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    for (a <- Seq(1L, 4L, 5L); b <- Seq(1L, 4L, 5L) if a != b)
+      assert(got16.contains((a, b, 1.0)), s"missing within-group ($a,$b)")
+  }
 }
