@@ -960,37 +960,43 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        dfNum: Int = 1, dfDen: Int = 5, minNum: Int = 1,
                        minDen: Int = 2, maxJoinTokens: Int = 16,
-                       pairJoinHint: String = "auto"): DataFrame = {
-    // collapse: (id, gid) member map, keeper rows carry the text.
-    // ONE window shuffle, checkpointed (materialized once, lineage
-    // truncated) — same rationale as the minhash memberTable.
-    val wnd = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val mem = docs.select(col(idCol).as("id"), col(textCol).as("text"),
+                       pairJoinHint: String = "shuffle_hash"): DataFrame = {
+    // collapse: ONE groupBy on the 128-bit fingerprint, BARE columns
+    // only (fp, id) — min/count stay inside codegen'd HashAggregate.
+    // Array- or text-carrying alternatives both measured slow at
+    // sf0.1: a window over fp sorted full text payloads (2.9 s of a
+    // 5.1 s total), and first(array)/collect_list aggs fall back to
+    // sort-based ObjectHashAggregate at 128 keys/partition. Keeper
+    // token arrays instead ship ONCE through a shuffled-hash join on
+    // bare ids (no sort touches an array).
+    // (id, fp) computed ONCE: the md5-of-normalized-text scan feeds
+    // both the group agg and the member map, and the checkpoint is two
+    // bare columns — cheaper than recomputing the fingerprint scan
+    val base = docs.select(col(idCol).as("id"),
         TextFunctions.fingerprint(col(textCol)).as("fp"))
-      .withColumn("gid", min("id").over(wnd))
-      .select(col("id"), col("gid"),
-        when(col("id") === col("gid"), col("text")).as("text"))
       .localCheckpoint()
-    val weights = mem.groupBy(col("gid").as("doc")).agg(count(lit(1)).as("w"))
-    val toks = mem.where(col("id") === col("gid"))
-      .select(col("gid").as("doc"),
-        explode(array_distinct(
-          split(TextFunctions.normalize(col("text")), " "))).as("tok"))
+    val groups = base.groupBy("fp")
+      .agg(min("id").as("gid"), count(lit(1)).as("w"))
+    val mem = base.join(groups.select("fp", "gid"), "fp")
+      .select("id", "gid")
+    val toks = docs.select(col(idCol).as("id"),
+        array_distinct(
+          split(TextFunctions.normalize(col(textCol)), " ")).as("tk"))
+      .join(groups.select(col("gid").as("id"), col("w"))
+              .hint("shuffle_hash"), "id")
+      .select(col("id").as("doc"), col("w"), explode(col("tk")).as("tok"))
       .where(length(col("tok")) > 0)
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     // weighted df == per-doc df over the FULL corpus (dups included)
-    val vocab = toks.join(weights, "doc")
-      .groupBy("tok").agg(sum(col("w")).as("df"))
+    val vocab = toks.groupBy("tok").agg(sum(col("w")).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") * dfDen <= col("n_docs") * dfNum)
       .select(col("tok"), col("df"))
-    // (doc, tok, df) over uniques — used by probes, sets, and sizes;
-    // checkpoint so the explode+df join runs once, not three times
-    val rare = toks.join(vocab, "tok").localCheckpoint()
-    val rareSets = rare.groupBy(col("doc"))
-      .agg(sort_array(collect_list(col("tok"))).as("toks"),
-           count(lit(1)).as("n_a"))
-      .localCheckpoint()
+    // (doc, tok, df) over uniques — feeds sizes, probes, and both
+    // sides of candidate generation + verification; checkpoint so the
+    // tokenize + df join runs once
+    val rare = toks.select("doc", "tok").join(vocab, "tok").localCheckpoint()
+    val sizes = rare.groupBy("doc").agg(count(lit(1)).as("n_a"))
     val probes =
       if (maxJoinTokens <= 0) rare.select("doc", "tok")
       else {
@@ -1007,25 +1013,26 @@ object Dedup {
       .select(col("a.doc").as("ga"), col("b.doc").as("gb"))
       .distinct()
     val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    // exact shared-token count over the FULL capped vocabulary: expand
+    // each candidate pair by A's rare tokens, match against B's on
+    // (doc, tok), count — a streaming token-match count (the
+    // pre-probe formulation's shape, restricted to candidates), all
+    // bare longs + strings, no array aggregation anywhere
     val verified = cands0.hint(hint)
-      .join(rareSets.select(col("doc").as("ga"), col("toks").as("toks_a"),
-                            col("n_a")), "ga")
+      .join(rare.select(col("doc").as("ga"), col("tok")), "ga")
       .hint(hint)
-      .join(rareSets.select(col("doc").as("gb"), col("toks").as("toks_b")),
-            "gb")
-      .select(col("ga"), col("gb"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("shared"),
-        col("n_a"))
+      .join(rare.select(col("doc").as("gb"), col("tok")), Seq("gb", "tok"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnRenamed("doc", "ga"), "ga")
       .where(col("shared") * minDen >= col("n_a") * minNum)
       .select(col("ga"), col("gb"),
         (col("shared").cast("double") / col("n_a").cast("double"))
           .as("containment"))
     // within-group pairs: identical texts, shared == n_a, so they pass
     // any threshold <= 1 provided the group has >= 1 in-vocab token
-    val dupGroups = mem.where(col("id") =!= col("gid"))
-      .select(col("gid")).distinct()
-      .join(rareSets.select(col("doc").as("gid")), "gid")
-      .select(col("gid").as("ga"), col("gid").as("gb"),
+    val dupGroups = groups.where(col("w") >= 2)
+      .select(col("gid").as("doc")).join(sizes, "doc")
+      .select(col("doc").as("ga"), col("doc").as("gb"),
               lit(1.0).as("containment"))
       .where(lit(minDen) >= lit(minNum))
     verified.union(dupGroups)

@@ -70,9 +70,12 @@ object Graph {
     * expensive aggregation (e.g. the order-co-occurrence groupBy), so
     * it is persisted columnar-with-disk-fallback for the duration —
     * the PageRank lesson. The oriented table is persisted too: the
-    * wedge self-join reads it twice. Both are released by the caller's
-    * `Blocks.freeAll` once the result is consumed (bench/verify do
-    * this between queries). */
+    * wedge self-join reads it twice. Both intermediates are released
+    * EAGERLY: the (output-sized, ≤ m^(3/2) and for kNN graphs far
+    * smaller) triangle list is materialized via localCheckpoint and
+    * the two corpus-sized caches unpersisted before returning — a
+    * caller that never runs `Blocks.freeAll` no longer accumulates
+    * pinned edge tables across repeated calls (r8 advice). */
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -99,8 +102,13 @@ object Graph {
     val wedges = e1.join(e2, Seq("src")).where(col("b") < col("c"))
     // close the wedge against the CANONICAL edge set (b < c already
     // holds on the wedge side, so no orientation probe is needed)
-    wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val out = wedges
+      .join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
       .select(col("src").as("a"), col("b"), col("c"))
+      .localCheckpoint()
+    e.unpersist()
+    oriented.unpersist()
+    out
   }
 
   /** Per-node triangle participation counts (a node in t triangles

@@ -127,6 +127,10 @@ object Scale100 {
     run("dedup_embedding_cosine")(
       SparkEntry.queries("dedup_embedding_cosine")(spark, dir))
     run("dedup_simhash")(SparkEntry.queries("dedup_simhash")(spark, dir))
+    // r9: containment on the 100-deep-dup corpus — the exact shape the
+    // uncollapsed token join went quadratic on (r8 verdict #1)
+    run("dedup_containment")(
+      SparkEntry.queries("dedup_containment")(spark, dir))
 
     // ---- connected components on the REAL pair graph at 100×
     // (registered dedup_clusters filters doc_id<200 and would not
