@@ -123,12 +123,20 @@ object Temporal {
     * Scale: one shuffle (the window partitioning); `terms` lag columns
     * resolve inside a single window, all codegen. Rows without full
     * history are dropped (the caller sees only fully-warmed values).
-    */
+    *
+    * PRECONDITION: `orderCol` must be distinct within each partition
+    * (one observation per time point — the shape a pre-aggregated
+    * series has). With duplicate order keys lag/row_number see an
+    * arbitrary ordering among the ties and the bit-reproducibility
+    * contract is silently void; pass a `tieBreakCols` suffix (e.g. an
+    * id) to make the order total when the series can carry dups. */
   def ewma(df: DataFrame, partitionCols: Seq[String], orderCol: String,
-           valueCol: String, terms: Int = 10): DataFrame = {
+           valueCol: String, terms: Int = 10,
+           tieBreakCols: Seq[String] = Seq.empty): DataFrame = {
     require(terms >= 1 && terms <= 50, s"terms out of [1,50]: $terms")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy((orderCol +: tieBreakCols).map(col): _*)
     val lagged = (0 until terms).map { i =>
       val weight = math.pow(2.0, -(i + 1)) // exact dyadic
       (if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)) * lit(weight)

@@ -100,8 +100,9 @@ object Lake {
     * produces, built from public first principles.
     *
     * Quantization is linear over each column's [min, max] (one tiny
-    * agg job; dates/timestamps go through a double cast) — codegen
-    * arithmetic per row, no per-row search. Heavily skewed columns
+    * agg job; timestamps cast to epoch-second doubles, dates go
+    * through `unix_date` because Spark disallows cast(DATE AS
+    * DOUBLE)) — codegen arithmetic per row, no per-row search. Heavily skewed columns
     * deserve quantile boundaries instead; linear keeps the write path
     * a pure expression and matches the uniform-ish key distributions
     * of the star schema. `bits` per column (default 8) bounds the key
@@ -110,16 +111,25 @@ object Lake {
                     nFiles: Int, bits: Int = 8): Unit = {
     require(cols.nonEmpty && cols.size * bits <= 63,
             s"z-key would overflow a long: ${cols.size} cols x $bits bits")
-    val asD = cols.map(c => col(c).cast("double"))
+    def numeric(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val asD = cols.map(numeric)
     val row = df.agg(
       asD.flatMap(c => Seq(min(c), max(c))).head,
       asD.flatMap(c => Seq(min(c), max(c))).tail: _*).head()
+    cols.indices.foreach { i =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '${cols(i)}' has no min/max " +
+          "(empty input or all-null column)")
+    }
     val lim = (1L << bits) - 1
     val z = cols.indices.map { i =>
       val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
       val span = if (hi > lo) hi - lo else 1.0
       // quantized cell in [0, 2^bits)
-      val q = least(floor((col(cols(i)).cast("double") - lit(lo)) /
+      val q = least(floor((numeric(cols(i)) - lit(lo)) /
                           lit(span) * lit(lim + 1)), lit(lim)).cast("long")
       // spread q's bits to positions b*ncols + i of the Morton key
       (0 until bits).map { b =>

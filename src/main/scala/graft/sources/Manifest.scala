@@ -48,13 +48,43 @@ object Manifest {
       .maxOption
   }
 
+  /** All committed versions, ascending — the time-travel index. GC
+    * drops a version's marker and data dir together, so every listed
+    * version is readable. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(root, CommitsDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
   /** Read the current committed version, if any. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentVersion(spark, root).map(v => spark.read.parquet(dataDir(root, v)))
 
+  /** Time travel: read a SPECIFIC committed version. Fails with the
+    * retention story in the message when `v` was never committed or
+    * has been vacuumed — the first question a reader asks after an
+    * atomic publish is "can I still see yesterday's table", and the
+    * answer must be a clear yes/no, not a parquet path error. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val marker = new Path(new Path(root, CommitsDir), v.toString)
+    require(fsOf(spark, marker).exists(marker),
+      s"version $v of $root is not committed or was vacuumed; " +
+        s"available: ${versions(spark, root).mkString("[", ", ", "]")}")
+    spark.read.parquet(dataDir(root, v))
+  }
+
   /** Write `df` as the next version and publish it atomically.
-    * Returns the committed version number. */
-  def commit(spark: SparkSession, root: String, df: DataFrame): Long = {
+    * Returns the committed version number. `retain` controls how many
+    * trailing versions stay readable after the commit (default 2:
+    * the new version plus one for in-flight readers — the original
+    * behavior); raise it to keep a time-travel window. */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+             retain: Int = 2): Long = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
     // a crash after this write but before the marker leaves an orphan;
     // the retry recomputes the same `next` and overwrites it
@@ -63,8 +93,23 @@ object Manifest {
     val fs = fsOf(spark, marker)
     val out = fs.create(marker, false) // commits are immutable: never overwrite
     try out.write(s"data-$next\n".getBytes("UTF-8")) finally out.close()
-    gc(fs, root, keepFrom = next - 1)
+    gc(fs, root, keepFrom = next - (retain - 1))
     next
+  }
+
+  /** Explicit retention pass: keep the newest `retain` committed
+    * versions, delete the rest (data dirs and markers drop together
+    * inside [[gc]], so a reader that can list a version can read it).
+    * Returns the versions removed. */
+  def vacuum(spark: SparkSession, root: String, retain: Int): Seq[Long] = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val vs = versions(spark, root)
+    val dropped = vs.dropRight(retain)
+    if (dropped.nonEmpty) {
+      val fs = fsOf(spark, new Path(root))
+      gc(fs, root, keepFrom = dropped.max + 1)
+    }
+    dropped
   }
 
   /** Drop data dirs and markers older than `keepFrom` (the previous

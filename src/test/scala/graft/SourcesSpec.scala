@@ -135,6 +135,22 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/z").count() === li.count())
   }
 
+  test("Lake.writeZOrdered handles DATE z-columns and rejects empty input clearly") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val tmp = Files.createTempDirectory("zorder-date").toString
+    // a DATE z-column: cast(DATE AS DOUBLE) is disallowed in Spark, so
+    // the quantizer must route dates through unix_date (r8 advice)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_day"))
+    Lake.writeZOrdered(orders, s"$tmp/zd", Seq("o_day", "o_orderkey"), 4)
+    assert(spark.read.parquet(s"$tmp/zd").count() === orders.count())
+    // empty input: a clear requirement failure, not a getDouble NPE
+    val err = intercept[IllegalArgumentException] {
+      Lake.writeZOrdered(orders.limit(0), s"$tmp/ze", Seq("o_orderkey"), 2)
+    }
+    assert(err.getMessage.contains("empty input or all-null"))
+  }
+
   test("Lake.writeSharded caps rows per file inside per-shard dirs") {
     val tmp = Files.createTempDirectory("sharded").toString
     val docs = Tables.documents(spark, sfDir)

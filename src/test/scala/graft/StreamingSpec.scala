@@ -222,6 +222,38 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(Manifest.dataDir(root, v + 1)).exists())
   }
 
+  test("manifest time travel: readVersion + retain window + vacuum") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("manifest-tt").toString + "/t"
+    // retain=4 keeps a time-travel window across commits
+    for (i <- 0 to 3)
+      Manifest.commit(spark, root, Seq((i.toLong, s"v$i")).toDF("k", "tag"),
+                      retain = 4)
+    assert(Manifest.versions(spark, root) === Seq(0L, 1L, 2L, 3L))
+    // every retained version readable AT its version
+    for (i <- 0 to 3)
+      assert(Manifest.readVersion(spark, root, i.toLong)
+        .as[(Long, String)].collect().toSeq === Seq((i.toLong, s"v$i")))
+    // a fifth commit at retain=4 rolls version 0 out of the window
+    Manifest.commit(spark, root, Seq((4L, "v4")).toDF("k", "tag"), retain = 4)
+    assert(Manifest.versions(spark, root) === Seq(1L, 2L, 3L, 4L))
+    val gone = intercept[IllegalArgumentException](
+      Manifest.readVersion(spark, root, 0L))
+    assert(gone.getMessage.contains("vacuumed"))
+    // explicit vacuum shrinks the window; data dirs drop with markers
+    assert(Manifest.vacuum(spark, root, retain = 2) === Seq(1L, 2L))
+    assert(Manifest.versions(spark, root) === Seq(3L, 4L))
+    assert(!new java.io.File(Manifest.dataDir(root, 2)).exists())
+    assert(Manifest.readVersion(spark, root, 3L)
+      .as[(Long, String)].collect().toSeq === Seq((3L, "v3")))
+    // current read unaffected
+    assert(Manifest.read(spark, root).get
+      .as[(Long, String)].collect().toSeq === Seq((4L, "v4")))
+    // vacuum with nothing to drop is a no-op
+    assert(Manifest.vacuum(spark, root, retain = 5) === Seq.empty)
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     val tmp = Files.createTempDirectory("stream-dedup").toString
     val base = eventCols(Tables.events(spark, sfDir))
