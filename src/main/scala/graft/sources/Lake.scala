@@ -144,6 +144,30 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Deterministic epoch shuffle: write the corpus in a reproducible
+    * pseudo-random global order keyed by md5(seed ":" id) — what a
+    * training job needs to reshuffle its data per epoch WITHOUT a
+    * stateful RNG. Same seed ⇒ the same global row sequence on any
+    * cluster size (the permutation is a pure function of the data,
+    * not of partitioning or task scheduling; file BOUNDARIES can
+    * shift with input layout because range boundaries are sampled,
+    * but the part-order concatenation cannot); different seeds ⇒
+    * decorrelated orders. md5 rather than xxhash64 keeps the
+    * permutation engine-portable (any system can recompute and verify
+    * the order). Scale: one range-partitioned sort on a 128-bit hex
+    * key — the cost of any clustered write ([[writeSorted]]); no
+    * global row numbering, no driver state. Readers stream files in
+    * lexicographic part order and get the epoch's permutation. */
+  def writeShuffled(df: DataFrame, path: String, idCol: String,
+                    seed: Long, nFiles: Int): Unit = {
+    val k = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    df.withColumn("__shuffle_k", k)
+      .repartitionByRange(nFiles, col("__shuffle_k"))
+      .sortWithinPartitions("__shuffle_k")
+      .drop("__shuffle_k")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Training-shard export: one directory per `shardCol` value (a
     * loader can mount each source/split independently), each file
     * capped at `maxRowsPerFile` rows so shards stream with bounded

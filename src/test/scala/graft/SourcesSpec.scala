@@ -151,6 +151,43 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("empty input or all-null"))
   }
 
+  test("Lake.writeShuffled: same seed reproduces the epoch order, different seed decorrelates") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("shuffled").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+
+    // read back IN FILE+ROW ORDER: part files sorted lexicographically,
+    // rows in parquet order — the sequence a training loader streams
+    def sequence(dir: String): Seq[Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+        .flatMap { f =>
+          spark.read.parquet(f.getAbsolutePath)
+            .select("doc_id").collect().map(_.getLong(0)).toSeq
+        }
+
+    Lake.writeShuffled(docs, s"$tmp/e1", "doc_id", seed = 1L, nFiles = 4)
+    Lake.writeShuffled(docs, s"$tmp/e1b", "doc_id", seed = 1L, nFiles = 4)
+    Lake.writeShuffled(docs, s"$tmp/e2", "doc_id", seed = 2L, nFiles = 4)
+    val (s1, s1b, s2) = (sequence(s"$tmp/e1"), sequence(s"$tmp/e1b"),
+                         sequence(s"$tmp/e2"))
+    // reproducible: same seed, same permutation
+    assert(s1 === s1b)
+    // complete: a permutation, not a sample
+    assert(s1.sorted === docs.select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq)
+    // the order IS sort-by-md5(seed:id) — recomputed independently in
+    // plain Java, so the permutation is engine-portable as documented
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(seed: Long, id: Long): String =
+      md.digest(s"$seed:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(s1 === s1.sortBy(id => key(1L, id)))
+    // decorrelated: another seed is not the same order (nor reversed)
+    assert(s1 !== s2)
+    assert(s1.reverse !== s2)
+  }
+
   test("Lake.writeSharded caps rows per file inside per-shard dirs") {
     val tmp = Files.createTempDirectory("sharded").toString
     val docs = Tables.documents(spark, sfDir)
