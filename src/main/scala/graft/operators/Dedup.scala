@@ -977,7 +977,10 @@ object Dedup {
       .localCheckpoint()
     val groups = base.groupBy("fp")
       .agg(min("id").as("gid"), count(lit(1)).as("w"))
-    val mem = base.join(groups.select("fp", "gid"), "fp")
+    // pinned sort-merge: BOTH sides are corpus-sized at scale (groups
+    // only shrinks by the dup factor) — stats-driven broadcast of the
+    // small test-scale side would hide the scale plan from PlanSpec
+    val mem = base.join(groups.select("fp", "gid").hint("merge"), "fp")
       .select("id", "gid")
     val toks = docs.select(col(idCol).as("id"),
         array_distinct(
@@ -1031,7 +1034,7 @@ object Dedup {
     // within-group pairs: identical texts, shared == n_a, so they pass
     // any threshold <= 1 provided the group has >= 1 in-vocab token
     val dupGroups = groups.where(col("w") >= 2)
-      .select(col("gid").as("doc")).join(sizes, "doc")
+      .select(col("gid").as("doc")).hint("shuffle_hash").join(sizes, "doc")
       .select(col("doc").as("ga"), col("doc").as("gb"),
               lit(1.0).as("containment"))
       .where(lit(minDen) >= lit(minNum))
