@@ -3333,6 +3333,54 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  /** Cross-corpus containment (#24c): fractional contamination — even
+    * doc_ids are the "benchmark" needles, odd the training corpus
+    * (parity interleaves the testdata's dup clusters so cross pairs
+    * exist, as in dedup_cross_corpus). See
+    * [[Dedup.containmentPairsAcross]]. */
+  def dedupContainmentCross(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.containmentPairsAcross(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", dfNum = 1, dfDen = 5, minNum = 1, minDen = 2,
+      maxJoinTokens = 16)
+  }
+
+  private val dedupContainmentCrossSql =
+    """WITH tok AS (
+      |  SELECT DISTINCT doc_id AS doc,
+      |    unnest(regexp_split_to_array(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
+      |ta AS (SELECT * FROM tok2 WHERE doc % 2 = 0),
+      |tb AS (SELECT * FROM tok2 WHERE doc % 2 = 1),
+      |nb AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+      |       WHERE doc_id % 2 = 1),
+      |dfb AS (SELECT tok, COUNT(*) AS df FROM tb GROUP BY tok),
+      |ra AS (SELECT ta.doc, ta.tok, COALESCE(dfb.df, 0) AS df
+      |       FROM ta LEFT JOIN dfb USING (tok)
+      |       WHERE COALESCE(dfb.df, 0) * 5 <= (SELECT n FROM nb)),
+      |rb AS (SELECT tb.doc, tb.tok FROM tb JOIN dfb USING (tok)
+      |       WHERE dfb.df * 5 <= (SELECT n FROM nb)),
+      |pk AS (SELECT doc, tok FROM (
+      |        SELECT doc, tok,
+      |          ROW_NUMBER() OVER (PARTITION BY doc ORDER BY df, tok) AS rn
+      |        FROM ra) WHERE rn <= 16),
+      |cand AS (SELECT DISTINCT k.doc AS doc_a, b.doc AS doc_b
+      |         FROM pk k JOIN rb b ON k.tok = b.tok),
+      |sz AS (SELECT doc, COUNT(*) AS n_a FROM ra GROUP BY 1),
+      |sh AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      |       FROM cand c
+      |       JOIN ra a ON a.doc = c.doc_a
+      |       JOIN rb b ON b.doc = c.doc_b AND b.tok = a.tok
+      |       GROUP BY 1, 2)
+      |SELECT sh.doc_a AS id_a, sh.doc_b AS id_b,
+      |  CAST(shared AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment
+      |FROM sh JOIN sz ON sz.doc = sh.doc_a
+      |WHERE shared * 2 >= n_a""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3463,7 +3511,8 @@ object Queries {
     "triangle_counts"          -> (triangleCounts _),
     "ewma_daily_demand"        -> (ewmaDailyDemand _),
     "winnow_fingerprint"       -> (winnowFingerprint _),
-    "dedup_containment"        -> (dedupContainment _)
+    "dedup_containment"        -> (dedupContainment _),
+    "dedup_containment_cross"  -> (dedupContainmentCross _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -3582,7 +3631,8 @@ object Queries {
     "triangle_counts"          -> triangleCountsSql,
     "ewma_daily_demand"        -> ewmaDailyDemandSql,
     "winnow_fingerprint"       -> winnowFingerprintSql,
-    "dedup_containment"        -> dedupContainmentSql
+    "dedup_containment"        -> dedupContainmentSql,
+    "dedup_containment_cross"  -> dedupContainmentCrossSql
     // The production-tuned LSH/sketch/multimodal variants
     // (dedup_minhash_pairs, dedup_simhash, dedup_embedding_cosine,
     // ann_lsh_topk, ann_ivf_topk, sketch_stats, multimodal_meta/

@@ -1047,4 +1047,100 @@ object Dedup {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
               col("containment"))
   }
+
+  /** Cross-corpus containment: (a ∈ needles, b ∈ corpus) where at
+    * least `minNum/minDen` of a's discriminative tokens occur in b —
+    * the FRACTIONAL contamination detector (is this benchmark item
+    * quoted inside a training document?) that the exact line-level
+    * `Corpus.decontaminate` cannot express: a paraphrased wrapper or
+    * reformatted quote breaks line identity but not token
+    * containment.
+    *
+    * The vocabulary cap comes from the CORPUS side: a token is
+    * discriminative iff its corpus df (dup-weighted, like
+    * [[containmentPairs]]) satisfies df·dfDen ≤ |corpus|·dfNum.
+    * Tokens absent from the corpus entirely (df 0) are maximally
+    * discriminative: they stay IN the needle's denominator and can
+    * never be matched — a needle full of never-seen tokens is
+    * correctly reported uncontained. Probe tokens are each needle's
+    * `maxJoinTokens` rarest by corpus df (token text tie-break),
+    * mirrored in the driver oracle so the gate is hash-exact at
+    * production parameters. Needle and corpus id spaces may overlap
+    * (pairs are corpus-qualified by construction, as in
+    * [[minhashPairsAcross]]); both sides collapse exact dups and
+    * expand member pairs at the end. Output: (id_a from needles,
+    * id_b from corpus, containment), directed. */
+  def containmentPairsAcross(needles: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             dfNum: Int = 1, dfDen: Int = 5,
+                             minNum: Int = 1, minDen: Int = 2,
+                             maxJoinTokens: Int = 16,
+                             pairJoinHint: String = "shuffle_hash"): DataFrame = {
+    def collapse(docs: DataFrame): (DataFrame, DataFrame) = {
+      val base = docs.select(col(idCol).as("id"),
+          TextFunctions.fingerprint(col(textCol)).as("fp"))
+        .localCheckpoint()
+      val groups = base.groupBy("fp")
+        .agg(min("id").as("gid"), count(lit(1)).as("w"))
+      val mem = base.join(groups.select("fp", "gid").hint("merge"), "fp")
+        .select("id", "gid")
+      val toks = docs.select(col(idCol).as("id"),
+          array_distinct(
+            split(TextFunctions.normalize(col(textCol)), " ")).as("tk"))
+        .join(groups.select(col("gid").as("id"), col("w"))
+                .hint("shuffle_hash"), "id")
+        .select(col("id").as("doc"), col("w"), explode(col("tk")).as("tok"))
+        .where(length(col("tok")) > 0)
+      (mem, toks)
+    }
+    val (memA, toksA) = collapse(needles)
+    val (memB, toksB) = collapse(corpus)
+    val nB = corpus.agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfB = toksB.groupBy("tok").agg(sum(col("w")).as("df"))
+    val rareB = toksB.select("doc", "tok")
+      .join(dfB.crossJoin(broadcast(nB))
+              .where(col("df") * dfDen <= col("n_docs") * dfNum)
+              .select("tok"),
+            "tok")
+      .localCheckpoint()
+    // needle tokens ranked by CORPUS df; absent tokens get df 0 via
+    // the left join and always pass the cap
+    val rareA = toksA.select("doc", "tok")
+      .join(dfB.hint("merge"), Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .crossJoin(broadcast(nB))
+      .where(col("df") * dfDen <= col("n_docs") * dfNum)
+      .select("doc", "tok", "df")
+      .localCheckpoint()
+    val sizesA = rareA.groupBy("doc").agg(count(lit(1)).as("n_a"))
+    val probes =
+      if (maxJoinTokens <= 0) rareA.select("doc", "tok")
+      else {
+        val kw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc")).orderBy(col("df"), col("tok"))
+        rareA.withColumn("rn", row_number().over(kw))
+          .where(col("rn") <= maxJoinTokens).select("doc", "tok")
+      }
+    val candsRaw = probes.as("a")
+      .join(rareB.select(col("doc"), col("tok")).as("b").hint("merge"),
+            col("a.tok") === col("b.tok"))
+      .select(col("a.doc").as("ga"), col("b.doc").as("gb"))
+      .distinct()
+    val (cands0, hint) = resolvePairHint(pairJoinHint, candsRaw)
+    cands0.hint(hint)
+      .join(rareA.select(col("doc").as("ga"), col("tok")), "ga")
+      .hint(hint)
+      .join(rareB.select(col("doc").as("gb"), col("tok")), Seq("gb", "tok"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("shared"))
+      .join(sizesA.withColumnRenamed("doc", "ga"), "ga")
+      .where(col("shared") * minDen >= col("n_a") * minNum)
+      .select(col("ga"), col("gb"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+      .hint(hint)
+      .join(memA.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
+      .hint(hint)
+      .join(memB.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
 }

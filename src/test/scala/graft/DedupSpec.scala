@@ -366,4 +366,50 @@ class DedupSpec extends SparkSpec {
     for (a <- Seq(1L, 4L, 5L); b <- Seq(1L, 4L, 5L) if a != b)
       assert(got16.contains((a, b, 1.0)), s"missing within-group ($a,$b)")
   }
+
+  test("containmentPairsAcross: corpus-df vocabulary, df-0 needle tokens, " +
+       "dup expansion — matches the per-doc reference") {
+    // needle 1 is fully quoted in corpus doc 100; needle 2 is half
+    // unseen tokens (df 0: they stay in the denominator -> below 1/2,
+    // uncontained); needles 3+4 are identical (collapse+expand on the
+    // needle side); corpus docs 100+101 are identical (corpus-side
+    // expansion)
+    val needles = Seq(
+      (1L, "zeta omicron theta lambda"),
+      (2L, "zeta omicron neverseen1 neverseen2 neverseen3"),
+      (3L, "theta lambda kappa"), (4L, "theta lambda kappa"))
+    val corpus = Seq(
+      (100L, "the article quotes zeta omicron theta lambda kappa verbatim"),
+      (101L, "the article quotes zeta omicron theta lambda kappa verbatim")) ++
+      (200L to 219L).map(i => (i, s"corpusfill$i padding$i noise$i the"))
+    val got = Dedup.containmentPairsAcross(
+        needles.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    // per-doc reference: vocabulary = tokens with corpus df*5 <= |corpus|
+    def norm(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    val aSets = needles.map { case (id, t) =>
+      id -> norm(t).split(" ").filter(_.nonEmpty).toSet }.toMap
+    val bSets = corpus.map { case (id, t) =>
+      id -> norm(t).split(" ").filter(_.nonEmpty).toSet }.toMap
+    val dfB = bSets.values.toSeq.flatten.groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    def rareTok(t: String) = dfB.getOrElse(t, 0) * 5 <= corpus.size
+    val expected = (for {
+      (a, sa0) <- aSets.toSeq; (b, sb0) <- bSets.toSeq
+      sa = sa0.filter(rareTok); sb = sb0.filter(rareTok)
+      if sa.nonEmpty && (sa & sb).nonEmpty
+      shared = (sa & sb).size
+      if shared * 2 >= sa.size
+    } yield (a, b, shared.toDouble / sa.size)).toSet
+    assert(got === expected)
+    // the planted semantics actually hold in the expectation itself:
+    // needle 1 contained in BOTH corpus copies, needle 2 in neither
+    assert(expected.contains((1L, 100L, 1.0)) &&
+           expected.contains((1L, 101L, 1.0)))
+    assert(!expected.exists(_._1 == 2L))
+    // identical needles 3 and 4 report identically
+    assert(expected.filter(_._1 == 3L).map(e => (e._2, e._3)) ===
+           expected.filter(_._1 == 4L).map(e => (e._2, e._3)))
+  }
 }

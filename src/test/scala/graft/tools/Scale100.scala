@@ -131,6 +131,8 @@ object Scale100 {
     // uncollapsed token join went quadratic on (r8 verdict #1)
     run("dedup_containment")(
       SparkEntry.queries("dedup_containment")(spark, dir))
+    run("dedup_containment_cross")(
+      SparkEntry.queries("dedup_containment_cross")(spark, dir))
 
     // ---- connected components on the REAL pair graph at 100×
     // (registered dedup_clusters filters doc_id<200 and would not
