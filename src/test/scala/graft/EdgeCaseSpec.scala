@@ -92,6 +92,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("containment ops tolerate empty inputs and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(empty, "doc_id", "text").count() === 0)
+    // a 4-deep identical group (plus filler keeping its tokens under
+    // the 1/5 df cap): no cross-group candidates — every ordered
+    // member pair emits at containment 1.0
+    val same = ((1L to 4L).map((_, "alpha beta gamma")) ++
+      (10L to 29L).map(i => (i, s"filler$i pad$i"))).toDF("doc_id", "text")
+    val within = Dedup.containmentPairs(same, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(within.length === 12 && within.forall(_._3 === 1.0))
+    // and when a group's tokens are ALL corpus-frequent (identical
+    // docs in a tiny corpus breach the relative cap), the vocabulary
+    // excludes them and the group reports nothing — consistent with
+    // the per-doc oracle, where an empty rare-token set has no size
+    // row and no candidates
+    val allsame = (1L to 4L).map((_, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(allsame, "doc_id", "text").count() === 0)
+    // corpus where every token breaches the df cap (in every doc):
+    // vocabulary empties, result is empty, nothing throws
+    val stop = (1L to 4L).map((_, "the and of")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(stop, "doc_id", "text").count() === 0)
+    // cross: either side empty yields empty, not an error
+    val some = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairsAcross(empty, some, "doc_id", "text")
+      .count() === 0)
+    // needle vs empty corpus: its tokens are all df-0 (in-vocab) but
+    // there is nothing to share a candidate token with — empty result
+    assert(Dedup.containmentPairsAcross(some, empty, "doc_id", "text")
+      .count() === 0)
+  }
+
   test("cosine of zero vectors is NULL, not a job-killing ANSI error") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
