@@ -188,6 +188,15 @@ object Scale100 {
     run("q6_forecast_revenue")(
       SparkEntry.queries("q6_forecast_revenue")(spark, dir))
 
+    // ---- r9 second tier: families with 10× correctness gates but no
+    // 100× performance row yet — temporal joins, funnels, text
+    // retrieval, packing, fuzzy matching
+    for (q <- Seq("asof_clicks", "range_join_bands", "funnel_conversion",
+                  "fuzzy_name_match", "gapfill_daily_demand",
+                  "retention_cohorts", "quality_filter", "doc_pack",
+                  "bm25_search", "pmi_top_pairs"))
+      run(q)(SparkEntry.queries(q)(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
