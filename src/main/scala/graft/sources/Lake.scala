@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Datalake layout: year/month-partitioned parquet.
@@ -99,38 +99,67 @@ object Lake {
     * column). This is the layout Delta/Iceberg OPTIMIZE ZORDER
     * produces, built from public first principles.
     *
-    * Quantization is linear over each column's [min, max] (one tiny
-    * agg job; timestamps cast to epoch-second doubles, dates go
-    * through `unix_date` because Spark disallows cast(DATE AS
-    * DOUBLE)) — codegen arithmetic per row, no per-row search. Heavily skewed columns
-    * deserve quantile boundaries instead; linear keeps the write path
-    * a pure expression and matches the uniform-ish key distributions
-    * of the star schema. `bits` per column (default 8) bounds the key
-    * to `cols.size * bits` bits — must fit a long. */
+    * Quantization is linear over each column's [min, max] by default
+    * (one tiny agg job; timestamps cast to epoch-second doubles,
+    * dates go through `unix_date` because Spark disallows cast(DATE
+    * AS DOUBLE)) — codegen arithmetic per row, no per-row search —
+    * matching the uniform-ish key distributions of the star schema.
+    * `quantile = true` switches to approx-percentile cell boundaries:
+    * on a heavily skewed column, linear cells leave most rows in a
+    * handful of cells (the z-key degenerates toward a single-column
+    * sort and file ranges widen); equi-DEPTH cells keep every cell
+    * equally populated whatever the distribution. The per-row cost is
+    * an O(2^bits) HOF count against the literal boundary array —
+    * still pure codegen, no join, no per-row search job; the prep
+    * pays one approx_percentile pass (t-digest partial agg) instead
+    * of min/max. `bits` per column (default 8) bounds the key to
+    * `cols.size * bits` bits — must fit a long. */
   def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
-                    nFiles: Int, bits: Int = 8): Unit = {
+                    nFiles: Int, bits: Int = 8,
+                    quantile: Boolean = false): Unit = {
     require(cols.nonEmpty && cols.size * bits <= 63,
             s"z-key would overflow a long: ${cols.size} cols x $bits bits")
     def numeric(c: String) = df.schema(c).dataType match {
       case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
       case _ => col(c).cast("double")
     }
-    val asD = cols.map(numeric)
-    val row = df.agg(
-      asD.flatMap(c => Seq(min(c), max(c))).head,
-      asD.flatMap(c => Seq(min(c), max(c))).tail: _*).head()
-    cols.indices.foreach { i =>
-      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
-        s"z-order column '${cols(i)}' has no min/max " +
-          "(empty input or all-null column)")
-    }
     val lim = (1L << bits) - 1
-    val z = cols.indices.map { i =>
-      val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
-      val span = if (hi > lo) hi - lo else 1.0
-      // quantized cell in [0, 2^bits)
-      val q = least(floor((numeric(cols(i)) - lit(lo)) /
-                          lit(span) * lit(lim + 1)), lit(lim)).cast("long")
+    val cells: Seq[Column] =
+      if (quantile) {
+        // equi-depth boundaries at percentiles 1/2^bits … (2^bits-1)/2^bits
+        val ps = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+        val row = df.agg(
+          percentile_approx(numeric(cols.head), typedLit(ps), lit(10000))
+            .as("q0"),
+          cols.tail.zipWithIndex.map { case (c, i) =>
+            percentile_approx(numeric(c), typedLit(ps), lit(10000))
+              .as(s"q${i + 1}") }: _*).head()
+        cols.indices.map { i =>
+          require(!row.isNullAt(i),
+            s"z-order column '${cols(i)}' has no percentiles " +
+              "(empty input or all-null column)")
+          val bounds = row.getSeq[Double](i)
+          // cell = number of boundaries <= value, an O(2^bits) codegen
+          // HOF count over a literal array (no search job, no join)
+          size(filter(typedLit(bounds), b => b <= numeric(cols(i))))
+            .cast("long")
+        }
+      } else {
+        val asD = cols.map(numeric)
+        val row = df.agg(
+          asD.flatMap(c => Seq(min(c), max(c))).head,
+          asD.flatMap(c => Seq(min(c), max(c))).tail: _*).head()
+        cols.indices.map { i =>
+          require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+            s"z-order column '${cols(i)}' has no min/max " +
+              "(empty input or all-null column)")
+          val (lo, hi) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+          val span = if (hi > lo) hi - lo else 1.0
+          least(floor((numeric(cols(i)) - lit(lo)) /
+                      lit(span) * lit(lim + 1)), lit(lim)).cast("long")
+        }
+      }
+    val z = cells.zipWithIndex.map { case (q, i) =>
       // spread q's bits to positions b*ncols + i of the Morton key
       (0 until bits).map { b =>
         shiftleft(shiftright(q, b).bitwiseAND(lit(1L)),

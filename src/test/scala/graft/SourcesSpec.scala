@@ -151,6 +151,78 @@ class SourcesSpec extends SparkSpec {
     assert(err.getMessage.contains("empty input or all-null"))
   }
 
+  test("Lake.writeZOrdered quantile boundaries beat linear on a skewed column") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("zorder-q").toString
+    // heavy right skew: density concentrated near 0 with a long tail
+    // (pow of a uniform), plus an independent uniform second column
+    val df = spark.range(40000).select(
+      (pow(col("id").cast("double") / 40000.0, 8.0) * 1e9).cast("long").as("skew"),
+      pmod(hash(col("id")), lit(100000)).cast("long").as("uni"))
+    Lake.writeZOrdered(df, s"$tmp/lin", Seq("skew", "uni"), 16)
+    Lake.writeZOrdered(df, s"$tmp/qnt", Seq("skew", "uni"), 16, quantile = true)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    def meanFrac(dir: String, column: String): Double = {
+      val rs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val stats = reader.getFooter.getBlocks.asScala.map { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == column).get.getStatistics
+              (c.genericGetMin.asInstanceOf[Long],
+               c.genericGetMax.asInstanceOf[Long])
+            }
+            (stats.map(_._1).min, stats.map(_._2).max)
+          } finally reader.close()
+        }
+      val (lo, hi) = (rs.map(_._1).min, rs.map(_._2).max)
+      val span = (hi - lo).toDouble.max(1.0)
+      rs.map(r => (r._2 - r._1).toDouble / span).sum / rs.size
+    }
+    // RANGE tightness on the skewed column is meaningless for linear
+    // (one linear cell holds ~97% of rows, so file ranges look "tight"
+    // in value space while being useless in ROW space). The honest
+    // metric: how many files does the p50-row point filter touch?
+    // Median row value sits in the dense head; quantile boundaries
+    // separate the head into many files, linear lumps it into few
+    // wide-ROW-coverage files. Check row-coverage of the file whose
+    // range contains the median value.
+    val med = df.stat.approxQuantile("skew", Array(0.5), 0.0).head.toLong
+    def rowsInFilesCovering(dir: String, v: Long): Long =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            import scala.jdk.CollectionConverters._
+            val blocks = reader.getFooter.getBlocks.asScala
+            val covers = blocks.exists { b =>
+              val c = b.getColumns.asScala
+                .find(_.getPath.toDotString == "skew").get.getStatistics
+              c.genericGetMin.asInstanceOf[Long] <= v &&
+                v <= c.genericGetMax.asInstanceOf[Long]
+            }
+            if (covers) blocks.map(_.getRowCount).sum else 0L
+          } finally reader.close()
+        }.sum
+    val linRows = rowsInFilesCovering(s"$tmp/lin", med)
+    val qntRows = rowsInFilesCovering(s"$tmp/qnt", med)
+    // a median-value point filter must scan materially fewer rows
+    // under quantile cells than linear cells on this skew
+    assert(qntRows * 2 <= linRows,
+      s"quantile=$qntRows vs linear=$linRows rows for the median filter")
+    // the uniform column keeps its multi-column skipping either way
+    assert(meanFrac(s"$tmp/qnt", "uni") < 0.6)
+    // and the data survives intact
+    assert(spark.read.parquet(s"$tmp/qnt").count() === 40000)
+  }
+
   test("Lake.writeShuffled: same seed reproduces the epoch order, different seed decorrelates") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("shuffled").toString
