@@ -67,23 +67,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("containment plan: collapse agg, partial rank limit, pinned merge joins, no corpus broadcast") {
-    val p = plan("dedup_containment")
-    // exact-dup collapse precedes candidate generation: a partial+final
-    // HashAggregate keyed on the content fingerprint (the r8-verdict
-    // fix — without it dup groups pair quadratically)
-    assert(p.contains("HashAggregate(keys=[fp"), s"no fp collapse agg\n$p")
-    // the k-rarest probe ranking runs as a rank-LIMIT pushdown:
-    // WindowGroupLimit prunes to 16 rows/doc partially BEFORE the
-    // window sort ships the corpus token stream
-    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed\n$p")
-    // probe join over two corpus-sized token streams stays sort-merge
-    // (spillable at any scale)
-    assert(p.contains("SortMergeJoin [tok"), s"probe join not SMJ\n$p")
-    // nothing corpus-sized broadcasts — the member map, groups table,
-    // and token streams all shuffle (stats-driven broadcast of small
-    // test-scale sides would hide the 100 TB plan from this guard)
-    assert(!p.contains("BroadcastExchange"), s"corpus-sized broadcast\n$p")
+  test("containment plans (self + cross): collapse agg, partial rank limit, pinned merge joins, no corpus broadcast") {
+    for (q <- Seq("dedup_containment", "dedup_containment_cross")) {
+      val p = plan(q)
+      // exact-dup collapse precedes candidate generation: a
+      // partial+final HashAggregate keyed on the content fingerprint
+      // (the r8-verdict fix — without it dup groups pair
+      // quadratically)
+      assert(p.contains("HashAggregate(keys=[fp"), s"$q: no fp collapse agg")
+      // the k-rarest probe ranking runs as a rank-LIMIT pushdown:
+      // WindowGroupLimit prunes to 16 rows/doc partially BEFORE the
+      // window sort ships the corpus token stream
+      assert(p.contains("WindowGroupLimit"), s"$q: rank limit not pushed")
+      // probe join over two corpus-sized token streams stays
+      // sort-merge (spillable at any scale)
+      assert(p.contains("SortMergeJoin [tok"), s"$q: probe join not SMJ")
+      // nothing corpus-sized broadcasts — member maps, groups tables,
+      // df stats and token streams all shuffle (stats-driven broadcast
+      // of small test-scale sides would hide the 100 TB plan from
+      // this guard)
+      assert(!p.contains("BroadcastExchange"), s"$q: corpus-sized broadcast")
+    }
   }
 
   test("IVF cell assignment is a per-row argmax: zero exchange, zero explosion") {
