@@ -119,6 +119,10 @@ object Lake {
                     quantile: Boolean = false): Unit = {
     require(cols.nonEmpty && cols.size * bits <= 63,
             s"z-key would overflow a long: ${cols.size} cols x $bits bits")
+    require(!quantile || bits <= 12,
+            s"quantile cells embed 2^bits-1 literal boundaries per column " +
+              s"in the plan; $bits bits is past the sensible codegen size " +
+              "(use linear cells or fewer bits)")
     def numeric(c: String) = df.schema(c).dataType match {
       case org.apache.spark.sql.types.DateType => unix_date(col(c)).cast("double")
       case _ => col(c).cast("double")
