@@ -3278,6 +3278,59 @@ object Queries {
       |  WINDOW w AS (PARTITION BY prio ORDER BY day)) t
       |WHERE rn >= 10""".stripMargin
 
+  /** Tuned-α EWMA (#54a): the same daily series smoothed at α = 3/8 —
+    * the dyadic generalization a real forecaster needs. Weights stay
+    * exact doubles ([[Temporal.dyadicWeights]]), so the DuckDB oracle
+    * (whose weight literals are generated from the SAME exact
+    * integers, printed as finite decimals) is hash-exact, not
+    * approximately equal. */
+  def ewmaDailyDemandTuned(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(Relational.dsum(col("o_totalprice")).as("demand"))
+    Temporal.ewma(daily, Seq("prio"), "day", "demand", terms = 10,
+                  alphaNum = 3, alphaLog2Den = 3)
+  }
+
+  /** DuckDB twin of the dyadic EWMA: every weight m/2^e is emitted as
+    * `m::DOUBLE / 2^e::DOUBLE` — both integers are ≤2⁵³ so their
+    * doubles are exact, and dividing by a power of two is an exact
+    * exponent shift, so the weight double is bit-identical to
+    * [[Temporal.dyadicWeights]]'. (A long decimal literal would NOT
+    * be safe: DuckDB types it DECIMAL with a >64-bit scaled integer,
+    * and that int128→double conversion double-rounds — measured 1-ulp
+    * drift at weight 6 of α=3/8.) */
+  private def ewmaSql(alphaNum: Int, alphaLog2Den: Int, terms: Int): String = {
+    def exactRatio(num: BigInt, log2den: Int): String = {
+      require(num.bitLength <= 53 && log2den <= 62)
+      s"(${num}::DOUBLE / ${BigInt(1) << log2den}::DOUBLE)"
+    }
+    val q = (BigInt(1) << alphaLog2Den) - alphaNum
+    val ws = (0 until terms).map { i =>
+      exactRatio(BigInt(alphaNum) * q.pow(i), alphaLog2Den * (i + 1))
+    }
+    val norm = exactRatio(
+      (BigInt(1) << (alphaLog2Den * terms)) - q.pow(terms),
+      alphaLog2Den * terms)
+    val sum = ws.zipWithIndex.map {
+      case (w, 0) => s"demand * $w"
+      case (w, i) => s"lag(demand, $i) OVER w * $w"
+    }.mkString("\n     + ")
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+       |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS demand
+       |  FROM orders GROUP BY 1, 2)
+       |SELECT prio, day, demand, ewma FROM (
+       |  SELECT prio, day, demand,
+       |    ($sum) / $norm AS ewma,
+       |    row_number() OVER w AS rn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY prio ORDER BY day)) t
+       |WHERE rn >= $terms""".stripMargin
+  }
+
+  private val ewmaDailyDemandTunedSql = ewmaSql(3, 3, 10)
+
   /** Winnowing fingerprints (#55): k=8, w=4 — see [[Corpus.winnow]]. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     Corpus.winnow(Tables.documents(spark, dir), "doc_id", "text", k = 8, w = 4)
@@ -3510,6 +3563,7 @@ object Queries {
     "q16_supplier_variety"     -> (q16SupplierVariety _),
     "triangle_counts"          -> (triangleCounts _),
     "ewma_daily_demand"        -> (ewmaDailyDemand _),
+    "ewma_daily_demand_tuned"  -> (ewmaDailyDemandTuned _),
     "winnow_fingerprint"       -> (winnowFingerprint _),
     "dedup_containment"        -> (dedupContainment _),
     "dedup_containment_cross"  -> (dedupContainmentCross _)
@@ -3630,6 +3684,7 @@ object Queries {
     "q16_supplier_variety"     -> q16SupplierVarietySql,
     "triangle_counts"          -> triangleCountsSql,
     "ewma_daily_demand"        -> ewmaDailyDemandSql,
+    "ewma_daily_demand_tuned"  -> ewmaDailyDemandTunedSql,
     "winnow_fingerprint"       -> winnowFingerprintSql,
     "dedup_containment"        -> dedupContainmentSql,
     "dedup_containment_cross"  -> dedupContainmentCrossSql

@@ -108,17 +108,50 @@ object Temporal {
       .drop("__bin")
   }
 
-  /** Exponentially-weighted moving average with α = 1/2 over the last
-    * `terms` observations — the classic demand-forecast smoother the
+  /** Exact dyadic EWMA weights for α = alphaNum / 2^alphaLog2Den over
+    * `terms` observations, plus the normalizer Σwᵢ. Weight i is
+    * α(1−α)ⁱ = j·(2ᵏ−j)ⁱ / 2^(k(i+1)) — an integer numerator over a
+    * power of two. As long as every numerator fits in the 53-bit
+    * double mantissa (checked), numerator.toDouble is exact and the
+    * scale by 2^-e is an exact exponent shift, so EVERY weight is an
+    * exact double for ANY dyadic α — which is what lets a forecaster
+    * tune α (1/4, 3/8, 5/16, …) without giving up the
+    * bit-reproducibility contract below. The normalizer
+    * 1 − (1−α)ᵗᵉʳᵐˢ = (2^(kt) − (2ᵏ−j)ᵗ) / 2^(kt) is built the same
+    * way. */
+  def dyadicWeights(alphaNum: Int, alphaLog2Den: Int,
+                    terms: Int): (IndexedSeq[Double], Double) = {
+    require(alphaLog2Den >= 1 && alphaLog2Den <= 20,
+            s"alphaLog2Den out of [1,20]: $alphaLog2Den")
+    require(alphaNum >= 1 && alphaNum < (1 << alphaLog2Den),
+            s"alphaNum out of (0, 2^$alphaLog2Den): $alphaNum")
+    val q = (BigInt(1) << alphaLog2Den) - alphaNum // (1-α)·2^k
+    val weights = (0 until terms).map { i =>
+      val num = BigInt(alphaNum) * q.pow(i)
+      require(num.bitLength <= 53,
+              s"weight numerator exceeds the double mantissa at lag $i " +
+              s"(alpha=$alphaNum/2^$alphaLog2Den, terms=$terms)")
+      num.toDouble * math.pow(2.0, -(alphaLog2Den * (i + 1)))
+    }
+    val normNum = (BigInt(1) << (alphaLog2Den * terms)) - q.pow(terms)
+    require(normNum.bitLength <= 53,
+            s"normalizer exceeds the double mantissa " +
+            s"(alpha=$alphaNum/2^$alphaLog2Den, terms=$terms)")
+    (weights, normNum.toDouble * math.pow(2.0, -(alphaLog2Den * terms)))
+  }
+
+  /** Exponentially-weighted moving average with dyadic
+    * α = alphaNum/2^alphaLog2Den (default 1/2) over the last `terms`
+    * observations — the classic demand-forecast smoother the
     * reference's warehouse feeds (README "time-series model inputs"),
-    * built bit-reproducibly: weights 2⁻¹ … 2⁻ᵗᵉʳᵐˢ are exact dyadic
-    * doubles, each product xᵢ·2⁻ᵏ is an exact binary scaling, and the
-    * sum is written as ONE fixed left-associated expression tree — so
-    * any engine evaluating the same tree over the same doubles (IEEE
-    * ops are deterministic) produces the identical bit pattern. A
-    * running-sum formulation would instead accumulate in frame order
-    * and tie results to partitioning. Normalization divides by the
-    * exact dyadic Σ weights = 1 − 2⁻ᵗᵉʳᵐˢ.
+    * built bit-reproducibly: the weights α(1−α)ⁱ are exact dyadic
+    * doubles (see [[dyadicWeights]]), and the weighted sum is written
+    * as ONE fixed left-associated expression tree — so any engine
+    * evaluating the same tree over the same doubles (IEEE ops are
+    * deterministic and correctly rounded) produces the identical bit
+    * pattern. A running-sum formulation would instead accumulate in
+    * frame order and tie results to partitioning. Normalization
+    * divides by the exact dyadic Σ weights = 1 − (1−α)ᵗᵉʳᵐˢ.
     *
     * Scale: one shuffle (the window partitioning); `terms` lag columns
     * resolve inside a single window, all codegen. Rows without full
@@ -132,16 +165,16 @@ object Temporal {
     * id) to make the order total when the series can carry dups. */
   def ewma(df: DataFrame, partitionCols: Seq[String], orderCol: String,
            valueCol: String, terms: Int = 10,
-           tieBreakCols: Seq[String] = Seq.empty): DataFrame = {
+           tieBreakCols: Seq[String] = Seq.empty,
+           alphaNum: Int = 1, alphaLog2Den: Int = 1): DataFrame = {
     require(terms >= 1 && terms <= 50, s"terms out of [1,50]: $terms")
+    val (weights, norm) = dyadicWeights(alphaNum, alphaLog2Den, terms)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(partitionCols.map(col): _*)
       .orderBy((orderCol +: tieBreakCols).map(col): _*)
     val lagged = (0 until terms).map { i =>
-      val weight = math.pow(2.0, -(i + 1)) // exact dyadic
-      (if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)) * lit(weight)
+      (if (i == 0) col(valueCol) else lag(col(valueCol), i).over(w)) * lit(weights(i))
     }
-    val norm = 1.0 - math.pow(2.0, -terms) // exact dyadic
     df.withColumn("__ewma_raw", lagged.reduceLeft(_ + _) / lit(norm))
       .withColumn("__n", row_number().over(w))
       .where(col("__n") >= terms)

@@ -263,12 +263,14 @@ object EventsStream extends Serializable {
   case class EwmaState(pending: List[(Long, Long, Double)],
                        hist: List[Double])
 
-  /** Streaming twin of [[graft.operators.Temporal.ewma]] (α = 1/2,
-    * last `terms` observations): per-key smoothed values as events
-    * finalize. The BATCH operator's exactness argument carries over
-    * verbatim — dyadic weights, one fixed left-associated sum — so a
-    * stream point and the batch row for the same (key, ts) are
-    * bit-identical doubles (EwmaStreamSpec asserts exact equality).
+  /** Streaming twin of [[graft.operators.Temporal.ewma]] (dyadic
+    * α = alphaNum/2^alphaLog2Den, last `terms` observations): per-key
+    * smoothed values as events finalize. The BATCH operator's
+    * exactness argument carries over verbatim — exact dyadic weights
+    * ([[graft.operators.Temporal.dyadicWeights]]), one fixed
+    * left-associated sum — so a stream point and the batch row for
+    * the same (key, ts) are bit-identical doubles (EwmaStreamSpec
+    * asserts exact equality, at α = 1/2 and a tuned α = 3/8).
     *
     * Out-of-order arrivals inside the watermark are handled the same
     * way sessionize handles them: incoming events BUFFER in state and
@@ -282,14 +284,16 @@ object EventsStream extends Serializable {
     * batch operator, nothing is emitted until a key has `terms`
     * finalized observations. */
   def ewmaStream(spark: SparkSession, events: DataFrame, terms: Int = 10,
-                 watermarkDelay: String = "30 minutes"): Dataset[EwmaPoint] = {
+                 watermarkDelay: String = "30 minutes",
+                 alphaNum: Int = 1, alphaLog2Den: Int = 1): Dataset[EwmaPoint] = {
     import spark.implicits._
     require(terms >= 1 && terms <= 50, s"terms out of [1,50]: $terms")
-    val norm = 1.0 - math.pow(2.0, -terms)
+    val (weights, norm) =
+      graft.operators.Temporal.dyadicWeights(alphaNum, alphaLog2Den, terms)
 
     def smoothed(hist: List[Double]): Double =
       hist.zipWithIndex
-        .map { case (v, i) => v * math.pow(2.0, -(i + 1)) }
+        .map { case (v, i) => v * weights(i) }
         .reduceLeft(_ + _) / norm
 
     def fn(userId: Long, it: Iterator[Event],

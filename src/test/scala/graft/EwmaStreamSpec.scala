@@ -9,6 +9,14 @@ import graft.operators.Temporal
 class EwmaStreamSpec extends SparkSpec {
 
   test("streaming EWMA equals the batch dyadic EWMA bit-for-bit, out-of-order input") {
+    streamBatchParity(alphaNum = 1, alphaLog2Den = 1)
+  }
+
+  test("streaming EWMA bit-parity holds at tuned dyadic alpha = 3/8") {
+    streamBatchParity(alphaNum = 3, alphaLog2Den = 3)
+  }
+
+  private def streamBatchParity(alphaNum: Int, alphaLog2Den: Int): Unit = {
     import spark.implicits._
     val tmp = Files.createTempDirectory("ewma-stream").toString
     val terms = 4
@@ -25,7 +33,8 @@ class EwmaStreamSpec extends SparkSpec {
 
     def run(): Unit = {
       val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", df)
-      val q = EventsStream.ewmaStream(spark, stream, terms, "30 minutes")
+      val q = EventsStream.ewmaStream(spark, stream, terms, "30 minutes",
+                                      alphaNum, alphaLog2Den)
         .writeStream.format("parquet").option("path", s"$tmp/out")
         .option("checkpointLocation", s"$tmp/cp")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -47,7 +56,8 @@ class EwmaStreamSpec extends SparkSpec {
       .select("user_id", "ts", "ewma")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
       .toSet
-    val batch = Temporal.ewma(df, Seq("user_id"), "ts", "value", terms)
+    val batch = Temporal.ewma(df, Seq("user_id"), "ts", "value", terms,
+                              alphaNum = alphaNum, alphaLog2Den = alphaLog2Den)
       .select(col("user_id"), col("ts"), col("ewma"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
       .toSet

@@ -204,4 +204,52 @@ class TemporalSpec extends SparkSpec {
     // newest observation dominates: a spike at t=5 pulls ewma(5) above ewma(4)
     assert(out(5L) > out(4L))
   }
+
+  test("dyadicWeights are exact doubles for tuned alphas and sum to the normalizer") {
+    // exact rational m / 2^e as an unlimited-precision decimal
+    def rat(num: BigInt, log2den: Int): BigDecimal = BigDecimal(
+      new java.math.BigDecimal(num.bigInteger).divide(
+        new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(log2den))))
+    for ((j, k) <- Seq((1, 1), (1, 2), (3, 3), (5, 4), (11, 5)); terms <- Seq(1, 4, 10)) {
+      val (ws, norm) = Temporal.dyadicWeights(j, k, terms)
+      val q = (BigInt(1) << k) - j
+      for (i <- 0 until terms) {
+        // the double IS the exact rational j*q^i / 2^(k(i+1)) — no rounding
+        assert(BigDecimal.exact(ws(i)) === rat(BigInt(j) * q.pow(i), k * (i + 1)),
+               s"alpha=$j/2^$k lag=$i")
+      }
+      val exactNorm = rat((BigInt(1) << (k * terms)) - q.pow(terms), k * terms)
+      assert(BigDecimal.exact(norm) === exactNorm)
+      // Σ wᵢ is exactly the normalizer as a rational (not merely ≈)
+      val sum = ws.map(w => BigDecimal.exact(w).bigDecimal)
+        .reduceLeft(_.add(_)) // exact: BigDecimal add never rounds without a context
+      assert(BigDecimal(sum) === exactNorm, s"alpha=$j/2^$k terms=$terms")
+    }
+    // guard: a weight numerator past the 53-bit mantissa is rejected
+    assertThrows[IllegalArgumentException] {
+      Temporal.dyadicWeights(1, 20, 50)
+    }
+  }
+
+  test("ewma at alpha=3/8 equals the closed-form tuned-weight sum") {
+    import spark.implicits._
+    val terms = 4
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("g", i.toLong, x) }
+      .toDF("grp", "t", "x")
+    val out = Temporal.ewma(df, Seq("grp"), "t", "x", terms,
+                            alphaNum = 3, alphaLog2Den = 3)
+      .select("t", "ewma").as[(Long, Double)].collect().toMap
+    assert(out.keySet === Set(3L, 4L, 5L, 6L))
+    val (ws, norm) = Temporal.dyadicWeights(3, 3, terms)
+    for (t <- 3 to 6) {
+      val expect = (0 until terms).map(i => xs(t - i) * ws(i))
+        .reduceLeft(_ + _) / norm
+      assert(out(t.toLong) === expect, s"t=$t")
+    }
+    // lower alpha smooths harder: tuned ewma reacts less to the t=5 spike
+    val half = Temporal.ewma(df, Seq("grp"), "t", "x", terms)
+      .select("t", "ewma").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(5L) - out(4L)) < math.abs(half(5L) - half(4L)))
+  }
 }
