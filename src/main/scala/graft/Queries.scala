@@ -3193,6 +3193,70 @@ object Queries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Q12 dual conditional census (#17n) — see
+    * [[Relational.lateLinesByPriorityClass]]. */
+  def q12LateByClass(spark: SparkSession, dir: String): DataFrame =
+    Relational.lateLinesByPriorityClass(
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+      "1998-01-01", "1999-01-01", 60)
+
+  private val q12LateByClassSql =
+    """SELECT l_returnflag AS line_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1""".stripMargin
+
+  /** Q17 small-quantity revenue (#17o) — see
+    * [[Relational.smallQuantityRevenue]]. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Relational.smallQuantityRevenue(
+      Tables.part(spark, dir), Tables.lineitem(spark, dir), "Brand#1")
+
+  private val q17SmallQtyRevenueSql =
+    """WITH branded AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#1'),
+      |thresh AS (
+      |  SELECT l_partkey AS t_partkey,
+      |    (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+      |     / COUNT(*)) * 0.2 AS qty_thresh
+      |  FROM branded GROUP BY 1)
+      |SELECT
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM branded JOIN thresh ON l_partkey = t_partkey
+      |WHERE l_quantity < qty_thresh""".stripMargin
+
+  /** Q20 dominant suppliers (#17p) — see
+    * [[Relational.dominantSuppliers]]. */
+  def q20DominantSuppliers(spark: SparkSession, dir: String): DataFrame =
+    Relational.dominantSuppliers(
+      Tables.nation(spark, dir), Tables.supplier(spark, dir),
+      Tables.part(spark, dir), Tables.lineitem(spark, dir),
+      "small", "NATION_3", "1998-01-01", "1999-01-01", 1, 2)
+
+  private val q20DominantSuppliersSql =
+    """WITH pf AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+      |sh AS (SELECT l_partkey, l_suppkey,
+      |         SUM(CAST(l_quantity AS DECIMAL(25,6))) AS supp_qty
+      |       FROM lineitem JOIN pf ON l_partkey = p_partkey
+      |       WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+      |       GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey AS q_partkey, SUM(supp_qty) AS part_qty
+      |       FROM sh GROUP BY 1)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_name = 'NATION_3')
+      |  AND s_suppkey IN (SELECT l_suppkey FROM sh
+      |                    JOIN pt ON l_partkey = q_partkey
+      |                    WHERE supp_qty * 2 > part_qty * 1)""".stripMargin
+
   // ------------------------------------- #53-55 graph/temporal/winnow
 
   /** Triangle counts (#53) on the supplier co-occurrence kNN graph:
@@ -3561,6 +3625,9 @@ object Queries {
     "q10_returned_items"       -> (q10ReturnedItems _),
     "q15_top_supplier"         -> (q15TopSupplier _),
     "q16_supplier_variety"     -> (q16SupplierVariety _),
+    "q12_late_by_class"        -> (q12LateByClass _),
+    "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
+    "q20_dominant_suppliers"   -> (q20DominantSuppliers _),
     "triangle_counts"          -> (triangleCounts _),
     "ewma_daily_demand"        -> (ewmaDailyDemand _),
     "ewma_daily_demand_tuned"  -> (ewmaDailyDemandTuned _),
@@ -3682,6 +3749,9 @@ object Queries {
     "q10_returned_items"       -> q10ReturnedItemsSql,
     "q15_top_supplier"         -> q15TopSupplierSql,
     "q16_supplier_variety"     -> q16SupplierVarietySql,
+    "q12_late_by_class"        -> q12LateByClassSql,
+    "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
+    "q20_dominant_suppliers"   -> q20DominantSuppliersSql,
     "triangle_counts"          -> triangleCountsSql,
     "ewma_daily_demand"        -> ewmaDailyDemandSql,
     "ewma_daily_demand_tuned"  -> ewmaDailyDemandTunedSql,

@@ -246,4 +246,86 @@ object Relational {
             col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** TPC-H Q12-style dual conditional census: per line class (the
+    * schema's l_returnflag stands in for l_shipmode), how many LATE
+    * lines (shipped > `lateDays` after order placement — the Q4
+    * lateness adaptation) belong to high- vs low-priority orders.
+    * The Q12 shape is the CASE-sum pair over one fact-fact join:
+    * both counters ride a single orderkey shuffle and partial-agg;
+    * no second pass, no pivot. */
+  def lateLinesByPriorityClass(orders: DataFrame, lineitem: DataFrame,
+                               from: String, to: String,
+                               lateDays: Int): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .where(col("l_shipdate") >= from && col("l_shipdate") < to)
+      .join(orders, col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") +
+                expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_returnflag").as("line_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue
+    * lost if orders below 20% of a part's average order quantity were
+    * no longer taken, over one brand's parts. The Q17 correlated
+    * scalar subquery (`l_quantity < 0.2 * (SELECT avg ... same part)`)
+    * decorrelates into a per-part aggregate joined back to the same
+    * filtered fact subset — the filtered per-part thresholds are
+    * dim-bounded, so the rejoin broadcasts and the fact scans twice
+    * but never shuffles on partkey a second time. Threshold math is
+    * bit-stable: qty sums go through decimal, the 0.2 factor and the
+    * division are single IEEE ops on identical doubles. */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+                           brand: String): DataFrame = {
+    val pf = broadcast(part.where(col("p_brand") === brand)
+      .select(col("p_partkey")))
+    val branded = lineitem.join(pf, col("l_partkey") === col("p_partkey"))
+    val thresh = branded.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(((dsum(col("l_quantity")) / count(lit(1))) * lit(0.2))
+             .as("qty_thresh"))
+    branded
+      .join(broadcast(thresh), col("l_partkey") === col("t_partkey"))
+      .where(col("l_quantity") < col("qty_thresh"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q20-style dominant-supplier detection: suppliers in one
+    * nation who shipped more than `shareNum/shareDen` of a part
+    * family's total volume in a window (the schema has no partsupp
+    * availqty, so Q20's "excess stock" half-sum test becomes a
+    * volume-share test — the nested-IN chain is the same: part name
+    * prefix → per-(supplier, part) aggregate vs a per-part scalar →
+    * semi join up to the supplier dim). The share test multiplies
+    * through (qty·den > total·num) so the decimal sums compare
+    * exactly; both aggregates ride ONE partkey-shuffled pass each
+    * over the prefix-filtered fact subset, and the supplier dim is
+    * only reached by a broadcast semi join of the tiny winner set. */
+  def dominantSuppliers(nation: DataFrame, supplier: DataFrame,
+                        part: DataFrame, lineitem: DataFrame,
+                        namePrefix: String, nationName: String,
+                        from: String, to: String,
+                        shareNum: Int, shareDen: Int): DataFrame = {
+    val pf = broadcast(part.where(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey")))
+    val shipped = lineitem
+      .where(col("l_shipdate") >= from && col("l_shipdate") < to)
+      .join(pf, col("l_partkey") === col("p_partkey"))
+    val perSupp = shipped.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("supp_qty"))
+    val perPart = shipped.groupBy(col("l_partkey").as("q_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("part_qty"))
+    val winners = perSupp
+      .join(perPart, col("l_partkey") === col("q_partkey"))
+      .where(col("supp_qty") * shareDen > col("part_qty") * shareNum)
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(nation.where(col("n_name") === nationName)),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
 }

@@ -119,4 +119,67 @@ class RelationalSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian")
     }
   }
+
+  test("q12 counters partition the late lines: high + low = total") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.q12LateByClass(spark, sfDir)
+    assert(out.count() > 0)
+    val total = out.agg(sum(col("high_line_count") + col("low_line_count")))
+      .first().getLong(0)
+    val expect = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= "1998-01-01" && col("l_shipdate") < "1999-01-01")
+      .join(Tables.orders(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .count()
+    assert(total === expect && expect > 0)
+  }
+
+  test("q17 threshold really gates: revenue below the unfiltered brand total") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.q17SmallQtyRevenue(spark, sfDir).first().getDouble(0)
+    val all = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).where(col("p_brand") === "Brand#1"),
+            col("l_partkey") === col("p_partkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+              / lit(7.0)).as("r"))
+      .first().getDouble(0)
+    assert(out > 0 && out < all)
+  }
+
+  test("q20 winners ship more than half a part's volume; nation semi join gates") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.q20DominantSuppliers(spark, sfDir)
+    val suppkeys = out.select("s_suppkey").collect().map(_.getLong(0)).toSet
+    // every returned supplier sits in the requested nation
+    val nation3 = Tables.supplier(spark, sfDir)
+      .join(Tables.nation(spark, sfDir).where(col("n_name") === "NATION_3"),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(suppkeys.subsetOf(nation3))
+    assert(suppkeys.size < nation3.size) // the share test actually filters
+    // and each winner really crosses the 1/2-share line on some part
+    val pf = Tables.part(spark, sfDir)
+      .where(col("p_name").startsWith("small")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, sfDir)
+      .where(col("l_shipdate") >= "1998-01-01" && col("l_shipdate") < "1999-01-01")
+      .join(pf, col("l_partkey") === col("p_partkey"))
+    val perSupp = shipped.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("sq"))
+    val perPart = shipped.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("decimal(25,6)")).as("tq"))
+    val winners = perSupp.join(perPart, col("l_partkey") === col("pk"))
+      .where(col("sq") * 2 > col("tq"))
+      .select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(suppkeys === nation3.intersect(winners))
+  }
+
+  test("q17/q20 broadcast the filtered part dim — the fact never shuffles for it") {
+    for (q <- Seq("q17_small_qty_revenue", "q20_dominant_suppliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: no broadcast join")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian")
+    }
+  }
 }
