@@ -184,6 +184,8 @@ object Scale100 {
       SparkEntry.queries("winnow_fingerprint")(spark, dir))
     run("ewma_daily_demand")(
       SparkEntry.queries("ewma_daily_demand")(spark, dir))
+    run("ewma_daily_demand_tuned")(
+      SparkEntry.queries("ewma_daily_demand_tuned")(spark, dir))
     run("q8_market_share")(SparkEntry.queries("q8_market_share")(spark, dir))
     run("q6_forecast_revenue")(
       SparkEntry.queries("q6_forecast_revenue")(spark, dir))
@@ -195,6 +197,14 @@ object Scale100 {
                   "fuzzy_name_match", "gapfill_daily_demand",
                   "retention_cohorts", "quality_filter", "doc_pack",
                   "bm25_search", "pmi_top_pairs"))
+      run(q)(SparkEntry.queries(q)(spark, dir))
+
+    // ---- late-r9 TPC-H additions: Q12's fact-fact conditional census
+    // (the orderkey shuffle is the scale surface), Q17's brand-filtered
+    // rejoin (thresholds stay dim-bounded while the fact grows), Q20's
+    // two partkey aggregations over the prefix-filtered subset
+    for (q <- Seq("q12_late_by_class", "q17_small_qty_revenue",
+                  "q20_dominant_suppliers"))
       run(q)(SparkEntry.queries(q)(spark, dir))
 
     args.lift(1).foreach { p =>
