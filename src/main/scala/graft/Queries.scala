@@ -3193,6 +3193,65 @@ object Queries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Robust (MAD-based) anomaly detection (#56) on the daily demand
+    * series: flag days whose demand deviates from the per-priority
+    * MEDIAN by more than k × the median absolute deviation. Median +
+    * MAD resist the contamination that makes mean/stddev gates miss
+    * exactly the outliers they hunt (one 100× spike inflates a stddev
+    * threshold past its siblings). Both statistics use the exact
+    * LOWER-median (rank (n+1) DIV 2 under a total order) — a single
+    * data value passed through untouched, so no averaging/rounding
+    * and the DuckDB twin is hash-exact; the deviation and the k·MAD
+    * compare are single IEEE ops on bit-stable doubles.
+    *
+    * Scale: the same shape as the exact-percentile family (#22y) —
+    * two per-group window sorts over the PRE-AGGREGATED daily series
+    * (groups × days rows, not fact rows), and the two one-row-per-
+    * group statistics tables broadcast back. The raw fact table is
+    * touched once, by the groupBy. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(Relational.dsum(col("o_totalprice")).as("demand"))
+    def lowerMedian(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = W.partitionBy(col("prio")).orderBy(col(valueCol), col("day"))
+      val wAll = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .where(col("__rn") === expr("(__n + 1) DIV 2"))
+        .select(col("prio").as("__mprio"), col(valueCol).as(outCol))
+    }
+    val med = lowerMedian(daily, "demand", "med")
+    val dev = daily.join(broadcast(med), col("prio") === col("__mprio"))
+      .drop("__mprio")
+      .withColumn("dev", abs(col("demand") - col("med")))
+    val mad = lowerMedian(dev, "dev", "mad")
+    dev.join(broadcast(mad), col("prio") === col("__mprio"))
+      .drop("__mprio")
+      .where(col("dev") > lit(5) * col("mad"))
+      .select(col("prio"), col("day"), col("demand"), col("med"), col("mad"))
+  }
+
+  private val anomalyMadSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS demand
+      |  FROM orders GROUP BY 1, 2),
+      |r1 AS (SELECT prio, demand,
+      |  row_number() OVER (PARTITION BY prio ORDER BY demand, day) AS rn,
+      |  COUNT(*) OVER (PARTITION BY prio) AS n FROM daily),
+      |med AS (SELECT prio, demand AS med FROM r1 WHERE rn = (n+1)//2),
+      |dev AS (SELECT d.prio, d.day, d.demand, m.med,
+      |  abs(d.demand - m.med) AS dev FROM daily d JOIN med m USING (prio)),
+      |r2 AS (SELECT prio, dev,
+      |  row_number() OVER (PARTITION BY prio ORDER BY dev, day) AS rn,
+      |  COUNT(*) OVER (PARTITION BY prio) AS n FROM dev),
+      |mad AS (SELECT prio, dev AS mad FROM r2 WHERE rn = (n+1)//2)
+      |SELECT d.prio, d.day, d.demand, d.med, a.mad
+      |FROM dev d JOIN mad a USING (prio)
+      |WHERE d.dev > 5 * a.mad""".stripMargin
+
   /** Q12 dual conditional census (#17n) — see
     * [[Relational.lateLinesByPriorityClass]]. */
   def q12LateByClass(spark: SparkSession, dir: String): DataFrame =
@@ -3625,6 +3684,7 @@ object Queries {
     "q10_returned_items"       -> (q10ReturnedItems _),
     "q15_top_supplier"         -> (q15TopSupplier _),
     "q16_supplier_variety"     -> (q16SupplierVariety _),
+    "anomaly_mad"              -> (anomalyMad _),
     "q12_late_by_class"        -> (q12LateByClass _),
     "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
     "q20_dominant_suppliers"   -> (q20DominantSuppliers _),
@@ -3749,6 +3809,7 @@ object Queries {
     "q10_returned_items"       -> q10ReturnedItemsSql,
     "q15_top_supplier"         -> q15TopSupplierSql,
     "q16_supplier_variety"     -> q16SupplierVarietySql,
+    "anomaly_mad"              -> anomalyMadSql,
     "q12_late_by_class"        -> q12LateByClassSql,
     "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
     "q20_dominant_suppliers"   -> q20DominantSuppliersSql,

@@ -124,6 +124,33 @@ class EdgeCaseSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("anomaly_mad flags planted spikes that a stddev gate would miss") {
+    import org.apache.spark.sql.functions._
+    // one priority, 30 steady days around 100, plus FOUR 10_000
+    // spikes: together they inflate a mean/stddev threshold past
+    // themselves (3σ gate > 10_000 — each spike hides the others) but
+    // cannot move the median/MAD of a 26/30 clean series
+    val tmp = java.nio.file.Files.createTempDirectory("mad").toString
+    val spikes = Set(5, 12, 19, 26)
+    val rows = (1 to 30).map { i =>
+      val v = if (spikes(i)) 10000.0 else 100.0 + (i % 5)
+      (i.toLong, 1L, "O", v, java.sql.Date.valueOf(f"1995-01-$i%02d"), "1-URGENT")
+    }
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+              "o_totalprice", "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$tmp/orders.parquet")
+    val out = Queries.anomalyMad(spark, tmp)
+      .select("day", "demand").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toMap
+    assert(out.keySet === spikes.map(i => f"1995-01-$i%02d"))
+    assert(out.values.forall(_ === 10000.0))
+    // the stddev gate really would miss them (documents the why)
+    val daily = rows.map(_._4)
+    val mean = daily.sum / daily.size
+    val sd = math.sqrt(daily.map(v => (v - mean) * (v - mean)).sum / daily.size)
+    assert(10000.0 < mean + 3 * sd)
+  }
+
   test("cosine of zero vectors is NULL, not a job-killing ANSI error") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
