@@ -3193,6 +3193,47 @@ object Queries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Per-source boilerplate stripping (#57): the corpus carries no
+    * real site templates, so the query PREPENDS a deterministic
+    * 8-token banner (exactly ONE segment — the original segment grid
+    * shifts by one whole segment and stays intact) naming the doc's
+    * source; the operator must strip it from every document (its
+    * within-source df is 100% ≥ 1/4) while keeping the natural
+    * segments (max within-source df is 2/25 < 1/4). Self-checking:
+    * clean_text must equal the normalized ORIGINAL text —
+    * CorpusSpec asserts exactly that. See [[Corpus.stripBoilerplate]]. */
+  def stripBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      concat(lit("nav menu home login search contact about "),
+             col("source"), lit(" "), col("text")).as("text"))
+    Corpus.stripBoilerplate(docs, "doc_id", "text", "source",
+                            segTokens = 8, num = 1, den = 4)
+  }
+
+  private val stripBoilerplateSql =
+    """WITH d AS (SELECT doc_id, source,
+      |    'nav menu home login search contact about ' || source || ' ' || text AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM d),
+      |s AS (SELECT doc_id, source, i AS seg_idx,
+      |        array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+      |      FROM t, UNNEST(generate_series(0, greatest((len(toks)+7)//8 - 1, 0))) AS u(i)),
+      |c AS (SELECT source, seg, COUNT(DISTINCT doc_id) AS seg_docs
+      |      FROM s GROUP BY 1, 2),
+      |n AS (SELECT source, COUNT(DISTINCT doc_id) AS src_docs
+      |      FROM d GROUP BY 1),
+      |f AS (SELECT s.doc_id, s.source, s.seg_idx, s.seg,
+      |        c.seg_docs * 4 < n.src_docs * 1 AS kept
+      |      FROM s JOIN c USING (source, seg) JOIN n USING (source))
+      |SELECT doc_id, source,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '') AS clean_text,
+      |  CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+      |FROM f GROUP BY 1, 2""".stripMargin
+
   /** Robust (MAD-based) anomaly detection (#56) on the daily demand
     * series: flag days whose demand deviates from the per-priority
     * MEDIAN by more than k × the median absolute deviation. Median +
@@ -3685,6 +3726,7 @@ object Queries {
     "q15_top_supplier"         -> (q15TopSupplier _),
     "q16_supplier_variety"     -> (q16SupplierVariety _),
     "anomaly_mad"              -> (anomalyMad _),
+    "strip_boilerplate"        -> (stripBoilerplate _),
     "q12_late_by_class"        -> (q12LateByClass _),
     "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
     "q20_dominant_suppliers"   -> (q20DominantSuppliers _),
@@ -3810,6 +3852,7 @@ object Queries {
     "q15_top_supplier"         -> q15TopSupplierSql,
     "q16_supplier_variety"     -> q16SupplierVarietySql,
     "anomaly_mad"              -> anomalyMadSql,
+    "strip_boilerplate"        -> stripBoilerplateSql,
     "q12_late_by_class"        -> q12LateByClassSql,
     "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
     "q20_dominant_suppliers"   -> q20DominantSuppliersSql,

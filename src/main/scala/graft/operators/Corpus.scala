@@ -69,6 +69,58 @@ object Corpus {
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
   }
 
+  /** Per-source boilerplate stripping (the CCNet/RefinedWeb pass that
+    * [[dedupLines]]'s absolute cap cannot express): a segment is
+    * boilerplate for a SOURCE when it appears in ≥ `num/den` of that
+    * source's documents — site templates, navigation, cookie banners
+    * are near-universal within their site but rare across the corpus,
+    * so a relative, per-source threshold is the production semantics
+    * (a segment common in source A and rare in B is stripped from A's
+    * documents only). The fraction test cross-multiplies
+    * (`df·den < nDocs·num`) so it stays exact integer arithmetic at
+    * any corpus size.
+    *
+    * Shape: identical machinery to [[dedupLines]] — explode to
+    * (source, doc, seg) → one (source, seg) countDistinct → rejoin →
+    * order-preserving reassembly — plus ONE dim-bounded per-source
+    * doc-count table that always broadcasts (sources are the small
+    * axis of a 100 TB corpus by construction). Same shuffle count as
+    * dedupLines; the relative gate costs nothing extra. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, segTokens: Int = 8,
+                       num: Int = 1, den: Int = 4): DataFrame = {
+    require(num >= 1 && den >= num, s"bad fraction $num/$den")
+    val spark = docs.sparkSession
+    val srcDocs = docs.groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("__src_docs"))
+    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
+    val exploded = docs
+      .select(col(idCol), col(sourceCol),
+        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col(idCol), col(sourceCol), posexplode(transform(
+        sequence(lit(0), greatest(nSegs - 1, lit(0))),
+        i => concat_ws(" ",
+          slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
+      .toDF(idCol, sourceCol, "seg_idx", "seg")
+    val counts = exploded.groupBy(col(sourceCol), col("seg"))
+      .agg(countDistinct(col(idCol)).as("__seg_docs"))
+    exploded.join(counts, Seq(sourceCol, "seg"))
+      .join(broadcast(srcDocs), sourceCol)
+      .withColumn("kept",
+        col("__seg_docs") * den < col("__src_docs") * num)
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("seg_idx"), col("kept"),
+                                           col("seg")))),
+            s => s("kept")),
+          s => s("seg"))).as("clean_text"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+  }
+
   /** Benchmark decontamination (the n-gram-overlap pass every serious
     * training corpus runs against its eval suites): a training document
     * sharing ANY distinct word `n`-gram with the eval set is flagged,

@@ -58,6 +58,46 @@ class CorpusSpec extends SparkSpec {
     a.foreach { case (id, _, k, d) => assert(k + d === expect(id), s"doc $id") }
   }
 
+  test("stripBoilerplate gates per source at a relative threshold") {
+    // siteA: banner in 3/4 docs (≥ 1/2) → stripped from those docs;
+    // siteB: the SAME banner in 1/3 docs (< 1/2) → kept there. An
+    // absolute cap (dedupLines) cannot express this split: the
+    // banner's corpus df is 4 either way.
+    val docs = Seq(
+      (1L, "siteA", s"$boiler alpha bravo charlie delta"),
+      (2L, "siteA", s"$boiler echo foxtrot golf hotel"),
+      (3L, "siteA", s"$boiler india juliet kilo lima"),
+      (4L, "siteA", "mike november oscar papa"),
+      (5L, "siteB", s"$boiler uniform victor whiskey xray"),
+      (6L, "siteB", "yankee zulu one two"),
+      (7L, "siteB", "three four five six")
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.stripBoilerplate(docs, "doc_id", "text", "source",
+        segTokens = 4, num = 1, den = 2)
+      .as[(Long, String, String, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, "siteA", "alpha bravo charlie delta", 1L, 1L),
+      (2L, "siteA", "echo foxtrot golf hotel", 1L, 1L),
+      (3L, "siteA", "india juliet kilo lima", 1L, 1L),
+      (4L, "siteA", "mike november oscar papa", 1L, 0L),
+      (5L, "siteB", s"$boiler uniform victor whiskey xray", 2L, 0L),
+      (6L, "siteB", "yankee zulu one two", 1L, 0L),
+      (7L, "siteB", "three four five six", 1L, 0L)))
+  }
+
+  test("strip_boilerplate driver query recovers the original text exactly") {
+    // the registered query plants a one-segment banner per source;
+    // stripping it must reproduce the normalized original corpus
+    val out = Queries.stripBoilerplate(spark, sfDir)
+      .select(col("doc_id"), col("clean_text"))
+    val orig = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normalize(col("text")).as("t"))
+    val joined = out.join(orig, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.where(col("clean_text") =!= col("t")).count() === 0)
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with eval") {
     val train = Seq(
       (10L, "one two three four five six seven eight nine"),   // contains eval gram
