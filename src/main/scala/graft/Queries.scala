@@ -3193,6 +3193,44 @@ object Queries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Exact duplicate-substring excision (#58): see
+    * [[Corpus.exciseDupSubstrings]]. The oracle recomputes removal
+    * coverage per character with an ASOF join (greatest dup-gram
+    * start at-or-before each position; covered iff it is within k)
+    * — a genuinely different formulation from the engine's interval
+    * merge, so agreement is evidence, not echo. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Corpus.exciseDupSubstrings(Tables.documents(spark, dir),
+                               "doc_id", "text", k = 20)
+
+  private val dedupSubstringSql =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |g AS (SELECT doc_id, i, md5(substr(t, CAST(i AS INTEGER), 20)) AS h
+      |      FROM d, UNNEST(generate_series(1, len(t) - 19)) AS u(i)
+      |      WHERE len(t) >= 20),
+      |dup AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS c
+      |                       FROM g GROUP BY 1) WHERE c >= 2),
+      |s AS (SELECT doc_id, i FROM g JOIN dup USING (h)),
+      |chars AS (SELECT doc_id, p, substr(t, CAST(p AS INTEGER), 1) AS ch
+      |          FROM d, UNNEST(generate_series(1, len(t))) AS u(p)),
+      |cov AS (SELECT c.doc_id, c.p, c.ch, s.i AS last_start
+      |        FROM chars c ASOF LEFT JOIN s
+      |          ON s.doc_id = c.doc_id AND s.i <= c.p)
+      |SELECT d.doc_id,
+      |  COALESCE(x.clean_text, '') AS clean_text,
+      |  COALESCE(x.n_removed, 0) AS n_removed
+      |FROM d LEFT JOIN (
+      |  SELECT doc_id,
+      |    COALESCE(string_agg(ch, '' ORDER BY p)
+      |      FILTER (WHERE last_start IS NULL OR p >= last_start + 20), '')
+      |      AS clean_text,
+      |    CAST(COUNT(*) FILTER (WHERE last_start IS NOT NULL
+      |                            AND p < last_start + 20) AS BIGINT)
+      |      AS n_removed
+      |  FROM cov GROUP BY 1) x USING (doc_id)""".stripMargin
+
   /** Per-source boilerplate stripping (#57): the corpus carries no
     * real site templates, so the query PREPENDS a deterministic
     * 8-token banner (exactly ONE segment — the original segment grid
@@ -3727,6 +3765,7 @@ object Queries {
     "q16_supplier_variety"     -> (q16SupplierVariety _),
     "anomaly_mad"              -> (anomalyMad _),
     "strip_boilerplate"        -> (stripBoilerplate _),
+    "dedup_substring"          -> (dedupSubstring _),
     "q12_late_by_class"        -> (q12LateByClass _),
     "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
     "q20_dominant_suppliers"   -> (q20DominantSuppliers _),
@@ -3853,6 +3892,7 @@ object Queries {
     "q16_supplier_variety"     -> q16SupplierVarietySql,
     "anomaly_mad"              -> anomalyMadSql,
     "strip_boilerplate"        -> stripBoilerplateSql,
+    "dedup_substring"          -> dedupSubstringSql,
     "q12_late_by_class"        -> q12LateByClassSql,
     "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
     "q20_dominant_suppliers"   -> q20DominantSuppliersSql,

@@ -151,6 +151,109 @@ object Corpus {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Exact duplicate-substring excision (the passage-level pass of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — public): every maximal character span covered
+    * by a `k`-gram occurring in ≥2 DISTINCT documents is cut out of
+    * every document, and the remainders are stitched back together.
+    * This REMOVES repeated passages (licenses, quoted headers, copied
+    * paragraphs) that the whole-doc family (rows 23-27) only
+    * DETECTS — their pairs say "these two docs overlap"; this op
+    * returns the corpus with the overlap gone.
+    *
+    * The reference algorithm builds a corpus-wide suffix array — a
+    * single-node construction. The distributed equivalent:
+    *  0. EXACT-DUP COLLAPSE first (the mandatory lesson SCALE100.md
+    *     records for every dup-heavy operator): identical normalized
+    *     texts share their excision verbatim, so all positional work
+    *     runs once per DISTINCT text, weighted by copy count — and a
+    *     gram inside a weight-≥2 group is duplicated by definition,
+    *     which is precisely the case (100-deep dup clusters) that
+    *     would otherwise push the whole position stream through the
+    *     gram join;
+    *  1. per-row HOF: the text's k-gram hash array (one md5 pass, the
+    *     winnow discipline — no per-position rows yet);
+    *  2. per-text DISTINCT hashes explode into ONE weighted count
+    *     shuffle → the dup-gram table (hash, Σcopies ≥ 2);
+    *  3. the distinct-text position stream joins that table —
+    *     Catalyst/AQE broadcasts it while it fits (mostly-unique
+    *     corpus: the common case) and falls back to a hash/merge
+    *     join keyed on the gram otherwise; only MATCHED (duplicated)
+    *     positions continue into the per-text collect;
+    *  4. per-row again: merged removal intervals from the sorted
+    *     start list — runs of starts with gap ≤ k merge, computed
+    *     STATELESSLY by zip_with against the shifted list (no
+    *     quadratic array rebuilding), then the kept gaps concatenate;
+    *  5. the per-text results expand back to documents by one join on
+    *     the text fingerprint (the minhashPairs expansion pattern).
+    * Per-text state is O(text length); shuffles are the collapse, the
+    * weighted df count, the dup-position join, and the fingerprint
+    * expansion — nothing quadratic in the corpus anywhere.
+    *
+    * Chars, not tokens, define the grams (k chars ≈ the 50-token
+    * threshold scaled to this corpus's short docs); df counts
+    * distinct DOCS, so a phrase repeated inside one document is NOT
+    * excised (that is text_repetition's signal, row 41). */
+  def exciseDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 20): DataFrame = {
+    require(k >= 4, s"gram too short to mean anything: k=$k")
+    val spark = docs.sparkSession
+    val normed = docs
+      .select(col(idCol), TextFunctions.normalize(col(textCol)).as("__t"))
+    // collapse identical texts: every downstream stage runs once per
+    // DISTINCT text; __w carries the copy count into the df sum
+    val texts = normed
+      .groupBy(md5(col("__t")).as("__fp"), col("__t"))
+      .agg(count(lit(1)).as("__w"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val withG = texts.where(length(col("__t")) >= k)
+      .select(col("__fp"), col("__w"), expr(
+        s"transform(sequence(1, length(__t) - ${k - 1}), " +
+        s"i -> md5(substring(__t, i, $k)))").as("__gs"))
+    val dup = withG
+      .select(col("__w"), explode(array_distinct(col("__gs"))).as("__g"))
+      .groupBy(col("__g")).agg(sum(col("__w")).as("__c"))
+      .where(col("__c") >= 2).select(col("__g"))
+    val pos = withG.select(col("__fp"), posexplode(col("__gs")))
+      .toDF("__fp", "__i0", "__g")
+    val dupStarts = pos.join(dup, "__g")
+      .groupBy(col("__fp"))
+      .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
+    // merged removal intervals, stateless: a start continues the
+    // current run iff its gap to the previous start is ≤ k (each
+    // start covers exactly [s, s+k), so run-end is always
+    // last-start + k); lo = run heads, hi = one-past-run-ends
+    val sentinel = -2 * k
+    val rebuild =
+      s"""concat(
+         |  substring(__t, 1, element_at(__lo, 1) - 1),
+         |  IF(size(__lo) > 1,
+         |     concat_ws('', transform(sequence(1, size(__lo) - 1),
+         |       j -> substring(__t, element_at(__hi, j),
+         |                      element_at(__lo, j + 1) - element_at(__hi, j)))),
+         |     ''),
+         |  substring(__t, element_at(__hi, size(__hi)),
+         |            length(__t) - element_at(__hi, size(__hi)) + 1))""".stripMargin
+    val perText = texts.join(dupStarts, Seq("__fp"), "left")
+      .withColumn("__prev", expr(
+        s"concat(array($sentinel), slice(__ds, 1, size(__ds) - 1))"))
+      .withColumn("__next", expr(
+        s"concat(slice(__ds, 2, size(__ds) - 1), array(${Int.MaxValue}))"))
+      .withColumn("__lo", expr(
+        s"filter(zip_with(__ds, __prev, (a, b) -> IF(a - b > $k, a, -1)), x -> x >= 0)"))
+      .withColumn("__hi", expr(
+        s"filter(zip_with(__ds, __next, (a, b) -> IF(b - a > $k, a + $k, -1)), x -> x >= 0)"))
+      .withColumn("clean_text",
+        when(col("__ds").isNull, col("__t")).otherwise(expr(rebuild)))
+      .select(col("__fp"),
+        col("clean_text"),
+        (length(col("__t")) - length(col("clean_text")))
+          .cast("long").as("n_removed"))
+    normed.select(col(idCol), md5(col("__t")).as("__fp"))
+      .join(perText, "__fp")
+      .select(col(idCol), col("clean_text"), col("n_removed"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
     * algorithm, public): hash every `k`-char gram, then keep the
     * minimum hash of each sliding window of `w` consecutive gram

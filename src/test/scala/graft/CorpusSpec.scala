@@ -123,6 +123,66 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("exciseDupSubstrings cuts cross-doc passages, keeps within-doc repeats") {
+    // k=10; the shared passage is 26 chars → every char of it in both
+    // docs is covered by some shared 10-gram and must go; the unique
+    // pre/post text must survive byte-for-byte
+    val shared = "abcdefghijklmnopqrstuvwxyz"
+    val docs = Seq(
+      (1L, s"unique head one $shared unique tail one"),
+      (2L, s"different head $shared different tail"),
+      // within-doc repetition only — df by DISTINCT docs is 1 → kept
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (4L, "short") // below k → untouched passthrough
+    ).toDF("doc_id", "text")
+    val out = Corpus.exciseDupSubstrings(docs, "doc_id", "text", k = 10)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // the shared region is ' ' + passage + ' ' = 28 chars: the spaces
+    // flanking the passage are identical context in both docs, so
+    // grams anchored on them are corpus-duplicated too; grams
+    // reaching one char further differ per doc and bound the cut
+    assert(m(1L)._1 === "unique head oneunique tail one")
+    assert(m(1L)._2 === 28L)
+    assert(m(2L)._1 === "different headdifferent tail")
+    assert(m(2L)._2 === 28L)
+    assert(m(3L) === (("zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz", 0L)))
+    assert(m(4L) === (("short", 0L)))
+  }
+
+  test("exciseDupSubstrings merges overlapping and adjacent dup runs") {
+    // two docs identical end-to-end: every gram is dup → whole text
+    // excised in both (one merged interval spanning the doc)
+    val docs = Seq(
+      (1L, "the entire document is duplicated verbatim"),
+      (2L, "the entire document is duplicated verbatim"),
+      (3L, "wholly original content that stays")
+    ).toDF("doc_id", "text")
+    val out = Corpus.exciseDupSubstrings(docs, "doc_id", "text", k = 10)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0)._2 === "" && out(1)._2 === "")
+    assert(out(0)._3 === 42L)
+    assert(out(2)._2 === "wholly original content that stays")
+  }
+
+  test("exciseDupSubstrings collapse carries copy counts into the df sum") {
+    // 100 copies of one text and nothing else: the gram df must come
+    // from the copy WEIGHT (the collapsed group runs once) — every
+    // copy excises fully even though there is only one distinct text
+    val docs = (1L to 100L).map((_, "this exact document repeats one hundred times"))
+      .toDF("doc_id", "text")
+    val out = Corpus.exciseDupSubstrings(docs, "doc_id", "text", k = 10)
+    assert(out.count() === 100)
+    assert(out.where(col("clean_text") =!= "").count() === 0)
+    // and a singleton text in the same corpus is untouched
+    val mixed = docs.union(Seq((200L, "a one of a kind survivor document"))
+      .toDF("doc_id", "text"))
+    val out2 = Corpus.exciseDupSubstrings(mixed, "doc_id", "text", k = 10)
+      .where(col("doc_id") === 200L).select("clean_text", "n_removed")
+      .as[(String, Long)].collect()
+    assert(out2 === Array(("a one of a kind survivor document", 0L)))
+  }
+
   test("winnow matches a driver-side reference and honors the shared-substring guarantee") {
     val k = 8; val w = 4
     val docs = Seq(

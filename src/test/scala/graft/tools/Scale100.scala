@@ -133,6 +133,9 @@ object Scale100 {
       SparkEntry.queries("dedup_containment")(spark, dir))
     run("dedup_containment_cross")(
       SparkEntry.queries("dedup_containment_cross")(spark, dir))
+    // r9: substring excision on the 100-deep-dup corpus — the collapse
+    // must keep all positional work on the 5k distinct texts
+    run("dedup_substring")(SparkEntry.queries("dedup_substring")(spark, dir))
 
     // ---- connected components on the REAL pair graph at 100×
     // (registered dedup_clusters filters doc_id<200 and would not
