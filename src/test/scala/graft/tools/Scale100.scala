@@ -136,6 +136,11 @@ object Scale100 {
     // r9: substring excision on the 100-deep-dup corpus — the collapse
     // must keep all positional work on the 5k distinct texts
     run("dedup_substring")(SparkEntry.queries("dedup_substring")(spark, dir))
+    // r9: per-source boilerplate stripping (corpus-sized segment
+    // explode + per-(source, seg) df) and MAD anomaly detection (two
+    // window sorts over the pre-aggregated daily series)
+    run("strip_boilerplate")(SparkEntry.queries("strip_boilerplate")(spark, dir))
+    run("anomaly_mad")(SparkEntry.queries("anomaly_mad")(spark, dir))
 
     // ---- connected components on the REAL pair graph at 100×
     // (registered dedup_clusters filters doc_id<200 and would not
