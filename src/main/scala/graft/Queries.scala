@@ -3193,6 +3193,59 @@ object Queries {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** PCA sound gate (#59): the moment sums are the one order-sensitive
+    * stage of [[Pca.fit]], so the gate plants integer-valued ONE-HOT
+    * vectors (coordinate = vec_id mod 16, value = ±(vec_id mod 7 + 1),
+    * uncentered fit): every product and partial sum is an exact small
+    * integer in doubles at ANY aggregation order, the second-moment
+    * matrix is exactly diagonal, Jacobi converges in zero rotations to
+    * the exact identity, and the projection is a coordinate lookup —
+    * all of which DuckDB recomputes bit-for-bit. The pruning/ranking
+    * (variance-desc, coordinate-asc ties) is part of the contract. */
+  private def pcaPlanted(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+      expr("""transform(sequence(0, 15), i ->
+             |  CAST(IF(i = vec_id % 16,
+             |          (CAST(vec_id % 7 AS INT) + 1)
+             |            * IF((vec_id DIV 16) % 2 = 0, 1, -1),
+             |          0) AS FLOAT))""".stripMargin).as("embedding"))
+
+  def pcaSound(spark: SparkSession, dir: String): DataFrame = {
+    val planted = pcaPlanted(spark, dir)
+    val model = Pca.fit(planted, "embedding", k = 5, center = false)
+    Pca.project(planted, "embedding", model)
+      .select(col("vec_id"), col("proj"))
+  }
+
+  private val pcaSoundSql =
+    """WITH v AS (SELECT vec_id,
+      |    CAST(vec_id % 16 AS INTEGER) AS c,
+      |    CAST((vec_id % 7 + 1)
+      |         * (CASE WHEN (vec_id // 16) % 2 = 0 THEN 1 ELSE -1 END)
+      |         AS DOUBLE) AS val
+      |  FROM embeddings),
+      |m AS (SELECT c, SUM(val * val) / (SELECT COUNT(*) FROM v) AS moment
+      |      FROM v GROUP BY 1),
+      |ord AS (SELECT c, ROW_NUMBER() OVER (ORDER BY moment DESC, c) AS rk
+      |        FROM m),
+      |tops AS (SELECT LIST(c ORDER BY rk) AS cs FROM ord WHERE rk <= 5)
+      |SELECT v.vec_id,
+      |  list_transform((SELECT cs FROM tops),
+      |                 tc -> CASE WHEN tc = v.c THEN v.val ELSE 0.0 END) AS proj
+      |FROM v""".stripMargin
+
+  /** PCA projection on the real embeddings (#59 production path):
+    * centered fit, k=8, whitened output. Rows-only driver check by
+    * nature — distributed float moment sums are deterministic per
+    * plan but not bit-pinned across partitionings; the machinery is
+    * gated exactly by `pca_sound` and structurally by PcaSpec. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = Pca.fit(emb, "embedding", k = 8)
+    Pca.project(emb, "embedding", model, whiten = true)
+      .select(col("vec_id"), col("proj"))
+  }
+
   /** Exact duplicate-substring excision (#58): see
     * [[Corpus.exciseDupSubstrings]]. The oracle recomputes removal
     * coverage per character with an ASOF join (greatest dup-gram
@@ -3766,6 +3819,8 @@ object Queries {
     "anomaly_mad"              -> (anomalyMad _),
     "strip_boilerplate"        -> (stripBoilerplate _),
     "dedup_substring"          -> (dedupSubstring _),
+    "pca_sound"                -> (pcaSound _),
+    "pca_project"              -> (pcaProject _),
     "q12_late_by_class"        -> (q12LateByClass _),
     "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
     "q20_dominant_suppliers"   -> (q20DominantSuppliers _),
@@ -3893,6 +3948,7 @@ object Queries {
     "anomaly_mad"              -> anomalyMadSql,
     "strip_boilerplate"        -> stripBoilerplateSql,
     "dedup_substring"          -> dedupSubstringSql,
+    "pca_sound"                -> pcaSoundSql,
     "q12_late_by_class"        -> q12LateByClassSql,
     "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
     "q20_dominant_suppliers"   -> q20DominantSuppliersSql,

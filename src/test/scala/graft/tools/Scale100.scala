@@ -174,6 +174,14 @@ object Scale100 {
       graft.operators.Rank.pageRank(edges, "src", "dst",
                                     iters = 3, damping = 0.85)
     }
+    // r9: PCA fit+whiten-project over the full 100× embedding table —
+    // the d(d+1)/2 moment partials are the only shuffle
+    run("pca_whiten_project") {
+      val emb = Tables.embeddings(spark, dir)
+      val model = graft.operators.Pca.fit(emb, "embedding", k = 8)
+      graft.operators.Pca.project(emb, "embedding", model, whiten = true)
+        .select(col("vec_id"), col("proj"))
+    }
     run("kmeans_fit_k64") {
       val emb = Tables.embeddings(spark, dir)
       val cents = graft.operators.Cluster.fit(emb, "vec_id", "embedding",
