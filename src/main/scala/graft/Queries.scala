@@ -789,6 +789,25 @@ object Queries {
       |  FROM embeddings q, embeddings c WHERE q.vec_id < 10) t
       |WHERE rk <= 5""".stripMargin
 
+  /** Hard-negative mining (#28a): 8 most-similar different-label
+    * items per anchor — see [[Similarity.hardNegatives]]. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb,
+                             "label", k = 8)
+  }
+
+  private val annHardNegativesSql =
+    """SELECT query_id, qlabel, neighbor_id, nlabel, rk FROM (
+      |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+      |    c.vec_id AS neighbor_id, c.label AS nlabel,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |               c.vec_id) AS rk
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND q.label <> c.label) t
+      |WHERE rk <= 8""".stripMargin
+
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
@@ -3246,6 +3265,103 @@ object Queries {
       .select(col("vec_id"), col("proj"))
   }
 
+  /** DSIR fit (#60): exact hashed unigram+bigram bucket counts for
+    * the target slice (lang='en') vs the raw corpus — the integer
+    * half of the importance-weight pipeline; see [[Dsir.fit]]. */
+  def dsirFit(spark: SparkSession, dir: String): DataFrame =
+    Dsir.fit(Tables.documents(spark, dir), "text", col("lang") === "en")
+
+  private val dsirFitSql =
+    """WITH d AS (SELECT lang = 'en' AS flag,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT flag, t.tok AS g FROM d, UNNEST(d.toks) AS t(tok)
+      |      UNION ALL
+      |      SELECT flag, d.toks[i] || ' ' || d.toks[i+1] AS g
+      |      FROM d, UNNEST(generate_series(1, len(d.toks) - 1)) AS u(i)),
+      |b AS (SELECT flag,
+      |    ((strpos('0123456789abcdef', substr(md5(g), 31, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(g), 32, 1)) - 1)) % 256 AS bucket
+      |  FROM g)
+      |SELECT CAST(bucket AS INTEGER) AS bucket,
+      |  CAST(SUM(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+      |  COUNT(*) AS n_raw
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** DSIR scoring sound gate (#60): the same per-row fold code path
+    * as the real scorer, fed a PLANTED bucket→ratio table of exact
+    * small integers (lr_b = (b·37 mod 15) − 7) — every per-gram term
+    * and every partial sum is an exact double at any fold order, so
+    * DuckDB reproduces the scores bit-for-bit. Gates the hashing,
+    * bucketing, bigram construction, and fold exactly; the real
+    * ln-smoothed ratios ride the identical plan (`dsir_select`). */
+  def dsirSound(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Array.tabulate(256)(b => ((b * 37 % 15) - 7).toDouble)
+    Dsir.score(Tables.documents(spark, dir), "doc_id", "text", planted)
+  }
+
+  private val dsirSoundSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, t.tok AS g FROM d, UNNEST(d.toks) AS t(tok)
+      |      UNION ALL
+      |      SELECT doc_id, d.toks[i] || ' ' || d.toks[i+1] AS g
+      |      FROM d, UNNEST(generate_series(1, len(d.toks) - 1)) AS u(i)),
+      |b AS (SELECT doc_id,
+      |    ((strpos('0123456789abcdef', substr(md5(g), 31, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(g), 32, 1)) - 1)) % 256 AS bucket
+      |  FROM g)
+      |SELECT doc_id,
+      |  CAST(SUM((bucket * 37 % 15) - 7) AS DOUBLE) AS score
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** DSIR end-to-end selection (#60): real add-one-smoothed ln
+    * ratios (target = lang='en'), global top-100 by importance.
+    * Rows-only by nature — ln's last bit is libm-dependent, so the
+    * scores are engine-deterministic but not engine-portable;
+    * machinery is oracle-gated by `dsir_fit` + `dsir_sound` and the
+    * semantics by DsirSpec (target docs outscore the rest on
+    * average; repartition-stable). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
+                col("lang") === "en", n = 100)
+
+  /** Weighted k-sample per group (#36c): priority sampling
+    * (Duffield-Lund-Thorup) over documents, 40 per source, with
+    * length-derived integer weights (w = min(16, 1 + n_chars/256) —
+    * a caller would pass a quality score; the gate uses an exact
+    * integer basis so every weight is bit-identical in both
+    * engines). q = w·65537/(b+1) is one exact product + one IEEE
+    * division, so the kept set AND the Horvitz-Thompson ŵ are
+    * engine-exact — see [[Sampling.prioritySample]]. */
+  def samplePriority(spark: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          least(lit(16L), lit(1L) + col("n_chars") / lit(256L))
+            .cast("long").as("w")),
+      "source", "doc_id", "w", k = 40)
+      .select(col("doc_id"), col("source"),
+              col("w").cast("double").as("w"), col("est_w"))
+
+  private val samplePrioritySql =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(least(16, 1 + n_chars // 256) AS DOUBLE) AS w,
+      |      (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) + 1 AS b1
+      |  FROM documents),
+      |q AS (SELECT doc_id, source, w, w * 65537.0 / CAST(b1 AS DOUBLE) AS q FROM d),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |                                   ORDER BY q DESC, doc_id) AS rk FROM q),
+      |t AS (SELECT source, MAX(CASE WHEN rk = 41 THEN q END) AS tau
+      |      FROM r GROUP BY 1)
+      |SELECT r.doc_id, r.source, r.w,
+      |  CASE WHEN t.tau IS NULL THEN r.w ELSE greatest(r.w, t.tau) END AS est_w
+      |FROM r JOIN t USING (source) WHERE rk <= 40""".stripMargin
+
   /** Exact duplicate-substring excision (#58): see
     * [[Corpus.exciseDupSubstrings]]. The oracle recomputes removal
     * coverage per character with an ASOF join (greatest dup-gram
@@ -3725,6 +3841,7 @@ object Queries {
     "ann_pq_recall"            -> (annPqRecall _),
     "dedup_embedding_cosine"   -> (dedupEmbeddingCosine _),
     "ann_bruteforce_topk"      -> (annBruteforceTopk _),
+    "ann_hard_negatives"       -> (annHardNegatives _),
     "ann_lsh_topk"             -> (annLshTopk _),
     "multimodal_meta"          -> (multimodalMeta _),
     "events_json_extract"      -> (eventsJsonExtract _),
@@ -3781,6 +3898,10 @@ object Queries {
     "bpe_top_pairs"            -> (bpeTopPairs _),
     "lang_confusion"           -> (langConfusion _),
     "sample_by_quality"        -> (sampleByQuality _),
+    "sample_priority"          -> (samplePriority _),
+    "dsir_fit"                 -> (dsirFit _),
+    "dsir_sound"               -> (dsirSound _),
+    "dsir_select"              -> (dsirSelect _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -3857,6 +3978,7 @@ object Queries {
     "text_fingerprint"         -> textFingerprintSql,
     "dedup_exact"              -> dedupExactSql,
     "ann_bruteforce_topk"      -> annBruteforceTopkSql,
+    "ann_hard_negatives"       -> annHardNegativesSql,
     "events_json_extract"      -> eventsJsonExtractSql,
     "promo_revenue"            -> promoRevenueSql,
     "sql_material_demand"      -> sqlMaterialDemandSql,
@@ -3912,6 +4034,9 @@ object Queries {
     "bpe_top_pairs"            -> bpeTopPairsSql,
     "lang_confusion"           -> langConfusionSql,
     "sample_by_quality"        -> sampleByQualitySql,
+    "sample_priority"          -> samplePrioritySql,
+    "dsir_fit"                 -> dsirFitSql,
+    "dsir_sound"               -> dsirSoundSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

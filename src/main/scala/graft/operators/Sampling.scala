@@ -37,6 +37,49 @@ object Sampling {
   def bucket65536(key: Column): Column =
     conv(substring(md5(key.cast("string")), 29, 4), 16, 10).cast("long")
 
+  /** Weighted k-sample WITHOUT replacement per group — priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    * priority q = w/u with u uniform on (0,1] and the k highest
+    * priorities per group are kept, together with the
+    * Horvitz-Thompson adjusted weight ŵ = max(w, τ) (τ = the
+    * (k+1)-th priority), which makes any kept-subset weighted sum an
+    * UNBIASED estimator of the group total — the property a curation
+    * pipeline needs when it trains on the sample but reports
+    * corpus-level statistics. Chosen over Efraimidis-Spirakis A-ES
+    * deliberately: A-ES keys are u^(1/w) (a transcendental whose
+    * last-bit rounding is libm-dependent), while q = w·65537/(b+1)
+    * is ONE exact product (w ≤ 2^36 keeps it under 2^53) and ONE
+    * IEEE-correctly-rounded division — bit-identical in any IEEE-754
+    * engine, so the kept SET is engine-portable (DuckDB gate
+    * hash-exact). u comes from the row id's md5 bucket
+    * ((b+1)/65537), so the draw is a pure function of the id: stable
+    * across runs, partitionings, and cluster sizes. Exact (u, w)
+    * collisions tie-break on id in both engines.
+    *
+    * Scale: one hash-partition window per group (sort of the largest
+    * group — fine to billions of rows; the 100 TB swap, same shape
+    * as quality_filter's, is an approx-quantile τ per group
+    * broadcast back as a plain filter, trading exact-k for a
+    * shuffle-free scan). */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val b1 = bucket65536(col(idCol)) + lit(1L)
+    val wDbl = col(weightCol).cast("double")
+    val rankW = Window.partitionBy(col(groupCol))
+      .orderBy(col("q").desc, col(idCol))
+    val groupW = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("q", wDbl * lit(65537.0) / b1.cast("double"))
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("tau", max(when(col("rk") === k + 1, col("q"))).over(groupW))
+      .where(col("rk") <= k)
+      .withColumn("est_w",
+        when(col("tau").isNull, wDbl).otherwise(greatest(wDbl, col("tau"))))
+      .drop("q", "rk", "tau")
+  }
+
   /** Stratified deterministic downsample to a target source mixture —
     * the rebalancing step a training-data pipeline runs after
     * profiling (`source_mixture` reports the current mix; this

@@ -61,6 +61,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive / metric training: for each
+    * anchor, the k most-similar corpus items with a DIFFERENT label —
+    * the "looks like a positive, isn't one" pairs a retrieval or
+    * embedding model trains against (e.g. DPR in-batch negatives
+    * replaced by mined ones). Same plan shape as [[bruteForceTopK]]
+    * (anchors broadcast, corpus never shuffles, the label filter runs
+    * scan-side BEFORE the window so excluded same-label rows never
+    * rank); at corpus scale swap the candidate generator for the
+    * banded sign-LSH of [[lshTopK]] — the filter composes unchanged.
+    * Ties break on neighbor id (value-total, engine-portable). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+                    labelCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(anchors.sparkSession)
+    val a = broadcast(anchors.select(
+      col("vec_id").as("query_id"), col("embedding").as("qvec"),
+      col(labelCol).as("qlabel")))
+    val c = corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+      col(labelCol).as("nlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    a.crossJoin(c)
+      .where(col("qlabel") =!= col("nlabel"))
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("qlabel"), col("neighbor_id"),
+              col("nlabel"), col("rk"))
+  }
+
   /** Nearest-cell assignment as a per-row argmax over literal
     * centroids: zero Exchange, zero row explosion. (The former
     * `crossJoin(centroids)` + `row_number` form exploded the corpus

@@ -22,6 +22,26 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("hardNegatives: never a same-label neighbor, equals filtered brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 5)
+    val hn = Similarity.hardNegatives(q, emb, "label", k = 4)
+    assert(hn.where(col("qlabel") === col("nlabel")).count() === 0)
+    assert(hn.groupBy("query_id").count()
+      .where(col("count") =!= 4).count() === 0)
+    // must equal brute-force top-k over the pre-filtered corpus,
+    // query by query (the filter runs BEFORE the rank, not after)
+    val labels = q.select("vec_id", "label").as[(Long, Int)].collect()
+    for ((qid, ql) <- labels) {
+      val expect = Similarity.bruteForceTopK(
+        q.where(col("vec_id") === qid), emb.where(col("label") =!= ql), 4)
+        .select("neighbor_id", "rk").as[(Long, Int)].collect().toSet
+      val got = hn.where(col("query_id") === qid)
+        .select("neighbor_id", "rk").as[(Long, Int)].collect().toSet
+      assert(got === expect, s"query $qid")
+    }
+  }
+
   test("assignCells picks the cosine argmax; ties go to the smallest cell") {
     val cents = Seq((0, Array(1f, 0f)), (1, Array(0f, 1f)), (2, Array(1f, 0f)))
     val df = Seq((1L, Array(2f, 0.5f)), (2L, Array(0f, 3f))).toDF("id", "vec")

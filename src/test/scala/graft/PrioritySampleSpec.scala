@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Priority sampling (Duffield-Lund-Thorup): exact-k per group,
+  * engine-portable determinism, the uniform-weight reduction, and the
+  * weight-monotonicity property a weighted sampler must satisfy. */
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd",
+                       (i % 5) + 1L)).toDF("id", "grp", "w")
+
+  test("keeps exactly k per group, whole group (est_w == w) when smaller") {
+    val out = Sampling.prioritySample(docs(100), "grp", "id", "w", k = 10)
+    val sizes = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes === Map("even" -> 10L, "odd" -> 10L))
+    // a group smaller than k survives whole, with no HT inflation
+    val tiny = Sampling.prioritySample(docs(6), "grp", "id", "w", k = 10)
+    assert(tiny.count() === 6)
+    assert(tiny.where(col("est_w") =!= col("w").cast("double")).count() === 0)
+  }
+
+  test("kept set is a pure function of ids — stable under repartition") {
+    val a = Sampling.prioritySample(docs(200), "grp", "id", "w", 15)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.prioritySample(docs(200).repartition(7), "grp", "id", "w", 15)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("uniform weights reduce to deterministic hash top-k (smallest buckets)") {
+    val flat = docs(120).withColumn("w", lit(3L))
+    val kept = Sampling.prioritySample(flat, "grp", "id", "w", 8)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    // with equal w, q = c/(b+1) ranks by bucket asc (ties by id)
+    val expected = flat
+      .withColumn("b", Sampling.bucket65536(col("id")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("b"), col("id"))))
+      .where(col("rk") <= 8)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(kept === expected)
+  }
+
+  test("raising a kept row's weight never evicts it") {
+    val base = docs(150)
+    val keptBefore = Sampling.prioritySample(base, "grp", "id", "w", 12)
+      .select("id").as[Long].collect().toSet
+    val target = keptBefore.head
+    val boosted = base.withColumn("w",
+      when(col("id") === target, col("w") * 7).otherwise(col("w")))
+    val keptAfter = Sampling.prioritySample(boosted, "grp", "id", "w", 12)
+      .select("id").as[Long].collect().toSet
+    assert(keptAfter.contains(target))
+  }
+
+  test("est_w is max(w, tau) with tau the (k+1)-th priority") {
+    val df = docs(60).where(col("grp") === "odd")
+    val k = 5
+    val pri = df
+      .withColumn("q", col("w").cast("double") * lit(65537.0) /
+        (Sampling.bucket65536(col("id")) + lit(1L)).cast("double"))
+      .orderBy(col("q").desc, col("id"))
+      .as[(Long, String, Long, Double)].collect()
+    val tau = pri(k)._4
+    val out = Sampling.prioritySample(df, "grp", "id", "w", k)
+      .select("id", "est_w").as[(Long, Double)].collect().toMap
+    assert(out.keySet === pri.take(k).map(_._1).toSet)
+    for ((id, estW) <- out) {
+      val w = pri.find(_._1 == id).get._3.toDouble
+      assert(estW === math.max(w, tau))
+    }
+  }
+}

@@ -223,6 +223,16 @@ object Scale100 {
                   "q20_dominant_suppliers"))
       run(q)(SparkEntry.queries(q)(spark, dir))
 
+    // ---- late-r9 sampling/selection additions: priority sampling's
+    // per-source window sort over the full 500k-doc corpus; DSIR's
+    // unigram+bigram explode→256-bucket partial agg then zero-shuffle
+    // literal-fold scoring; hard-negative mining's broadcast
+    // anchors × full corpus scan
+    run("sample_priority")(SparkEntry.queries("sample_priority")(spark, dir))
+    run("dsir_select")(SparkEntry.queries("dsir_select")(spark, dir))
+    run("ann_hard_negatives")(
+      SparkEntry.queries("ann_hard_negatives")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
