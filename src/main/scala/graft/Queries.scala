@@ -3327,6 +3327,46 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** Bigram-LM novelty evidence (#61): reference LM = the lang='en'
+    * slice; every doc scored by exact integer sequence-level OOV
+    * counts — see [[Lm.novelty]]. */
+  def lmNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = Lm.fitBigrams(docs.where(col("lang") === "en"),
+                            "doc_id", "text")
+    Lm.novelty(docs, "doc_id", "text", ref)
+  }
+
+  private val lmNoveltySql =
+    """WITH d AS (SELECT doc_id, lang,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |bg AS (SELECT doc_id, d.toks[i] AS w1, d.toks[i+1] AS w2
+      |       FROM d, UNNEST(generate_series(1, len(d.toks) - 1)) AS u(i)),
+      |ref AS (SELECT w1, w2, COUNT(*) AS c12
+      |        FROM bg JOIN d USING (doc_id) WHERE d.lang = 'en'
+      |        GROUP BY 1, 2),
+      |agg AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CASE WHEN r.c12 IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+      |    SUM(COALESCE(r.c12, 0)) AS hit_mass
+      |  FROM bg b LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
+      |  GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(COALESCE(a.n_unseen, 0) AS BIGINT) AS n_unseen,
+      |  CAST(COALESCE(a.hit_mass, 0) AS BIGINT) AS hit_mass
+      |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Bigram-LM mean negative log-likelihood (#61): real add-one
+    * smoothed scoring against the en-slice LM. Rows-only by nature
+    * (ln is libm-local); machinery oracle-gated by `lm_novelty`,
+    * semantics by LmSpec (reference-slice docs score better). */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val en = docs.where(col("lang") === "en")
+    Lm.meanNll(docs, "doc_id", "text", Lm.fitBigrams(en, "doc_id", "text"))
+  }
+
   /** Weighted k-sample per group (#36c): priority sampling
     * (Duffield-Lund-Thorup) over documents, 40 per source, with
     * length-derived integer weights (w = min(16, 1 + n_chars/256) —
@@ -3902,6 +3942,8 @@ object Queries {
     "dsir_fit"                 -> (dsirFit _),
     "dsir_sound"               -> (dsirSound _),
     "dsir_select"              -> (dsirSelect _),
+    "lm_novelty"               -> (lmNovelty _),
+    "lm_perplexity"            -> (lmPerplexity _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -4037,6 +4079,7 @@ object Queries {
     "sample_priority"          -> samplePrioritySql,
     "dsir_fit"                 -> dsirFitSql,
     "dsir_sound"               -> dsirSoundSql,
+    "lm_novelty"               -> lmNoveltySql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

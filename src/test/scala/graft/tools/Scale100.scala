@@ -232,6 +232,27 @@ object Scale100 {
     run("dsir_select")(SparkEntry.queries("dsir_select")(spark, dir))
     run("ann_hard_negatives")(
       SparkEntry.queries("ann_hard_negatives")(spark, dir))
+    // bigram-LM scoring: the en-slice reference bigram table (~10M
+    // grams at 100×) equi-joined against the full 26.6M-row
+    // doc-bigram stream. count() alone lets Catalyst ELIMINATE the
+    // unique-key spine join and prune the whole scoring subtree, and
+    // count()-of-global-agg is constant-folded (ClusterProbe lesson)
+    // — so group ON a computed column: the output row count is then
+    // data-dependent and the full pipeline must run.
+    run("lm_novelty")(SparkEntry.queries("lm_novelty")(spark, dir)
+      .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
+    run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
+      .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // the broadcast-hinted variant: skips the 500 MB stream exchange
+    // the static SMJ plan pays before AQE's BHJ conversion
+    run("lm_novelty_bcast") {
+      val docs = Tables.documents(spark, dir)
+      graft.operators.Lm.novelty(docs, "doc_id", "text",
+          graft.operators.Lm.fitBigrams(
+            docs.where(col("lang") === "en"), "doc_id", "text"),
+          refJoinHint = "broadcast")
+        .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h"))
+    }
 
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
