@@ -3327,6 +3327,44 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** SemDeDup (#62): within-cluster semantic dedup over the 8 fixed
+    * gate centroids at τ=0.4 (the corpus's p9999 cosine — a sparse,
+    * realistic near-dup graph), min-id representatives. Every stage
+    * is engine-portable: the argmax assignment (kmeans_assign
+    * precedent), exact cosine comparisons, and the component
+    * resolution (dedup_clusters precedent) — so the oracle recomputes
+    * the FULL pipeline. See [[SemDedup.prune]]. */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    SemDedup.prune(Tables.embeddings(spark, dir), "vec_id", "embedding",
+                   fixedCentroids(spark, dir), tau = 0.4)
+      .select(col("id").as("vec_id"), col("semgroup"), col("keep"))
+
+  private val semdedupSql =
+    """WITH RECURSIVE m AS (SELECT vec_id AS id, embedding AS vec,
+      |    MIN(vec_id) OVER (PARTITION BY embedding::VARCHAR) AS gid
+      |  FROM embeddings),
+      |u AS (SELECT gid AS id, vec FROM m WHERE id = gid),
+      |c AS (SELECT vec_id AS cell, embedding AS cvec
+      |      FROM embeddings WHERE vec_id < 8),
+      |a AS (SELECT u.id, u.vec, c.cell,
+      |        row_number() OVER (PARTITION BY u.id
+      |          ORDER BY list_cosine_similarity(u.vec, c.cvec) DESC,
+      |                   c.cell) AS rk
+      |      FROM u, c),
+      |asg AS (SELECT id, vec, cell FROM a WHERE rk = 1),
+      |e0 AS (SELECT x.id AS src, y.id AS dst FROM asg x JOIN asg y
+      |       ON x.cell = y.cell AND x.id < y.id
+      |       AND list_cosine_similarity(x.vec, y.vec) >= 0.4),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach(id, r) AS (SELECT src, src FROM edges
+      |  UNION SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+      |compo AS (SELECT id, MIN(r) AS semgroup FROM reach GROUP BY id),
+      |ru AS (SELECT u.id, COALESCE(compo.semgroup, u.id) AS semgroup,
+      |         (COALESCE(compo.semgroup, u.id) = u.id) AS keep
+      |       FROM u LEFT JOIN compo USING (id))
+      |SELECT m.id AS vec_id, ru.semgroup, (ru.keep AND m.id = m.gid) AS keep
+      |FROM m JOIN ru ON ru.id = m.gid""".stripMargin
+
   /** Bigram-LM novelty evidence (#61): reference LM = the lang='en'
     * slice; every doc scored by exact integer sequence-level OOV
     * counts — see [[Lm.novelty]]. */
@@ -3944,6 +3982,7 @@ object Queries {
     "dsir_select"              -> (dsirSelect _),
     "lm_novelty"               -> (lmNovelty _),
     "lm_perplexity"            -> (lmPerplexity _),
+    "semdedup"                 -> (semdedup _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -4080,6 +4119,7 @@ object Queries {
     "dsir_fit"                 -> dsirFitSql,
     "dsir_sound"               -> dsirSoundSql,
     "lm_novelty"               -> lmNoveltySql,
+    "semdedup"                 -> semdedupSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

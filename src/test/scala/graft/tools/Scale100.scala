@@ -243,6 +243,11 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // SemDeDup over the full 100× embedding table: 100-deep exact-dup
+    // groups are the operator's CHEAP case (collapse first — the
+    // pair graph runs on ~2k uniques)
+    run("semdedup")(SparkEntry.queries("semdedup")(spark, dir)
+      .groupBy(col("keep")).agg(count(lit(1)).as("n")))
     // the broadcast-hinted variant: skips the 500 MB stream exchange
     // the static SMJ plan pays before AQE's BHJ conversion
     run("lm_novelty_bcast") {
