@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.sources.{Csv, Json, Lake}
+import graft.sources.{Csv, Json, Lake, StatsIndex}
 
 class SourcesSpec extends SparkSpec {
 
@@ -313,6 +313,42 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema === orders.schema)
     assert(back.count() === orders.count())
     assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+  }
+
+  test("StatsIndex prunes files by range and never changes results") {
+    val tmp = Files.createTempDirectory("statsidx").toString
+    val orders = Tables.orders(spark, sfDir)
+    Lake.writeSorted(orders, s"$tmp/t", "o_orderkey", nFiles = 8)
+    StatsIndex.write(spark, s"$tmp/t", Seq("o_orderkey", "o_orderstatus"))
+    // string column gets string stats, numeric column numeric stats
+    val idx = StatsIndex.read(spark, s"$tmp/t")
+    assert(idx.where(col("col") === "o_orderstatus" &&
+                     col("min_str").isNotNull).count() === 8)
+    assert(idx.where(col("col") === "o_orderkey" &&
+                     col("min_num").isNotNull).count() === 8)
+    // a narrow range on the sorted column: identical rows, fewer files
+    val keys = orders.select("o_orderkey").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val (lo, hi) = (keys(keys.length / 4).toDouble,
+                    keys(keys.length / 3).toDouble)
+    val pruned = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey", lo, hi)
+    val full = spark.read.parquet(s"$tmp/t")
+      .where(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    assert(pruned.count() === full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    val Array(kept, total) = spark.conf
+      .get("spark.graft.lake.lastPruned").split("/").map(_.toInt)
+    assert(total === 8 && kept < total, s"expected pruning, got $kept/$total")
+    // staleness: a file written AFTER the index must still be scanned
+    orders.where(col("o_orderkey") === lo.toLong).limit(1)
+      .withColumn("o_orderstatus", lit("STALE"))
+      .write.mode("append").parquet(s"$tmp/t")
+    val afterStale = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey", lo, hi)
+    assert(afterStale.where(col("o_orderstatus") === "STALE").count() === 1)
+    // a range past every file's max keeps zero files, empty result
+    val none = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey",
+                                     keys.last + 1e6, keys.last + 2e6)
+    assert(none.count() === 0)
   }
 
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
