@@ -3327,6 +3327,70 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** Mergeable NDV cube (#29j): per-DAY HLL sketches of the customer
+    * key, merged to per-month distinct counts WITHOUT rescanning the
+    * fact table — the pre-aggregated distinct-count cube a 100 TB
+    * warehouse stores so any date-range NDV is a sketch union over
+    * the index, not a fact scan (`approx_count_distinct` alone can't
+    * do this: its per-group results don't compose across groups;
+    * sketches do). Gate: the in-query tolerance flag (sketch_sound
+    * pattern) — the merged estimate must land within 5% of the exact
+    * month NDV, which the oracle recomputes exactly. */
+  def ndvCube(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val daily = orders
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+    val monthly = daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(monthly, Seq("month"))
+      .select(col("month"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * lit(0.05)).as("est_ok"))
+  }
+
+  private val ndvCubeSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  COUNT(DISTINCT o_custkey) AS n_exact, true AS est_ok
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Forecast backtest (#63): naive vs seasonal-naive baselines over
+    * the daily demand series the EWMA smoother feeds, scored by
+    * WMAPE and signed bias per priority — the rolling-origin
+    * evaluation a demand-forecasting warehouse (the reference's
+    * stated consumer) runs before trusting any model. All-decimal
+    * until the single final division — see [[Temporal.backtest]]. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("demand"))
+    Temporal.backtest(daily, Seq("prio"), "day", "demand")
+  }
+
+  private val forecastBacktestSql =
+    """WITH daily AS (SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS demand
+      |  FROM orders GROUP BY 1, 2),
+      |lagged AS (SELECT prio, demand,
+      |    lag(demand, 1) OVER w AS f_naive,
+      |    lag(demand, 7) OVER w AS f_seasonal
+      |  FROM daily WINDOW w AS (PARTITION BY prio ORDER BY day)),
+      |ev AS (SELECT * FROM lagged WHERE f_seasonal IS NOT NULL),
+      |long AS (SELECT prio, 'naive' AS method, demand, f_naive AS f FROM ev
+      |  UNION ALL
+      |  SELECT prio, 'seasonal_naive', demand, f_seasonal FROM ev)
+      |SELECT prio, method,
+      |  CAST(CAST(SUM(abs(demand - f)) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(demand) AS VARCHAR) AS DOUBLE) AS wmape,
+      |  CAST(CAST(SUM(f - demand) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(SUM(demand) AS VARCHAR) AS DOUBLE) AS bias,
+      |  COUNT(*) AS n_points
+      |FROM long GROUP BY 1, 2""".stripMargin
+
   /** SemDeDup (#62): within-cluster semantic dedup over the 8 fixed
     * gate centroids at τ=0.4 (the corpus's p9999 cosine — a sparse,
     * realistic near-dup graph), min-id representatives. Every stage
@@ -3983,6 +4047,8 @@ object Queries {
     "lm_novelty"               -> (lmNovelty _),
     "lm_perplexity"            -> (lmPerplexity _),
     "semdedup"                 -> (semdedup _),
+    "forecast_backtest"        -> (forecastBacktest _),
+    "ndv_cube"                 -> (ndvCube _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -4120,6 +4186,8 @@ object Queries {
     "dsir_sound"               -> dsirSoundSql,
     "lm_novelty"               -> lmNoveltySql,
     "semdedup"                 -> semdedupSql,
+    "forecast_backtest"        -> forecastBacktestSql,
+    "ndv_cube"                 -> ndvCubeSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

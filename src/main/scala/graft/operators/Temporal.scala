@@ -181,4 +181,48 @@ object Temporal {
       .withColumn("ewma", col("__ewma_raw"))
       .drop("__ewma_raw", "__n")
   }
+
+  /** Rolling-origin forecast backtest: score baseline forecasters
+    * against the realized series and report WMAPE (Σ|a−f| / Σa — the
+    * volume-weighted MAPE practitioners prefer: no per-row division,
+    * so zero-demand days can't blow it up) and signed bias
+    * (Σ(f−a) / Σa) per series group and method. `horizons` names each
+    * method and its ROW lag (1 = naive, 7 = seasonal-naive on a dense
+    * daily series — compose with the gap-fill operator first if the
+    * series has holes). Rows before the longest lag are excluded for
+    * EVERY method, so the metrics compare on the same evaluation
+    * window.
+    *
+    * Exactness: `valueCol` must be DECIMAL (the pre-aggregated series
+    * shape — dsum WITHOUT the final double cast). Lag, subtraction,
+    * abs, and the sums then stay in exact decimal at any aggregation
+    * order; each metric is ONE final double division of two exactly
+    * cast operands — bit-identical across engines (the dsum
+    * precedent). Scale: one window shuffle + a tiny per-group agg;
+    * the unpivot to (method, forecast) rows is a per-row explode, no
+    * rescan. */
+  def backtest(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+               valueCol: String,
+               horizons: Seq[(String, Int)] =
+                 Seq("naive" -> 1, "seasonal_naive" -> 7)): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_._2 >= 1),
+            "horizons must be (name, lag>=1)")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val maxLag = horizons.map(_._2).max
+    val gate = lag(col(valueCol), maxLag).over(w)
+    val withF = horizons.foldLeft(df) { case (d, (name, h)) =>
+      d.withColumn(s"__f_$name", lag(col(valueCol), h).over(w))
+    }.withColumn("__gate", gate).where(col("__gate").isNotNull)
+    val long = withF.select(
+      partitionCols.map(col) :+ col(valueCol).as("__a") :+
+        explode(map(horizons.flatMap { case (name, _) =>
+          Seq(lit(name), col(s"__f_$name")) }: _*)).as(Seq("method", "__f")): _*)
+    long.groupBy(partitionCols.map(col) :+ col("method"): _*)
+      .agg(
+        (sum(abs(col("__a") - col("__f"))).cast("double") /
+          sum(col("__a")).cast("double")).as("wmape"),
+        (sum(col("__f") - col("__a")).cast("double") /
+          sum(col("__a")).cast("double")).as("bias"),
+        count(lit(1)).as("n_points"))
+  }
 }

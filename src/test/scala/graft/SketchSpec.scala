@@ -18,4 +18,22 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(amed - med) / med < 0.05, s"$k median: $amed vs $med")
     }
   }
+
+  test("HLL sketches are mergeable: union of daily == one-shot estimate") {
+    // the property the NDV cube depends on — merging per-day sketches
+    // must give the SAME estimate as sketching the month directly
+    // (HLL union is lossless over registers)
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val merged = orders
+      .groupBy(col("month"), col("o_orderdate"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = orders.groupBy(col("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === d)
+  }
 }

@@ -252,4 +252,19 @@ class TemporalSpec extends SparkSpec {
       .select("t", "ewma").as[(Long, Double)].collect().toMap
     assert(math.abs(out(5L) - out(4L)) < math.abs(half(5L) - half(4L)))
   }
+
+  test("backtest computes WMAPE/bias on the common eval window (hand check)") {
+    // demand = day index: naive errs by 1 per point, seasonal by 7;
+    // eval window = days 8..10 (both methods gated by the longest lag)
+    val daily = (1 to 10).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "day", "d")
+      .select(col("grp"), col("day"),
+              col("d").cast("decimal(25,6)").as("demand"))
+    val out = Temporal.backtest(daily, Seq("grp"), "day", "demand")
+      .as[(String, String, Double, Double, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    val den = (8 + 9 + 10).toDouble
+    assert(out("naive") === ((3.0 / den, -3.0 / den, 3L)))
+    assert(out("seasonal_naive") === ((21.0 / den, -21.0 / den, 3L)))
+  }
 }

@@ -243,6 +243,12 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // forecast backtest (decimal window over the 15M-order daily
+    // series) and the HLL NDV cube (sketch partial-aggs over 15M
+    // orders, merged across grains)
+    run("forecast_backtest")(
+      SparkEntry.queries("forecast_backtest")(spark, dir))
+    run("ndv_cube")(SparkEntry.queries("ndv_cube")(spark, dir))
     // SemDeDup over the full 100× embedding table: 100-deep exact-dup
     // groups are the operator's CHEAP case (collapse first — the
     // pair graph runs on ~2k uniques)
