@@ -3327,6 +3327,75 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** Gate vocabulary for WordPiece (#64): every lowercase letter but
+    * 'q' and every digit, bare and as "##" continuations, plus a few
+    * real subwords — so most text tokenizes fully, 'q'-words hit the
+    * whole-word-[UNK] path, and longest-match has real choices. */
+  private val wpVocab: Seq[String] = {
+    val chars = (('a' to 'z').filterNot(_ == 'q') ++ ('0' to '9')).map(_.toString)
+    chars ++ chars.map("##" + _) ++
+      Seq("the", "and", "ing", "ion", "er", "in", "on", "re", "at",
+          "##ing", "##ed", "##er", "##ion", "##s", "##nd", "##at",
+          "##on", "##re", "##e", "##d")
+  }
+
+  /** WordPiece tokenization (#64): greedy longest-match subword
+    * pieces per document — see [[Wordpiece.tokenize]]. Pure string
+    * work, so the oracle (a per-word recursive-CTE cursor — a
+    * different formulation entirely) must agree byte-for-byte. */
+  def wordpieceTokenize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Wordpiece.tokenizeNative(col("text"), wpVocab)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("token_str"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => t === "[UNK]")).cast("long").as("n_unk"))
+  }
+
+  private val wordpieceTokenizeSql: String = {
+    val values = wpVocab.map(v => s"('$v')").mkString(",")
+    val keyOf = (l: Int) =>
+      s"CASE WHEN pos = 1 THEN substr(wd, pos, $l) ELSE '##' || substr(wd, pos, $l) END"
+    val mlen = (8 to 1 by -1).map(l =>
+      s"WHEN ${keyOf(l)} IN (SELECT tok FROM vocab) THEN $l").mkString(
+      "CASE ", " ", " END")
+    val mtok = (8 to 1 by -1).map(l =>
+      s"WHEN ${keyOf(l)} IN (SELECT tok FROM vocab) THEN ${keyOf(l)}").mkString(
+      "CASE ", " ", " END")
+    s"""WITH RECURSIVE vocab(tok) AS (VALUES $values),
+       |d AS (SELECT doc_id,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, i AS ord, d.toks[i] AS wd
+       |      FROM d, UNNEST(generate_series(1, len(d.toks))) AS u(i)),
+       |step(doc_id, ord, wd, pos, toks, failed) AS (
+       |  SELECT doc_id, ord, wd, 1, '', false FROM w
+       |  UNION ALL
+       |  SELECT doc_id, ord, wd,
+       |    CASE WHEN mlen IS NULL THEN pos ELSE pos + mlen END,
+       |    CASE WHEN mlen IS NULL THEN toks
+       |         WHEN toks = '' THEN mtok ELSE toks || ' ' || mtok END,
+       |    mlen IS NULL
+       |  FROM (SELECT doc_id, ord, wd, pos, toks,
+       |          $mlen AS mlen, $mtok AS mtok
+       |        FROM step WHERE NOT failed AND pos <= len(wd)) s),
+       |fin AS (SELECT doc_id, ord,
+       |          CASE WHEN failed THEN '[UNK]' ELSE toks END AS wt
+       |        FROM step WHERE failed OR pos > len(wd)),
+       |agg AS (SELECT doc_id,
+       |    COALESCE(string_agg(wt, ' ' ORDER BY ord)
+       |             FILTER (WHERE wt <> ''), '') AS token_str
+       |  FROM fin GROUP BY 1)
+       |SELECT d.doc_id, agg.token_str,
+       |  CAST(CASE WHEN token_str = '' THEN 0
+       |       ELSE len(string_split(token_str, ' ')) END AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(string_split(token_str, ' '),
+       |                       x -> x = '[UNK]')) AS BIGINT) AS n_unk
+       |FROM d JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** Mergeable NDV cube (#29j): per-DAY HLL sketches of the customer
     * key, merged to per-month distinct counts WITHOUT rescanning the
     * fact table — the pre-aggregated distinct-count cube a 100 TB
@@ -4049,6 +4118,7 @@ object Queries {
     "semdedup"                 -> (semdedup _),
     "forecast_backtest"        -> (forecastBacktest _),
     "ndv_cube"                 -> (ndvCube _),
+    "wordpiece_tokenize"       -> (wordpieceTokenize _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -4188,6 +4258,7 @@ object Queries {
     "semdedup"                 -> semdedupSql,
     "forecast_backtest"        -> forecastBacktestSql,
     "ndv_cube"                 -> ndvCubeSql,
+    "wordpiece_tokenize"       -> wordpieceTokenizeSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

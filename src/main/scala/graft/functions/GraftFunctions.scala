@@ -19,6 +19,7 @@ object GraftFunctions {
   val NearestCentroidName = "graft_nearest_centroid"
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
+  val WordpieceName = "graft_wordpiece"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -61,7 +62,11 @@ object GraftFunctions {
     (MightContainName, classOf[BloomFilterMightContain],
       (c0: Seq[Expression]) => { val c = arity(MightContainName,
           "bloom, key", 2, c0)
-        BloomFilterMightContain(c(0), c(1)) }))
+        BloomFilterMightContain(c(0), c(1)) }),
+    (WordpieceName, classOf[graft.functions.expressions.WordpieceTokens],
+      (c0: Seq[Expression]) => { val c = arity(WordpieceName,
+          "text, vocab, maxPieceLen", 3, c0)
+        graft.functions.expressions.WordpieceTokens(c(0), c(1), c(2)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -129,6 +134,15 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(DotName, a, b)
+  }
+
+  /** Native WordPiece MaxMatch over pre-normalized text (see
+    * [[graft.functions.expressions.WordpieceTokens]]). */
+  def wordpiece(text: Column, vocab: Seq[String],
+                maxPieceLen: Int = 8): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(WordpieceName, text,
+      org.apache.spark.sql.functions.typedLit(vocab), lit(maxPieceLen))
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -1,0 +1,129 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native WordPiece greedy MaxMatch over a pre-NORMALIZED text column
+  * (lowercased, single-space separated — compose with
+  * `TextFunctions.normalize`; the expression does not re-normalize so
+  * its semantics stay byte-identical to the HOF reference
+  * formulation in [[graft.operators.Wordpiece.tokenize]]).
+  *
+  * Why native: Spark's higher-order functions are INTERPRETED — the
+  * HOF fold walks an expression tree per character (measured at
+  * 100×: 208 s / 4324 CPU-seconds for 500k docs, zero shuffle, pure
+  * lambda overhead). Here the whole tokenization is one compiled
+  * method on a reference object (HashSet probes on string slices),
+  * called from inside WholeStageCodegen — same output, ~25× the
+  * throughput, and the vocabulary no longer rides the plan as a map
+  * literal, so production 32k-100k vocabs fit naturally.
+  *
+  * vocab and maxPieceLen are foldable children (the NearestCentroid
+  * convention), so the function also registers for SQL use.
+  */
+case class WordpieceTokens(text: Expression, vocab: Expression,
+                           maxLen: Expression)
+    extends Expression with UnaryLike[Expression] {
+
+  override def child: Expression = text
+  override protected def withNewChildInternal(newChild: Expression): WordpieceTokens =
+    copy(text = newChild)
+
+  override def nullable: Boolean = true
+  override def foldable: Boolean = text.foldable
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = text.dataType == StringType &&
+      (vocab.dataType match {
+        case ArrayType(StringType, _) => vocab.foldable
+        case _ => false
+      }) && maxLen.dataType == IntegerType && maxLen.foldable
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_wordpiece expects (string text, constant array<string> vocab, " +
+        "constant int maxPieceLen), got (" +
+        Seq(text, vocab, maxLen).map(_.dataType.simpleString).mkString(", ") + ")")
+  }
+
+  @transient private lazy val maxLenVal: Int = {
+    val m = maxLen.eval().asInstanceOf[Int]
+    require(m >= 1 && m <= 16, s"graft_wordpiece: maxPieceLen out of [1,16]: $m")
+    m
+  }
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val ad = vocab.eval().asInstanceOf[ArrayData]
+    val s = new java.util.HashSet[String](ad.numElements() * 2)
+    var i = 0
+    while (i < ad.numElements()) { s.add(ad.getUTF8String(i).toString); i += 1 }
+    require(!s.isEmpty, "graft_wordpiece: empty vocabulary")
+    s
+  }
+
+  private val Unk = UTF8String.fromString("[UNK]")
+
+  /** Whole-row tokenization — public so generated code can call it. */
+  def doTokenize(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val len = s.length
+    var start = 0
+    while (start < len) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = len
+      if (end > start) tokenizeWord(s, start, end, out)
+      start = end + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  private def tokenizeWord(s: String, from: Int, to: Int,
+                           out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val mark = out.length
+    var pos = from
+    while (pos < to) {
+      var l = math.min(maxLenVal, to - pos)
+      var matched: String = null
+      while (l >= 1 && matched == null) {
+        val piece = s.substring(pos, pos + l)
+        val key = if (pos == from) piece else "##" + piece
+        if (vocabSet.contains(key)) matched = key
+        l -= 1
+      }
+      if (matched == null) { // whole-word [UNK], partial pieces dropped
+        out.dropRightInPlace(out.length - mark)
+        out += Unk
+        return
+      }
+      out += UTF8String.fromString(matched)
+      pos += (if (pos == from) matched.length else matched.length - 2)
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null else doTokenize(t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wp", this, classOf[WordpieceTokens].getName)
+    val childGen = text.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $self.doTokenize(${childGen.value});
+         |}
+       """
+    ev.copy(code = code)
+  }
+}

@@ -41,4 +41,49 @@ class TextFunctionsSpec extends SparkSpec {
     assert(a === b)
     assert(a !== c)
   }
+
+  test("Wordpiece greedy longest-match, ## continuations, whole-word UNK") {
+    import graft.operators.Wordpiece
+    val vocab = Seq("the", "##re", "t", "h", "e", "r", "##h", "##e", "##r",
+                    "a", "##a", "b", "##b")
+    def toks(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(Wordpiece.tokenize(col("text"), vocab).as("t"))
+        .as[Seq[String]].head()
+    // longest match wins: "there" -> "the" + "##re", not t/h/e/r/e
+    assert(toks("there") === Seq("the", "##re"))
+    // continuation must use ## entries: "ab" -> a + ##b
+    assert(toks("ab") === Seq("a", "##b"))
+    // an unmatchable char anywhere fails the WHOLE word
+    assert(toks("axb") === Seq("[UNK]"))
+    assert(toks("ab axb the") === Seq("a", "##b", "[UNK]", "the"))
+    // empty and whitespace-only inputs produce no tokens
+    assert(toks("") === Seq.empty)
+    assert(toks("   ") === Seq.empty)
+  }
+
+  test("native graft_wordpiece is identical to the HOF formulation") {
+    import graft.operators.Wordpiece
+    val vocab = Seq("the", "##re", "t", "h", "e", "r", "##h", "##e", "##r",
+                    "a", "##a", "b", "##b")
+    def both(s: String): (Seq[String], Seq[String]) = {
+      val row = Seq(s).toDF("text")
+        .select(Wordpiece.tokenize(col("text"), vocab).as("hof"),
+                Wordpiece.tokenizeNative(col("text"), vocab).as("nat"))
+        .as[(Seq[String], Seq[String])].head()
+      row
+    }
+    for (s <- Seq("there", "ab", "axb", "ab axb the", "", "   ",
+                  "There  THE\tab")) {
+      val (hof, nat) = both(s)
+      assert(hof === nat, s"input '$s'")
+    }
+    // and on real documents — every doc, full token sequences
+    val docs = Tables.documents(spark, sfDir)
+    val mismatch = docs.select(
+        Wordpiece.tokenize(col("text"), vocab).as("hof"),
+        Wordpiece.tokenizeNative(col("text"), vocab).as("nat"))
+      .where(col("hof") =!= col("nat")).count()
+    assert(mismatch === 0)
+  }
 }

@@ -243,6 +243,11 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // WordPiece MaxMatch over 500k docs — the heaviest per-row HOF in
+    // the suite (8 substr probes per character)
+    run("wordpiece_tokenize")(
+      SparkEntry.queries("wordpiece_tokenize")(spark, dir)
+        .groupBy(col("n_unk")).agg(sum("n_tokens").as("t")))
     // forecast backtest (decimal window over the 15M-order daily
     // series) and the HLL NDV cube (sketch partial-aggs over 15M
     // orders, merged across grains)
