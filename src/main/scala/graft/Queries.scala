@@ -3327,6 +3327,41 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** BPE trainer sound gate (#64a): the merge loop on a planted
+    * corpus (low×5 lower×2 newest×6 widest×3 — the Sennrich paper's
+    * own example shape) whose FULL 8-merge sequence, including every
+    * count-tie broken lexicographically, is hand-derived in the
+    * VALUES-literal oracle. Gates ordering, tie-breaks, ## naming,
+    * and the dictionary rewrite exactly. */
+  def bpeTrainSound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Bpe.trainFrom(Seq(text).toDF("text"), "text", numMerges = 8)
+      .zipWithIndex
+      .map { case (m, i) => (i + 1, m.merged, m.count) }
+      .toDF("rank", "merged", "pair_count")
+  }
+
+  private val bpeTrainSoundSql =
+    """SELECT CAST(rank AS INTEGER) AS rank, merged,
+      |  CAST(pair_count AS BIGINT) AS pair_count
+      |FROM (VALUES (1,'##es',9),(2,'##est',9),(3,'##ow',7),(4,'low',7),
+      |             (5,'##ew',6),(6,'##ewest',6),(7,'newest',6),
+      |             (8,'##dest',3)) AS t(rank, merged, pair_count)""".stripMargin
+
+  /** BPE training end to end (#64a): 40 merges over the real corpus
+    * dictionary. Rows-only by the driver's lights (the oracle cannot
+    * run an iterative argmax loop); the loop itself is gated exactly
+    * by `bpe_train_sound` and the dictionary by the vocab queries. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bpe.trainFrom(Tables.documents(spark, dir), "text", numMerges = 40)
+      .zipWithIndex
+      .map { case (m, i) => (i + 1, m.left, m.right, m.merged, m.count) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
   /** Gate vocabulary for WordPiece (#64): every lowercase letter but
     * 'q' and every digit, bare and as "##" continuations, plus a few
     * real subwords — so most text tokenizes fully, 'q'-words hit the
@@ -4119,6 +4154,8 @@ object Queries {
     "forecast_backtest"        -> (forecastBacktest _),
     "ndv_cube"                 -> (ndvCube _),
     "wordpiece_tokenize"       -> (wordpieceTokenize _),
+    "bpe_train_sound"          -> (bpeTrainSound _),
+    "bpe_train"                -> (bpeTrain _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -4259,6 +4296,7 @@ object Queries {
     "forecast_backtest"        -> forecastBacktestSql,
     "ndv_cube"                 -> ndvCubeSql,
     "wordpiece_tokenize"       -> wordpieceTokenizeSql,
+    "bpe_train_sound"          -> bpeTrainSoundSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,
