@@ -116,6 +116,35 @@ object StatsIndex {
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(s"$table/$IndexDir")
 
+  /** Incremental maintenance for append-only tables: index ONLY the
+    * files not yet covered (the common case — a day's append adds a
+    * handful of files to a million-file table; re-footering
+    * everything would make index cost grow with table age instead of
+    * append size). Columns come from the existing index, so the
+    * covered set stays consistent. Rewrites the (tiny) index file
+    * atomically via overwrite-after-union. */
+  def update(spark: SparkSession, table: String): Unit = {
+    import spark.implicits._
+    val existing = read(spark, table)
+    val cols = existing.select("col").where(col("col") =!= "")
+      .distinct().as[String].collect().toSet
+    val indexed = existing.select("file").distinct().as[String].collect().toSet
+    val fresh = listDataFiles(spark, table).filterNot(indexed)
+    if (fresh.nonEmpty) {
+      val stats = spark.createDataset(fresh)
+        .repartition(math.max(1, math.min(fresh.size,
+          spark.sparkContext.defaultParallelism)))
+        .flatMap(p => footerStats(p, cols))
+        .toDF("file", "n_rows", "col", "min_num", "max_num",
+              "min_str", "max_str")
+      val merged = existing.unionByName(stats).repartition(1)
+        .collect() // tiny: file-count-bounded metadata
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(merged.toSeq, 1), existing.schema)
+        .write.mode("overwrite").parquet(s"$table/$IndexDir")
+    }
+  }
+
   /** Read `table` with a numeric range predicate `lo <= c <= hi`,
     * scanning ONLY files whose indexed [min, max] intersects the
     * range. Files absent from the index or without stats for `c` are

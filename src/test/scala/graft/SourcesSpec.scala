@@ -349,6 +349,19 @@ class SourcesSpec extends SparkSpec {
     val none = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey",
                                      keys.last + 1e6, keys.last + 2e6)
     assert(none.count() === 0)
+    // incremental update: the stale file gets indexed (9 files now),
+    // and an out-of-its-range query prunes it again
+    StatsIndex.update(spark, s"$tmp/t")
+    assert(StatsIndex.read(spark, s"$tmp/t")
+      .select("file").distinct().count() === 9)
+    StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey",
+                          keys.last.toDouble, keys.last.toDouble)
+    val Array(kept2, total2) = spark.conf
+      .get("spark.graft.lake.lastPruned").split("/").map(_.toInt)
+    assert(total2 === 9 && kept2 < total2)
+    // and the stale row is STILL found when its range is queried
+    val again = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey", lo, hi)
+    assert(again.where(col("o_orderstatus") === "STALE").count() === 1)
   }
 
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
