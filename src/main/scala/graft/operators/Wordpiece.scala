@@ -78,7 +78,7 @@ object Wordpiece {
     * `graft_wordpiece` expression — one compiled method per row
     * instead of an interpreted per-character HOF tree walk (measured
     * at 100×: 208 s HOF vs single-digit seconds native, identical
-    * output — WordpieceSpec asserts native == HOF on real docs). */
+    * output — TextFunctionsSpec asserts native == HOF on real docs). */
   def tokenizeNative(text: Column, vocab: Seq[String],
                      maxPieceLen: Int = 8): Column =
     graft.functions.GraftFunctions.wordpiece(
