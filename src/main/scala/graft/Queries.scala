@@ -3327,6 +3327,42 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** Label-propagation sound gate (#52a): synchronous LPA with
+    * min-label ties is fully deterministic integer work, so the
+    * oracle unrolls 3 rounds exactly (the pagerank_sound discipline).
+    * Graph: a mod-8 ring family over 240 nodes — every round is
+    * nothing but mode-with-ties resolution, the part worth gating. */
+  def lpaSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 240
+    val pairs = Tables.documents(spark, dir)
+      .where(col("doc_id") < n)
+      .select(col("doc_id").as("a"), ((col("doc_id") + 8) % n).as("b"))
+    Rank.labelPropagation(pairs, "a", "b", iters = 3)
+  }
+
+  private val lpaSoundSql = {
+    def round(prev: String, cur: String) =
+      s"""c$cur AS (SELECT e.dst, l$prev.label, COUNT(*) AS c
+         |  FROM e JOIN l$prev ON l$prev.node = e.src GROUP BY 1, 2),
+         |w$cur AS (SELECT dst, label FROM (
+         |    SELECT dst, label,
+         |      row_number() OVER (PARTITION BY dst
+         |                         ORDER BY c DESC, label) AS rk
+         |    FROM c$cur) WHERE rk = 1),
+         |l$cur AS (SELECT v.node, COALESCE(w$cur.label, v.node) AS label
+         |          FROM v LEFT JOIN w$cur ON w$cur.dst = v.node)"""
+        .stripMargin
+    s"""WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 240),
+       |e0 AS (SELECT i AS src, (i + 8) % 240 AS dst FROM nn),
+       |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |v AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS (SELECT node, node AS label FROM v),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT node, label FROM l3""".stripMargin
+  }
+
   /** BPE trainer sound gate (#64a): the merge loop on a planted
     * corpus (low×5 lower×2 newest×6 widest×3 — the Sennrich paper's
     * own example shape) whose FULL 8-merge sequence, including every
@@ -4155,6 +4191,7 @@ object Queries {
     "ndv_cube"                 -> (ndvCube _),
     "wordpiece_tokenize"       -> (wordpieceTokenize _),
     "bpe_train_sound"          -> (bpeTrainSound _),
+    "lpa_sound"                -> (lpaSound _),
     "bpe_train"                -> (bpeTrain _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
@@ -4297,6 +4334,7 @@ object Queries {
     "ndv_cube"                 -> ndvCubeSql,
     "wordpiece_tokenize"       -> wordpieceTokenizeSql,
     "bpe_train_sound"          -> bpeTrainSoundSql,
+    "lpa_sound"                -> lpaSoundSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

@@ -82,4 +82,66 @@ object Rank {
     e.unpersist(false)
     ranks
   }
+
+  /** Synchronous label propagation communities (Raghavan et al. 2007)
+    * over an undirected pair graph: labels start as node ids; each
+    * round every node takes the most frequent label among its
+    * neighbors, ties to the SMALLEST label — which makes the
+    * synchronous schedule fully deterministic (the usual async
+    * random-order LPA is not), so the gate can unroll rounds in SQL
+    * exactly (the pagerank_sound discipline, integer labels instead
+    * of dyadic doubles). Complements components (row 45: connectivity
+    * = one community) and PageRank (row 52: importance, not
+    * grouping): LPA splits DENSE regions inside a connected graph —
+    * boilerplate rings vs topical clusters.
+    *
+    * Scale shape per round: one edge⋈labels equi-join + two
+    * aggregations on the SAME dst key (Exchange reuse — the argmax
+    * rides the count's partitioning); labels are node-sized, edges
+    * cached bare and never re-shuffled (the pageRank lesson);
+    * superseded label rounds free their checkpoint blocks eagerly. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       iters: Int = 3,
+                       maxBroadcastNodes: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"),
+               col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"),
+               col(aCol).cast("long").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      // labels are node-sized: broadcast them into the edge join (the
+      // pageRank contribution lesson) so the cached edge table never
+      // re-shuffles — measured at 100× on the 27M-pair graph: the
+      // shuffle-join form moved 3.2 GB and spilled 3.2 GB over three
+      // rounds; the broadcast form shuffles only the (dst, label)
+      // partial-agg stream
+      val lab0 = labels.select(col("node").as("src"), col("label"))
+      val lab = if (maxBroadcastNodes > 0 && nNodes <= maxBroadcastNodes)
+        broadcast(lab0) else lab0
+      val counts = e.join(lab, "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+      val winner = counts.groupBy(col("dst"))
+        .agg(min_by(col("label"), struct((-col("c")).as("nc"),
+                                         col("label"))).as("nl"))
+      val next = nodes
+        .join(winner, col("node") === col("dst"), "left")
+        .select(col("node"),
+                coalesce(col("nl"), col("node")).as("label"))
+        .localCheckpoint()
+      graft.Blocks.freeCheckpoint(labels)
+      labels = next
+    }
+    graft.Blocks.freeCheckpoint(nodes)
+    e.unpersist(false)
+    labels
+  }
 }

@@ -53,4 +53,31 @@ class RankSpec extends SparkSpec {
     Blocks.freeAll(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("label propagation: disconnected cliques converge to distinct labels") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                    (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("a", "b")
+    val out = graft.operators.Rank.labelPropagation(pairs, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(out) === Seq(1L, 1L, 1L))
+    assert(Seq(10L, 11L, 12L).map(out) === Seq(10L, 10L, 10L))
+    Blocks.freeAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("label propagation majority beats min: a 2-vs-1 HIGH label wins") {
+    import spark.implicits._
+    // round 1: twin pendants 5,6 of node 9 take label 9; node 2
+    // (pendant of 3) takes label 3. Round 2 at node 100 (nbrs 5,6,2):
+    // votes {9: 2, 3: 1} -> majority 9 wins even though 3 < 9 — the
+    // min rule is a TIE-break, not the decision
+    val pairs = Seq((5L, 9L), (6L, 9L), (2L, 3L),
+                    (100L, 5L), (100L, 6L), (100L, 2L)).toDF("a", "b")
+    val out = graft.operators.Rank.labelPropagation(pairs, "a", "b", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(out(100L) === 9L)
+    Blocks.freeAll(spark)
+  }
 }

@@ -158,6 +158,10 @@ object Scale100 {
     run("dedup_clusters_jump")(Dedup.clusters(pairs, "doc_a", "doc_b"))
     run("dedup_clusters_star")(Dedup.clustersStar(pairs, "doc_a", "doc_b"))
     run("dedup_clusters_auto")(Dedup.clustersAuto(pairs, "doc_a", "doc_b"))
+    // r9: synchronous LPA communities over the SAME 27M-pair graph —
+    // per round one edge⋈labels join + two same-key aggs
+    run("lpa_pair_graph")(
+      graft.operators.Rank.labelPropagation(pairs, "doc_a", "doc_b", 3))
     println("SCALE100 cc_choice=" +
       spark.conf.get("spark.graft.cc.lastChoice", "?"))
 
