@@ -3327,6 +3327,103 @@ object Queries {
     Dsir.select(Tables.documents(spark, dir), "doc_id", "text",
                 col("lang") === "en", n = 100)
 
+  /** Skew report (#22h2): the measurement that picks plain vs AQE vs
+    * salted join plans — see [[Skew.report]]. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    Skew.report(Tables.lineitem(spark, dir), "l_suppkey", k = 10)
+
+  private val skewReportSql =
+    """WITH c AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows FROM c),
+      |r AS (SELECT l_suppkey, n,
+      |        CAST(row_number() OVER (ORDER BY n DESC, l_suppkey) AS INT) AS rk
+      |      FROM c)
+      |SELECT rk, l_suppkey, n, s.n_keys,
+      |  CAST(n AS DOUBLE) * CAST(s.n_keys AS DOUBLE)
+      |    / CAST(s.n_rows AS DOUBLE) AS x_mean
+      |FROM r, s WHERE rk <= 10""".stripMargin
+
+  /** Per-source quality filter, approx swap (#31a2): the documented
+    * 100 TB replacement for `quality_filter`'s per-source window sort
+    * — an approx-percentile threshold per source broadcast back as a
+    * plain filter (no corpus window). Gate: in-query tolerance flag
+    * (sketch_sound pattern): each source's kept count must land
+    * within 5% (+2 rows slack) of the exact half the window form
+    * keeps. */
+  def qualityFilterApprox(spark: SparkSession, dir: String): DataFrame = {
+    // materialize the narrow (id, source, quality) projection ONCE:
+    // it feeds BOTH the threshold agg and the filter side, and Spark
+    // does not dedupe shared subtrees — uncheckpointed, the 3-regex
+    // quality score ran twice over the corpus (measured at 100×:
+    // 59 s vs 31 s; the lm_perplexity lesson on a projection instead
+    // of a fit table)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
+    val thr = scored.groupBy(col("source"))
+      .agg(percentile_approx(col("quality"), lit(0.5), lit(10000)).as("thr"),
+           count(lit(1)).as("n_docs"))
+    scored.join(broadcast(thr), "source")
+      .where(col("quality") >= col("thr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_docs")).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        (abs(col("n_kept") - col("n_docs") / 2) <=
+          col("n_docs").cast("double") * lit(0.05) + lit(2.0)).as("kept_ok"))
+  }
+
+  private val qualityFilterApproxSql =
+    """SELECT source, COUNT(*) AS n_docs, true AS kept_ok
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Composed curation pipeline (#65): the end-to-end "assemble a
+    * training slice" flagship for the LLM-data side — exact dedup
+    * keep-one, quality floor, deterministic per-source cap — each
+    * stage an already-gated operator, composed in ONE declarative
+    * plan (one fingerprint window + one per-source window + per-row
+    * filters; nothing materializes between stages). The oracle
+    * recomputes the whole chain, so the COMPOSITION is hash-exact,
+    * not just the parts. */
+  def curatePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(TextFunctions.fingerprint(col("text")))
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Sampling.bucket65536(col("doc_id")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .where(col("doc_id") === col("keeper"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .where(col("quality") >= 0.3)
+      .withColumn("rk", row_number().over(capW))
+      .where(col("rk") <= 15)
+      .select(col("doc_id"), col("source"), col("quality"))
+  }
+
+  private val curatePipelineSql =
+    """WITH d AS (SELECT doc_id, source, text,
+      |    MIN(doc_id) OVER (PARTITION BY
+      |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
+      |  FROM documents),
+      |q AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) * 0.5
+      |    + CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |      / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 0.3
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 AS quality
+      |  FROM d WHERE doc_id = keeper),
+      |f AS (SELECT doc_id, source, quality,
+      |    row_number() OVER (PARTITION BY source ORDER BY
+      |        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1),
+      |      doc_id) AS rk
+      |  FROM q WHERE quality >= 0.3)
+      |SELECT doc_id, source, quality FROM f WHERE rk <= 15""".stripMargin
+
   /** Label-propagation sound gate (#52a): synchronous LPA with
     * min-label ties is fully deterministic integer work, so the
     * oracle unrolls 3 rounds exactly (the pagerank_sound discipline).
@@ -4192,6 +4289,9 @@ object Queries {
     "wordpiece_tokenize"       -> (wordpieceTokenize _),
     "bpe_train_sound"          -> (bpeTrainSound _),
     "lpa_sound"                -> (lpaSound _),
+    "skew_report"              -> (skewReport _),
+    "quality_filter_approx"    -> (qualityFilterApprox _),
+    "curate_pipeline"          -> (curatePipeline _),
     "bpe_train"                -> (bpeTrain _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
@@ -4335,6 +4435,9 @@ object Queries {
     "wordpiece_tokenize"       -> wordpieceTokenizeSql,
     "bpe_train_sound"          -> bpeTrainSoundSql,
     "lpa_sound"                -> lpaSoundSql,
+    "skew_report"              -> skewReportSql,
+    "quality_filter_approx"    -> qualityFilterApproxSql,
+    "curate_pipeline"          -> curatePipelineSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

@@ -247,6 +247,14 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // skew diagnosis over 60M fact rows, the approx quality-filter
+    // swap (broadcast threshold, no corpus window), and the composed
+    // curation flagship (dedup keep-one bites hard on the 100-deep
+    // dup corpus: 500k -> 5k -> capped)
+    run("skew_report")(SparkEntry.queries("skew_report")(spark, dir))
+    run("quality_filter_approx")(
+      SparkEntry.queries("quality_filter_approx")(spark, dir))
+    run("curate_pipeline")(SparkEntry.queries("curate_pipeline")(spark, dir))
     // WordPiece MaxMatch over 500k docs — the heaviest per-row HOF in
     // the suite (8 substr probes per character)
     run("wordpiece_tokenize")(
