@@ -240,6 +240,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dsir scoring is exchange-free; sound fold is one scan") {
+    // the fold runs against the 256-double plan literal — per-row
+    // work only; any Exchange here means the literal design regressed
+    val p = plan("dsir_sound")
+    assert(!p.contains("Exchange"), s"dsir_sound shuffles\n$p")
+  }
+
+  test("wordpiece tokenization runs the native expression, not a HOF fold") {
+    val p = plan("wordpiece_tokenize")
+    assert(p.contains("wordpiecetokens") || p.contains("WordpieceTokens"),
+           s"native expr missing\n$p")
+    assert(!p.toLowerCase.contains("aggregate(sequence"),
+           s"interpreted HOF fold present\n$p")
+  }
+
+  test("priority sampling shuffles once (the per-group window)") {
+    val p = plan("sample_priority")
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1, p)
+  }
+
+  test("curate_pipeline fuses to its two windows (no extra exchanges)") {
+    // fingerprint window + per-source cap window; filters are per-row
+    val p = plan("curate_pipeline")
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 2, p)
+  }
+
+  test("semdedup never broadcasts the corpus vector table") {
+    // centroids are plan literals; the only broadcastable sides are
+    // bounded (component winners) — a corpus-sized BroadcastExchange
+    // would OOM the driver at scale. Count broadcast rows indirectly:
+    // every BroadcastExchange in the plan must sit above an agg or a
+    // bounded-side subtree, never directly above the embeddings scan
+    val p = plan("semdedup")
+    val bad = p.linesIterator.sliding(2).exists(w =>
+      w.head.contains("BroadcastExchange") &&
+        w.last.contains("embeddings.parquet"))
+    assert(!bad, s"corpus scan broadcast directly\n$p")
+  }
+
+  test("lm novelty's ref join keys both sides on the bigram pair") {
+    // the stream⋈ref join must be an equi-join on (w1, w2) — a
+    // nested-loop fallback here is corpus × vocab
+    val p = plan("lm_novelty")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("hot scans stay inside WholeStageCodegen") {
     for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
       // AQE prints codegen spans only once stages have executed —
