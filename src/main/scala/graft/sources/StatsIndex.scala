@@ -145,6 +145,48 @@ object StatsIndex {
     }
   }
 
+  /** Targeted delete (GDPR / right-to-be-forgotten): remove every row
+    * whose `keyCol` is in `keys`, REWRITING ONLY the files whose
+    * indexed [min, max] can contain one of the keys — on a clustered
+    * table (writeSorted / writeZOrdered) a handful of ids touches a
+    * handful of files, not 100 TB. Files without stats (or absent
+    * from the index) are rewritten conservatively. Returns
+    * (filesRewritten, filesUntouched).
+    *
+    * In-place semantics: replacements land under unique part names
+    * before the originals are removed, so a concurrent reader sees
+    * duplicates for a moment rather than losing rows; for atomic
+    * cutover publish through Manifest versions instead. The index
+    * entries of removed files become inert (pruning consults the
+    * live file list); run [[update]] afterwards to cover the
+    * replacement files. */
+  def deleteByKeys(spark: SparkSession, table: String, keyCol: String,
+                   keys: Seq[Long]): (Int, Int) = {
+    require(keys.nonEmpty, "no keys to delete")
+    val all = listDataFiles(spark, table)
+    val idx = read(spark, table).where(col("col") === keyCol)
+      .select("file", "min_num", "max_num").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val (touched, untouched) = all.partition { f =>
+      idx.get(f) match {
+        case Some((Some(mn), Some(mx))) =>
+          keys.exists(k => k >= mn && k <= mx)
+        case _ => true // unindexed: must rewrite conservatively
+      }
+    }
+    if (touched.nonEmpty) {
+      spark.read.parquet(touched: _*)
+        .where(!col(keyCol).isin(keys: _*))
+        .write.mode("append").parquet(table)
+      val fs = new Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach(f => fs.delete(new Path(f), false))
+    }
+    (touched.size, untouched.size)
+  }
+
   /** Read `table` with a numeric range predicate `lo <= c <= hi`,
     * scanning ONLY files whose indexed [min, max] intersects the
     * range. Files absent from the index or without stats for `c` are

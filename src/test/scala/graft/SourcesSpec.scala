@@ -364,6 +364,32 @@ class SourcesSpec extends SparkSpec {
     assert(again.where(col("o_orderstatus") === "STALE").count() === 1)
   }
 
+  test("StatsIndex.deleteByKeys rewrites only the files holding the keys") {
+    val tmp = Files.createTempDirectory("delkeys").toString
+    val orders = Tables.orders(spark, sfDir)
+    Lake.writeSorted(orders, s"$tmp/t", "o_orderkey", nFiles = 8)
+    StatsIndex.write(spark, s"$tmp/t", Seq("o_orderkey"))
+    import spark.implicits._
+    val keys = orders.select("o_orderkey").as[Long].collect().sorted
+    val total = keys.length
+    // three adjacent keys: on a sorted table they live in ONE file
+    val victims = keys.slice(total / 2, total / 2 + 3).toSeq
+    val before = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val (rewritten, untouched) =
+      StatsIndex.deleteByKeys(spark, s"$tmp/t", "o_orderkey", victims)
+    assert(rewritten === 1 && untouched === 7, s"$rewritten/$untouched")
+    val after = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // 7 original files survive untouched; 1 replaced by new part files
+    assert((before intersect after).size === 7)
+    val remaining = spark.read.parquet(s"$tmp/t")
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(remaining.length === total - 3)
+    assert(victims.forall(v => !remaining.contains(v)))
+    assert(remaining.toSet === keys.toSet -- victims)
+  }
+
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
     val tmp = Files.createTempDirectory("csv").toString
     val schema = StructType(Seq(
