@@ -247,6 +247,9 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // BPE training: the corpus-scale dictionary shuffle over 500k
+    // docs (the driver loop is corpus-size-independent by design)
+    run("bpe_train")(SparkEntry.queries("bpe_train")(spark, dir))
     // skew diagnosis over 60M fact rows, the approx quality-filter
     // swap (broadcast threshold, no corpus window), and the composed
     // curation flagship (dedup keep-one bites hard on the 100-deep
