@@ -177,8 +177,10 @@ object StatsIndex {
       }
     }
     if (touched.nonEmpty) {
+      // NULL keys survive explicitly: `!isin` evaluates to NULL for a
+      // NULL key and the filter would silently drop those rows too
       spark.read.parquet(touched: _*)
-        .where(!col(keyCol).isin(keys: _*))
+        .where(col(keyCol).isNull || !col(keyCol).isin(keys: _*))
         .write.mode("append").parquet(table)
       val fs = new Path(table)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

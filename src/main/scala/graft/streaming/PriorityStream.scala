@@ -41,8 +41,13 @@ object PriorityStream {
 
   private def merge(cur: List[Entry], added: Iterator[Doc],
                     k: Int): List[Entry] = {
+    // re-arrival dedup is FIRST-SEEN-WINS (state precedes the batch in
+    // encounter order): weights are a pure function of the doc, so a
+    // true replay carries the identical w and either choice agrees; a
+    // CHANGED weight for a seen id is an upstream bug this operator
+    // deliberately does not mask with last-wins semantics
     val all = (cur.iterator ++ added.map(d => Entry(priority(d.id, d.w), d.id, d.w)))
-      .toSeq.groupBy(_.id).map(_._2.head).toSeq // idempotent re-arrival
+      .toSeq.groupBy(_.id).map(_._2.head).toSeq
     all.sortBy(e => (-e.q, e.id)).take(k + 1).toList
   }
 

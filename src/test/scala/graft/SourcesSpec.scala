@@ -390,6 +390,18 @@ class SourcesSpec extends SparkSpec {
     assert(remaining.toSet === keys.toSet -- victims)
   }
 
+  test("StatsIndex.deleteByKeys preserves NULL-key rows") {
+    val tmp = Files.createTempDirectory("delnull").toString
+    import spark.implicits._
+    Seq(Some(1L), Some(2L), None, Some(4L)).toDF("k")
+      .repartition(1).write.parquet(s"$tmp/t")
+    StatsIndex.write(spark, s"$tmp/t", Seq("k"))
+    StatsIndex.deleteByKeys(spark, s"$tmp/t", "k", Seq(2L))
+    val left = spark.read.parquet(s"$tmp/t").select("k")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(left.toSet === Set(Some(1L), None, Some(4L)))
+  }
+
   test("Csv round-trips with explicit schema and quarantines corrupt rows") {
     val tmp = Files.createTempDirectory("csv").toString
     val schema = StructType(Seq(
