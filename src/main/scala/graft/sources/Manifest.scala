@@ -97,6 +97,34 @@ object Manifest {
     next
   }
 
+  /** Keyed diff between two retained versions — the audit question a
+    * versioned lake gets asked right after time travel ("what changed
+    * between yesterday's publish and today's?"): one full-outer join
+    * on the key, classifying each key as inserted / deleted /
+    * updated / unchanged (update detection compares the remaining
+    * columns via a hash over their canonical struct — no column list
+    * to maintain). Both sides are immutable published versions, so
+    * the result is reproducible for as long as retention keeps them.
+    * Scale: one shuffle on the key (the join); the classification is
+    * per-row. */
+  def diff(spark: SparkSession, root: String, keyCol: String,
+           fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hashed(v: Long, side: String) = {
+      val df = readVersion(spark, root, v)
+      val rest = df.columns.filterNot(_ == keyCol).sorted
+      df.select(col(keyCol).as(s"${side}_key"),
+        hash(struct(rest.map(col): _*)).as(s"${side}_h"))
+    }
+    hashed(fromV, "a").join(hashed(toV, "b"),
+        col("a_key") === col("b_key"), "full_outer")
+      .select(coalesce(col("b_key"), col("a_key")).as(keyCol),
+        when(col("a_key").isNull, "inserted")
+          .when(col("b_key").isNull, "deleted")
+          .when(col("a_h") =!= col("b_h"), "updated")
+          .otherwise("unchanged").as("change"))
+  }
+
   /** Explicit retention pass: keep the newest `retain` committed
     * versions, delete the rest (data dirs and markers drop together
     * inside [[gc]], so a reader that can list a version can read it).

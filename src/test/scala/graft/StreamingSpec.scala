@@ -254,6 +254,23 @@ class StreamingSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, root, retain = 5) === Seq.empty)
   }
 
+  test("manifest diff classifies inserted/deleted/updated/unchanged keys") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("manifest-diff").toString + "/t"
+    Manifest.commit(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      retain = 4)
+    Manifest.commit(spark, root,
+      Seq((2L, "b", 20), (3L, "CHANGED", 30), (4L, "d", 40))
+        .toDF("k", "s", "v"),
+      retain = 4)
+    val got = Manifest.diff(spark, root, "k", fromV = 0L, toV = 1L)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "deleted", 2L -> "unchanged",
+                       3L -> "updated", 4L -> "inserted"))
+  }
+
   test("streaming dedup drops within-watermark duplicates with bounded state") {
     val tmp = Files.createTempDirectory("stream-dedup").toString
     val base = eventCols(Tables.events(spark, sfDir))
