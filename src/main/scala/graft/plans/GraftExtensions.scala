@@ -50,5 +50,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.SignBucketName),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.SignBucket].getName,
+        GraftFunctions.SignBucketName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.SignBucket(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.NearestCentroidName),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NearestCentroid].getName,
+        GraftFunctions.NearestCentroidName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.NearestCentroid(
+          children(0), children(1), children(2), children(3), children(4))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.WordpieceName),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.WordpieceTokens].getName,
+        GraftFunctions.WordpieceName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.WordpieceTokens(
+          children(0), children(1), children(2))))
   }
 }

@@ -193,4 +193,18 @@ class ExpressionSpec extends SparkSpec {
         .getField("cell")).as[Int].collect()
     assert(viaSql.toSeq === viaCol.toSeq)
   }
+
+  test("graft_wordpiece SQL registration agrees with the Column API") {
+    GraftFunctions.register(spark)
+    val vocab = Seq("the", "##re", "t", "h", "e", "##h", "##e", "##r")
+    Seq("there the t").toDF("text").createOrReplaceTempView("wp_probe")
+    val vocabLit = vocab.map(v => s"'$v'").mkString("array(", ",", ")")
+    val viaSql = spark.sql(
+      s"SELECT graft_wordpiece(text, $vocabLit, 8) FROM wp_probe")
+      .as[Seq[String]].head()
+    val viaCol = Seq("there the t").toDF("text")
+      .select(GraftFunctions.wordpiece(col("text"), vocab))
+      .as[Seq[String]].head()
+    assert(viaSql === viaCol && viaSql === Seq("the", "##re", "the", "t"))
+  }
 }
