@@ -3460,6 +3460,86 @@ object Queries {
        |SELECT node, label FROM l3""".stripMargin
   }
 
+  /** Vocabulary coverage curve (#38d): what fraction of corpus token
+    * MASS the top-N words cover, for candidate vocab sizes — the
+    * analysis that sizes a tokenizer vocabulary before training it
+    * (complement of `bpe_train`: decide N, then learn the pieces;
+    * the synthetic corpus has a 31-word vocabulary, so the gate
+    * curve uses sizes 4/8/16 — the plan shape is size-independent).
+    * One word-count shuffle (vocabulary-bounded), one rank window
+    * over the count table (NOT the corpus), exact integer mass sums;
+    * the coverage ratio is one final division (dsum discipline). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(4, 8, 16)
+    val counts = Bpe.wordCounts(Tables.documents(spark, dir), "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+    val total = counts.agg(sum(col("n")).as("total"))
+    ranked.where(col("rk").isin(sizes.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rk").as("vocab_size"),
+        col("cum").as("mass_covered"), col("total").as("mass_total"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
+  private val vocabCoverageSql =
+    """WITH c AS (SELECT word, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+      |    FROM documents) WHERE len(word) > 0 GROUP BY 1),
+      |r AS (SELECT word, n,
+      |        CAST(row_number() OVER w AS INT) AS rk,
+      |        CAST(SUM(n) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM c WINDOW w AS (ORDER BY n DESC, word)),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      |SELECT rk AS vocab_size, cum AS mass_covered, t.total AS mass_total,
+      |  CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+      |FROM r, t WHERE rk IN (4, 8, 16)""".stripMargin
+
+  /** Temperature-scaled mixture sampling (#43b): keep rates per
+    * language ∝ n_s^(α−1) with α = 1/2 (lang is the skewed grouping
+    * here — en is ~3× the rest; the column is a parameter in spirit) — the multilingual-training
+    * standard that upsamples scarce sources relative to their share
+    * (α=1 keeps the natural mix, α=0 equalizes). Engine-exact at
+    * α=1/2 because IEEE-754 REQUIRES sqrt to be correctly rounded
+    * (unlike ln/pow): rate_s = sqrt(n_min/n_s) — scarcest source
+    * keeps all — and the keep decision is the md5-bucket threshold
+    * floor(rate·65536), all bit-identical in DuckDB. Same shape as
+    * `mixture_rebalance`: tiny count agg broadcast back, per-row
+    * filter, no corpus shuffle. */
+  def mixtureAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min(col("n_s")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        floor(sqrt(col("n_min").cast("double") / col("n_s").cast("double"))
+              * 65536).cast("long").as("t_s"))
+    docs.join(broadcast(rates), "lang")
+      .where(Sampling.bucket65536(col("doc_id")) < col("t_s"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  private val mixtureAlphaSql =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_s FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(n_s) AS n_min FROM c),
+      |r AS (SELECT lang,
+      |        CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |                   * 65536) AS BIGINT) AS t_s
+      |      FROM c, m)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 32, 1)) - 1)
+      |    < r.t_s""".stripMargin
+
   /** BPE trainer sound gate (#64a): the merge loop on a planted
     * corpus (low×5 lower×2 newest×6 widest×3 — the Sennrich paper's
     * own example shape) whose FULL 8-merge sequence, including every
@@ -4289,6 +4369,8 @@ object Queries {
     "wordpiece_tokenize"       -> (wordpieceTokenize _),
     "bpe_train_sound"          -> (bpeTrainSound _),
     "lpa_sound"                -> (lpaSound _),
+    "vocab_coverage"           -> (vocabCoverage _),
+    "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
     "quality_filter_approx"    -> (qualityFilterApprox _),
     "curate_pipeline"          -> (curatePipeline _),
@@ -4435,6 +4517,8 @@ object Queries {
     "wordpiece_tokenize"       -> wordpieceTokenizeSql,
     "bpe_train_sound"          -> bpeTrainSoundSql,
     "lpa_sound"                -> lpaSoundSql,
+    "vocab_coverage"           -> vocabCoverageSql,
+    "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,
     "curate_pipeline"          -> curatePipelineSql,

@@ -247,6 +247,10 @@ object Scale100 {
       .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h")))
     run("lm_perplexity")(SparkEntry.queries("lm_perplexity")(spark, dir)
       .groupBy(col("n_bigrams")).agg(sum("mean_nll").as("s")))
+    // vocab coverage (count-table window) and alpha-mixture sampling
+    // (per-row threshold filter)
+    run("vocab_coverage")(SparkEntry.queries("vocab_coverage")(spark, dir))
+    run("mixture_alpha")(SparkEntry.queries("mixture_alpha")(spark, dir))
     // BPE training: the corpus-scale dictionary shuffle over 500k
     // docs (the driver loop is corpus-size-independent by design)
     run("bpe_train")(SparkEntry.queries("bpe_train")(spark, dir))
