@@ -151,6 +151,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(10000.0 < mean + 3 * sd)
   }
 
+  test("second-wave r9 operators behave on empty and degenerate inputs") {
+    import graft.operators.{Bpe, Dsir, Lm, SemDedup, Sampling, Wordpiece}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // DSIR: empty corpus -> empty fit; scoring an empty-text doc works
+    assert(Dsir.fit(noDocs, "text", lit(true)).count() === 0)
+    val ratios = Array.fill(256)(1.0)
+    val one = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Dsir.score(one, "doc_id", "text", ratios).count() === 1)
+    // LM: an EMPTY reference marks every bigram unseen, no crash
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val emptyRef = Lm.fitBigrams(noDocs, "doc_id", "text")
+    val nov = Lm.novelty(docs, "doc_id", "text", emptyRef)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(nov(1L) === ((2L, 2L, 0L)) && nov(2L) === ((0L, 0L, 0L)))
+    // SemDeDup: single vector keeps itself; empty input yields empty
+    val cents = Seq((0, Array(1f, 0f)))
+    val single = Seq((7L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    assert(SemDedup.prune(single, "vec_id", "embedding", cents, 0.9)
+      .as[(Long, Long, Boolean)].head() === ((7L, 7L, true)))
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SemDedup.prune(noVecs, "vec_id", "embedding", cents, 0.9)
+      .count() === 0)
+    // priority sampling: empty input is empty, not an error
+    val noW = Seq.empty[(String, Long, Long)].toDF("g", "id", "w")
+    assert(Sampling.prioritySample(noW, "g", "id", "w", 5).count() === 0)
+    // wordpiece rejects an empty vocabulary loudly (native path too)
+    intercept[IllegalArgumentException](
+      Wordpiece.tokenize(col("text"), Seq.empty))
+    // BPE: empty dictionary trains zero merges, single chars stop early
+    assert(Bpe.train(Seq.empty, 5) === Seq.empty)
+    assert(Bpe.train(Seq("a" -> 3L), 5) === Seq.empty)
+  }
+
   test("cosine of zero vectors is NULL, not a job-killing ANSI error") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
