@@ -3460,6 +3460,35 @@ object Queries {
        |SELECT node, label FROM l3""".stripMargin
   }
 
+  /** Per-source duplication profile (#23c): docs, distinct normalized
+    * texts, and the duplication ratio per source — the triage report
+    * that decides WHERE dedup effort goes before any pair generation
+    * runs (a source at 100× duplication wants exact collapse first;
+    * one at 1.01× may not be worth an LSH pass). One partial-agg
+    * shuffle on (source, fingerprint), then a tiny per-source agg;
+    * the ratio is one exact-int division (dsum discipline). */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"),
+               TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+           count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs").cast("double") / col("n_distinct").cast("double"))
+          .as("dup_ratio"))
+
+  private val dedupProfileSql =
+    """WITH f AS (SELECT source,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+      |FROM f GROUP BY 1""".stripMargin
+
   /** Vocabulary coverage curve (#38d): what fraction of corpus token
     * MASS the top-N words cover, for candidate vocab sizes — the
     * analysis that sizes a tokenizer vocabulary before training it
@@ -4370,6 +4399,7 @@ object Queries {
     "bpe_train_sound"          -> (bpeTrainSound _),
     "lpa_sound"                -> (lpaSound _),
     "vocab_coverage"           -> (vocabCoverage _),
+    "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
     "quality_filter_approx"    -> (qualityFilterApprox _),
@@ -4518,6 +4548,7 @@ object Queries {
     "bpe_train_sound"          -> bpeTrainSoundSql,
     "lpa_sound"                -> lpaSoundSql,
     "vocab_coverage"           -> vocabCoverageSql,
+    "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,
