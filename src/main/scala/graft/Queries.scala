@@ -3232,8 +3232,11 @@ object Queries {
   def pcaSound(spark: SparkSession, dir: String): DataFrame = {
     val planted = pcaPlanted(spark, dir)
     val model = Pca.fit(planted, "embedding", k = 5, center = false)
+    // Scalar (vec_id, idx, val) rows, not an array column: the driver's
+    // oracle compare sorts result columns with pandas, which cannot
+    // order array cells — flattening makes every cell hashable.
     Pca.project(planted, "embedding", model)
-      .select(col("vec_id"), col("proj"))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("idx", "val")))
   }
 
   private val pcaSoundSql =
@@ -3247,11 +3250,10 @@ object Queries {
       |      FROM v GROUP BY 1),
       |ord AS (SELECT c, ROW_NUMBER() OVER (ORDER BY moment DESC, c) AS rk
       |        FROM m),
-      |tops AS (SELECT LIST(c ORDER BY rk) AS cs FROM ord WHERE rk <= 5)
-      |SELECT v.vec_id,
-      |  list_transform((SELECT cs FROM tops),
-      |                 tc -> CASE WHEN tc = v.c THEN v.val ELSE 0.0 END) AS proj
-      |FROM v""".stripMargin
+      |tops AS (SELECT c, CAST(rk - 1 AS INTEGER) AS idx FROM ord WHERE rk <= 5)
+      |SELECT v.vec_id, tops.idx,
+      |  CASE WHEN tops.c = v.c THEN v.val ELSE 0.0 END AS val
+      |FROM v CROSS JOIN tops""".stripMargin
 
   /** PCA projection on the real embeddings (#59 production path):
     * centered fit, k=8, whitened output. Rows-only driver check by
@@ -3261,8 +3263,10 @@ object Queries {
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val model = Pca.fit(emb, "embedding", k = 8)
+    // Flattened like pca_sound so the rows-only driver check can
+    // sort and count without hitting an unhashable array column.
     Pca.project(emb, "embedding", model, whiten = true)
-      .select(col("vec_id"), col("proj"))
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("idx", "val")))
   }
 
   /** DSIR fit (#60): exact hashed unigram+bigram bucket counts for

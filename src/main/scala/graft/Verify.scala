@@ -4,6 +4,26 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  import org.apache.spark.sql.types._
+  /** Types the driver's pandas-based compare can sort and hash. */
+  private[graft] def isScalarType(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: StructType | _: MapType => false
+    case _ => true
+  }
+
+  /** Throws if the frame has any column the driver compare cannot sort
+    * (array/struct/map) — see the r9 PCA `err`: pandas `sort_values`
+    * dies on unhashable ndarray cells BEFORE comparing anything. */
+  private[graft] def assertScalarSchema(name: String, schema: StructType): Unit = {
+    val complex = schema.fields.collect {
+      case f if !isScalarType(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (complex.nonEmpty)
+      throw new IllegalStateException(
+        s"registered query '$name' returns non-scalar column(s) " +
+          s"${complex.mkString(", ")} - flatten (posexplode / concat_ws) " +
+          "before registering; the driver compare cannot sort them")
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,9 +61,11 @@ object Verify {
       // on one core. The repartition shuffle keeps the compute
       // parallel and only the writer is single (one file, as the
       // driver compare expects).
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        assertScalarSchema(name, df.schema)
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators may cache/checkpoint internals (dedup signature and

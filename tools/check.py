@@ -19,6 +19,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == object:
+            # The DRIVER's checker does NOT stringify before sorting:
+            # an array/list cell crashes its pandas sort_values with
+            # "unhashable type" and records `err` (this hid the r9 PCA
+            # failure). Mirror that: fail loudly here so an
+            # array-returning query never reaches the driver.
+            sample = df[c].dropna().head(20)
+            if any(isinstance(v, (np.ndarray, list, dict)) for v in sample):
+                raise TypeError(
+                    f"column '{c}' holds array/struct cells - the driver "
+                    "compare cannot sort these; flatten the query output")
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -46,7 +56,10 @@ def main(sf_dir, out_dir):
         spark = pd.read_parquet(res_dir)
         if sorted(oracle.columns) != sorted(spark.columns):
             print(f"FAIL {name}: cols oracle={sorted(oracle.columns)} spark={sorted(spark.columns)}"); continue
-        o, s = norm(oracle), norm(spark)
+        try:
+            o, s = norm(oracle), norm(spark)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}"); continue
         if len(o) != len(s):
             print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}"); continue
         bad = []
