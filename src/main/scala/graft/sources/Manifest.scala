@@ -25,9 +25,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - GC after committing N keeps N and N-1 (for in-flight readers of
   *    the previous version) and deletes anything older
   *
-  * Single writer assumed (a streaming query or one batch job):
-  * `create(marker, overwrite = false)` makes a second concurrent
-  * committer fail loudly instead of silently racing.
+  * Concurrent writers are safe via optimistic concurrency (the Delta
+  * commit-protocol shape, public): each committer stages its data in a
+  * UNIQUELY-named dir (`data-N-<token>`, so a racing writer can never
+  * overwrite another's files), then compare-and-swaps by creating the
+  * `_commits/N` marker with `overwrite = false` — an atomic
+  * create-no-overwrite on HDFS/local and a conditional PUT on S3-family
+  * stores. Exactly one committer wins version N; the loser deletes its
+  * staging dir and either retries at N+1 (`maxRetries > 0`) or fails
+  * with `ConcurrentModificationException` — never silently dropping a
+  * version. The marker's CONTENT names the winning data dir, so readers
+  * resolve through the marker (legacy `data-N` markers resolve too).
   */
 object Manifest {
 
@@ -36,7 +44,25 @@ object Manifest {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Legacy/convention data-dir name for `version`. Current commits
+    * stage under a unique token suffix; readers must resolve through
+    * [[resolvedDataDir]], which falls back to this name for markers
+    * written before the CAS protocol. */
   def dataDir(root: String, version: Long): String = s"$root/data-$version"
+
+  /** The data dir the committed marker for `v` actually points at. */
+  def resolvedDataDir(spark: SparkSession, root: String, v: Long): String = {
+    val marker = new Path(new Path(root, CommitsDir), v.toString)
+    val fs = fsOf(spark, marker)
+    val name =
+      if (!fs.exists(marker)) ""
+      else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    if (name.nonEmpty) s"$root/$name" else dataDir(root, v)
+  }
 
   /** Highest committed version, if the table exists. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
@@ -62,7 +88,8 @@ object Manifest {
 
   /** Read the current committed version, if any. */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentVersion(spark, root).map(v => spark.read.parquet(dataDir(root, v)))
+    currentVersion(spark, root)
+      .map(v => spark.read.parquet(resolvedDataDir(spark, root, v)))
 
   /** Time travel: read a SPECIFIC committed version. Fails with the
     * retention story in the message when `v` was never committed or
@@ -74,25 +101,63 @@ object Manifest {
     require(fsOf(spark, marker).exists(marker),
       s"version $v of $root is not committed or was vacuumed; " +
         s"available: ${versions(spark, root).mkString("[", ", ", "]")}")
-    spark.read.parquet(dataDir(root, v))
+    spark.read.parquet(resolvedDataDir(spark, root, v))
   }
 
   /** Write `df` as the next version and publish it atomically.
     * Returns the committed version number. `retain` controls how many
     * trailing versions stay readable after the commit (default 2:
     * the new version plus one for in-flight readers — the original
-    * behavior); raise it to keep a time-travel window. */
+    * behavior); raise it to keep a time-travel window. `maxRetries`
+    * bounds how often a committer that LOSES the version CAS to a
+    * concurrent writer recomputes the next version and tries again
+    * (each retry re-stages the data); at 0 a lost race throws
+    * `ConcurrentModificationException` immediately. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             retain: Int = 2): Long = {
+             retain: Int = 2, maxRetries: Int = 0): Long = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    // a crash after this write but before the marker leaves an orphan;
-    // the retry recomputes the same `next` and overwrites it
-    df.write.mode("overwrite").parquet(dataDir(root, next))
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var attempt = 0
+    while (true) {
+      val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+      try return commitAt(spark, root, df, next, retain)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** One CAS attempt at a SPECIFIC version: stage the data in a
+    * uniquely-named dir (no racing writer can touch it), then publish
+    * by creating the `_commits/next` marker with overwrite = false —
+    * the compare-and-swap. If a concurrent committer took `next`
+    * first, the staged dir is deleted and
+    * `ConcurrentModificationException` thrown: the loser loses
+    * CLEANLY, the winner's data is untouched. Package-visible so the
+    * concurrency spec can interleave two committers deterministically. */
+  private[graft] def commitAt(spark: SparkSession, root: String,
+                              df: DataFrame, next: Long,
+                              retain: Int): Long = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"data-$next-$token"
+    df.write.mode("overwrite").parquet(s"$root/$dirName")
     val marker = new Path(new Path(root, CommitsDir), next.toString)
     val fs = fsOf(spark, marker)
-    val out = fs.create(marker, false) // commits are immutable: never overwrite
-    try out.write(s"data-$next\n".getBytes("UTF-8")) finally out.close()
+    val won =
+      try {
+        val out = fs.create(marker, false) // atomic create-no-overwrite
+        try out.write(s"$dirName\n".getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!won) {
+      fs.delete(new Path(s"$root/$dirName"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"version $next of $root was committed concurrently; " +
+          "staged data removed - retry to publish at a later version")
+    }
     gc(fs, root, keepFrom = next - (retain - 1))
     next
   }
@@ -113,8 +178,12 @@ object Manifest {
     def hashed(v: Long, side: String) = {
       val df = readVersion(spark, root, v)
       val rest = df.columns.filterNot(_ == keyCol).sorted
+      // xxhash64, not the 32-bit Murmur3 `hash`: at billions of keys a
+      // 2^-32 per-key collision rate yields expected silent "unchanged"
+      // misclassifications in an audit-facing diff; 64-bit makes a
+      // false 'unchanged' negligible at any realistic key count
       df.select(col(keyCol).as(s"${side}_key"),
-        hash(struct(rest.map(col): _*)).as(s"${side}_h"))
+        xxhash64(struct(rest.map(col): _*)).as(s"${side}_h"))
     }
     hashed(fromV, "a").join(hashed(toV, "b"),
         col("a_key") === col("b_key"), "full_outer")
@@ -146,10 +215,14 @@ object Manifest {
     val rootP = new Path(root)
     fs.listStatus(rootP).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("data-"))
-        scala.util.Try(name.stripPrefix("data-").toLong).toOption
+      // both layouts: legacy `data-N` and token-staged `data-N-<token>`
+      // (a crashed loser's orphan dir falls out once N < keepFrom)
+      if (name.startsWith("data-")) {
+        val ver = name.stripPrefix("data-").takeWhile(_.isDigit)
+        scala.util.Try(ver.toLong).toOption
           .filter(_ < keepFrom)
           .foreach(_ => fs.delete(st.getPath, true))
+      }
     }
     fs.listStatus(new Path(root, CommitsDir)).foreach { st =>
       scala.util.Try(st.getPath.getName.toLong).toOption

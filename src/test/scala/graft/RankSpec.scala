@@ -80,4 +80,55 @@ class RankSpec extends SparkSpec {
     assert(out(100L) === 9L)
     Blocks.freeAll(spark)
   }
+
+  test("label propagation beyond-broadcast fallback is bit-identical to the broadcast form") {
+    import spark.implicits._
+    // a chain + two cliques so rounds actually move labels around
+    val pairs = ((1L to 40L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L),
+          (200L, 201L), (201L, 202L), (200L, 202L), (202L, 40L)))
+      .toDF("a", "b")
+    val bc = graft.operators.Rank.labelPropagation(pairs, "a", "b", iters = 3)
+      .as[(Long, Long)].collect().toMap
+    Blocks.freeAll(spark)
+    val fb = graft.operators.Rank.labelPropagation(pairs, "a", "b", iters = 3,
+        maxBroadcastNodes = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fb === bc)
+    Blocks.freeAll(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("beyond-broadcast LPA round shuffles labels, never the cached edges") {
+    import spark.implicits._
+    // Replicates one fallback round's join shape (Rank.scala): edges
+    // hash-partitioned on src and persisted ONCE; the label stream
+    // hinted shuffle-hash. The plan must show exactly TWO hash
+    // exchanges — the label side entering the join and the (dst,
+    // label) partial-agg stream — and a ShuffledHashJoin; a third
+    // exchange would mean the edge cache re-shuffles per round.
+    val e = (1L to 500L).map(i => (i, i % 97)).toDF("src", "dst")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val lab = (1L to 500L).map(i => (i, i)).toDF("src", "label")
+      .hint("shuffle_hash")
+    val counts = e.join(lab, "src")
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+    counts.collect()
+    val p = counts.queryExecution.executedPlan.toString
+    // look only at the executed (final) section; the InMemoryRelation
+    // repr re-prints its one-time REPARTITION_BY_COL build plan, which
+    // is not a per-round exchange
+    val finalSection = p.substring(0, math.max(p.indexOf("== Initial Plan =="), 0) match {
+      case 0 => p.length; case i => i
+    })
+    assert(finalSection.contains("ShuffledHashJoin"), p)
+    // the join's streamed (left) child must be the edge cache scan
+    // itself — an Exchange there would mean edges re-shuffle per round
+    assert("ShuffledHashJoin[^\\n]*\\n[^\\n]*(TableCacheQueryStage|InMemoryTableScan)"
+      .r.findFirstIn(finalSection).isDefined,
+      s"edge cache not streamed directly into the join\n$p")
+    e.unpersist(true)
+  }
 }

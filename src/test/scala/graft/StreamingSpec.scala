@@ -183,7 +183,7 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((1L, 10.0, "A"), (2L, 25.0, "B2"), (4L, 45.0, "D2")))
     // the previous version stays readable for in-flight readers
     assert(Manifest.currentVersion(spark, root) === Some(1L))
-    assert(spark.read.parquet(Manifest.dataDir(root, 0)).count() === 3)
+    assert(spark.read.parquet(Manifest.resolvedDataDir(spark, root, 0)).count() === 3)
   }
 
   test("manifest CDC bootstraps a fresh table; a crash window never loses the target") {
@@ -210,16 +210,48 @@ class StreamingSpec extends SparkSpec {
       .write.mode("overwrite").parquet(Manifest.dataDir(root, v + 1))
     assert(Manifest.currentVersion(spark, root) === Some(v))
     assert(state() === Set((1L, 1.0, "A")))
-    // the replayed commit claims the orphan's version and overwrites it
+    // the replayed commit claims the orphan's version (in its own
+    // uniquely-staged dir — the orphan is garbage awaiting GC)
     val next = Manifest.commit(spark, root,
       Seq((5L, 5.0, "E")).toDF("id", "amount", "status"))
     assert(next === v + 1)
     assert(state() === Set((5L, 5.0, "E")))
     // GC horizon: after another commit, version v is dropped but the
     // immediately-previous version survives for in-flight readers
+    val dirV = Manifest.resolvedDataDir(spark, root, v)
+    val dirV1 = Manifest.resolvedDataDir(spark, root, v + 1)
     Manifest.commit(spark, root, Seq((6L, 6.0, "F")).toDF("id", "amount", "status"))
-    assert(!new java.io.File(Manifest.dataDir(root, v)).exists())
-    assert(new java.io.File(Manifest.dataDir(root, v + 1)).exists())
+    assert(!new java.io.File(dirV).exists())
+    assert(new java.io.File(dirV1).exists())
+  }
+
+  test("manifest CAS: of two interleaved committers one wins, one cleanly loses") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("manifest-cas").toString + "/t"
+    Manifest.commit(spark, root, Seq((0L, "base")).toDF("k", "tag"), retain = 4)
+    // both committers observe version 0 and race for version 1; the
+    // interleaving is made deterministic by driving commitAt directly
+    val next = Manifest.currentVersion(spark, root).get + 1
+    assert(Manifest.commitAt(spark, root,
+      Seq((1L, "winner")).toDF("k", "tag"), next, retain = 4) === 1L)
+    val lost = intercept[java.util.ConcurrentModificationException] {
+      Manifest.commitAt(spark, root,
+        Seq((1L, "loser")).toDF("k", "tag"), next, retain = 4)
+    }
+    assert(lost.getMessage.contains("committed concurrently"))
+    // the winner's publish is untouched and the loser staged nothing
+    assert(Manifest.read(spark, root).get
+      .as[(Long, String)].collect().toSeq === Seq((1L, "winner")))
+    val staged = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("data-1")).toSeq
+    assert(staged.size === 1, s"loser's staging dir not cleaned: $staged")
+    // a retry-enabled loser republishes at the NEXT version instead
+    val v2 = Manifest.commit(spark, root,
+      Seq((2L, "retried")).toDF("k", "tag"), retain = 4, maxRetries = 1)
+    assert(v2 === 2L)
+    assert(Manifest.readVersion(spark, root, 1L)
+      .as[(Long, String)].collect().toSeq === Seq((1L, "winner")))
   }
 
   test("manifest time travel: readVersion + retain window + vacuum") {
@@ -242,9 +274,10 @@ class StreamingSpec extends SparkSpec {
       Manifest.readVersion(spark, root, 0L))
     assert(gone.getMessage.contains("vacuumed"))
     // explicit vacuum shrinks the window; data dirs drop with markers
+    val dir2 = Manifest.resolvedDataDir(spark, root, 2L)
     assert(Manifest.vacuum(spark, root, retain = 2) === Seq(1L, 2L))
     assert(Manifest.versions(spark, root) === Seq(3L, 4L))
-    assert(!new java.io.File(Manifest.dataDir(root, 2)).exists())
+    assert(!new java.io.File(dir2).exists())
     assert(Manifest.readVersion(spark, root, 3L)
       .as[(Long, String)].collect().toSeq === Seq((3L, "v3")))
     // current read unaffected

@@ -162,6 +162,13 @@ object Scale100 {
     // per round one edge⋈labels join + two same-key aggs
     run("lpa_pair_graph")(
       graft.operators.Rank.labelPropagation(pairs, "doc_a", "doc_b", 3))
+    // r10: the beyond-broadcast fallback (billion-node regime) forced —
+    // edges hash-partitioned on src once, only the node-sized label
+    // stream shuffles per round; must beat the r9 fallback's 44.9 s /
+    // 3.2 GB-per-round edge re-shuffle and stay under the 9.7 GB peak
+    run("lpa_pair_graph_nobroadcast")(
+      graft.operators.Rank.labelPropagation(pairs, "doc_a", "doc_b", 3,
+        maxBroadcastNodes = 0L))
     println("SCALE100 cc_choice=" +
       spark.conf.get("spark.graft.cc.lastChoice", "?"))
 
