@@ -1,7 +1,6 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -28,11 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WordpieceTokens(text: Expression, vocab: Expression,
                            maxLen: Expression)
-    extends Expression with UnaryLike[Expression] {
+    extends Expression {
 
-  override def child: Expression = text
-  override protected def withNewChildInternal(newChild: Expression): WordpieceTokens =
-    copy(text = newChild)
+  // ALL arguments are children (the NearestCentroid convention): if
+  // vocab/maxLen sat outside the tree, analyzer and optimizer rules
+  // would never visit them, so SQL-path resolution of a non-trivial
+  // vocab argument would depend on bottom-up rule ordering and fail
+  // at eval with an opaque error instead of a clean analysis error.
+  override def children: Seq[Expression] = Seq(text, vocab, maxLen)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): WordpieceTokens =
+    copy(text = newChildren(0), vocab = newChildren(1), maxLen = newChildren(2))
 
   override def nullable: Boolean = true
   override def foldable: Boolean = text.foldable

@@ -49,11 +49,19 @@ object Dsir {
     concat(toks, bigrams)
   }
 
-  /** Stable hash bucket for a gram: last two hex chars of md5 —
-    * engine-portable (the DuckDB twin replicates it via strpos), same
-    * family as Sampling.bucket256. */
-  private[graft] def bucket(g: Column, buckets: Int): Column =
-    conv(substring(md5(g), 31, 2), 16, 10).cast("int") % buckets
+  /** Stable hash bucket for a gram: last EIGHT hex chars of md5 (a
+    * 32-bit value) mod `buckets` — engine-portable (the DuckDB twin
+    * replicates it via strpos digit folds), same family as
+    * Sampling.bucket65536. Eight digits, not two: a 2-hex window
+    * caps the entropy at 256, silently collapsing any buckets > 256
+    * and skewing non-divisors of 256; 32 bits supports the paper's
+    * 10k buckets with negligible modulo bias. For buckets = 256 the
+    * result is bit-identical to the historical 2-hex formula
+    * (256 = 16², so mod 256 sees only the last two digits). */
+  private[graft] def bucket(g: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    (conv(substring(md5(g), 25, 8), 16, 10).cast("long") % buckets).cast("int")
+  }
 
   /** Exact hashed-gram bucket counts for the target slice and the raw
     * corpus in ONE pass: (bucket, n_target, n_raw) with n_raw counting

@@ -38,6 +38,18 @@ object StatsIndex {
 
   private val IndexDir = "_graft_stats" // underscore: data reads skip it
 
+  /** Unsigned-byte lexicographic order — parquet's BINARY stats order. */
+  private val unsignedBytes: Ordering[Array[Byte]] = (a, b) => {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var d = 0
+    while (i < n && d == 0) {
+      d = (a(i) & 0xff) - (b(i) & 0xff)
+      i += 1
+    }
+    if (d != 0) d else a.length - b.length
+  }
+
   private def listDataFiles(spark: SparkSession, table: String): Seq[String] = {
     val p = new Path(table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -86,9 +98,20 @@ object StatsIndex {
             val mx = stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max
             (path, nRows, name, Some(mn), Some(mx), None, None)
           case BINARY =>
-            val mn = stats.map(_.minAsString).min
-            val mx = stats.map(_.maxAsString).max
-            (path, nRows, name, None, None, Some(mn), Some(mx))
+            // Parquet binary min/max are ordered by UNSIGNED-byte
+            // lexicographic comparison; folding chunk stats with Java
+            // String ordering (UTF-16 code units) would pick the wrong
+            // chunk for supplementary-plane or non-UTF8 data. Select
+            // the winning chunk by raw bytes, then store its UTF-8
+            // rendering. The stored string is ADVISORY (profiling/
+            // debugging) — readPruned/deleteByKeys prune on numeric
+            // stats only and must stay that way unless pruning learns
+            // to compare raw bytes end-to-end.
+            val mnB = stats.map(_.getMinBytes).minBy(identity)(unsignedBytes)
+            val mxB = stats.map(_.getMaxBytes).maxBy(identity)(unsignedBytes)
+            (path, nRows, name, None, None,
+             Some(new String(mnB, java.nio.charset.StandardCharsets.UTF_8)),
+             Some(new String(mxB, java.nio.charset.StandardCharsets.UTF_8)))
           case _ => (path, nRows, name, None, None, None, None)
         }
       } ++ (if (byCol.isEmpty)

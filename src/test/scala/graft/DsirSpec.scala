@@ -57,4 +57,20 @@ class DsirSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(a.toSet === b.toSet)
   }
+
+  test("bucket draws 32 bits: >256 distinct buckets at 10k, bit-compatible at 256") {
+    val grams = (0 until 20000).map(i => Tuple1(s"gram-$i")).toDF("g")
+    // the paper's 10k buckets must actually materialize beyond 256 —
+    // the old 2-hex window silently collapsed them
+    val distinct10k = grams.select(Dsir.bucket(col("g"), 10000).as("b"))
+      .distinct().count()
+    assert(distinct10k > 256, s"only $distinct10k distinct buckets at 10k")
+    // and mod 256 the widened window reproduces the historical 2-hex
+    // formula exactly (256 = 16^2), so existing oracles are unmoved
+    val mismatch = grams.select(
+        Dsir.bucket(col("g"), 256).as("wide"),
+        (conv(substring(md5(col("g")), 31, 2), 16, 10).cast("int") % 256).as("legacy"))
+      .where(col("wide") =!= col("legacy")).count()
+    assert(mismatch === 0L)
+  }
 }
