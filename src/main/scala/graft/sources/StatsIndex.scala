@@ -186,19 +186,22 @@ object StatsIndex {
   def deleteByKeys(spark: SparkSession, table: String, keyCol: String,
                    keys: Seq[Long]): (Int, Int) = {
     require(keys.nonEmpty, "no keys to delete")
+    import spark.implicits._
     val all = listDataFiles(spark, table)
-    val idx = read(spark, table).where(col("col") === keyCol)
-      .select("file", "min_num", "max_num").collect()
-      .map(r => r.getString(0) ->
-        (Option(r.get(1)).map(_.asInstanceOf[Double]),
-         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
-    val (touched, untouched) = all.partition { f =>
-      idx.get(f) match {
-        case Some((Some(mn), Some(mx))) =>
-          keys.exists(k => k >= mn && k <= mx)
-        case _ => true // unindexed: must rewrite conservatively
-      }
-    }
+    // the touch decision runs as a JOIN against the index frame, not a
+    // driver-side map over every file: only the (small, clustered-
+    // table) touched list comes back to the driver — which it must,
+    // since the rewrite reads exactly those paths. `keys` is a
+    // bounded delete request (a GDPR batch), fine as a plan literal.
+    val keysLit = typedLit(keys)
+    val idxC = read(spark, table).where(col("col") === keyCol)
+      .select(col("file"), col("min_num"), col("max_num"))
+    val touched = spark.createDataset(all).toDF("file")
+      .join(idxC, Seq("file"), "left")
+      .where(col("min_num").isNull || col("max_num").isNull ||
+        exists(keysLit, k => k >= col("min_num") && k <= col("max_num")))
+      .select("file").as[String].collect().toSeq
+    val untouched = all.filterNot(touched.toSet)
     if (touched.nonEmpty) {
       // NULL keys survive explicitly: `!isin` evaluates to NULL for a
       // NULL key and the filter would silently drop those rows too
@@ -219,19 +222,28 @@ object StatsIndex {
     * result equals the unpruned read filtered. Records the skip
     * ratio in `spark.graft.lake.lastPruned` as "kept/total". */
   def readPruned(spark: SparkSession, table: String, c: String,
-                 lo: Double, hi: Double): DataFrame = {
+                 lo: Double, hi: Double, maxKeptFiles: Int = 1000000): DataFrame = {
+    import spark.implicits._
     val all = listDataFiles(spark, table)
-    val idx = read(spark, table).where(col("col") === c)
-      .select("file", "min_num", "max_num").collect()
-      .map(r => r.getString(0) ->
-        (Option(r.get(1)).map(_.asInstanceOf[Double]),
-         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
-    val kept = all.filter { f =>
-      idx.get(f) match {
-        case Some((Some(mn), Some(mx))) => !(mx < lo || mn > hi)
-        case _ => true // stale or stats-less: must scan
-      }
-    }
+    // interval test as a distributed join against the index frame —
+    // the driver holds only the SURVIVING file list (which it must:
+    // Spark's reader takes paths driver-side, exactly like its own
+    // InMemoryFileIndex holds the listing). `maxKeptFiles` caps that
+    // list: a range too wide to prune fails loudly instead of
+    // ballooning the driver.
+    val idxC = read(spark, table).where(col("col") === c)
+      .select(col("file"), col("min_num"), col("max_num"))
+    val keptDf = spark.createDataset(all).toDF("file")
+      .join(idxC, Seq("file"), "left")
+      .where(col("min_num").isNull || col("max_num").isNull ||
+        !(col("max_num") < lo || col("min_num") > hi)) // stale/stats-less: scan
+      .select("file")
+    val kept = keptDf.as[String].collect()
+    require(kept.length <= maxKeptFiles,
+      s"range [$lo, $hi] on '$c' keeps ${kept.length} files " +
+        s"(> maxKeptFiles=$maxKeptFiles) - the prune is not selective " +
+        "enough to hold the path list on the driver; narrow the range, " +
+        "re-cluster the table, or raise the cap")
     spark.conf.set("spark.graft.lake.lastPruned", s"${kept.size}/${all.size}")
     val base =
       if (kept.isEmpty)

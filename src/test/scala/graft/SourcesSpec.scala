@@ -362,6 +362,14 @@ class SourcesSpec extends SparkSpec {
     // and the stale row is STILL found when its range is queried
     val again = StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey", lo, hi)
     assert(again.where(col("o_orderstatus") === "STALE").count() === 1)
+    // driver-list cap guard: a non-selective range over the cap fails
+    // loudly instead of ballooning the driver's path list
+    val wide = intercept[IllegalArgumentException] {
+      StatsIndex.readPruned(spark, s"$tmp/t", "o_orderkey",
+                            keys.head.toDouble, keys.last.toDouble,
+                            maxKeptFiles = 2)
+    }
+    assert(wide.getMessage.contains("maxKeptFiles"))
   }
 
   test("StatsIndex.deleteByKeys rewrites only the files holding the keys") {
