@@ -1425,9 +1425,10 @@ object Queries {
 
   // --------------------------------------------------- multimodal (#34)
 
-  /** Typed decode+feature pipeline over binary media columns (stubbed
-    * codec, real plumbing) — rows-only check; MultimodalSpec asserts
-    * determinism and shapes. */
+  /** Typed decode+feature pipeline over binary media columns (REAL
+    * hand-parsed BMP/PPM/WAV codecs — see [[Multimodal.Codec]]) —
+    * rows-only check; MultimodalSpec proves planted images round-trip
+    * and `multimodal_sound` gates the decode arithmetic exactly. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val blobs = Multimodal.attachBlob(Tables.documents(spark, dir))
     val meta = Multimodal.decodeMeta(spark, blobs).toDF()
@@ -1436,27 +1437,51 @@ object Queries {
     meta.join(feats, "doc_id")
   }
 
-  /** Multimodal partial driver gate (#34): the blob synthesis
-    * (unhex(md5(text))) and the stub decode's byte arithmetic are
-    * deterministic and engine-portable, so doc_id/width/height/n_bytes
-    * are recomputable from md5 hex digits in DuckDB — gating the whole
-    * mapPartitions decode path end-to-end. media_type/channels hang
-    * off xxhash64, which DuckDB lacks; they stay spec-gated. */
+  /** Multimodal driver gate (#34): every decoded field is real codec
+    * output — container dimensions and channel layout parsed back out
+    * of genuine BMP/PPM/WAV headers, total container size, and the
+    * floor-mean of the decoded sample payload (row padding excluded).
+    * The planted blobs derive dims/payload from md5 hex digits, so
+    * DuckDB recomputes ALL of it without parsing a byte: header sizes
+    * from the format layout, the payload mean from cycled-md5-byte
+    * arithmetic. An off-by-one anywhere in encode OR decode (stride
+    * padding, header length, bottom-up row copy, cycle remainder)
+    * breaks the hash. */
   def multimodalSound(spark: SparkSession, dir: String): DataFrame = {
     val blobs = Multimodal.attachBlob(Tables.documents(spark, dir))
     Multimodal.decodeMeta(spark, blobs).toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+              col("channels"), col("n_bytes"), col("mean_pixel"))
   }
 
   private val multimodalSoundSql =
-    """WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
-      |SELECT doc_id,
-      |  CAST(((instr('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
-      |        + instr('0123456789abcdef', substr(x, 2, 1)) - 1) % 128 + 16 AS INTEGER) AS width,
-      |  CAST(((instr('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
-      |        + instr('0123456789abcdef', substr(x, 4, 1)) - 1) % 128 + 16 AS INTEGER) AS height,
-      |  CAST(16 AS INTEGER) AS n_bytes
-      |FROM h""".stripMargin
+    """WITH src AS (SELECT doc_id, md5(text) AS x, md5(source) AS sx FROM documents),
+      |d AS (SELECT doc_id, x,
+      |  ['image','audio','video'][
+      |    ((strpos('0123456789abcdef', substr(sx, 31, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(sx, 32, 1)) - 1) % 3 + 1] AS media_type,
+      |  ((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(x, 2, 1)) - 1) % 128 + 16 AS w,
+      |  ((strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(x, 4, 1)) - 1) % 128 + 16 AS h
+      |  FROM src),
+      |p AS (SELECT doc_id, media_type, w, h, 3 * w * h AS n,
+      |  list_transform(generate_series(1, 16), j ->
+      |    (strpos('0123456789abcdef', substr(x, 2*j - 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(x, 2*j, 1)) - 1) AS pb
+      |  FROM d)
+      |SELECT doc_id, media_type,
+      |  CAST(CASE WHEN media_type = 'audio' THEN n ELSE w END AS INTEGER) AS width,
+      |  CAST(CASE WHEN media_type = 'audio' THEN 1 ELSE h END AS INTEGER) AS height,
+      |  CAST(CASE WHEN media_type = 'audio' THEN 1 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(CASE media_type
+      |    WHEN 'image' THEN 54 + ((3*w + 3) // 4 * 4) * h
+      |    WHEN 'video' THEN 3 + length(CAST(w AS VARCHAR)) + 1
+      |                      + length(CAST(h AS VARCHAR)) + 5 + n
+      |    ELSE 44 + n END AS INTEGER) AS n_bytes,
+      |  CAST(((n // 16) * list_sum(pb)
+      |        + COALESCE(list_sum(pb[1:(n % 16)]), 0)) // n AS INTEGER) AS mean_pixel
+      |FROM p""".stripMargin
 
   // ------------------------------- temporal joins (as-of / range)
 

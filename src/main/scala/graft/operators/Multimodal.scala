@@ -6,74 +6,247 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video as opaque `binary` + typed
   * metadata, processed per-partition with typed Datasets.
   *
-  * The container has no codec libraries, so the DECODE step is a
-  * clearly-marked deterministic FAKE (`FakeCodec`) — byte-derived
-  * metadata instead of a real libjpeg/ffmpeg call. Everything around
-  * it is the real Spark plumbing this pipeline needs at 100 TB:
-  * binary columns travel columnar (parquet BYTE_ARRAY), decode runs
-  * `mapPartitions` (one codec init per partition, not per row — the
-  * same batching shape a JNI/FFI codec needs), features are fixed-width
-  * float arrays, and frame sampling explodes to one row per kept frame.
+  * The decode step is REAL: hand-parsed pure-JVM codecs for three
+  * uncompressed container formats — BMP (24-bit BI_RGB, the Windows
+  * DIB layout), PPM (binary P6, the netpbm layout), and WAV (8-bit
+  * PCM, canonical 44-byte RIFF header). No image library needed: these
+  * formats are headers + raw samples, which is exactly why lakes use
+  * them as interchange for decode-side pipelines. The Spark plumbing
+  * is the 100 TB shape: binary columns travel columnar (parquet
+  * BYTE_ARRAY), decode runs `mapPartitions` (one codec/FFI init per
+  * partition, not per row), features are fixed-width float arrays, and
+  * frame sampling explodes to one row per kept frame.
+  *
+  * Reference evidence for the surface: the pipeline's documents table
+  * is the host for every per-document signal
+  * (`/root/reference/mnt/dags/02data_transformation.py` treats columns
+  * as opaque payloads + typed metadata); image/audio payloads are the
+  * same pattern at binary type.
   */
 object Multimodal {
 
   case class Blob(doc_id: Long, media_type: String, bytes: Array[Byte])
   case class Meta(doc_id: Long, media_type: String, width: Int, height: Int,
-                  channels: Int, n_bytes: Int)
+                  channels: Int, n_bytes: Int, mean_pixel: Int)
   case class Features(doc_id: Long, features: Array[Float])
 
-  /** STUB decoder — deterministic fake in place of a real image/audio
-    * codec. Swap `decode` for the real FFI call; the Spark plumbing
-    * (partition-level init, typed output) stays unchanged. */
-  object FakeCodec {
-    def decode(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
-      val w = (bytes.headOption.getOrElse(0: Byte) & 0x7f) + 16
-      val h = (bytes.lift(1).getOrElse(0: Byte) & 0x7f) + 16
-      val c = if (mediaType == "audio") 1 else 3
-      (w, h, c)
-    }
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+  /** Hand-parsed pure-JVM codecs. Each decode validates the header and
+    * returns dimensions, channel count, the floor-mean of the sample
+    * payload (padding excluded — an exact integer, which is what makes
+    * the decode arithmetic oracle-checkable), and the payload itself
+    * (for feature extraction). */
+  object Codec {
+    case class Decoded(width: Int, height: Int, channels: Int,
+                       meanPixel: Int, payload: Array[Byte])
+
+    private def cycle(payload: Array[Byte], n: Int): Array[Byte] = {
+      require(payload.nonEmpty, "empty payload")
+      val out = new Array[Byte](n)
       var i = 0
-      while (i < bytes.length) { out(i % dim) += (bytes(i) & 0xff) / 255.0f; i += 1 }
+      while (i < n) { out(i) = payload(i % payload.length); i += 1 }
       out
+    }
+
+    private def finish(w: Int, h: Int, c: Int, payload: Array[Byte]): Decoded = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += (payload(i) & 0xff); i += 1 }
+      Decoded(w, h, c, (sum / math.max(payload.length, 1)).toInt, payload)
+    }
+
+    // ---- BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40), 24-bit
+    // BI_RGB, rows stored bottom-up and padded to 4-byte boundaries.
+    def encodeBmp(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val stride = ((3 * w + 3) / 4) * 4
+      val dataSize = stride * h
+      val b = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0: Short).putShort(0: Short).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1: Short).putShort(24: Short)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val px = cycle(payload, 3 * w * h) // logical top-down row-major
+      var y = h - 1
+      while (y >= 0) { // bottom-up storage
+        b.put(px, y * 3 * w, 3 * w)
+        var p = 3 * w
+        while (p < stride) { b.put(0: Byte); p += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    private def decodeBmp(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 54, "BMP: truncated header")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val off = b.getInt(10)
+      val w = b.getInt(18)
+      val h = b.getInt(22)
+      val bpp = b.getShort(28)
+      val comp = b.getInt(30)
+      require(bpp == 24 && comp == 0,
+        s"BMP: unsupported bpp=$bpp compression=$comp (24-bit BI_RGB only)")
+      val stride = ((3 * w + 3) / 4) * 4
+      require(w > 0 && h > 0 && off >= 54 &&
+        off.toLong + stride.toLong * h <= bytes.length,
+        s"BMP: pixel data out of bounds (w=$w h=$h off=$off len=${bytes.length})")
+      val px = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) { // storage row y is logical row h-1-y
+        System.arraycopy(bytes, off + y * stride, px, (h - 1 - y) * 3 * w, 3 * w)
+        y += 1
+      }
+      finish(w, h, 3, px)
+    }
+
+    // ---- PPM: binary P6, "P6\n<w> <h>\n<maxval>\n" + RGB triplets.
+    def encodePpm(w: Int, h: Int, payload: Array[Byte]): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        cycle(payload, 3 * w * h)
+
+    private def decodePpm(bytes: Array[Byte]): Decoded = {
+      var pos = 2 // past "P6"
+      def token(): Int = { // skip whitespace + '#' comments, read an int
+        var inComment = false
+        while (pos < bytes.length &&
+               (inComment || bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+          if (bytes(pos) == '#') inComment = true
+          else if (bytes(pos) == '\n') inComment = false
+          pos += 1
+        }
+        var v = 0
+        val start = pos
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0'); pos += 1
+        }
+        require(pos > start, s"PPM: expected integer at byte $start")
+        v
+      }
+      val w = token(); val h = token(); val maxval = token()
+      require(maxval == 255, s"PPM: unsupported maxval $maxval (8-bit only)")
+      pos += 1 // exactly one whitespace byte before the raster
+      require(w > 0 && h > 0 && pos + 3L * w * h <= bytes.length,
+        s"PPM: raster out of bounds (w=$w h=$h pos=$pos len=${bytes.length})")
+      finish(w, h, 3, java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * w * h))
+    }
+
+    // ---- WAV: canonical 44-byte RIFF/WAVE header, 8-bit PCM.
+    def encodeWav(nBytes: Int, payload: Array[Byte]): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val b = java.nio.ByteBuffer.allocate(44 + nBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes(ascii)).putInt(36 + nBytes)
+        .put("WAVE".getBytes(ascii))
+      b.put("fmt ".getBytes(ascii)).putInt(16).putShort(1: Short) // PCM
+        .putShort(1: Short).putInt(8000).putInt(8000)             // mono, 8 kHz
+        .putShort(1: Short).putShort(8: Short)                    // align, 8-bit
+      b.put("data".getBytes(ascii)).putInt(nBytes)
+      b.put(cycle(payload, nBytes))
+      b.array()
+    }
+
+    private def decodeWav(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 44, "WAV: truncated header")
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      def tag(off: Int, n: Int) = new String(bytes, off, n, ascii)
+      require(tag(0, 4) == "RIFF" && tag(8, 4) == "WAVE" &&
+        tag(12, 4) == "fmt " && tag(36, 4) == "data",
+        "WAV: not a canonical 44-byte-header PCM file")
+      val b = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val fmt = b.getShort(20)
+      val channels = b.getShort(22)
+      val bits = b.getShort(34)
+      val dataSize = b.getInt(40)
+      require(fmt == 1 && bits == 8, s"WAV: unsupported fmt=$fmt bits=$bits")
+      require(channels > 0 && dataSize >= 0 && 44L + dataSize <= bytes.length,
+        s"WAV: data chunk out of bounds (n=$dataSize len=${bytes.length})")
+      val samples = java.util.Arrays.copyOfRange(bytes, 44, 44 + dataSize)
+      finish(dataSize / channels, 1, channels, samples)
+    }
+
+    /** Dispatch on magic bytes. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 4, "blob too short for any known magic")
+      if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+      else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+      else if (bytes(0) == 'R' && bytes(1) == 'I' &&
+               bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
+      else throw new IllegalArgumentException(
+        s"unknown media magic: ${bytes.take(4).map(b => f"${b & 0xff}%02x").mkString}")
     }
   }
 
-  /** Derive a deterministic blob per document (stand-in for a real
-    * media column): bytes = unhex(md5(text)), media type hashed from
-    * the source. */
-  def attachBlob(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(xxhash64(col("source")), lit(3)) + 1).cast("int")).as("media_type"),
-      unhex(md5(col("text"))).as("bytes"))
+  /** Plant a deterministic REAL media blob per document (stand-in for
+    * an ingested media column): dimensions and media type derive from
+    * md5 hex digits (engine-portable — the DuckDB twin recomputes
+    * them), the sample payload is unhex(md5(text)) cycled to fill, and
+    * the container is a genuine BMP / PPM / WAV that any external tool
+    * can open. image→BMP, video→PPM, audio→WAV (3·w·h samples, so all
+    * three share the payload-mean arithmetic). */
+  def attachBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (conv(substring(md5(col("source")), 31, 2), 16, 10)
+            .cast("int") % 3 + 1)).as("media_type"),
+        (conv(substring(md5(col("text")), 1, 2), 16, 10)
+          .cast("int") % 128 + 16).as("w"),
+        (conv(substring(md5(col("text")), 3, 2), 16, 10)
+          .cast("int") % 128 + 16).as("h"),
+        unhex(md5(col("text"))).as("payload"))
+      .as[(Long, String, Int, Int, Array[Byte])]
+      .map { case (id, mt, w, h, p) =>
+        val bytes = mt match {
+          case "image" => Codec.encodeBmp(w, h, p)
+          case "video" => Codec.encodePpm(w, h, p)
+          case _       => Codec.encodeWav(3 * w * h, p)
+        }
+        Blob(id, mt, bytes)
+      }
+      .toDF()
+  }
 
-  /** Decode metadata per partition — codec initialized once per
-    * partition (the expensive part with a real codec), then streamed. */
+  /** Decode metadata per partition — codec state initialized once per
+    * partition (the expensive part with an FFI codec), then streamed.
+    * All fields are REAL header/sample arithmetic from [[Codec]]. */
   def decodeMeta(spark: SparkSession, blobs: DataFrame): Dataset[Meta] = {
     import spark.implicits._
     blobs.as[Blob].mapPartitions { it =>
       // real pipeline: init codec/FFI context here, once per partition
       it.map { b =>
-        val (w, h, c) = FakeCodec.decode(b.media_type, b.bytes)
-        Meta(b.doc_id, b.media_type, w, h, c, b.bytes.length)
+        val d = Codec.decode(b.bytes)
+        Meta(b.doc_id, b.media_type, d.width, d.height, d.channels,
+             b.bytes.length, d.meanPixel)
       }
     }
   }
 
-  /** Fixed-width feature extraction (batch shape of an embedding UDF). */
+  /** Fixed-width feature extraction over the DECODED sample payload
+    * (headers and row padding excluded — the batch shape of an
+    * embedding UDF). */
   def extractFeatures(spark: SparkSession, blobs: DataFrame,
                       dim: Int = 16): Dataset[Features] = {
     import spark.implicits._
     blobs.as[Blob].mapPartitions { it =>
-      it.map(b => Features(b.doc_id, FakeCodec.features(b.bytes, dim)))
+      it.map { b =>
+        val px = Codec.decode(b.bytes).payload
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < px.length) { out(i % dim) += (px(i) & 0xff) / 255.0f; i += 1 }
+        Features(b.doc_id, out)
+      }
     }
   }
 
   /** Frame sampling for "video" blobs: fixed-size frames, keep every
     * `stride`-th — one output row per kept frame, done with explode so
-    * the fan-out stays distributed. */
+    * the fan-out stays distributed. Operates on the raw container
+    * bytes (generic chunking plumbing; a real frame decoder would
+    * substitute its own frame boundaries). */
   def frameSample(blobs: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     blobs.where(col("media_type") === "video")
       .select(col("doc_id"),

@@ -2,43 +2,95 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.Multimodal
+import graft.operators.Multimodal.Codec
 
 class MultimodalSpec extends SparkSpec {
 
   private def blobs() = Multimodal.attachBlob(Tables.documents(spark, sfDir))
 
-  test("attachBlob derives a deterministic binary column with typed metadata") {
+  test("a planted image round-trips: encode -> decode recovers dims and pixels") {
+    // 5x3 BMP: stride padding in play (3*5=15 -> padded 16), bottom-up
+    // row storage must come back top-down
+    val payload = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    val bmp = Codec.decode(Codec.encodeBmp(5, 3, payload))
+    assert((bmp.width, bmp.height, bmp.channels) === (5, 3, 3))
+    assert(bmp.payload.toSeq === Array.tabulate(45)(k => payload(k % 16)).toSeq)
+    val ppm = Codec.decode(Codec.encodePpm(7, 4, payload))
+    assert((ppm.width, ppm.height, ppm.channels) === (7, 4, 3))
+    assert(ppm.payload.toSeq === Array.tabulate(84)(k => payload(k % 16)).toSeq)
+    val wav = Codec.decode(Codec.encodeWav(33, payload))
+    assert((wav.width, wav.height, wav.channels) === (33, 1, 1))
+    assert(wav.payload.toSeq === Array.tabulate(33)(k => payload(k % 16)).toSeq)
+    // mean is the floor-mean of the decoded payload, padding excluded
+    val mean = Array.tabulate(45)(k => payload(k % 16) & 0xff).sum / 45
+    assert(bmp.meanPixel === mean)
+  }
+
+  test("decode rejects unknown magic and corrupt headers loudly") {
+    intercept[IllegalArgumentException](Codec.decode(Array[Byte](1, 2, 3, 4)))
+    // truncated BMP: header claims more pixels than the blob holds
+    val good = Codec.encodeBmp(8, 8, Array.tabulate(16)(_.toByte))
+    intercept[IllegalArgumentException](Codec.decode(good.take(100)))
+    // PPM with a maxval the 8-bit decoder does not support
+    val deep = "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ Array.fill(12)(1.toByte)
+    intercept[IllegalArgumentException](Codec.decode(deep))
+  }
+
+  test("attachBlob plants genuine containers with typed metadata") {
     val b = blobs()
     assert(b.schema("bytes").dataType.typeName === "binary")
     val types = b.select("media_type").distinct()
       .collect().map(_.getString(0)).toSet
     assert(types.subsetOf(Set("image", "audio", "video")))
-    // md5 → 16 bytes, always
-    assert(b.where(length(col("bytes")) =!= 16).count() === 0)
+    // every blob opens under the magic dispatch of the real codec
+    val magics = b.collect().map { r =>
+      val bytes = r.getAs[Array[Byte]]("bytes")
+      (r.getString(1), Codec.decode(bytes).channels)
+    }
+    assert(magics.forall { case (mt, c) => if (mt == "audio") c == 1 else c == 3 })
   }
 
-  test("decodeMeta is deterministic and typed; audio is mono") {
+  test("decodeMeta is deterministic, real header arithmetic; audio is mono") {
     val m1 = Multimodal.decodeMeta(spark, blobs()).collect().sortBy(_.doc_id)
     val m2 = Multimodal.decodeMeta(spark, blobs()).collect().sortBy(_.doc_id)
     assert(m1.toSeq === m2.toSeq)
-    assert(m1.forall(m => m.width >= 16 && m.height >= 16 && m.n_bytes === 16))
-    assert(m1.filter(_.media_type == "audio").forall(_.channels == 1))
-    assert(m1.filter(_.media_type != "audio").forall(_.channels == 3))
+    assert(m1.nonEmpty)
+    m1.foreach { m =>
+      m.media_type match {
+        case "image" => // BMP: 54-byte header + stride-padded rows
+          val stride = (3 * m.width + 3) / 4 * 4
+          assert(m.n_bytes === 54 + stride * m.height)
+          assert(m.width >= 16 && m.height >= 16 && m.channels === 3)
+        case "video" => // PPM: ASCII header + tight raster
+          val header = s"P6\n${m.width} ${m.height}\n255\n".length
+          assert(m.n_bytes === header + 3 * m.width * m.height)
+          assert(m.channels === 3)
+        case "audio" => // WAV: canonical 44-byte header + samples
+          assert(m.n_bytes === 44 + m.width)
+          assert(m.height === 1 && m.channels === 1)
+      }
+      assert(m.mean_pixel >= 0 && m.mean_pixel <= 255)
+    }
   }
 
-  test("extractFeatures emits fixed-width vectors") {
+  test("extractFeatures emits fixed-width vectors over decoded samples") {
     val f = Multimodal.extractFeatures(spark, blobs(), dim = 16).collect()
     assert(f.nonEmpty && f.forall(_.features.length == 16))
-    assert(f.forall(_.features.sum > 0)) // bytes are never all-zero
+    assert(f.forall(_.features.sum > 0)) // md5 payloads are never all-zero
   }
 
   test("frameSample keeps every stride-th fixed-size frame of video blobs") {
-    val frames = Multimodal.frameSample(blobs(), frameBytes = 4, stride = 2)
-    val nVideos = blobs().where(col("media_type") === "video").count()
-    // 16 bytes / 4 = 4 frames, stride 2 → idx 0 and 2
-    assert(frames.count() === nVideos * 2)
-    assert(frames.select("frame_idx").distinct().collect()
-      .map(_.getInt(0)).toSet === Set(0, 2))
-    assert(frames.where(length(col("frame")) =!= 4).count() === 0)
+    val frames = Multimodal.frameSample(blobs(), frameBytes = 64, stride = 2)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = blobs().where(col("media_type") === "video")
+      .select(col("doc_id"), length(col("bytes")).as("len"))
+      .collect().map { r =>
+        val nFrames = r.getInt(1) / 64
+        r.getLong(0) -> (nFrames / 2 + nFrames % 2).toLong // idx 0,2,4,..
+      }.filter(_._2 > 0).toMap
+    assert(frames === expected)
+    val f2 = Multimodal.frameSample(blobs(), frameBytes = 64, stride = 2)
+    assert(f2.where(length(col("frame")) =!= 64).count() === 0)
   }
 }
