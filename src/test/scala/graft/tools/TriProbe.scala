@@ -1,37 +1,53 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.{Tables, Blocks}
+import graft.operators.Graph
+
+/** Ad-hoc stage timing for the triangle_counts pipeline at 100×. */
 object TriProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val dir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $name ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TRIPROBE $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
     }
-    // warmup
-    spark.range(1000000).selectExpr("sum(id)").collect()
-    val pairs = graft.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    time("pairs.distinct")(pairs.count())
-    val edges = pairs.as("a")
-      .join(pairs.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .groupBy(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
-      .agg(count(lit(1)).as("w")).where(col("w") >= 5)
-      .select(col("u").cast("long"), col("v").cast("long"))
-    time("edges")(edges.count())
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("edges.persist")(e.count())
-    val tris = graft.operators.Graph.triangles(e)
-    time("triangles")(tris.count())
-    val tc = graft.operators.Graph.triangleCounts(e)
-    time("triangleCounts")(tc.count())
+
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
+    val weighted = sets
+      .select(explode(flatten(transform(col("sups"), (x, i) =>
+        transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
+          struct(x.as("u"), y.as("v")))))).as("p"))
+      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+      .agg(count(lit(1)).as("w"))
+
+    val w = time("cooccur_build")(weighted.localCheckpoint())
+    println(s"TRIPROBE weighted_rows=${w.count()}")
+    val edges = time("topk_edges")(Graph.topKEdges(w, 20).localCheckpoint())
+    println(s"TRIPROBE edge_rows=${edges.count()}")
+    val tri = time("triangles")(Graph.triangles(edges))
+    println(s"TRIPROBE triangle_rows=${tri.count()}")
+    time("counts_agg") {
+      val t = tri
+      t.select(col("a").as("node"))
+        .union(t.select(col("b").as("node")))
+        .union(t.select(col("c").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles")).count()
+    }
+    Blocks.freeAll(spark)
     spark.stop()
   }
 }
