@@ -4322,6 +4322,119 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ------------------- learned quality classifier (#66, perceptron)
+
+  /** Planted integer features for the perceptron gate: every product,
+    * margin, and epoch sum is an exact small integer in doubles at ANY
+    * aggregation order, so two full synchronous epochs unroll in SQL
+    * bit-for-bit (the pca_sound discipline applied to a LEARNER). */
+  private def perceptronPlanted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("CAST(doc_id % 5 - 2 AS DOUBLE)").as("f1"),
+      expr("CAST(doc_id % 7 - 3 AS DOUBLE)").as("f2"),
+      expr("CAST((doc_id DIV 7) % 3 - 1 AS DOUBLE)").as("f3"),
+      expr("CAST(IF(doc_id % 3 = 0, 1, -1) AS DOUBLE)").as("y"))
+
+  /** Perceptron fit sound gate (#66): two synchronous batch epochs on
+    * planted integer features; returns the full weight history as
+    * (epoch, feature, weight) scalar rows. Epoch 1 from w=0 updates on
+    * EVERY row (margin 0 counts as misclassified); epoch 2's
+    * misclassification test exercises the learned-margin path. */
+  def perceptronSound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Classify.fitPerceptron(perceptronPlanted(spark, dir),
+      Seq("f1", "f2", "f3"), "y", epochs = 2)
+    m.historyRows.toDF("epoch", "feature", "weight")
+  }
+
+  private val perceptronSoundSql =
+    """WITH v AS (SELECT
+      |    CAST(doc_id % 5 - 2 AS DOUBLE) AS f1,
+      |    CAST(doc_id % 7 - 3 AS DOUBLE) AS f2,
+      |    CAST((doc_id // 7) % 3 - 1 AS DOUBLE) AS f3,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS y
+      |  FROM documents),
+      |e1 AS (SELECT SUM(y*f1) AS a, SUM(y*f2) AS b,
+      |              SUM(y*f3) AS c, SUM(y) AS d FROM v),
+      |e2 AS (SELECT
+      |    (SELECT a FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f1 ELSE 0 END) AS a,
+      |    (SELECT b FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f2 ELSE 0 END) AS b,
+      |    (SELECT c FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f3 ELSE 0 END) AS c,
+      |    (SELECT d FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y ELSE 0 END) AS d
+      |  FROM v)
+      |SELECT 1 AS epoch, 'f1' AS feature, a AS weight FROM e1
+      |UNION ALL SELECT 1, 'f2', b FROM e1
+      |UNION ALL SELECT 1, 'f3', c FROM e1
+      |UNION ALL SELECT 1, '__bias', d FROM e1
+      |UNION ALL SELECT 2, 'f1', a FROM e2
+      |UNION ALL SELECT 2, 'f2', b FROM e2
+      |UNION ALL SELECT 2, 'f3', c FROM e2
+      |UNION ALL SELECT 2, '__bias', d FROM e2""".stripMargin
+
+  /** Classifier scoring on REAL per-doc quality features under fixed
+    * integer weights (#66): the production scoring path — margin is a
+    * fixed-association multiply-add chain over alpha/punct/stopword
+    * ratios (each one IEEE division), so DuckDB reproduces it exactly;
+    * keeps docs the linear filter accepts. */
+  def perceptronScore(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+    val model = Classify.PerceptronModel(
+      Seq("alpha_ratio", "punct_ratio", "stopword_ratio"),
+      Seq(Array(4.0, -3.0, 2.0, -1.0)))
+    Classify.score(feats, model)
+      .where(col("margin") > 0.0)
+      .select(col("doc_id"), col("margin"))
+  }
+
+  private val perceptronScoreSql =
+    """WITH f AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |    / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS stopword_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ((alpha_ratio * 4.0 + punct_ratio * -3.0) + stopword_ratio * 2.0)
+      |    + -1.0 AS margin
+      |FROM f
+      |WHERE ((alpha_ratio * 4.0 + punct_ratio * -3.0) + stopword_ratio * 2.0)
+      |    + -1.0 > 0.0""".stripMargin
+
+  /** End-to-end learned filter (#66): fit 3 epochs on real ratio
+    * features against the weak lang='en' label, keep accepted docs.
+    * Rows-only by nature — float epoch sums are deterministic per plan
+    * but not bit-pinned across partitionings (the Pca/Dsir precedent);
+    * the learner's arithmetic is gated exactly by `perceptron_sound`
+    * and the scoring chain by `perceptron_score`. */
+  def perceptronFilter(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(-1.0))
+    val model = Classify.fitPerceptron(feats,
+      Seq("alpha_ratio", "punct_ratio", "stopword_ratio"), "y",
+      epochs = 3, lr = 0.5)
+    Classify.filter(feats, model)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4431,6 +4544,9 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "perceptron_sound"         -> (perceptronSound _),
+    "perceptron_score"         -> (perceptronScore _),
+    "perceptron_filter"        -> (perceptronFilter _),
     "quality_filter_approx"    -> (qualityFilterApprox _),
     "curate_pipeline"          -> (curatePipeline _),
     "bpe_train"                -> (bpeTrain _),
@@ -4580,6 +4696,8 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "perceptron_sound"         -> perceptronSoundSql,
+    "perceptron_score"         -> perceptronScoreSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,
     "curate_pipeline"          -> curatePipelineSql,
     "sample_per_source"        -> samplePerSourceSql,
