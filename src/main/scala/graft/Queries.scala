@@ -4322,6 +4322,29 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ----------------------- token-budget mixture cut (#43c)
+
+  /** Token-budget mixture (#43c): cap every source at 800 BPE-ish
+    * tokens, docs taken in deterministic md5 order — the unit training
+    * mixtures are actually specified in. One window shuffle keyed by
+    * source; see [[Sampling.capTokensPerSource]]. */
+  def mixtureTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    Sampling.capTokensPerSource(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_tokens")),
+      "source", "doc_id", "n_tokens", budget = 800L)
+
+  private val mixtureTokenBudgetSql =
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 800""".stripMargin
+
   // ------------------- learned quality classifier (#66, perceptron)
 
   /** Planted integer features for the perceptron gate: every product,
@@ -4544,6 +4567,7 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "mixture_token_budget"     -> (mixtureTokenBudget _),
     "perceptron_sound"         -> (perceptronSound _),
     "perceptron_score"         -> (perceptronScore _),
     "perceptron_filter"        -> (perceptronFilter _),
@@ -4696,6 +4720,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "mixture_token_budget"     -> mixtureTokenBudgetSql,
     "perceptron_sound"         -> perceptronSoundSql,
     "perceptron_score"         -> perceptronScoreSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,

@@ -119,4 +119,30 @@ object Sampling {
       .where(bucket65536(col(idCol)) < col("t_s"))
       .drop("t_s")
   }
+
+  /** Token-budget mixture cut: keep each source's documents — in the
+    * deterministic md5(id) order, so the kept set is a reproducible
+    * pseudo-random sample, not a quality-ordered skim — until the
+    * running TOKEN total would exceed `budget`. Token budgets, not doc
+    * counts, are the unit training-data mixtures are actually specified
+    * in (a source of long documents hits its share with far fewer
+    * docs). A document is kept iff the cumulative tokens INCLUDING it
+    * fit the budget; later docs are dropped even if a smaller one
+    * would still fit (first-fit would break prefix monotonicity and
+    * with it engine-portable reproducibility).
+    *
+    * Scale: ONE window shuffle keyed by source (the #36a per-source
+    * cap shape, with a running sum instead of row_number). Skewed
+    * giant sources sort within their partition only; there is no
+    * global sort and no driver state. */
+  def capTokensPerSource(df: DataFrame, sourceCol: String, idCol: String,
+                         tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__cum_tokens", sum(col(tokenCol)).over(w))
+      .where(col("__cum_tokens") <= budget)
+      .drop("__cum_tokens")
+  }
 }

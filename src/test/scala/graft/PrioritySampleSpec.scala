@@ -75,4 +75,30 @@ class PrioritySampleSpec extends SparkSpec {
       assert(estW === math.max(w, tau))
     }
   }
+
+  test("token-budget cap: per-source prefix in md5 order, budget inclusive") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", 10L)).toDF("id", "src", "tok")
+    val kept = Sampling.capTokensPerSource(df, "src", "id", "tok", budget = 55L)
+      .collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    // 10-token docs, budget 55 -> exactly 5 fit per source (50 <= 55 < 60)
+    assert(kept("a").length === 5 && kept("b").length === 5)
+    // the kept set is the md5-order PREFIX: recompute expected directly
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    val expA = (1 to 40).filter(_ % 2 == 0).map(_.toLong)
+      .sortBy(id => (md5(id.toString), id)).take(5).toSet
+    assert(kept("a").map(_._2).toSet === expA)
+    // stability under repartition
+    val again = Sampling.capTokensPerSource(
+      df.repartition(7), "src", "id", "tok", budget = 55L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === kept.values.flatten.map(_._2).toSet)
+    // a doc that would straddle the budget is dropped, not truncated
+    val one = Seq((1L, "s", 60L), (2L, "s", 30L)).toDF("id", "src", "tok")
+    val k1 = Sampling.capTokensPerSource(one, "src", "id", "tok", budget = 50L)
+    assert(k1.count() <= 1) // 60-token doc can never fit
+    intercept[IllegalArgumentException](
+      Sampling.capTokensPerSource(one, "src", "id", "tok", budget = 0L))
+  }
 }
