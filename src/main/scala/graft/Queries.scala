@@ -4322,6 +4322,63 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ------------------------------ BPE encode (#64b, graft_bpe_encode)
+
+  /** BPE apply sound gate (#64b): encode every doc with a PLANTED
+    * 4-merge table chosen so sequential rank-order replacement equals
+    * the native min-rank-first apply (no merge's output feeds a
+    * LOWER-rank pair), which lets DuckDB replay the merges as nested
+    * space-padded string replaces over the ##-alphabet char split.
+    * The word-start merges (t ##h, th ##e, i ##n) occur at most once
+    * per word (a bare left symbol only exists at position 0); the
+    * continuation merge (##e ##r) can chain, so its SQL replace runs
+    * three passes (boundary spaces are consumed by a match — one pass
+    * misses every second adjacent occurrence). */
+  def bpeEncodeSound(spark: SparkSession, dir: String): DataFrame = {
+    val merges = Seq("t ##h", "th ##e", "i ##n", "##e ##r")
+    Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws(" ", graft.functions.GraftFunctions.bpeEncode(
+        TextFunctions.normalize(col("text")), merges)).as("pieces"))
+  }
+
+  private val bpeEncodeSoundSql =
+    """WITH d AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents),
+      |w AS (SELECT doc_id, u.i AS pos, d.ws[u.i] AS word
+      |      FROM d, UNNEST(generate_series(1, len(d.ws))) AS u(i)),
+      |sym AS (SELECT doc_id, pos,
+      |    ' ' || array_to_string(list_transform(generate_series(1, length(word)),
+      |      i -> CASE WHEN i = 1 THEN substr(word, 1, 1)
+      |           ELSE '##' || substr(word, i, 1) END), ' ') || ' ' AS s
+      |  FROM w WHERE length(word) > 0),
+      |m1 AS (SELECT doc_id, pos, replace(s, ' t ##h ', ' th ') AS s FROM sym),
+      |m2 AS (SELECT doc_id, pos, replace(s, ' th ##e ', ' the ') AS s FROM m1),
+      |m3 AS (SELECT doc_id, pos, replace(s, ' i ##n ', ' in ') AS s FROM m2),
+      |m4 AS (SELECT doc_id, pos,
+      |    replace(replace(replace(s,
+      |      ' ##e ##r ', ' ##er '), ' ##e ##r ', ' ##er '), ' ##e ##r ', ' ##er ') AS s
+      |  FROM m3)
+      |SELECT doc_id, string_agg(trim(s), ' ' ORDER BY pos) AS pieces
+      |FROM m4 GROUP BY doc_id""".stripMargin
+
+  /** BPE train → encode round-trip (#64b production path): 8 merges
+    * trained from this very corpus ([[Bpe.trainFrom]]), applied by the
+    * native expression. Rows-only by nature (the merge table is
+    * runtime data, so no static SQL twin); the apply semantics are
+    * gated exactly by `bpe_encode_sound` and BpeSpec's reference
+    * round-trip. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = Bpe.trainFrom(docs, "text", numMerges = 8)
+      .map(m => s"${m.left} ${m.right}")
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.bpeEncode(
+        TextFunctions.normalize(col("text")), merges).as("p"))
+      .select(col("doc_id"), size(col("p")).as("n_pieces"),
+        concat_ws(" ", col("p")).as("pieces"))
+  }
+
   // ----------------------- token-budget mixture cut (#43c)
 
   /** Token-budget mixture (#43c): cap every source at 800 BPE-ish
@@ -4567,6 +4624,8 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "bpe_encode_sound"         -> (bpeEncodeSound _),
+    "bpe_encode"               -> (bpeEncode _),
     "mixture_token_budget"     -> (mixtureTokenBudget _),
     "perceptron_sound"         -> (perceptronSound _),
     "perceptron_score"         -> (perceptronScore _),
@@ -4720,6 +4779,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "bpe_encode_sound"         -> bpeEncodeSoundSql,
     "mixture_token_budget"     -> mixtureTokenBudgetSql,
     "perceptron_sound"         -> perceptronSoundSql,
     "perceptron_score"         -> perceptronScoreSql,

@@ -20,6 +20,7 @@ object GraftFunctions {
   val BloomAggName = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
   val WordpieceName = "graft_wordpiece"
+  val BpeEncodeName = "graft_bpe_encode"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -66,7 +67,11 @@ object GraftFunctions {
     (WordpieceName, classOf[graft.functions.expressions.WordpieceTokens],
       (c0: Seq[Expression]) => { val c = arity(WordpieceName,
           "text, vocab, maxPieceLen", 3, c0)
-        graft.functions.expressions.WordpieceTokens(c(0), c(1), c(2)) }))
+        graft.functions.expressions.WordpieceTokens(c(0), c(1), c(2)) }),
+    (BpeEncodeName, classOf[graft.functions.expressions.BpeEncodeTokens],
+      (c0: Seq[Expression]) => { val c = arity(BpeEncodeName,
+          "text, merges", 2, c0)
+        graft.functions.expressions.BpeEncodeTokens(c(0), c(1)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -143,6 +148,15 @@ object GraftFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function(WordpieceName, text,
       org.apache.spark.sql.functions.typedLit(vocab), lit(maxPieceLen))
+  }
+
+  /** Native BPE apply over pre-normalized text; `merges` are
+    * "left right" pairs in rank order (see
+    * [[graft.functions.expressions.BpeEncodeTokens]]). */
+  def bpeEncode(text: Column, merges: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(BpeEncodeName, text,
+      org.apache.spark.sql.functions.typedLit(merges))
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -73,5 +73,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.expressions.WordpieceTokens(
           children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.BpeEncodeName),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BpeEncodeTokens].getName,
+        GraftFunctions.BpeEncodeName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.BpeEncodeTokens(
+          children(0), children(1))))
   }
 }

@@ -207,4 +207,25 @@ class ExpressionSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(viaSql === viaCol && viaSql === Seq("the", "##re", "the", "t"))
   }
+
+  test("graft_bpe_encode resolves on the SQL path and matches the Column API") {
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_bpe_encode('her there', array('##e ##r', 'h ##er', 't ##h'))")
+      .as[Seq[String]].head()
+    val viaCol = Seq("her there").toDF("text")
+      .select(GraftFunctions.bpeEncode(col("text"),
+        Seq("##e ##r", "h ##er", "t ##h")))
+      .as[Seq[String]].head()
+    assert(viaSql === viaCol)
+    assert(viaSql === Seq("her", "th", "##er", "##e"))
+    // malformed merge strings fail with a readable message
+    val bad = intercept[Exception] {
+      Seq("xy").toDF("text")
+        .select(GraftFunctions.bpeEncode(col("text"), Seq("nospace")))
+        .collect()
+    }
+    assert(bad.getMessage.contains("left right") ||
+           bad.getCause != null && bad.getCause.getMessage.contains("left right"))
+  }
 }
