@@ -4322,6 +4322,35 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ---------------- Unicode normalization (#30c, graft_unicode_normalize)
+
+  /** NFC canonicalization gate (#30c): deterministically DECOMPOSE the
+    * corpus (every 'e' → 'e' + U+0301 combining acute — the
+    * crawler-variant byte split that defeats exact dedup), then
+    * recompose with the native NFC expression. DuckDB builds the same
+    * decomposed text (chr(769)) and recomposes with its own
+    * `nfc_normalize` — two independent Unicode implementations must
+    * produce identical bytes, codepoint counts, and composition
+    * deltas. */
+  def nfcNormalizeSound(spark: SparkSession, dir: String): DataFrame = {
+    val decomposed = regexp_replace(col("text"), "e", "e\u0301") // e + combining acute
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      graft.functions.GraftFunctions.unicodeNormalize(decomposed, "NFC")
+        .as("norm_text"),
+      (length(decomposed) -
+        length(graft.functions.GraftFunctions.unicodeNormalize(decomposed, "NFC")))
+        .as("n_composed"))
+  }
+
+  private val nfcNormalizeSoundSql =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
+      |  FROM documents)
+      |SELECT doc_id, nfc_normalize(dec) AS norm_text,
+      |  CAST(length(dec) - length(nfc_normalize(dec)) AS INTEGER) AS n_composed
+      |FROM d""".stripMargin
+
   // ------------------------------ BPE encode (#64b, graft_bpe_encode)
 
   /** BPE apply sound gate (#64b): encode every doc with a PLANTED
@@ -4624,6 +4653,7 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "nfc_normalize_sound"      -> (nfcNormalizeSound _),
     "bpe_encode_sound"         -> (bpeEncodeSound _),
     "bpe_encode"               -> (bpeEncode _),
     "mixture_token_budget"     -> (mixtureTokenBudget _),
@@ -4779,6 +4809,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "nfc_normalize_sound"      -> nfcNormalizeSoundSql,
     "bpe_encode_sound"         -> bpeEncodeSoundSql,
     "mixture_token_budget"     -> mixtureTokenBudgetSql,
     "perceptron_sound"         -> perceptronSoundSql,

@@ -21,6 +21,7 @@ object GraftFunctions {
   val MightContainName = "graft_might_contain"
   val WordpieceName = "graft_wordpiece"
   val BpeEncodeName = "graft_bpe_encode"
+  val UnicodeNormalizeName = "graft_unicode_normalize"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -71,7 +72,11 @@ object GraftFunctions {
     (BpeEncodeName, classOf[graft.functions.expressions.BpeEncodeTokens],
       (c0: Seq[Expression]) => { val c = arity(BpeEncodeName,
           "text, merges", 2, c0)
-        graft.functions.expressions.BpeEncodeTokens(c(0), c(1)) }))
+        graft.functions.expressions.BpeEncodeTokens(c(0), c(1)) }),
+    (UnicodeNormalizeName, classOf[graft.functions.expressions.UnicodeNormalize],
+      (c0: Seq[Expression]) => { val c = arity(UnicodeNormalizeName,
+          "text, form", 2, c0)
+        graft.functions.expressions.UnicodeNormalize(c(0), c(1)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -157,6 +162,13 @@ object GraftFunctions {
     SparkSession.getActiveSession.foreach(register)
     call_function(BpeEncodeName, text,
       org.apache.spark.sql.functions.typedLit(merges))
+  }
+
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — see
+    * [[graft.functions.expressions.UnicodeNormalize]]. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(UnicodeNormalizeName, text, lit(form))
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -81,5 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.expressions.BpeEncodeTokens(
           children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.UnicodeNormalizeName),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.UnicodeNormalize].getName,
+        GraftFunctions.UnicodeNormalizeName),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.UnicodeNormalize(
+          children(0), children(1))))
   }
 }

@@ -86,4 +86,30 @@ class TextFunctionsSpec extends SparkSpec {
       .where(col("hof") =!= col("nat")).count()
     assert(mismatch === 0)
   }
+
+  test("graft_unicode_normalize: NFC composes, NFKC folds compatibility forms") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    def norm(s: String, form: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(GraftFunctions.unicodeNormalize(col("t"), form))
+        .as[String].head()
+    // decomposed e + combining acute composes to U+00E9
+    assert(norm("café", "NFC") === "café")
+    assert(norm("café", "NFD") === "café")
+    // NFKC folds fullwidth ASCII and the fi ligature; NFC must NOT
+    assert(norm("\uFF28\uFF49", "NFKC") === "Hi")
+    assert(norm("\uFF28\uFF49", "NFC") === "\uFF28\uFF49")
+    assert(norm("\uFB01le", "NFKC") === "file")
+    // ASCII fast path is the identity
+    assert(norm("plain ascii 123", "NFC") === "plain ascii 123")
+    // nulls propagate; bad form fails readably
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(GraftFunctions.unicodeNormalize(col("t"), "NFC"))
+      .collect().head
+    assert(n.isNullAt(0))
+    val bad = intercept[Exception](norm("x\u0301", "NFX"))
+    assert(bad.getMessage.contains("NFX") ||
+           bad.getCause != null && bad.getCause.getMessage.contains("NFX"))
+  }
 }
