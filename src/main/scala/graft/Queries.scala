@@ -4322,6 +4322,29 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ----------------------------- exact stratified split (#36e)
+
+  /** Exact stratified 80/10/10 split by source (#36e): per-stratum
+    * counts are EXACT (integer thresholds over the md5 rank), unlike
+    * the binomial hash split (#36). One window shuffle; see
+    * [[Sampling.stratifiedSplit]]. */
+  def stratifiedSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSplit(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+      "source", "doc_id", trainPct = 80, valPct = 10)
+
+  private val stratifiedSplitSql =
+    """WITH r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CASE WHEN rn <= n * 80 // 100 THEN 'train'
+      |       WHEN rn <= n * 90 // 100 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r""".stripMargin
+
   // ---------------- Unicode normalization (#30c, graft_unicode_normalize)
 
   /** NFC canonicalization gate (#30c): deterministically DECOMPOSE the
@@ -4653,6 +4676,7 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "stratified_split"         -> (stratifiedSplit _),
     "nfc_normalize_sound"      -> (nfcNormalizeSound _),
     "bpe_encode_sound"         -> (bpeEncodeSound _),
     "bpe_encode"               -> (bpeEncode _),
@@ -4809,6 +4833,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "stratified_split"         -> stratifiedSplitSql,
     "nfc_normalize_sound"      -> nfcNormalizeSoundSql,
     "bpe_encode_sound"         -> bpeEncodeSoundSql,
     "mixture_token_budget"     -> mixtureTokenBudgetSql,

@@ -145,4 +145,35 @@ object Sampling {
       .where(col("__cum_tokens") <= budget)
       .drop("__cum_tokens")
   }
+
+  /** EXACT stratified train/val/test split: within every stratum,
+    * rank rows by md5(id) (a reproducible pseudo-random order) and cut
+    * at integer-arithmetic thresholds — ⌊n·trainPct/100⌋ rows train,
+    * the next ⌊n·(trainPct+valPct)/100⌋−⌊n·trainPct/100⌋ rows val,
+    * the rest test. Exact per-stratum counts, unlike the binomial
+    * hash-threshold split (#36) whose per-stratum counts wobble ±√n —
+    * the variant evaluation protocols need when a stratum is small
+    * (a rare language must not lose its whole val slice to sampling
+    * noise). All-integer thresholds: no float rounding for an engine
+    * to disagree on.
+    *
+    * Scale: one window shuffle keyed by the stratum (rank and count
+    * share the exchange); no global sort, no driver state. */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad percentages: train=$trainPct val=$valPct")
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy(col(strataCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val allW = Window.partitionBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__rn", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(allW))
+      .withColumn("split",
+        when(col("__rn") <= expr(s"__n * $trainPct DIV 100"), "train")
+          .when(col("__rn") <= expr(s"__n * ${trainPct + valPct} DIV 100"), "val")
+          .otherwise("test"))
+      .drop("__rn", "__n")
+  }
 }

@@ -101,4 +101,31 @@ class PrioritySampleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.capTokensPerSource(one, "src", "id", "tok", budget = 0L))
   }
+
+  test("stratified split: exact per-stratum counts at any stratum size") {
+    // strata of size 10, 7, and 1 — exact floors, no binomial wobble
+    val df = ((1 to 10).map(i => (i.toLong, "big")) ++
+              (11 to 17).map(i => (i.toLong, "mid")) ++
+              Seq((18L, "tiny"))).toDF("id", "src")
+    val out = Sampling.stratifiedSplit(df, "src", "id", 80, 10)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val counts = out.groupBy(identity).view.mapValues(_.length).toMap
+    // n=10: train 8, val 1, test 1
+    assert(counts(("big", "train")) === 8)
+    assert(counts(("big", "val")) === 1 && counts(("big", "test")) === 1)
+    // n=7: floor(7*0.8)=5 train, floor(7*0.9)-5=1 val, 1 test
+    assert(counts(("mid", "train")) === 5)
+    assert(counts(("mid", "val")) === 1 && counts(("mid", "test")) === 1)
+    // n=1: floors are 0 -> the lone row is test, never silently lost
+    assert(counts(("tiny", "test")) === 1)
+    assert(out.length === 18)
+    // deterministic under repartition
+    val again = Sampling.stratifiedSplit(df.repartition(5), "src", "id", 80, 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    val first = Sampling.stratifiedSplit(df, "src", "id", 80, 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(again === first)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplit(df, "src", "id", 90, 20))
+  }
 }
