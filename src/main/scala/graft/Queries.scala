@@ -4547,24 +4547,34 @@ object Queries {
       |WHERE ((alpha_ratio * 4.0 + punct_ratio * -3.0) + stopword_ratio * 2.0)
       |    + -1.0 > 0.0""".stripMargin
 
-  /** End-to-end learned filter (#66): fit 3 epochs on real ratio
-    * features against the weak lang='en' label, keep accepted docs.
-    * Rows-only by nature — float epoch sums are deterministic per plan
-    * but not bit-pinned across partitionings (the Pca/Dsir precedent);
-    * the learner's arithmetic is gated exactly by `perceptron_sound`
-    * and the scoring chain by `perceptron_score`. */
+  /** End-to-end learned classifier (#66): fit 3 epochs on real ratio
+    * features against the weak lang='en' label, report the per-(lang,
+    * predicted) decision counts — the confusion summary a filter run
+    * is judged by, and never empty even when the separator lands
+    * one-sided on imbalanced data. Rows-only by nature — float epoch
+    * sums are deterministic per plan but not bit-pinned across
+    * partitionings (the Pca/Dsir precedent); the learner's arithmetic
+    * is gated exactly by `perceptron_sound` and the scoring chain by
+    * `perceptron_score`. */
   def perceptronFilter(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the feature frame ONCE: the regex ratios are the
+    // expensive part, and fit's per-epoch actions plus the final
+    // scoring pass would otherwise recompute them epochs+1 times
+    // (measured at 100×: 71 s -> the one-scan cost). Blocks are freed
+    // by the caller's Blocks.freeAll once the result is consumed.
     val feats = Tables.documents(spark, dir).select(
       col("doc_id"), col("source"), col("lang"),
       TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
       TextFunctions.punctRatio(col("text")).as("punct_ratio"),
       TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
       .withColumn("y", when(col("lang") === "en", 1.0).otherwise(-1.0))
+      .localCheckpoint()
     val model = Classify.fitPerceptron(feats,
       Seq("alpha_ratio", "punct_ratio", "stopword_ratio"), "y",
       epochs = 3, lr = 0.5)
-    Classify.filter(feats, model)
-      .select(col("doc_id"), col("source"), col("lang"))
+    Classify.score(feats, model)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   // ------------------------------------------------------------ registry

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, Queries}
+
+/** One-off result+timing check for individual queries at a given dir. */
+object QuickProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args(1).split(",")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (n <- names) {
+      val df = n match {
+        case "bpe_sound_agg" =>
+          Queries.all("bpe_encode_sound")(spark, dir)
+            .agg(sum(length(col("pieces"))).as("total_piece_chars"))
+        case "nfc_agg" =>
+          Queries.all("nfc_normalize_sound")(spark, dir)
+            .agg(sum(col("n_composed")).as("tc"), sum(length(col("norm_text"))).as("tl"))
+        case other => Queries.all(other)(spark, dir)
+      }
+      val t0 = System.nanoTime()
+      val rows = df.collect()
+      println(f"QUICK $n: ${(System.nanoTime() - t0) / 1e9}%.2f s -> " +
+        rows.take(5).mkString("; "))
+    }
+    spark.stop()
+  }
+}

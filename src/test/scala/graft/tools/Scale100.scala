@@ -142,6 +142,35 @@ object Scale100 {
     run("strip_boilerplate")(SparkEntry.queries("strip_boilerplate")(spark, dir))
     run("anomaly_mad")(SparkEntry.queries("anomaly_mad")(spark, dir))
 
+    // ---- round-10 operators on the full 100× corpus: token-budget
+    // mixture + stratified split (one window exchange each), the
+    // perceptron learner (2-3 full scans, O(tasks·d) shuffle), the
+    // native BPE encoder and Unicode normalizer (scan-only codegen),
+    // and the REAL multimodal codecs (encode+decode per doc)
+    // count() alone lets Catalyst prune the computed columns (the r9
+    // probe lesson) — group/aggregate ON the computed value instead
+    run("mixture_token_budget")(SparkEntry.queries("mixture_token_budget")(spark, dir))
+    run("stratified_split")(
+      SparkEntry.queries("stratified_split")(spark, dir)
+        .groupBy("split").count())
+    run("perceptron_sound")(SparkEntry.queries("perceptron_sound")(spark, dir))
+    run("perceptron_filter")(SparkEntry.queries("perceptron_filter")(spark, dir))
+    // GROUP ON the computed column (not a global agg — count() of a
+    // global agg constant-folds to 1 row and the scan is eliminated)
+    run("bpe_encode_sound")(
+      SparkEntry.queries("bpe_encode_sound")(spark, dir)
+        .groupBy((length(col("pieces")) % 64).as("b")).count())
+    run("bpe_encode")(
+      SparkEntry.queries("bpe_encode")(spark, dir)
+        .groupBy(col("n_pieces")).count())
+    run("nfc_normalize_sound")(
+      SparkEntry.queries("nfc_normalize_sound")(spark, dir)
+        .groupBy(col("n_composed"), (length(col("norm_text")) % 64).as("b"))
+        .count())
+    run("multimodal_sound")(
+      SparkEntry.queries("multimodal_sound")(spark, dir)
+        .groupBy("media_type").agg(sum(col("mean_pixel")), sum(col("n_bytes"))))
+
     // ---- connected components on the REAL pair graph at 100×
     // (registered dedup_clusters filters doc_id<200 and would not
     // scale; here the pairs come from the full corpus). Materialize
