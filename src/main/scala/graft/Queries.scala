@@ -4322,6 +4322,30 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // --------------------------- incremental ledger dedup (#23d)
+
+  /** Incremental dedup against a fingerprint ledger (#23d): the first
+    * half of the corpus (doc_id < 250) plays the already-ingested
+    * history; the second half is the arriving batch. Accepted = batch
+    * keep-one minus ledger hits; see [[Dedup.incrementalExact]]. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ledger = docs.where(col("doc_id") < 250)
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    Dedup.incrementalExact(docs.where(col("doc_id") >= 250),
+      "doc_id", "text", ledger)
+  }
+
+  private val dedupIncrementalSql =
+    """WITH led AS (SELECT DISTINCT
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents WHERE doc_id < 250),
+      |batch AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    min(doc_id) AS keeper_id, count(*) AS n_batch_dups
+      |  FROM documents WHERE doc_id >= 250 GROUP BY 1)
+      |SELECT b.fp, b.keeper_id, b.n_batch_dups
+      |FROM batch b ANTI JOIN led ON b.fp = led.fp""".stripMargin
+
   // ----------------------------- exact stratified split (#36e)
 
   /** Exact stratified 80/10/10 split by source (#36e): per-stratum
@@ -4641,9 +4665,11 @@ object Queries {
     "events_json_struct"       -> (eventsJsonStruct _),
     "q7_nation_trade"          -> (q7NationTrade _),
     "above_group_avg"          -> (aboveGroupAvg _),
+    // 4 KiB frames: blobs are real containers now (KBs-to-100KB), so
+    // tiny frames would explode to tens of thousands of rows per doc
     "multimodal_frames"        -> ((s: SparkSession, d: String) =>
       Multimodal.frameSample(
-        Multimodal.attachBlob(Tables.documents(s, d)), 4, 2)),
+        Multimodal.attachBlob(Tables.documents(s, d)), 4096, 2)),
     "asof_clicks"              -> (asofClicks _),
     "asof_next_click"          -> (asofNextClick _),
     "range_join_bands"         -> (rangeJoinBands _),
@@ -4686,6 +4712,7 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "dedup_incremental"        -> (dedupIncremental _),
     "stratified_split"         -> (stratifiedSplit _),
     "nfc_normalize_sound"      -> (nfcNormalizeSound _),
     "bpe_encode_sound"         -> (bpeEncodeSound _),
@@ -4843,6 +4870,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "dedup_incremental"        -> dedupIncrementalSql,
     "stratified_split"         -> stratifiedSplitSql,
     "nfc_normalize_sound"      -> nfcNormalizeSoundSql,
     "bpe_encode_sound"         -> bpeEncodeSoundSql,

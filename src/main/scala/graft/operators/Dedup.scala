@@ -25,6 +25,28 @@ object Dedup {
     docs.groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** Incremental exact dedup against a persisted fingerprint LEDGER —
+    * the 100 TB ingestion reality: the corpus is deduped ONCE and each
+    * arriving batch dedupes against the accumulated fingerprints
+    * WITHOUT rescanning history. Within-batch keep-one first (min id
+    * per fingerprint — the [[exact]] rule), then a left-anti join
+    * against the ledger keyed on the fingerprint. The accepted rows'
+    * fingerprints ARE the ledger delta — the caller appends them
+    * (atomically via [[graft.sources.Manifest]]) for the next batch.
+    *
+    * Scale: the ledger is fingerprint-sized (one 32-char key per
+    * distinct document ever seen), not corpus-sized; the join keys on
+    * `fp`, so a ledger bucketed on fp ([[graft.sources.Lake]]
+    * machinery) co-locates batch after batch without re-exchanging
+    * the accumulated side. One batch groupBy + one equi-join. */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       ledger: DataFrame): DataFrame = {
+    val batchKeepers = newDocs
+      .groupBy(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_batch_dups"))
+    batchKeepers.join(ledger.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   // ------------------------------------------------------- minhash-LSH
 
   /** Distinct word n-gram shingles of the normalized text. Documents

@@ -412,4 +412,35 @@ class DedupSpec extends SparkSpec {
     assert(expected.filter(_._1 == 3L).map(e => (e._2, e._3)) ===
            expected.filter(_._1 == 4L).map(e => (e._2, e._3)))
   }
+
+  test("incremental ledger dedup: two-batch ingest rejects history, ledger grows") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.Manifest
+    val root = java.nio.file.Files.createTempDirectory("dedup-ledger")
+      .toString + "/ledger"
+    // batch 1 founds the ledger (empty history)
+    val b1 = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "alpha  DOC"))
+      .toDF("doc_id", "text") // 3 normalizes to 1's fingerprint
+    val empty = Seq.empty[String].toDF("fp")
+    val a1 = Dedup.incrementalExact(b1, "doc_id", "text", empty)
+    val got1 = a1.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got1 === Set((1L, 2L), (2L, 1L))) // keeper 1 absorbs 3
+    Manifest.commit(spark, root, a1.select("fp"))
+    // batch 2: one cross-batch dup ("beta doc"), one within-batch dup,
+    // one genuinely new doc
+    val b2 = Seq((10L, "beta doc"), (11L, "gamma doc"), (12L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val a2 = Dedup.incrementalExact(b2, "doc_id", "text",
+      Manifest.read(spark, root).get)
+    val got2 = a2.collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got2 === Set((11L, 2L))) // beta rejected by ledger, 12 absorbed
+    // ledger delta append keeps the next batch honest
+    Manifest.commit(spark, root,
+      Manifest.read(spark, root).get.unionByName(a2.select("fp")))
+    val b3 = Seq((20L, "gamma doc"), (21L, "delta doc")).toDF("doc_id", "text")
+    val a3 = Dedup.incrementalExact(b3, "doc_id", "text",
+      Manifest.read(spark, root).get)
+    assert(a3.collect().map(_.getLong(1)).toSet === Set(21L))
+  }
 }
