@@ -88,6 +88,41 @@ object Lake {
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
 
+  /** Bloom-indexed write: parquet row-group bloom filters on the given
+    * key columns, for POINT-lookup skipping on columns the layout is
+    * NOT clustered by. Range clustering ([[writeSorted]] /
+    * [[writeZOrdered]]) gives min/max skipping on the cluster columns
+    * only; a secondary key (user id in an event table clustered by
+    * time — the GDPR-lookup shape) spans every file's full range and
+    * min/max stats prune nothing. A bloom filter answers "does this
+    * row group contain key K" probabilistically-no-false-negatives,
+    * so Spark's parquet reader skips row groups on pushed-down
+    * equality predicates — no index table, no extra read path, the
+    * skipping happens inside the scan.
+    *
+    * `ndvPerGroup` sizes each filter (parquet sizes bits from the
+    * expected distinct count); oversizing wastes footer bytes,
+    * undersizing inflates the false-positive rate toward scan-all. */
+  def writeBloomIndexed(df: DataFrame, path: String, bloomCols: Seq[String],
+                        nFiles: Int, ndvPerGroup: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "no bloom columns")
+    val w = df.repartition(nFiles).write.mode("overwrite")
+    val withOpts = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndvPerGroup.toString)
+        // parquet-mr silently OMITS the bloom filter when a chunk ends
+        // up fully dictionary-encoded (the dictionary already answers
+        // membership exactly) — which at test scale is every chunk, so
+        // the layout would never exercise the bloom path it promises.
+        // A real secondary key at 100 TB has too many distinct values
+        // to dict-encode anyway; disabling the dictionary on JUST the
+        // bloom columns makes small and large writes take the same
+        // path.
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    withOpts.parquet(path)
+  }
+
   /** Z-order clustered write: multi-column data skipping. [[writeSorted]]
     * makes files tight on ONE column and leaves every other filter
     * column spanning its full range per file; interleaving the bits of

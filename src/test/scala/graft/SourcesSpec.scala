@@ -372,6 +372,44 @@ class SourcesSpec extends SparkSpec {
     assert(wide.getMessage.contains("maxKeptFiles"))
   }
 
+  test("Lake.writeBloomIndexed plants row-group bloom filters; lookups stay exact") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("bloomidx").toString
+    val orders = Tables.orders(spark, sfDir)
+    Lake.writeBloomIndexed(orders, s"$tmp/t", Seq("o_custkey"), nFiles = 4)
+    // every file's o_custkey chunks carry a bloom filter; others none
+    val files = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4)
+    for (f <- files) {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.toString), new Configuration()))
+      try {
+        val block = reader.getFooter.getBlocks.asScala.head
+        val byName = block.getColumns.asScala
+          .map(c => c.getPath.toDotString -> c).toMap
+        assert(reader.getBloomFilterDataReader(block)
+          .readBloomFilter(byName("o_custkey")) != null,
+          s"no bloom filter on o_custkey in ${f.getName}")
+        assert(reader.getBloomFilterDataReader(block)
+          .readBloomFilter(byName("o_orderkey")) == null,
+          "bloom filter leaked onto a non-indexed column")
+      } finally reader.close()
+    }
+    // a point lookup through the bloom-indexed table is exact
+    val key = orders.select("o_custkey").limit(1)
+      .collect().head.getLong(0)
+    val viaBloom = spark.read.parquet(s"$tmp/t")
+      .where(col("o_custkey") === key)
+    val direct = orders.where(col("o_custkey") === key)
+    assert(viaBloom.count() === direct.count())
+    assert(viaBloom.exceptAll(direct).isEmpty)
+  }
+
   test("StatsIndex.deleteByKeys rewrites only the files holding the keys") {
     val tmp = Files.createTempDirectory("delkeys").toString
     val orders = Tables.orders(spark, sfDir)
