@@ -4381,7 +4381,10 @@ object Queries {
     * deltas. */
   def nfcNormalizeSound(spark: SparkSession, dir: String): DataFrame = {
     val decomposed = regexp_replace(col("text"), "e", "e\u0301") // e + combining acute
-    Tables.documents(spark, dir).select(
+    // bounded gate corpus (dedup_simhash_sound rule): the compare
+    // materializes BOTH engines' full normalized text in pandas \u2014
+    // 5k docs proves the byte-level machinery at any harness scale
+    Tables.documents(spark, dir).where(col("doc_id") < 5000).select(
       col("doc_id"),
       graft.functions.GraftFunctions.unicodeNormalize(decomposed, "NFC")
         .as("norm_text"),
@@ -4393,7 +4396,7 @@ object Queries {
   private val nfcNormalizeSoundSql =
     """WITH d AS (SELECT doc_id,
       |    regexp_replace(text, 'e', 'e' || chr(769), 'g') AS dec
-      |  FROM documents)
+      |  FROM documents WHERE doc_id < 5000)
       |SELECT doc_id, nfc_normalize(dec) AS norm_text,
       |  CAST(length(dec) - length(nfc_normalize(dec)) AS INTEGER) AS n_composed
       |FROM d""".stripMargin
@@ -4412,15 +4415,21 @@ object Queries {
     * misses every second adjacent occurrence). */
   def bpeEncodeSound(spark: SparkSession, dir: String): DataFrame = {
     val merges = Seq("t ##h", "th ##e", "i ##n", "##e ##r")
-    Tables.documents(spark, dir).select(col("doc_id"),
-      concat_ws(" ", graft.functions.GraftFunctions.bpeEncode(
-        TextFunctions.normalize(col("text")), merges)).as("pieces"))
+    // bounded gate corpus (the dedup_simhash_sound rule: a verification
+    // construct must stay runnable at every scale the harness uses) —
+    // the DuckDB twin explodes every CHARACTER of every word, which is
+    // fine at 5k docs and a 150M-row memory blowup at the 100× set.
+    // The unbounded production path is `bpe_encode`.
+    Tables.documents(spark, dir).where(col("doc_id") < 5000)
+      .select(col("doc_id"),
+        concat_ws(" ", graft.functions.GraftFunctions.bpeEncode(
+          TextFunctions.normalize(col("text")), merges)).as("pieces"))
   }
 
   private val bpeEncodeSoundSql =
     """WITH d AS (SELECT doc_id,
       |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-      |  FROM documents),
+      |  FROM documents WHERE doc_id < 5000),
       |w AS (SELECT doc_id, u.i AS pos, d.ws[u.i] AS word
       |      FROM d, UNNEST(generate_series(1, len(d.ws))) AS u(i)),
       |sym AS (SELECT doc_id, pos,
