@@ -4322,6 +4322,59 @@ object Queries {
       |FROM sh JOIN sz ON sz.doc = sh.doc_a
       |WHERE shared * 2 >= n_a""".stripMargin
 
+  // ------------------------------ count-min sketch (#38e)
+
+  /** Count-min point estimates vs exact counts (#38e): sketch the full
+    * token stream into a 4×512 counter table (ONE bounded partial-agg
+    * shuffle), then probe the 20 most frequent words and report exact
+    * vs estimate. CM is a deterministic function of the data (md5-slice
+    * hash rows), so DuckDB recomputes table, probe, AND min exactly —
+    * including the never-underestimates invariant the last column
+    * asserts. */
+  def cmSketchCounts(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val table = CountMin.buildTable(toks, "word", depth = 4, width = 512)
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_exact").desc, col("word"))
+    val top = exact.orderBy(col("n_exact").desc, col("word")).limit(20)
+      .withColumn("rank", row_number().over(w))
+    CountMin.estimate(table, top, "word", depth = 4, width = 512)
+      .join(top, "word")
+      .select(col("rank"), col("word"), col("n_exact"), col("cm_estimate"),
+        (col("cm_estimate") >= col("n_exact")).as("never_underestimates"))
+  }
+
+  private val cmSketchCountsSql =
+    """WITH toks AS (SELECT t.w AS word
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      |  WHERE length(t.w) > 0),
+      |bkt AS (SELECT word, r.r AS row,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(word), r.r*8 + 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(word), r.r*8 + 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(word), r.r*8 + 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(word), r.r*8 + 4, 1)) - 1)) % 512 AS INTEGER) AS bucket
+      |  FROM toks, UNNEST([0, 1, 2, 3]) AS r(r)),
+      |cm AS (SELECT row, bucket, COUNT(*) AS c FROM bkt GROUP BY 1, 2),
+      |exact AS (SELECT word, COUNT(*) AS n_exact FROM toks GROUP BY 1),
+      |top AS (SELECT word, n_exact,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_exact DESC, word) AS INTEGER) AS rank
+      |  FROM exact ORDER BY n_exact DESC, word LIMIT 20),
+      |probe AS (SELECT t.word, r.r AS row,
+      |    CAST(((strpos('0123456789abcdef', substr(md5(t.word), r.r*8 + 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substr(md5(t.word), r.r*8 + 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substr(md5(t.word), r.r*8 + 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(t.word), r.r*8 + 4, 1)) - 1)) % 512 AS INTEGER) AS bucket
+      |  FROM top t, UNNEST([0, 1, 2, 3]) AS r(r)),
+      |est AS (SELECT p.word, MIN(COALESCE(cm.c, 0)) AS cm_estimate
+      |  FROM probe p LEFT JOIN cm ON p.row = cm.row AND p.bucket = cm.bucket
+      |  GROUP BY 1)
+      |SELECT t.rank, t.word, t.n_exact, e.cm_estimate,
+      |  e.cm_estimate >= t.n_exact AS never_underestimates
+      |FROM est e JOIN top t ON e.word = t.word""".stripMargin
+
   // --------------------------- incremental ledger dedup (#23d)
 
   /** Incremental dedup against a fingerprint ledger (#23d): the first
@@ -4721,6 +4774,7 @@ object Queries {
     "dedup_profile"            -> (dedupProfile _),
     "mixture_alpha"            -> (mixtureAlpha _),
     "skew_report"              -> (skewReport _),
+    "cm_sketch_counts"         -> (cmSketchCounts _),
     "dedup_incremental"        -> (dedupIncremental _),
     "stratified_split"         -> (stratifiedSplit _),
     "nfc_normalize_sound"      -> (nfcNormalizeSound _),
@@ -4879,6 +4933,7 @@ object Queries {
     "dedup_profile"            -> dedupProfileSql,
     "mixture_alpha"            -> mixtureAlphaSql,
     "skew_report"              -> skewReportSql,
+    "cm_sketch_counts"         -> cmSketchCountsSql,
     "dedup_incremental"        -> dedupIncrementalSql,
     "stratified_split"         -> stratifiedSplitSql,
     "nfc_normalize_sound"      -> nfcNormalizeSoundSql,

@@ -36,4 +36,35 @@ class SketchSpec extends SparkSpec {
     val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(m === d)
   }
+
+  test("count-min: never underestimates, exact when collision-free, shard-mergeable") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val toks = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(7)("gamma") ++ (1 to 40).map(i => s"tail$i")
+    val df = toks.map(Tuple1(_)).toDF("word")
+    val table = CountMin.buildTable(df, "word", depth = 4, width = 512)
+    // bounded table: at most depth*width counters, total mass = depth*N
+    assert(table.count() <= 4 * 512)
+    assert(table.agg(sum("c")).head.getLong(0) === 4L * toks.length)
+    val keys = Seq("alpha", "beta", "gamma", "absent").map(Tuple1(_)).toDF("word")
+    val est = CountMin.estimate(table, keys, "word", depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") >= 50 && est("beta") >= 30 && est("gamma") >= 7)
+    // 127 tokens into 512 buckets x 4 independent rows: a collision
+    // surviving all 4 rows for these keys would need ~ (127/512)^4 luck;
+    // with this fixed token set the estimates are exactly the counts
+    assert(est("alpha") === 50 && est("beta") === 30 && est("gamma") === 7)
+    assert(est("absent") === 0)
+    // mergeability: shard tables sum by (row, bucket) to the full table
+    val (s1, s2) = toks.splitAt(60)
+    val merged = CountMin.buildTable(s1.map(Tuple1(_)).toDF("word"), "word", 4, 512)
+      .unionByName(CountMin.buildTable(s2.map(Tuple1(_)).toDF("word"), "word", 4, 512))
+      .groupBy("row", "bucket").agg(sum("c").as("c"))
+    val fromMerged = CountMin.estimate(merged, keys, "word", 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromMerged === est)
+    intercept[IllegalArgumentException](
+      CountMin.buildTable(df, "word", depth = 5, width = 512))
+  }
 }
