@@ -194,6 +194,27 @@ object Manifest {
           .otherwise("unchanged").as("change"))
   }
 
+  /** Schema-evolution read: union a RANGE of retained versions by
+    * column NAME, with columns absent in some version null-filled —
+    * the audit query a versioned table gets once its schema has
+    * evolved ("show me this key across the last month's publishes",
+    * where a column was added mid-month). Rows are tagged with their
+    * version so provenance survives the union. Versions are immutable
+    * publishes, so the result is reproducible while retention keeps
+    * them. Scale: a union of parquet scans — no shuffle at all until
+    * the caller aggregates. */
+  def readRange(spark: SparkSession, root: String,
+                fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV, s"empty version range [$fromV, $toV]")
+    val vs = versions(spark, root).filter(v => v >= fromV && v <= toV)
+    require(vs.nonEmpty,
+      s"no retained versions in [$fromV, $toV]; " +
+        s"available: ${versions(spark, root).mkString("[", ", ", "]")}")
+    vs.map(v => readVersion(spark, root, v).withColumn("_version", lit(v)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Explicit retention pass: keep the newest `retain` committed
     * versions, delete the rest (data dirs and markers drop together
     * inside [[gc]], so a reader that can list a version can read it).

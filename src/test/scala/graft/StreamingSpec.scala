@@ -287,6 +287,31 @@ class StreamingSpec extends SparkSpec {
     assert(Manifest.vacuum(spark, root, retain = 5) === Seq.empty)
   }
 
+  test("manifest readRange unions versions by name across schema evolution") {
+    import spark.implicits._
+    import graft.sources.Manifest
+    val root = Files.createTempDirectory("manifest-range").toString + "/t"
+    Manifest.commit(spark, root, Seq((1L, "a")).toDF("k", "s"), retain = 4)
+    // v1 adds a column; v2 drops the original one
+    Manifest.commit(spark, root,
+      Seq((2L, "b", 9.5)).toDF("k", "s", "score"), retain = 4)
+    Manifest.commit(spark, root,
+      Seq((3L, 7.5)).toDF("k", "score"), retain = 4)
+    val got = Manifest.readRange(spark, root, 0L, 2L)
+      .select("_version", "k", "s", "score")
+      .as[(Long, Long, Option[String], Option[Double])].collect().toSet
+    assert(got === Set(
+      (0L, 1L, Some("a"), None),
+      (1L, 2L, Some("b"), Some(9.5)),
+      (2L, 3L, None, Some(7.5))))
+    // a sub-range reads only its versions
+    assert(Manifest.readRange(spark, root, 1L, 2L)
+      .select("_version").distinct().as[Long].collect().toSet === Set(1L, 2L))
+    val bad = intercept[IllegalArgumentException](
+      Manifest.readRange(spark, root, 90L, 99L))
+    assert(bad.getMessage.contains("no retained versions"))
+  }
+
   test("manifest diff classifies inserted/deleted/updated/unchanged keys") {
     import spark.implicits._
     import graft.sources.Manifest
