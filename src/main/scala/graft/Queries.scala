@@ -3652,7 +3652,11 @@ object Queries {
   def wordpieceTokenize(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = Wordpiece.tokenizeNative(col("text"), wpVocab)
-    Tables.documents(spark, dir)
+    // bounded gate corpus (the dedup_simhash_sound rule): the DuckDB
+    // twin is a RECURSIVE per-character MaxMatch — fine at 20k docs,
+    // an OOM at the 100x set. The unbounded native path is probed at
+    // 100x by Scale100 (15.8 s, and the native==HOF identity spec).
+    Tables.documents(spark, dir).where(col("doc_id") < 20000)
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         concat_ws(" ", col("toks")).as("token_str"),
@@ -3673,7 +3677,7 @@ object Queries {
     s"""WITH RECURSIVE vocab(tok) AS (VALUES $values),
        |d AS (SELECT doc_id,
        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |  FROM documents),
+       |  FROM documents WHERE doc_id < 20000),
        |w AS (SELECT doc_id, i AS ord, d.toks[i] AS wd
        |      FROM d, UNNEST(generate_series(1, len(d.toks))) AS u(i)),
        |step(doc_id, ord, wd, pos, toks, failed) AS (
