@@ -1034,6 +1034,46 @@ object Queries {
       |UNION ALL
       |SELECT 100 AS rerank, TRUE AS recall_ok""".stripMargin
 
+  /** Persisted-index lossless gate (#29g): build the IVF index as a
+    * Manifest-versioned lake artifact (cell-clustered segments + a
+    * per-segment stats index), then probe it at nprobe = cells — the
+    * `ann_ivf_full` gate REPLAYED over the PERSISTED artifact. Any row
+    * lost in the segment write, the stats-prune, or the probe plumbing
+    * breaks the hash match; AnnIndexSpec separately proves the probe
+    * reads only the probed cells' files at narrow nprobe. Oracle = the
+    * same exhaustive ranking as ann_bruteforce_topk. */
+  def annIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString + "/idx"
+    graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16)
+    graft.sources.AnnIndex
+      .probe(spark, root, emb.where(col("vec_id") < 10), k = 5, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** Incremental-maintenance lossless gate (#29g2): build the index on
+    * the EVEN half of the corpus, [[graft.sources.AnnIndex.append]]
+    * the odd half against the existing centroids (no retrain — the
+    * dedup_incremental ledger discipline applied to ANN), then probe
+    * the appended version at nprobe = cells: the result must equal
+    * brute force over the FULL corpus, so a vector dropped or
+    * double-written anywhere in the append path breaks the hash.
+    * Centroid immutability under append is spec-gated
+    * (AnnIndexSpec). Oracle = ann_bruteforce_topk's ranking. */
+  def annIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-append").toString + "/idx"
+    graft.sources.AnnIndex.build(spark, emb.where(col("vec_id") % 2 === 0),
+      root, cells = 16, nFiles = 16)
+    graft.sources.AnnIndex.append(spark, root,
+      emb.where(col("vec_id") % 2 === 1))
+    graft.sources.AnnIndex
+      .probe(spark, root, emb.where(col("vec_id") < 10), k = 5, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
   /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
     * to cos ≈ 0 lands in a shared bucket w.p. > 0.9999, so the
     * bucketed search must return the exact brute-force top-k here. */
@@ -4720,6 +4760,8 @@ object Queries {
     "dedup_embedding_cross"    -> (dedupEmbeddingCross _),
     "dedup_embedding_sound"    -> (dedupEmbeddingSound _),
     "ann_ivf_full"             -> (annIvfFull _),
+    "ann_index_probe"          -> (annIndexProbe _),
+    "ann_index_append"         -> (annIndexAppend _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
     "multimodal_sound"         -> (multimodalSound _),
@@ -4886,6 +4928,8 @@ object Queries {
     "dedup_embedding_cross"    -> dedupEmbeddingCrossSql,
     "dedup_embedding_sound"    -> dedupEmbeddingSoundSql,
     "ann_ivf_full"             -> annBruteforceTopkSql,
+    "ann_index_probe"          -> annBruteforceTopkSql,
+    "ann_index_append"         -> annBruteforceTopkSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,
     "multimodal_sound"         -> multimodalSoundSql,

@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions._
   * rows-only there — the Pca/Dsir precedent).
   *
   * Reference evidence: quality gating over the documents table
-  * (`/root/reference/mnt/dags/02data_transformation.py` filters rows
-  * on derived per-row signals); this operator learns the filter
-  * instead of hard-coding it.
+  * (`/root/reference/mnt/dags/02datalake_to_datawarehouse.py:59-74`
+  * derives per-row signals and drops columns/rows by rule, and
+  * `scripts/product_to_demand.py:8` hard-codes the row-level
+  * derivation); this operator learns the filter instead of
+  * hard-coding it.
   */
 object Classify {
 

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *
   * Reference evidence for the surface: the pipeline's documents table
   * is the host for every per-document signal
-  * (`/root/reference/mnt/dags/02data_transformation.py` treats columns
+  * (`/root/reference/mnt/dags/02datalake_to_datawarehouse.py:59-92` treats columns
   * as opaque payloads + typed metadata); image/audio payloads are the
   * same pattern at binary type.
   */

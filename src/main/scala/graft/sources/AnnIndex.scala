@@ -1,0 +1,244 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Persisted ANN index: build-once / probe-many IVF over the lake.
+  *
+  * [[graft.operators.Similarity.ivfTopK]] trains centroids and assigns
+  * the corpus INSIDE every query — the right shape for a one-off
+  * search, the wrong economics at 100 TB, where the assignment pass is
+  * a full-corpus scan+shuffle and the index IS the product. This
+  * source publishes that work once as a Manifest-versioned artifact
+  * and gives probes a path that reads only the probed cells' FILES:
+  *
+  *  - `<root>/_commits/N` + `<root>/data-N-<tok>/` — the usual
+  *    [[Manifest]] CAS versions; a version's data dir holds the two
+  *    metadata tables `centroids/` (cell, centroid — cells×dim floats,
+  *    always tiny) and `catalog/` (segment path, row count, mean
+  *    assignment cosine).
+  *  - `<root>/segments/seg-<tok>/` — the corpus payload: (cell,
+  *    vec_id, embedding) CELL-CLUSTERED via repartitionByRange(cell) +
+  *    sortWithinPartitions, each segment carrying its own
+  *    [[StatsIndex]] over `cell`. Segments are immutable and live
+  *    OUTSIDE the version dirs, so an append publishes a new metadata
+  *    version referencing old segments + one new one — zero data
+  *    copy, the Delta/Iceberg economics. They are indexed by the same
+  *    writer that creates them, so index coverage is total by
+  *    construction (no staleness window).
+  *
+  * Probe cost: rank the persisted centroids per query (broadcast,
+  * tiny), collect the ≤`cells` distinct probed cell ids, keep only
+  * the segment files whose [min, max] cell range intersects them
+  * ([[StatsIndex.prunedFilesIn]]), scan those. With the cell-clustered
+  * layout that is ~nprobe/cells of the corpus BYTES, not just rows —
+  * the predicate is still re-applied, so pruning can only skip work,
+  * never change results. With nprobe = cells the probe degenerates to
+  * exact brute force — the driver's `ann_index_probe` /
+  * `ann_index_append` oracles gate exactly that.
+  *
+  * Incremental maintenance: [[append]] assigns an arriving batch to
+  * the EXISTING centroids (no retrain — the `dedup_incremental` ledger
+  * discipline applied to ANN), writes one new segment, and re-publishes
+  * metadata. It also measures drift: if the batch's mean assignment
+  * cosine falls more than `driftTolerance` below the index's running
+  * mean, the result recommends a refit ([[build]] again) — appends
+  * stay correct regardless (probes re-rank with true cosines; stale
+  * centroids only cost recall at narrow nprobe, never correctness).
+  */
+object AnnIndex {
+
+  private val SegmentsDir = "segments"
+
+  final case class AppendResult(version: Long, segment: String,
+                                batchMeanCos: Double, indexMeanCos: Double,
+                                refitRecommended: Boolean)
+
+  private def centroidsPath(dataDir: String) = s"$dataDir/centroids"
+  private def catalogPath(dataDir: String) = s"$dataDir/catalog"
+
+  /** One immutable cell-clustered segment + its stats index; returns
+    * (segment path, row count, mean assignment cosine). */
+  private def writeSegment(spark: SparkSession, root: String, df: DataFrame,
+                           idCol: String, vecCol: String,
+                           centroids: Seq[(Int, Array[Float])],
+                           nFiles: Int): (String, Long, Double) = {
+    graft.functions.GraftFunctions.register(spark)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val seg = s"$root/$SegmentsDir/seg-$token"
+    // nearest-cell assignment is the zero-exchange literal-centroid
+    // argmax (Similarity.assignCells); the only shuffle is the range
+    // partition that CREATES the cell clustering the probes prune on
+    val assigned = df.select(col(idCol).as("vec_id"),
+        col(vecCol).as("embedding"))
+      // `cosine` mode: identical argmax to ivfTopK's dot_norm (the
+      // scores differ by the row-constant positive ‖x‖), and the score
+      // IS the assignment cosine the drift stat needs
+      .withColumn("nc", graft.functions.GraftFunctions
+        .nearestCentroid(col("embedding"), centroids, "cosine"))
+      .select(col("nc").getField("cell").as("cell"),
+        col("vec_id"), col("embedding"),
+        col("nc").getField("score").as("ccos"))
+    assigned
+      .repartitionByRange(math.max(nFiles, 1), col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("errorifexists")
+      .parquet(seg)
+    StatsIndex.write(spark, seg, Seq("cell"))
+    // stats come from the WRITTEN segment (one cheap agg over what was
+    // persisted, not a recompute of the assignment expression)
+    val row = spark.read.parquet(seg)
+      .agg(count(lit(1)).as("n"), avg(col("ccos")).as("mc")).head()
+    (seg, row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
+  private def commitMeta(spark: SparkSession, root: String,
+                         centroids: Seq[(Int, Array[Float])],
+                         catalog: Seq[(String, Long, Double)],
+                         retain: Int): Long =
+    Manifest.commitWith(spark, root, retain) { dir =>
+      spark.createDataFrame(centroids).toDF("cell", "centroid")
+        .coalesce(1).write.parquet(centroidsPath(dir))
+      spark.createDataFrame(catalog).toDF("segment", "n_rows", "mean_cos")
+        .coalesce(1).write.parquet(catalogPath(dir))
+    }
+
+  private def dataDirOf(spark: SparkSession, root: String,
+                        version: Option[Long]): String = {
+    val v = version.orElse(Manifest.currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no ANN index at $root"))
+    Manifest.resolvedDataDir(spark, root, v)
+  }
+
+  /** The persisted centroids of `version` (default: current), as the
+    * literal Seq the zero-exchange argmax takes. Always tiny —
+    * cells × dim floats. */
+  def centroidsOf(spark: SparkSession, root: String,
+                  version: Option[Long] = None): Seq[(Int, Array[Float])] =
+    spark.read.parquet(centroidsPath(dataDirOf(spark, root, version)))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** The segment catalog of `version` (segment, n_rows, mean_cos). */
+  def catalogOf(spark: SparkSession, root: String,
+                version: Option[Long] = None): Seq[(String, Long, Double)] =
+    spark.read.parquet(catalogPath(dataDirOf(spark, root, version)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Train centroids (bounded sample, driver k-means — the
+    * [[graft.operators.Similarity.trainCentroids]] machinery), assign
+    * the corpus once, publish version 0-or-next of the index. Returns
+    * the committed version. `nFiles` sizes the segment so cells map to
+    * few files each (nFiles ≈ cells gives ~1 cell/file — maximal probe
+    * pruning; at 100 TB size it as corpusBytes/targetFileBytes like
+    * every clustered write, pruning then keeps ~nprobe/cells of it). */
+  def build(spark: SparkSession, corpus: DataFrame, root: String,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            cells: Int = 16, nFiles: Int = 16, retain: Int = 2,
+            seed: Long = 42L): Long = {
+    val sample = Similarity.sampleVectors(
+      corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+      math.max(cells * 256, 2048))
+    val centroids = Similarity.trainCentroids(sample, cells, seed = seed)
+    val seg = writeSegment(spark, root, corpus, idCol, vecCol, centroids,
+      nFiles)
+    commitMeta(spark, root, centroids, Seq(seg), retain)
+  }
+
+  /** Assign `batch` to the EXISTING centroids (no retrain), publish a
+    * new metadata version referencing every prior segment plus the new
+    * one, and report drift. Old versions stay readable per Manifest
+    * retention; the data copied is exactly the batch. */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             nFiles: Int = 16, driftTolerance: Double = 0.05,
+             retain: Int = 2): AppendResult = {
+    val centroids = centroidsOf(spark, root)
+    val prior = catalogOf(spark, root)
+    val seg = writeSegment(spark, root, batch, idCol, vecCol, centroids,
+      nFiles)
+    val version = commitMeta(spark, root, centroids, prior :+ seg, retain)
+    // index mean weighted over PRIOR segments: the baseline the batch
+    // is compared against (including the batch would mask its own drift)
+    val priorRows = prior.map(_._2).sum
+    val indexMean =
+      if (priorRows == 0) seg._3
+      else prior.map(s => s._3 * s._2).sum / priorRows
+    AppendResult(version, seg._1, seg._3, indexMean,
+      refitRecommended = seg._3 < indexMean - driftTolerance)
+  }
+
+  /** Top-k cosine search against the persisted index. Reads the
+    * centroid table (tiny), ranks it per query broadcast-side, then
+    * scans ONLY the segment files whose cell range intersects the
+    * probed cells — recording "kept/total" in
+    * `spark.graft.ann.lastPruned`. Output shape matches
+    * [[graft.operators.Similarity.ivfTopK]]; with nprobe = cells it is
+    * exactly brute force over everything ever built+appended. */
+  def probe(spark: SparkSession, root: String, queries: DataFrame,
+            k: Int, nprobe: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            version: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dataDir = dataDirOf(spark, root, version)
+    val centroidDf = broadcast(spark.read.parquet(centroidsPath(dataDir)))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("centroid_cos").desc, col("cell"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+        .crossJoin(centroidDf)
+        .withColumn("centroid_cos", Dedup.cosine(col("qvec"), col("centroid")))
+        .withColumn("prk", row_number().over(probeW))
+        .where(col("prk") <= nprobe)
+        .select(col("query_id"), col("qvec"), col("cell")))
+    // the probed cell set is bounded by the centroid count, so it is a
+    // legitimate driver-side plan input (the same discipline as the
+    // pruned file list itself)
+    val probeCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0).toLong).sorted.toSeq
+    val segments = catalogOf(spark, root, version).map(_._1)
+    val pruned = segments.map(s =>
+      StatsIndex.prunedFilesIn(spark, s, "cell", probeCells))
+    val kept = pruned.flatMap(_._1)
+    val total = pruned.map(_._2.size).sum
+    spark.conf.set("spark.graft.ann.lastPruned", s"${kept.size}/$total")
+    val corpus =
+      (if (kept.isEmpty)
+         spark.read.parquet(segments.head).limit(0) // schema, no rows
+       else spark.read.parquet(kept: _*))
+        // pruning is advisory; the cell predicate is re-applied (and
+        // pushed to the parquet scan) so results never depend on it
+        .where(col("cell").isInCollection(probeCells.map(_.toInt)))
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(corpus, "cell")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  /** Delete segments referenced by NO retained version — the payload
+    * half of [[Manifest.vacuum]] (which only GCs metadata dirs).
+    * Returns the removed segment paths. */
+  def vacuumSegments(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segRoot = new org.apache.hadoop.fs.Path(s"$root/$SegmentsDir")
+    if (!fs.exists(segRoot)) return Seq.empty
+    val referenced = Manifest.versions(spark, root)
+      .flatMap(v => catalogOf(spark, root, Some(v)).map(_._1))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val dead = fs.listStatus(segRoot).toSeq
+      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
+    dead.foreach(s => fs.delete(s.getPath, true))
+    dead.map(_.getPath.toString)
+  }
+}

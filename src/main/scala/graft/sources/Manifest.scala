@@ -114,13 +114,26 @@ object Manifest {
     * (each retry re-stages the data); at 0 a lost race throws
     * `ConcurrentModificationException` immediately. */
   def commit(spark: SparkSession, root: String, df: DataFrame,
-             retain: Int = 2, maxRetries: Int = 0): Long = {
+             retain: Int = 2, maxRetries: Int = 0): Long =
+    commitWith(spark, root, retain, maxRetries)(
+      dir => df.write.mode("overwrite").parquet(dir))
+
+  /** Commit an ARTIFACT a single `df.write` can't express — a version
+    * whose data dir holds several sub-tables (an index: centroids +
+    * segment catalog; a model: weights + vocab). `write` receives the
+    * staged dir and lays out whatever it needs; the CAS publish and GC
+    * are identical to [[commit]] (which is the single-table special
+    * case of this). The staged dir is uniquely named, so `write` needs
+    * no coordination with concurrent committers. */
+  def commitWith(spark: SparkSession, root: String,
+                 retain: Int = 2, maxRetries: Int = 0)
+                (write: String => Unit): Long = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
     var attempt = 0
     while (true) {
       val next = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-      try return commitAt(spark, root, df, next, retain)
+      try return commitDirAt(spark, root, write, next, retain)
       catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
@@ -140,10 +153,16 @@ object Manifest {
     * concurrency spec can interleave two committers deterministically. */
   private[graft] def commitAt(spark: SparkSession, root: String,
                               df: DataFrame, next: Long,
-                              retain: Int): Long = {
+                              retain: Int): Long =
+    commitDirAt(spark, root,
+      dir => df.write.mode("overwrite").parquet(dir), next, retain)
+
+  private[graft] def commitDirAt(spark: SparkSession, root: String,
+                                 write: String => Unit, next: Long,
+                                 retain: Int): Long = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dirName = s"data-$next-$token"
-    df.write.mode("overwrite").parquet(s"$root/$dirName")
+    write(s"$root/$dirName")
     val marker = new Path(new Path(root, CommitsDir), next.toString)
     val fs = fsOf(spark, marker)
     val won =

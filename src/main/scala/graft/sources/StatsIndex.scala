@@ -168,6 +168,32 @@ object StatsIndex {
     }
   }
 
+  /** Files of `table` whose indexed [min, max] on `c` may contain ANY
+    * of `values` — the set-valued sibling of [[readPruned]]'s interval
+    * test (probe cells of an ANN index, a GDPR key batch). Files
+    * absent from the index or without stats for `c` are KEPT
+    * (conservative, like every prune here); callers must re-apply
+    * their predicate. Returns (kept files, total files). The decision
+    * runs as a join against the index frame; only the surviving list
+    * comes back to the driver — which it must, since the caller reads
+    * exactly those paths. `values` is a bounded probe/delete request,
+    * fine as a plan literal. */
+  def prunedFilesIn(spark: SparkSession, table: String, c: String,
+                    values: Seq[Long]): (Seq[String], Seq[String]) = {
+    require(values.nonEmpty, "no values to prune by")
+    import spark.implicits._
+    val all = listDataFiles(spark, table)
+    val keysLit = typedLit(values)
+    val idxC = read(spark, table).where(col("col") === c)
+      .select(col("file"), col("min_num"), col("max_num"))
+    val kept = spark.createDataset(all).toDF("file")
+      .join(idxC, Seq("file"), "left")
+      .where(col("min_num").isNull || col("max_num").isNull ||
+        exists(keysLit, k => k >= col("min_num") && k <= col("max_num")))
+      .select("file").as[String].collect().toSeq
+    (kept, all)
+  }
+
   /** Targeted delete (GDPR / right-to-be-forgotten): remove every row
     * whose `keyCol` is in `keys`, REWRITING ONLY the files whose
     * indexed [min, max] can contain one of the keys — on a clustered
@@ -186,21 +212,7 @@ object StatsIndex {
   def deleteByKeys(spark: SparkSession, table: String, keyCol: String,
                    keys: Seq[Long]): (Int, Int) = {
     require(keys.nonEmpty, "no keys to delete")
-    import spark.implicits._
-    val all = listDataFiles(spark, table)
-    // the touch decision runs as a JOIN against the index frame, not a
-    // driver-side map over every file: only the (small, clustered-
-    // table) touched list comes back to the driver — which it must,
-    // since the rewrite reads exactly those paths. `keys` is a
-    // bounded delete request (a GDPR batch), fine as a plan literal.
-    val keysLit = typedLit(keys)
-    val idxC = read(spark, table).where(col("col") === keyCol)
-      .select(col("file"), col("min_num"), col("max_num"))
-    val touched = spark.createDataset(all).toDF("file")
-      .join(idxC, Seq("file"), "left")
-      .where(col("min_num").isNull || col("max_num").isNull ||
-        exists(keysLit, k => k >= col("min_num") && k <= col("max_num")))
-      .select("file").as[String].collect().toSeq
+    val (touched, all) = prunedFilesIn(spark, table, keyCol, keys)
     val untouched = all.filterNot(touched.toSet)
     if (touched.nonEmpty) {
       // NULL keys survive explicitly: `!isin` evaluates to NULL for a

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.{AnnIndex, Manifest}
+
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(tag).toString + "/idx"
+
+  test("probe at nprobe=cells over the persisted index equals brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = freshRoot("annidx-full")
+    val v = AnnIndex.build(spark, emb, root, cells = 8, nFiles = 8)
+    assert(v === 0L)
+    val q = emb.where(col("vec_id") < 5)
+    val got = AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === bf)
+  }
+
+  test("narrow probe reads ONLY the probed cells' files") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = freshRoot("annidx-prune")
+    // nFiles = cells: the cell-clustered layout puts ~1 cell per file
+    AnnIndex.build(spark, emb, root, cells = 8, nFiles = 8)
+    val q = emb.where(col("vec_id") === 0)
+    val res = AnnIndex.probe(spark, root, q, k = 3, nprobe = 2)
+    assert(res.count() === 3)
+    val Array(kept, total) =
+      spark.conf.get("spark.graft.ann.lastPruned").split("/").map(_.toInt)
+    // 2 probed cells of 8; range-partition boundaries are sampled, so a
+    // cell can straddle a file boundary — but the probe must scan well
+    // under half the files, not all of them
+    assert(total >= 8, s"expected >= 8 segment files, got $total")
+    assert(kept <= total / 2,
+      s"probe read $kept/$total files - pruning is not happening")
+    // and the probed result is still exactly brute force over the
+    // probed cells (pruning must never drop a row from a probed cell):
+    // every returned neighbor's cosine must be >= any neighbor outside
+    // the result at the same rank by construction of row_number; spot
+    // check rank-1 self-hit
+    assert(res.where(col("rk") === 1).select("neighbor_id")
+      .as[Long].head() === 0L)
+  }
+
+  test("append assigns to EXISTING centroids, new vectors become retrievable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    val root = freshRoot("annidx-append")
+    AnnIndex.build(spark, even, root, cells = 8, nFiles = 8)
+    val centsBefore = AnnIndex.centroidsOf(spark, root)
+    val r = AnnIndex.append(spark, root, odd)
+    assert(r.version === 1L)
+    // centroids are byte-identical across the append (no retrain)
+    val centsAfter = AnnIndex.centroidsOf(spark, root)
+    assert(centsBefore.map(_._1) === centsAfter.map(_._1))
+    assert(centsBefore.zip(centsAfter).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    })
+    // the appended version answers for the FULL corpus
+    val q = emb.where(col("vec_id") < 5)
+    val got = AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === bf)
+    // v0 (pre-append) stayed readable: time travel answers with evens only
+    val v0 = AnnIndex.probe(spark, root, q, k = 5, nprobe = 8,
+      version = Some(0L))
+    assert(v0.where(col("neighbor_id") % 2 === 1).count() === 0)
+  }
+
+  test("in-distribution append does not recommend refit; shifted batch does") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = freshRoot("annidx-drift")
+    AnnIndex.build(spark, emb, root, cells = 8, nFiles = 8)
+    // EXACTLY in-distribution batch: the same vectors under fresh ids —
+    // assignment cosines reproduce the build's bit-for-bit (at this
+    // tiny sf a merely-similar batch drifts legitimately: 8 centroids
+    // over ~60 near-uniform vectors overfit their members)
+    val ok = AnnIndex.append(spark, root,
+      emb.select(col("vec_id") + 100000, col("embedding"))
+        .toDF("vec_id", "embedding"))
+    assert(!ok.refitRecommended,
+      s"in-distribution batch flagged drift: $ok")
+    // adversarial batch: negate every vector — each lands maximally far
+    // from its (positive-halfspace) centroid, mean cosine collapses
+    val shifted = emb
+      .select(col("vec_id") + 200000, transform(col("embedding"), x => -x))
+      .toDF("vec_id", "embedding")
+    val bad = AnnIndex.append(spark, root, shifted)
+    assert(bad.refitRecommended,
+      s"negated batch not flagged: batch=${bad.batchMeanCos} " +
+        s"index=${bad.indexMeanCos}")
+    assert(bad.batchMeanCos < bad.indexMeanCos - 0.05)
+  }
+
+  test("vacuumSegments removes only unreferenced segments") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
+    val root = freshRoot("annidx-vacuum")
+    AnnIndex.build(spark, emb, root, cells = 4, nFiles = 2)
+    AnnIndex.append(spark, root, emb.where(col("vec_id") < 10)
+      .select(col("vec_id") + 1000, col("embedding"))
+      .toDF("vec_id", "embedding"))
+    // both versions retained → both segments referenced → no-op
+    assert(AnnIndex.vacuumSegments(spark, root) === Seq.empty)
+    // rebuild from scratch at v2 (fresh segment), then vacuum metadata
+    // down to v2 only: the v0/v1 segments become unreferenced
+    AnnIndex.build(spark, emb, root, cells = 4, nFiles = 2)
+    Manifest.vacuum(spark, root, retain = 1)
+    val dead = AnnIndex.vacuumSegments(spark, root)
+    assert(dead.size === 2, s"expected 2 dead segments, got $dead")
+    // the surviving index still answers
+    assert(AnnIndex.probe(spark, root,
+      emb.where(col("vec_id") === 0), k = 1, nprobe = 4).count() === 1)
+  }
+}
