@@ -63,4 +63,52 @@ class PlanLintSpec extends SparkSpec {
       Queries.all("pipeline_material_demand")(spark, sfDir))
     PlanLint.requireClean(Queries.all("curate_pipeline")(spark, sfDir))
   }
+
+  test("lintExecuted sees a runtime SMJ->BHJ conversion lint() cannot") {
+    // static broadcasts off, adaptive broadcasts on: the INITIAL plan
+    // must sort-merge, and AQE converts to broadcast-hash at runtime
+    // once the built side's actual bytes come in under the adaptive
+    // threshold — the conversion only exists in the final plan
+    val conf = spark.conf
+    val staticBefore = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val adaptiveBefore =
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10m")
+      val joined = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_orderstatus")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      def bc(fs: Seq[PlanLint.Finding]): Int =
+        fs.find(_.kind == "broadcast_count").get.detail.toInt
+      val initial = bc(PlanLint.lint(joined))
+      assert(initial === 0,
+        s"initial plan already broadcasts ($initial) - test setup broken")
+      val executed = bc(PlanLint.lintExecuted(joined))
+      assert(executed > 0,
+        "AQE SMJ->BHJ conversion invisible to the executed-plan lint")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", staticBefore)
+      adaptiveBefore match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  test("skewFindings lifts hot keys from Skew.report into findings") {
+    // 1000 rows on one key + 10 singletons: max/mean >> 4
+    val hot = (1 to 1000).map(_ => "hot") ++ (1 to 10).map(i => s"k$i")
+    val df = hot.toDF("k")
+    val fs = PlanLint.skewFindings(df, "k")
+    assert(fs.nonEmpty && fs.head.kind === "skewed_key")
+    assert(fs.head.detail.contains("k=hot"))
+    // uniform data stays quiet
+    assert(PlanLint.skewFindings(
+      (1 to 100).map(i => s"u$i").toDF("k"), "k").isEmpty)
+  }
 }
