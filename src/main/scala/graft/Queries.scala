@@ -4707,6 +4707,99 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Averaged-perceptron sound gate (#66a): the same two planted
+    * synchronous epochs as perceptron_sound, but the published vector
+    * is the epoch AVERAGE — the variance-reduction step the shipped
+    * filter actually uses (late epochs oscillate around the separator;
+    * the mean is the stable estimator). Every epoch weight is an exact
+    * integer and the average is ONE division by the epoch count, so
+    * DuckDB reproduces the averaged vector bit-for-bit. */
+  def perceptronAvgSound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = Classify.fitPerceptron(perceptronPlanted(spark, dir),
+      Seq("f1", "f2", "f3"), "y", epochs = 2)
+    (m.features :+ "__bias").zip(m.averagedWeights.toSeq)
+      .toDF("feature", "weight")
+  }
+
+  private val perceptronAvgSoundSql =
+    """WITH v AS (SELECT
+      |    CAST(doc_id % 5 - 2 AS DOUBLE) AS f1,
+      |    CAST(doc_id % 7 - 3 AS DOUBLE) AS f2,
+      |    CAST((doc_id // 7) % 3 - 1 AS DOUBLE) AS f3,
+      |    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS y
+      |  FROM documents),
+      |e1 AS (SELECT SUM(y*f1) AS a, SUM(y*f2) AS b,
+      |              SUM(y*f3) AS c, SUM(y) AS d FROM v),
+      |e2 AS (SELECT
+      |    (SELECT a FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f1 ELSE 0 END) AS a,
+      |    (SELECT b FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f2 ELSE 0 END) AS b,
+      |    (SELECT c FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y*f3 ELSE 0 END) AS c,
+      |    (SELECT d FROM e1) + SUM(CASE WHEN y * (((f1*(SELECT a FROM e1)
+      |        + f2*(SELECT b FROM e1)) + f3*(SELECT c FROM e1))
+      |        + (SELECT d FROM e1)) <= 0 THEN y ELSE 0 END) AS d
+      |  FROM v)
+      |SELECT 'f1' AS feature,
+      |  ((SELECT a FROM e1) + (SELECT a FROM e2)) / 2 AS weight
+      |UNION ALL SELECT 'f2', ((SELECT b FROM e1) + (SELECT b FROM e2)) / 2
+      |UNION ALL SELECT 'f3', ((SELECT c FROM e1) + (SELECT c FROM e2)) / 2
+      |UNION ALL SELECT '__bias',
+      |  ((SELECT d FROM e1) + (SELECT d FROM e2)) / 2""".stripMargin
+
+  /** Calibrated-classifier sampling (#66b): the composition the
+    * upgrade exists for — a keep-PROBABILITY from the classifier's
+    * margin drives the quality-weighted sampler (sample_by_quality's
+    * bucket draw, with the heuristic score replaced by the learned
+    * calibrated one: the CCNet/GPT-3 filter shape, where the filter
+    * emits p(keep) and sampling consumes it). The link is the
+    * engine-exact rational sigmoid (p = 1/2 + m/(2(1+|m|))) so the
+    * emitted probability ITSELF hash-matches; fixed integer weights
+    * keep the margin chain exact (perceptron_score precedent — the
+    * float FIT is gated separately by perceptron_avg_sound /
+    * perceptron_filter). Pure per-row scan, zero shuffle. */
+  def sampleByClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+    val model = Classify.PerceptronModel(
+      Seq("alpha_ratio", "punct_ratio", "stopword_ratio"),
+      Seq(Array(4.0, -3.0, 2.0, -1.0)))
+    Classify.scoreCalibrated(feats, model)
+      .where(Sampling.bucket65536(col("doc_id")) <
+             floor(col("p_keep") * 65536).cast("long"))
+      .select(col("doc_id"), col("p_keep"))
+  }
+
+  private val sampleByClassifierSql =
+    """WITH f AS (SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |    / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS stopword_ratio
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  ((alpha_ratio * 4.0 + punct_ratio * -3.0) + stopword_ratio * 2.0)
+      |    + -1.0 AS margin FROM f),
+      |p AS (SELECT doc_id,
+      |  0.5 + margin / (2.0 * (1.0 + abs(margin))) AS p_keep,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 29, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 30, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1) AS bucket
+      |  FROM m)
+      |SELECT doc_id, p_keep FROM p
+      |WHERE bucket < CAST(floor(p_keep * 65536) AS BIGINT)""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4828,8 +4921,10 @@ object Queries {
     "bpe_encode"               -> (bpeEncode _),
     "mixture_token_budget"     -> (mixtureTokenBudget _),
     "perceptron_sound"         -> (perceptronSound _),
+    "perceptron_avg_sound"     -> (perceptronAvgSound _),
     "perceptron_score"         -> (perceptronScore _),
     "perceptron_filter"        -> (perceptronFilter _),
+    "sample_by_classifier"     -> (sampleByClassifier _),
     "quality_filter_approx"    -> (qualityFilterApprox _),
     "curate_pipeline"          -> (curatePipeline _),
     "bpe_train"                -> (bpeTrain _),
@@ -4988,7 +5083,9 @@ object Queries {
     "bpe_encode_sound"         -> bpeEncodeSoundSql,
     "mixture_token_budget"     -> mixtureTokenBudgetSql,
     "perceptron_sound"         -> perceptronSoundSql,
+    "perceptron_avg_sound"     -> perceptronAvgSoundSql,
     "perceptron_score"         -> perceptronScoreSql,
+    "sample_by_classifier"     -> sampleByClassifierSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,
     "curate_pipeline"          -> curatePipelineSql,
     "sample_per_source"        -> samplePerSourceSql,

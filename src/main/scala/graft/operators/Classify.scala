@@ -42,6 +42,20 @@ object Classify {
   final case class PerceptronModel(features: Seq[String],
                                    history: Seq[Array[Double]]) {
     def weights: Array[Double] = history.last
+    /** AVERAGED weights — the mean of the post-epoch vectors (batch
+      * form of Freund & Schapire's averaged perceptron): late epochs
+      * oscillate around the separator and the average is the stable
+      * estimator a shipped filter wants. Arithmetic is the
+      * left-to-right epoch sum divided once by the epoch count, so
+      * with integer planted features the result is one exact integer
+      * division — identical IEEE in any engine (the sound-gate
+      * discipline of the plain weights carries over). */
+    def averagedWeights: Array[Double] = {
+      val d = history.head.length
+      Array.tabulate(d) { i =>
+        history.map(_(i)).reduceLeft(_ + _) / history.size
+      }
+    }
     /** (epoch, feature, weight) rows — scalar, driver-compare-safe. */
     def historyRows: Seq[(Int, String, Double)] =
       history.zipWithIndex.flatMap { case (w, e) =>
@@ -101,4 +115,47 @@ object Classify {
   def filter(df: DataFrame, model: PerceptronModel): DataFrame =
     score(df, model).where(col("margin") > 0.0)
       .drop("margin", "predicted")
+
+  // ------------------------------------------- calibrated probabilities
+
+  /** Engine-exact sigmoid link: p = 1/2 + m / (2·(1 + |m|)) — the
+    * "fast sigmoid" squash (x/(1+|x|) shifted into (0, 1)). Monotone
+    * in the margin, 0.5 at the boundary, saturating toward 0/1 — the
+    * calibration SHAPE of the logistic — but built from +, /, abs
+    * only, so two engines produce bit-identical probabilities from
+    * the same margin (Math.exp and another engine's exp may differ in
+    * the last ulp, which a hash gate cannot tolerate). Use this when
+    * the probability itself is part of a reproducibility contract:
+    * deterministic quality-weighted sampling, audit dumps, the driver
+    * oracle. */
+  def probabilityExact(margin: Column): Column =
+    lit(0.5) + margin / (lit(2.0) * (lit(1.0) + abs(margin)))
+
+  /** Logistic link p = 1 / (1 + e^(-m/T)) — the standard calibrated
+    * keep-probability (CCNet / GPT-3-style filters emit this, feeding
+    * downstream importance sampling). `temperature` rescales
+    * confidence (T > 1 softens, T < 1 sharpens — one-parameter
+    * temperature scaling). Exp's last ulp is libm-specific; rankings
+    * and thresholds are stable, exact cross-engine replay is what
+    * [[probabilityExact]] is for. */
+  def probabilityLogistic(margin: Column, temperature: Double = 1.0): Column = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    lit(1.0) / (lit(1.0) + exp(-margin / lit(temperature)))
+  }
+
+  /** Margin under the AVERAGED weights plus a calibrated
+    * keep-probability — the production scoring path of the upgraded
+    * classifier: the averaged separator scores, the link turns the
+    * margin into the [0, 1] keep-probability that quality-weighted
+    * sampling consumes directly (`p_keep` against a uniform
+    * [[Sampling.bucket65536]] draw — the sampleByQuality shape with a
+    * LEARNED score). Pure codegen scan, zero exchange. */
+  def scoreCalibrated(df: DataFrame, model: PerceptronModel,
+                      exact: Boolean = true,
+                      temperature: Double = 1.0): DataFrame = {
+    val margin = dot(model.features.map(col), model.averagedWeights)
+    val p = if (exact) probabilityExact(col("margin"))
+            else probabilityLogistic(col("margin"), temperature)
+    df.withColumn("margin", margin).withColumn("p_keep", p)
+  }
 }

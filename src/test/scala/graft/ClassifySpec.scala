@@ -59,4 +59,67 @@ class ClassifySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Classify.fitPerceptron(df, Seq.empty, "y", epochs = 1))
   }
+
+  test("averagedWeights is the per-coordinate mean of the epoch history") {
+    val df = Seq((1.0, 2.0, 1.0), (3.0, -1.0, -1.0)).toDF("f1", "f2", "y")
+    val m = Classify.fitPerceptron(df, Seq("f1", "f2"), "y", epochs = 3)
+    val expect = m.history.transpose.map(ws => ws.sum / 3)
+    assert(m.averagedWeights.toSeq === expect.toSeq)
+  }
+
+  test("calibrated probabilities: both links are monotone sigmoids around 0.5") {
+    val margins = Seq(-10.0, -1.0, -0.1, 0.0, 0.1, 1.0, 10.0)
+    val df = margins.toDF("m")
+    val ps = df.select(
+        Classify.probabilityExact(col("m")).as("pe"),
+        Classify.probabilityLogistic(col("m")).as("pl"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // in (0, 1), 0.5 exactly at the boundary, strictly increasing,
+    // and both links RANK margins identically
+    assert(ps.forall { case (a, b) => a > 0 && a < 1 && b > 0 && b < 1 })
+    assert(ps(3) === ((0.5, 0.5)))
+    assert(ps.map(_._1).toSeq === ps.map(_._1).sorted.toSeq)
+    assert(ps.map(_._2).toSeq === ps.map(_._2).sorted.toSeq)
+    // exact link reproduces its closed form bit-for-bit
+    for ((m, (pe, _)) <- margins.zip(ps))
+      assert(pe === 0.5 + m / (2.0 * (1.0 + math.abs(m))))
+  }
+
+  test("calibrated scores compose with quality-weighted sampling") {
+    import graft.operators.Sampling
+    // the composition sample_by_classifier registers: averaged-model
+    // margin -> exact keep-probability -> bucket draw. Fit on the
+    // planted separable data so p_keep is informative.
+    val rows = (0 until 400).map { i =>
+      val f1 = (i % 20).toDouble
+      val f2 = ((i * 7) % 20).toDouble
+      (i.toLong, f1, f2, if (f1 > f2) 1.0 else -1.0)
+    }
+    val df = rows.toDF("doc_id", "f1", "f2", "y")
+    val m = Classify.fitPerceptron(df, Seq("f1", "f2"), "y",
+      epochs = 10, lr = 0.25)
+    val scored = Classify.scoreCalibrated(df, m)
+    val kept = scored
+      .where(Sampling.bucket65536(col("doc_id")) <
+             floor(col("p_keep") * 65536).cast("long"))
+    // deterministic: same rows on a re-run with different partitioning
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = Classify.scoreCalibrated(df.repartition(13), m)
+      .where(Sampling.bucket65536(col("doc_id")) <
+             floor(col("p_keep") * 65536).cast("long"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // the sampler favors the classifier's keeps: the kept rate among
+    // high-p docs must dominate the rate among low-p docs
+    val hi = scored.where(col("p_keep") > 0.8)
+    val lo = scored.where(col("p_keep") < 0.2)
+    if (hi.count() > 20 && lo.count() > 20) {
+      val hiRate = hi.where(Sampling.bucket65536(col("doc_id")) <
+        floor(col("p_keep") * 65536).cast("long")).count().toDouble / hi.count()
+      val loRate = lo.where(Sampling.bucket65536(col("doc_id")) <
+        floor(col("p_keep") * 65536).cast("long")).count().toDouble / lo.count()
+      assert(hiRate > loRate,
+        s"high-p kept rate $hiRate not above low-p $loRate")
+    }
+  }
 }
