@@ -1523,6 +1523,42 @@ object Queries {
       |        + COALESCE(list_sum(pb[1:(n % 16)]), 0)) // n AS INTEGER) AS mean_pixel
       |FROM p""".stripMargin
 
+  /** PNG-codec driver gate (#34a): the compressed-container sibling of
+    * multimodal_sound — every blob is a genuine zlib-deflated PNG and
+    * the decode runs signature walk → IHDR parse → IDAT inflate →
+    * scanline de-filter. Dims and the floor-mean of the decoded raster
+    * are md5-determined, so DuckDB recomputes them without touching a
+    * byte of the container; any corruption in deflate framing, chunk
+    * CRC layout, inflate sizing, or the filter reconstruction breaks
+    * the decoded mean and with it the hash. Container size is NOT
+    * emitted: deflate output length is zlib-implementation-specific
+    * (the one field that is genuinely not engine-portable). */
+  def multimodalPng(spark: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.attachPngBlob(Tables.documents(spark, dir))
+    Multimodal.decodeMeta(spark, blobs).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+              col("channels"), col("mean_pixel"))
+  }
+
+  private val multimodalPngSql =
+    """WITH d AS (SELECT doc_id, md5(text) AS x FROM documents),
+      |s AS (SELECT doc_id,
+      |  ((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(x, 2, 1)) - 1) % 128 + 16 AS w,
+      |  ((strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+      |   + strpos('0123456789abcdef', substr(x, 4, 1)) - 1) % 128 + 16 AS h,
+      |  list_transform(generate_series(1, 16), j ->
+      |    (strpos('0123456789abcdef', substr(x, 2*j - 1, 1)) - 1) * 16
+      |    + strpos('0123456789abcdef', substr(x, 2*j, 1)) - 1) AS pb
+      |  FROM d),
+      |p AS (SELECT doc_id, w, h, 3 * w * h AS n, pb FROM s)
+      |SELECT doc_id,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels,
+      |  CAST(((n // 16) * list_sum(pb)
+      |        + COALESCE(list_sum(pb[1:(n % 16)]), 0)) // n AS INTEGER) AS mean_pixel
+      |FROM p""".stripMargin
+
   // ------------------------------- temporal joins (as-of / range)
 
   /** As-of join: attribute each purchase event to the same user's most
@@ -4858,6 +4894,7 @@ object Queries {
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
     "multimodal_sound"         -> (multimodalSound _),
+    "multimodal_png"           -> (multimodalPng _),
     "pivot_material"           -> (pivotMaterial _),
     "setops_suppliers"         -> (setOpsSuppliers _),
     "bloom_semi_join"          -> (bloomSemiJoinUrgent _),
@@ -5028,6 +5065,7 @@ object Queries {
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,
     "multimodal_sound"         -> multimodalSoundSql,
+    "multimodal_png"           -> multimodalPngSql,
     "pivot_material"           -> pivotMaterialSql,
     "setops_suppliers"         -> setOpsSuppliersSql,
     "bloom_semi_join"          -> bloomSemiJoinUrgentSql,

@@ -166,11 +166,144 @@ object Multimodal {
       finish(dataSize / channels, 1, channels, samples)
     }
 
+    // ---- PNG: the COMPRESSED container (8-byte signature + chunked
+    // IHDR/IDAT/IEND, IDAT = zlib deflate of filtered scanlines).
+    // Pure-JVM via java.util.zip {Deflater, Inflater, CRC32} — public
+    // knowledge end to end (RFC 2083 + RFC 1950/1951). 8-bit
+    // truecolor (color type 2) only; the decoder de-filters ALL five
+    // scanline filters (None/Sub/Up/Average/Paeth) even though the
+    // encoder emits filter 0, so externally-produced PNGs decode too.
+
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def pngChunk(out: java.io.ByteArrayOutputStream,
+                         typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(len); out.write(t); out.write(data)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc.getValue.toInt).array())
+    }
+
+    def encodePng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val px = cycle(payload, 3 * w * h)
+      // scanlines: filter byte 0 + raw RGB row (filter 0 keeps the
+      // planted-payload arithmetic oracle-checkable; deflate is
+      // lossless so the decoded mean is untouched by compression)
+      val raw = new Array[Byte](h * (1 + 3 * w))
+      var y = 0
+      while (y < h) {
+        System.arraycopy(px, y * 3 * w, raw, y * (1 + 3 * w) + 1, 3 * w)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zout = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished())
+        zout.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8: Byte)  // bit depth
+        .put(2: Byte)  // color type: truecolor RGB
+        .put(0: Byte).put(0: Byte).put(0: Byte) // deflate, adaptive, none
+        .array()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngSig)
+      pngChunk(out, "IHDR", ihdr)
+      pngChunk(out, "IDAT", zout.toByteArray)
+      pngChunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    private def decodePng(bytes: Array[Byte]): Decoded = {
+      require(bytes.length >= 8 + 25 + 12 &&
+        bytes.take(8).sameElements(PngSig), "PNG: bad signature")
+      val b = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+      var pos = 8
+      var w = 0; var h = 0
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(pos + 8 <= bytes.length, "PNG: truncated chunk header")
+        val len = b.getInt(pos)
+        val typ = new String(bytes, pos + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(len >= 0 && pos + 12L + len <= bytes.length,
+          s"PNG: chunk $typ out of bounds (len=$len)")
+        typ match {
+          case "IHDR" =>
+            w = b.getInt(pos + 8); h = b.getInt(pos + 12)
+            val depth = bytes(pos + 16); val color = bytes(pos + 17)
+            val interlace = bytes(pos + 20)
+            require(depth == 8 && color == 2 && interlace == 0,
+              s"PNG: unsupported depth=$depth color=$color " +
+                s"interlace=$interlace (8-bit RGB, no interlace only)")
+          case "IDAT" => idat.write(bytes, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      require(w > 0 && h > 0, "PNG: missing IHDR")
+      val stride = 3 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished(),
+          "PNG: truncated or corrupt IDAT stream")
+        off += n
+      }
+      inflater.end()
+      require(off == raw.length,
+        s"PNG: inflated $off bytes, expected ${raw.length}")
+      // de-filter (RFC 2083 §6): recon against left (a), above (b),
+      // upper-left (c) neighbors at 3 bytes/pixel
+      val px = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (1 + stride)) & 0xff
+        var i = 0
+        while (i < stride) {
+          val x = raw(y * (1 + stride) + 1 + i) & 0xff
+          val a = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+          val bU = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+          val c = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+          val recon = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + bU
+            case 3 => x + (a + bU) / 2
+            case 4 =>
+              val p = a + bU - c
+              val pa = math.abs(p - a); val pb = math.abs(p - bU)
+              val pc = math.abs(p - c)
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bU else c)
+            case other =>
+              throw new IllegalArgumentException(s"PNG: bad filter $other")
+          }
+          px(y * stride + i) = (recon & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      finish(w, h, 3, px)
+    }
+
     /** Dispatch on magic bytes. */
     def decode(bytes: Array[Byte]): Decoded = {
       require(bytes.length >= 4, "blob too short for any known magic")
       if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
       else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+      else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+               bytes(2) == 'N' && bytes(3) == 'G') decodePng(bytes)
       else if (bytes(0) == 'R' && bytes(1) == 'I' &&
                bytes(2) == 'F' && bytes(3) == 'F') decodeWav(bytes)
       else throw new IllegalArgumentException(
@@ -206,6 +339,30 @@ object Multimodal {
           case _       => Codec.encodeWav(3 * w * h, p)
         }
         Blob(id, mt, bytes)
+      }
+      .toDF()
+  }
+
+  /** Plant a deterministic PNG blob per document — the COMPRESSED
+    * sibling of [[attachBlob]]'s containers: same md5-derived dims and
+    * cycled payload, but the raster rides zlib-deflated inside IDAT,
+    * so decode exercises inflate + de-filter, not just header walks.
+    * Deflate OUTPUT bytes are zlib-implementation-specific (container
+    * size is NOT oracle material); the decoded dims/channels/mean are
+    * bit-determined by the spec and gate-checked. */
+  def attachPngBlob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 2), 16, 10)
+          .cast("int") % 128 + 16).as("w"),
+        (conv(substring(md5(col("text")), 3, 2), 16, 10)
+          .cast("int") % 128 + 16).as("h"),
+        unhex(md5(col("text"))).as("payload"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, p) =>
+        Blob(id, "image", Codec.encodePng(w, h, p))
       }
       .toDF()
   }

@@ -93,4 +93,85 @@ class MultimodalSpec extends SparkSpec {
     val f2 = Multimodal.frameSample(blobs(), frameBytes = 64, stride = 2)
     assert(f2.where(length(col("frame")) =!= 64).count() === 0)
   }
+
+  test("PNG round-trips through deflate: encode -> decode recovers pixels") {
+    val payload = Array.tabulate(16)(i => (i * 31 + 7).toByte)
+    val png = Codec.decode(Codec.encodePng(5, 3, payload))
+    assert((png.width, png.height, png.channels) === (5, 3, 3))
+    assert(png.payload.toSeq === Array.tabulate(45)(k => payload(k % 16)).toSeq)
+    // identical dims+payload as the uncompressed BMP plant -> identical
+    // mean (compression must be lossless end to end)
+    assert(png.meanPixel === Codec.decode(Codec.encodeBmp(5, 3, payload)).meanPixel)
+    // corrupt IDAT dies loudly, not with garbage pixels
+    val blob = Codec.encodePng(5, 3, payload)
+    blob(blob.length - 20) = (blob(blob.length - 20) ^ 0x55).toByte
+    intercept[Exception](Codec.decode(blob))
+  }
+
+  test("PNG decoder reconstructs all five scanline filters") {
+    // hand-build a PNG whose rows use Sub/Up/Average/Paeth (our encoder
+    // only emits None) and check the decoder inverts each transform
+    val w = 4; val h = 5; val stride = 3 * w
+    val px = Array.tabulate(h * stride)(i => ((i * 37 + 11) % 256).toByte)
+    val raw = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val f = y % 5 // row y uses filter y: None, Sub, Up, Average, Paeth
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val x = px(y * stride + i) & 0xff
+        val a = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+        val b = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (1 + stride) + 1 + i) = ((x - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    // reuse the real encoder for framing, then swap in our IDAT: build
+    // via the same chunk layout (sig + IHDR + IDAT + IEND)
+    val out = new java.io.ByteArrayOutputStream()
+    val sig = Codec.encodePng(w, h, Array[Byte](1)).take(8 + 25) // sig+IHDR
+    out.write(sig)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(t); out.write(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val dec = Codec.decode(out.toByteArray)
+    assert((dec.width, dec.height) === (w, h))
+    assert(dec.payload.toSeq === px.toSeq,
+      "filtered scanlines did not reconstruct")
+  }
+
+  test("attachPngBlob plants genuine PNGs whose decode matches the BMP plant") {
+    val docs = Tables.documents(spark, sfDir).limit(20)
+    val png = Multimodal.decodeMeta(spark, Multimodal.attachPngBlob(docs))
+      .collect().map(m => (m.doc_id, m.width, m.height, m.mean_pixel)).sorted
+    // same md5-derived dims/payload as the BMP image branch
+    val bmpBlobs = Multimodal.attachBlob(docs)
+    val bmp = Multimodal.decodeMeta(spark, bmpBlobs)
+      .collect().filter(_.media_type == "image")
+      .map(m => (m.doc_id, m.width, m.height, m.mean_pixel)).sorted
+    val pngByDoc = png.toSeq.map(t => t._1 -> t).toMap
+    bmp.foreach { case t @ (id, _, _, _) => assert(pngByDoc(id) === t) }
+  }
 }
