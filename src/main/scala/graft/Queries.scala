@@ -4181,7 +4181,15 @@ object Queries {
     // per-order k² pairs then expand inside codegen with the (u, v)
     // count's partial agg absorbing them map-side — per-key work is
     // Σ(suppliers-per-order)², bounded per order, linear in orders.
+    // bounded gate corpus (the wordpiece/containment rule): ScaleN
+    // shifts orderkeys in 1M strides, so < 1M covers the ENTIRE table
+    // at every driver SF (sf0.01 max 14999, sf0.1 max 149999) and
+    // selects the first full copy at the 100x derived set — where the
+    // DuckDB twin's co-occurrence self-join previously spilled ~70 GB
+    // and died unbounded. The unbounded engine path stays probed by
+    // Scale100 (20.3 s / 2.1 GB peak at 100x).
     val sets = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") < 1000000)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
     val weighted = sets
@@ -4194,7 +4202,8 @@ object Queries {
   }
 
   private val triangleCountsSql =
-    """WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      |           WHERE l_orderkey < 1000000),
       |cw AS (SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
       |       FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
       |                        AND a.l_suppkey < b.l_suppkey
@@ -4322,20 +4331,29 @@ object Queries {
     * gate is hash-exact at the operator's production parameters —
     * candidate pruning is part of the operator's spec, not slop. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
-                           dfNum = 1, dfDen = 5, minNum = 1, minDen = 2,
-                           maxJoinTokens = 16)
+    // bounded gate corpus (the wordpiece_tokenize rule, r10 commit
+    // precedent): the DuckDB twin mirrors the k-rarest candidate
+    // generation with three corpus-wide self-joins — fine at 20k docs,
+    // >20 min at the 100x 500k-doc set. The bound covers the WHOLE
+    // table at the driver's sf0.01 gate; the unbounded operator is
+    // probed at 100x by Scale100 (10.9 s / 545 MB).
+    Dedup.containmentPairs(
+      Tables.documents(spark, dir).where(col("doc_id") < 20000),
+      "doc_id", "text",
+      dfNum = 1, dfDen = 5, minNum = 1, minDen = 2,
+      maxJoinTokens = 16)
 
   private val dedupContainmentSql =
-    """WITH tok AS (
+    """WITH bd AS (SELECT doc_id, text FROM documents WHERE doc_id < 20000),
+      |tok AS (
       |  SELECT DISTINCT doc_id AS doc,
       |    unnest(regexp_split_to_array(
       |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-      |  FROM documents),
+      |  FROM bd),
       |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
       |rare AS (SELECT tok, COUNT(*) AS df FROM tok2 GROUP BY tok
       |        HAVING COUNT(*) * 5 <= (SELECT COUNT(DISTINCT doc_id)
-      |                                FROM documents)),
+      |                                FROM bd)),
       |rt AS (SELECT t.doc, t.tok, r.df FROM tok2 t JOIN rare r USING (tok)),
       |pk AS (SELECT doc, tok FROM (
       |        SELECT doc, tok,
@@ -4360,7 +4378,9 @@ object Queries {
     * exist, as in dedup_cross_corpus). See
     * [[Dedup.containmentPairsAcross]]. */
   def dedupContainmentCross(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // bounded gate corpus, as in dedup_containment (full table at
+    // sf0.01; DuckDB-feasible slice at 100x)
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 20000)
     Dedup.containmentPairsAcross(
       docs.where(col("doc_id") % 2 === 0),
       docs.where(col("doc_id") % 2 === 1),
@@ -4369,15 +4389,16 @@ object Queries {
   }
 
   private val dedupContainmentCrossSql =
-    """WITH tok AS (
+    """WITH bd AS (SELECT doc_id, text FROM documents WHERE doc_id < 20000),
+      |tok AS (
       |  SELECT DISTINCT doc_id AS doc,
       |    unnest(regexp_split_to_array(
       |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-      |  FROM documents),
+      |  FROM bd),
       |tok2 AS (SELECT * FROM tok WHERE tok <> ''),
       |ta AS (SELECT * FROM tok2 WHERE doc % 2 = 0),
       |tb AS (SELECT * FROM tok2 WHERE doc % 2 = 1),
-      |nb AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+      |nb AS (SELECT COUNT(DISTINCT doc_id) AS n FROM bd
       |       WHERE doc_id % 2 = 1),
       |dfb AS (SELECT tok, COUNT(*) AS df FROM tb GROUP BY tok),
       |ra AS (SELECT ta.doc, ta.tok, COALESCE(dfb.df, 0) AS df
