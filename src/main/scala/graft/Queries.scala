@@ -4821,11 +4821,18 @@ object Queries {
     * float FIT is gated separately by perceptron_avg_sound /
     * perceptron_filter). Pure per-row scan, zero shuffle. */
   def sampleByClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint the NARROW feature frame once (the
+    // quality_filter_approx / perceptron_filter lesson): p_keep is
+    // referenced by the filter, the projection, and any downstream
+    // agg, and each reference would otherwise re-evaluate the
+    // 3-regex chain per row (measured 53 s → ~1 scan at 100×).
+    // Blocks are freed by the caller's Blocks.freeAll.
     val feats = Tables.documents(spark, dir).select(
       col("doc_id"),
       TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
       TextFunctions.punctRatio(col("text")).as("punct_ratio"),
       TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+      .localCheckpoint()
     val model = Classify.PerceptronModel(
       Seq("alpha_ratio", "punct_ratio", "stopword_ratio"),
       Seq(Array(4.0, -3.0, 2.0, -1.0)))

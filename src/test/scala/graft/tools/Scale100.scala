@@ -325,6 +325,53 @@ object Scale100 {
         .groupBy(col("n_unseen")).agg(sum("hit_mass").as("h"))
     }
 
+    // ---- round-11 operators: the persisted ANN index lifecycle over
+    // the full 200k-vector table (build = train + assign + one
+    // cell-clustered segment write + stats index; append = assign the
+    // batch against frozen centroids + one new segment, zero data
+    // copy; probe = centroid rank + stats-pruned read of the probed
+    // cells' files ONLY), the PNG codec family (deflate encode +
+    // inflate/de-filter decode per doc over 500k docs), and the
+    // calibrated-classifier sampler (pure scan)
+    val annRoot = s"$dir/__ann_index"
+    run("ann_index_build") {
+      val emb = Tables.embeddings(spark, dir)
+      graft.sources.AnnIndex.build(spark, emb.where(col("vec_id") % 10 =!= 0),
+        annRoot, cells = 64, nFiles = 64)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$annRoot/segments").groupBy("cell").count()
+    }
+    run("ann_index_append") {
+      val emb = Tables.embeddings(spark, dir)
+      graft.sources.AnnIndex.append(spark, annRoot,
+        emb.where(col("vec_id") % 10 === 0), nFiles = 64)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$annRoot/segments").groupBy("cell").count()
+    }
+    // 100-query throughput row: 100×4 probes cover ~all 64 cells, so
+    // this is the probe path's full-corpus upper bound
+    run("ann_index_probe_100q") {
+      val q = Tables.embeddings(spark, dir).where(col("vec_id") < 100)
+      graft.sources.AnnIndex.probe(spark, annRoot, q, k = 10, nprobe = 4)
+    }
+    println("SCALE100 ann_prune_100q=" +
+      spark.conf.get("spark.graft.ann.lastPruned", "?"))
+    // selective row: 5 queries probe ≤20 of 64 cells — the kept/total
+    // line is the file-pruning evidence (cell-clustered layout +
+    // per-segment stats index doing their job)
+    run("ann_index_probe_5q") {
+      val q = Tables.embeddings(spark, dir).where(col("vec_id") < 5)
+      graft.sources.AnnIndex.probe(spark, annRoot, q, k = 10, nprobe = 4)
+    }
+    println("SCALE100 ann_prune_5q=" +
+      spark.conf.get("spark.graft.ann.lastPruned", "?"))
+    run("multimodal_png")(
+      SparkEntry.queries("multimodal_png")(spark, dir)
+        .groupBy("width").agg(sum(col("mean_pixel"))))
+    run("sample_by_classifier")(
+      SparkEntry.queries("sample_by_classifier")(spark, dir)
+        .groupBy((floor(col("p_keep") * 10)).as("b")).count())
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
