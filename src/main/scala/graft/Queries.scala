@@ -608,6 +608,45 @@ object Queries {
       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rk
       |FROM p QUALIFY rk <= 10""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion (#39b): the lexical
+    * BM25 top-10 and a dense cosine top-20 (query = doc 0's embedding
+    * against the aligned embedding table), fused by
+    * [[Similarity.rrfFuse]] — score(d) = 1/(60+rk_bm25) +
+    * 1/(60+rk_dense), absent-list contributions 0, fixed addition
+    * order. Rank reciprocals are rational (integer + integer → one
+    * IEEE division), so the fused score itself hash-matches; the
+    * heavy work happened in the retrievers and the fusion joins only
+    * top-k heads. This is the retrieval front-end of RAG-style data
+    * curation: lexical recall ∪ semantic recall, no score
+    * calibration needed across the two. */
+  def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val dense = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") === 0), emb, 20)
+      .select(col("neighbor_id").as("doc_id"), col("rk"))
+    val lexical = bm25Search(spark, dir).select(col("doc_id"), col("rk"))
+    Similarity.rrfFuse(Seq(lexical, dense), "doc_id", "rk",
+      kRrf = 60, topK = 10)
+  }
+
+  private val hybridSearchRrfSql =
+    s"""WITH bm AS ($bm25SearchSql),
+       |dense AS (
+       |  SELECT neighbor_id AS doc_id, rk FROM (
+       |    SELECT c.vec_id AS neighbor_id,
+       |      row_number() OVER (
+       |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+       |                 c.vec_id) AS rk
+       |    FROM embeddings q, embeddings c WHERE q.vec_id = 0) t
+       |  WHERE rk <= 20),
+       |f AS (SELECT COALESCE(bm.doc_id, dense.doc_id) AS doc_id,
+       |    COALESCE(1.0e0 / (60 + bm.rk), 0.0e0)
+       |  + COALESCE(1.0e0 / (60 + dense.rk), 0.0e0) AS rrf_score
+       |  FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id)
+       |SELECT doc_id, rrf_score,
+       |  row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+       |FROM f QUALIFY rk <= 10""".stripMargin
+
   // ------------------------------------------- text analysis (#30-33)
 
   def textTokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -4957,6 +4996,7 @@ object Queries {
     "value_percentiles_by_type" -> (valuePercentilesByType _),
     "clip_outliers"            -> (clipOutliers _),
     "bm25_search"              -> (bm25Search _),
+    "hybrid_search_rrf"        -> (hybridSearchRrf _),
     "source_mixture"           -> (sourceMixture _),
     "quality_filter"           -> (qualityFilter _),
     "bpe_top_pairs"            -> (bpeTopPairs _),
@@ -5123,6 +5163,7 @@ object Queries {
     "value_percentiles_by_type" -> valuePercentilesByTypeSql,
     "clip_outliers"            -> clipOutliersSql,
     "bm25_search"              -> bm25SearchSql,
+    "hybrid_search_rrf"        -> hybridSearchRrfSql,
     "source_mixture"           -> sourceMixtureSql,
     "quality_filter"           -> qualityFilterSql,
     "bpe_top_pairs"            -> bpeTopPairsSql,

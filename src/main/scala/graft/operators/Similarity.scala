@@ -91,6 +91,37 @@ object Similarity {
               col("nlabel"), col("rk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009): fuse N
+    * ranked lists into one by score(d) = Σ_lists 1/(kRrf + rank_l(d)),
+    * a doc absent from a list contributing 0. THE standard hybrid-
+    * retrieval combiner (lexical BM25 ⊕ dense ANN) because it needs no
+    * score calibration across lists — ranks only — and kRrf ≈ 60
+    * damps the head so one list can't dominate. Implementation: a
+    * left-to-right fold of full-outer joins on the id with the
+    * per-list contributions added in FIXED list order — the float
+    * sum's association is pinned by construction, so the fused score
+    * is bit-deterministic on any engine or partitioning (the bm25
+    * fixed-term-order discipline applied to fusion). Every input is a
+    * top-k head, so all join sides are bounded (broadcast-sized) —
+    * the heavy lifting happened in the retrievers. Ties break on id. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two ranked lists")
+    val contribs = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol),
+        (lit(1.0) / (lit(kRrf) + col(rankCol))).as(s"__c$i"))
+    }
+    val joined = contribs.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol))
+    joined.withColumn("rrf_score", score)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col(idCol), col("rrf_score"), col("rk"))
+  }
+
   /** Nearest-cell assignment as a per-row argmax over literal
     * centroids: zero Exchange, zero row explosion. (The former
     * `crossJoin(centroids)` + `row_number` form exploded the corpus

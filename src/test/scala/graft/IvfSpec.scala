@@ -51,6 +51,38 @@ class IvfSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1))
   }
 
+  test("rrfFuse: hand-checked scores, absent-list zeros, id tie-break, 3 lists") {
+    // list A ranks docs 1,2,3; list B ranks 2,3,4 — doc 2 and 3 get
+    // two contributions, 1 and 4 one each
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rk")
+    val b = Seq((2L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rk")
+    val fused = Similarity.rrfFuse(Seq(a, b), "doc_id", "rk", kRrf = 60,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val score = fused.map(t => t._1 -> t._2).toMap
+    assert(score(2L) === 1.0 / 62 + 1.0 / 61)
+    assert(score(3L) === 1.0 / 63 + 1.0 / 62)
+    assert(score(1L) === 1.0 / 61)
+    assert(score(4L) === 1.0 / 63)
+    // doc 1 (rank 1 in A only) and doc 4 (rank 3 in B only) differ;
+    // ranking: 2, 3, 1, 4
+    assert(fused.sortBy(_._3).map(_._1).toSeq === Seq(2L, 3L, 1L, 4L))
+    // equal contributions tie-break on id: two docs each only rank-1
+    val x = Seq((7L, 1)).toDF("doc_id", "rk")
+    val y = Seq((5L, 1)).toDF("doc_id", "rk")
+    val tie = Similarity.rrfFuse(Seq(x, y), "doc_id", "rk", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(tie.sortBy(_._2).map(_._1).toSeq === Seq(5L, 7L))
+    // three lists fold in fixed order
+    val c = Seq((1L, 1)).toDF("doc_id", "rk")
+    val three = Similarity.rrfFuse(Seq(a, b, c), "doc_id", "rk", topK = 1)
+      .collect().head
+    assert(three.getLong(0) === 1L || three.getLong(0) === 2L)
+    // doc 1: 1/61 (A) + 1/61 (C) vs doc 2: 1/62 + 1/61 — doc 1 wins
+    assert(three.getLong(0) === 1L)
+    assert(three.getDouble(1) === (1.0 / 61 + 0.0) + 1.0 / 61)
+  }
+
   test("IVF with nprobe = cells reproduces brute force exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.where(col("vec_id") < 5)
