@@ -1091,6 +1091,26 @@ object Queries {
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
+  /** Persisted-PQ lossless gate (#29g3): the index built WITH product
+    * quantization — every segment carries a parallel cell-clustered
+    * code table, codebooks live in the version metadata — probed
+    * through the ADC path (codes scanned, raw vectors touched only in
+    * the exact re-rank) at nprobe = cells and unbounded rerank: the
+    * stages become lossless plumbing and the result must equal brute
+    * force (the ann_pq_full gate replayed over the PERSISTED
+    * artifact). Oracle = ann_bruteforce_topk's ranking. */
+  def annIndexPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ann-pq").toString + "/idx"
+    graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16,
+      pqSubspaces = 8, pqCodes = 16)
+    graft.sources.AnnIndex
+      .probePq(spark, root, emb.where(col("vec_id") < 10), k = 5,
+        nprobe = 16, rerank = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
   /** Incremental-maintenance lossless gate (#29g2): build the index on
     * the EVEN half of the corpus, [[graft.sources.AnnIndex.append]]
     * the odd half against the existing centroids (no retrain — the
@@ -4958,6 +4978,7 @@ object Queries {
     "ann_ivf_full"             -> (annIvfFull _),
     "ann_index_probe"          -> (annIndexProbe _),
     "ann_index_append"         -> (annIndexAppend _),
+    "ann_index_pq"             -> (annIndexPq _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
     "multimodal_sound"         -> (multimodalSound _),
@@ -5130,6 +5151,7 @@ object Queries {
     "ann_ivf_full"             -> annBruteforceTopkSql,
     "ann_index_probe"          -> annBruteforceTopkSql,
     "ann_index_append"         -> annBruteforceTopkSql,
+    "ann_index_pq"             -> annBruteforceTopkSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,
     "multimodal_sound"         -> multimodalSoundSql,

@@ -56,15 +56,26 @@ object AnnIndex {
                                 batchMeanCos: Double, indexMeanCos: Double,
                                 refitRecommended: Boolean)
 
+  /** One immutable corpus segment: the raw cell-clustered vectors at
+    * `path`, plus (when the index was built with PQ) the parallel
+    * cell-clustered code table at `codesPath` — the ~32×-smaller
+    * artifact [[probePq]] scans instead of the vectors. Empty
+    * `codesPath` = no codes for this segment. */
+  final case class Segment(path: String, nRows: Long, meanCos: Double,
+                           codesPath: String)
+
   private def centroidsPath(dataDir: String) = s"$dataDir/centroids"
   private def catalogPath(dataDir: String) = s"$dataDir/catalog"
+  private def codebooksPath(dataDir: String) = s"$dataDir/codebooks"
 
-  /** One immutable cell-clustered segment + its stats index; returns
-    * (segment path, row count, mean assignment cosine). */
+  /** One immutable cell-clustered segment + its stats index (and,
+    * with codebooks, the parallel PQ code table). */
   private def writeSegment(spark: SparkSession, root: String, df: DataFrame,
                            idCol: String, vecCol: String,
                            centroids: Seq[(Int, Array[Float])],
-                           nFiles: Int): (String, Long, Double) = {
+                           nFiles: Int,
+                           codebooks: Option[Seq[Seq[(Int, Array[Float])]]])
+      : Segment = {
     graft.functions.GraftFunctions.register(spark)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val seg = s"$root/$SegmentsDir/seg-$token"
@@ -91,18 +102,49 @@ object AnnIndex {
     // persisted, not a recompute of the assignment expression)
     val row = spark.read.parquet(seg)
       .agg(count(lit(1)).as("n"), avg(col("ccos")).as("mc")).head()
-    (seg, row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+    val codesSeg = codebooks match {
+      case Some(cbs) =>
+        // encode from the WRITTEN segment (assignment not recomputed);
+        // the codes ride their own cell-clustered table + stats index,
+        // so probePq prunes code FILES exactly like probe prunes
+        // vector files — and reads ~dim·32/(m·log2 ksub) times fewer
+        // bytes per surviving file
+        val cs = s"$seg-codes"
+        Similarity.pqEncode(
+            spark.read.parquet(seg).select(col("cell"), col("vec_id"),
+              col("embedding")),
+            "embedding", cbs)
+          .select(col("cell"), col("vec_id"), col("codes"))
+          .repartitionByRange(math.max(nFiles, 1), col("cell"))
+          .sortWithinPartitions("cell")
+          .write.mode("errorifexists").parquet(cs)
+        StatsIndex.write(spark, cs, Seq("cell"))
+        cs
+      case None => ""
+    }
+    Segment(seg, row.getLong(0),
+      if (row.isNullAt(1)) 0.0 else row.getDouble(1), codesSeg)
   }
 
   private def commitMeta(spark: SparkSession, root: String,
                          centroids: Seq[(Int, Array[Float])],
-                         catalog: Seq[(String, Long, Double)],
+                         catalog: Seq[Segment],
+                         codebooks: Option[Seq[Seq[(Int, Array[Float])]]],
                          retain: Int): Long =
     Manifest.commitWith(spark, root, retain) { dir =>
       spark.createDataFrame(centroids).toDF("cell", "centroid")
         .coalesce(1).write.parquet(centroidsPath(dir))
-      spark.createDataFrame(catalog).toDF("segment", "n_rows", "mean_cos")
+      spark.createDataFrame(
+          catalog.map(g => (g.path, g.nRows, g.meanCos, g.codesPath)))
+        .toDF("segment", "n_rows", "mean_cos", "codes_segment")
         .coalesce(1).write.parquet(catalogPath(dir))
+      codebooks.foreach { cbs =>
+        spark.createDataFrame(
+            for ((cb, sub) <- cbs.zipWithIndex; (code, word) <- cb)
+              yield (sub, code, word.toSeq))
+          .toDF("subspace", "code", "codeword")
+          .coalesce(1).write.parquet(codebooksPath(dir))
+      }
     }
 
   private def dataDirOf(spark: SparkSession, root: String,
@@ -122,13 +164,34 @@ object AnnIndex {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq
 
-  /** The segment catalog of `version` (segment, n_rows, mean_cos). */
+  /** The segment catalog of `version`. */
   def catalogOf(spark: SparkSession, root: String,
-                version: Option[Long] = None): Seq[(String, Long, Double)] =
-    spark.read.parquet(catalogPath(dataDirOf(spark, root, version)))
+                version: Option[Long] = None): Seq[Segment] = {
+    var df = spark.read.parquet(catalogPath(dataDirOf(spark, root, version)))
+    if (!df.columns.contains("codes_segment"))
+      df = df.withColumn("codes_segment", lit(""))
+    df.select("segment", "n_rows", "mean_cos", "codes_segment")
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
-      .sortBy(_._1).toSeq
+      .map(r => Segment(r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+      .sortBy(_.path).toSeq
+  }
+
+  /** The persisted PQ codebooks of `version`, if the index carries
+    * them (always tiny: m × ksub × dim/m floats). */
+  def codebooksOf(spark: SparkSession, root: String,
+                  version: Option[Long] = None)
+      : Option[Seq[Seq[(Int, Array[Float])]]] = {
+    val p = codebooksPath(dataDirOf(spark, root, version))
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+    else Some(
+      spark.read.parquet(p).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq))
+  }
 
   /** Train centroids (bounded sample, driver k-means — the
     * [[graft.operators.Similarity.trainCentroids]] machinery), assign
@@ -140,14 +203,22 @@ object AnnIndex {
   def build(spark: SparkSession, corpus: DataFrame, root: String,
             idCol: String = "vec_id", vecCol: String = "embedding",
             cells: Int = 16, nFiles: Int = 16, retain: Int = 2,
-            seed: Long = 42L): Long = {
+            seed: Long = 42L,
+            pqSubspaces: Int = 0, pqCodes: Int = 16): Long = {
     val sample = Similarity.sampleVectors(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
-      math.max(cells * 256, 2048))
+      math.max(math.max(cells, pqCodes) * 256, 2048))
     val centroids = Similarity.trainCentroids(sample, cells, seed = seed)
+    // pqSubspaces > 0 additionally trains per-subspace codebooks from
+    // the SAME sample and persists a parallel code table per segment —
+    // at 100 TB the codes are the artifact ADC probes scan
+    val codebooks =
+      if (pqSubspaces > 0)
+        Some(Similarity.trainPqCodebooks(sample, pqSubspaces, pqCodes))
+      else None
     val seg = writeSegment(spark, root, corpus, idCol, vecCol, centroids,
-      nFiles)
-    commitMeta(spark, root, centroids, Seq(seg), retain)
+      nFiles, codebooks)
+    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain)
   }
 
   /** Assign `batch` to the EXISTING centroids (no retrain), publish a
@@ -160,17 +231,21 @@ object AnnIndex {
              retain: Int = 2): AppendResult = {
     val centroids = centroidsOf(spark, root)
     val prior = catalogOf(spark, root)
+    // the batch inherits the index's code layout: a PQ index keeps
+    // every segment ADC-searchable, a plain index stays plain
+    val codebooks = codebooksOf(spark, root)
     val seg = writeSegment(spark, root, batch, idCol, vecCol, centroids,
-      nFiles)
-    val version = commitMeta(spark, root, centroids, prior :+ seg, retain)
+      nFiles, codebooks)
+    val version = commitMeta(spark, root, centroids, prior :+ seg,
+      codebooks, retain)
     // index mean weighted over PRIOR segments: the baseline the batch
     // is compared against (including the batch would mask its own drift)
-    val priorRows = prior.map(_._2).sum
+    val priorRows = prior.map(_.nRows).sum
     val indexMean =
-      if (priorRows == 0) seg._3
-      else prior.map(s => s._3 * s._2).sum / priorRows
-    AppendResult(version, seg._1, seg._3, indexMean,
-      refitRecommended = seg._3 < indexMean - driftTolerance)
+      if (priorRows == 0) seg.meanCos
+      else prior.map(g => g.meanCos * g.nRows).sum / priorRows
+    AppendResult(version, seg.path, seg.meanCos, indexMean,
+      refitRecommended = seg.meanCos < indexMean - driftTolerance)
   }
 
   /** Top-k cosine search against the persisted index. Reads the
@@ -180,12 +255,13 @@ object AnnIndex {
     * `spark.graft.ann.lastPruned`. Output shape matches
     * [[graft.operators.Similarity.ivfTopK]]; with nprobe = cells it is
     * exactly brute force over everything ever built+appended. */
-  def probe(spark: SparkSession, root: String, queries: DataFrame,
-            k: Int, nprobe: Int,
-            idCol: String = "vec_id", vecCol: String = "embedding",
-            version: Option[Long] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val dataDir = dataDirOf(spark, root, version)
+  /** Centroid-ranked probe frame (broadcast) + the probed cell set.
+    * The cell set is bounded by the centroid count, so it is a
+    * legitimate driver-side plan input (the same discipline as the
+    * pruned file list itself). */
+  private def rankProbes(spark: SparkSession, dataDir: String,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         nprobe: Int): (DataFrame, Seq[Long]) = {
     val centroidDf = broadcast(spark.read.parquet(centroidsPath(dataDir)))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centroid_cos").desc, col("cell"))
@@ -196,29 +272,97 @@ object AnnIndex {
         .withColumn("prk", row_number().over(probeW))
         .where(col("prk") <= nprobe)
         .select(col("query_id"), col("qvec"), col("cell")))
-    // the probed cell set is bounded by the centroid count, so it is a
-    // legitimate driver-side plan input (the same discipline as the
-    // pruned file list itself)
     val probeCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0).toLong).sorted.toSeq
-    val segments = catalogOf(spark, root, version).map(_._1)
-    val pruned = segments.map(s =>
+    (probes, probeCells)
+  }
+
+  /** Stats-pruned cell-filtered read across segment tables: only files
+    * whose [min, max] cell range intersects the probed cells are
+    * scanned; the cell predicate is re-applied (and pushed to the
+    * parquet scan) so pruning can only skip work, never change
+    * results. Records "kept/total" in `spark.graft.ann.lastPruned`. */
+  private def prunedCellRead(spark: SparkSession, segPaths: Seq[String],
+                             probeCells: Seq[Long]): DataFrame = {
+    val pruned = segPaths.map(s =>
       StatsIndex.prunedFilesIn(spark, s, "cell", probeCells))
     val kept = pruned.flatMap(_._1)
     val total = pruned.map(_._2.size).sum
     spark.conf.set("spark.graft.ann.lastPruned", s"${kept.size}/$total")
-    val corpus =
-      (if (kept.isEmpty)
-         spark.read.parquet(segments.head).limit(0) // schema, no rows
-       else spark.read.parquet(kept: _*))
-        // pruning is advisory; the cell predicate is re-applied (and
-        // pushed to the parquet scan) so results never depend on it
-        .where(col("cell").isInCollection(probeCells.map(_.toInt)))
-        .select(col("cell"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("cvec"))
+    (if (kept.isEmpty)
+       spark.read.parquet(segPaths.head).limit(0) // schema, no rows
+     else spark.read.parquet(kept: _*))
+      .where(col("cell").isInCollection(probeCells.map(_.toInt)))
+  }
+
+  def probe(spark: SparkSession, root: String, queries: DataFrame,
+            k: Int, nprobe: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            version: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dataDir = dataDirOf(spark, root, version)
+    val (probes, probeCells) =
+      rankProbes(spark, dataDir, queries, idCol, vecCol, nprobe)
+    val segments = catalogOf(spark, root, version).map(_.path)
+    val corpus = prunedCellRead(spark, segments, probeCells)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(corpus, "cell")
+      .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
+  }
+
+  /** ADC search against the persisted PQ codes — the probe that never
+    * touches the raw vectors until the final re-rank. Stage 1: rank
+    * the persisted centroids per query. Stage 2: stats-pruned read of
+    * the probed cells' CODE files (the ~32×-smaller artifact), score
+    * by asymmetric distance — cosine of the query against the decoded
+    * codeword concatenation (codebooks ride as plan literals from the
+    * metadata table) — and keep the top `rerank` per query. Stage 3:
+    * fetch exactly those candidates' raw vectors back from the probed
+    * cells of the VECTOR segments and re-score exactly. With
+    * nprobe = cells and rerank ≥ corpus the stages are lossless
+    * plumbing and the result is exactly brute force — the
+    * `ann_index_pq` driver gate. */
+  def probePq(spark: SparkSession, root: String, queries: DataFrame,
+              k: Int, nprobe: Int, rerank: Int = 50,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              version: Option[Long] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val dataDir = dataDirOf(spark, root, version)
+    val codebooks = codebooksOf(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"index at $root carries no PQ codes - build with pqSubspaces > 0"))
+    val catalog = catalogOf(spark, root, version)
+    require(catalog.forall(_.codesPath.nonEmpty),
+      s"index at $root has segments without code tables")
+    val (probes, probeCells) =
+      rankProbes(spark, dataDir, queries, idCol, vecCol, nprobe)
+    // ADC stage: decode corpus-side of the join (once per corpus row,
+    // not once per (query, row) pair — the pqTopK lesson)
+    val codes = prunedCellRead(spark, catalog.map(_.codesPath), probeCells)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        Similarity.pqDecode(col("codes"), codebooks).as("xhat"))
+    val approxW = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val cands = probes.join(codes, "cell")
+      .withColumn("acos", Dedup.cosine(col("qvec"), col("xhat")))
+      .withColumn("ark", row_number().over(approxW))
+      .where(col("ark") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: candidates came from probed cells, so the raw
+    // fetch prunes to the SAME cell files (bounded id join on top)
+    val raw = prunedCellRead(spark, catalog.map(_.path), probeCells)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.join(raw, "neighbor_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qvec"))), "query_id")
       .withColumn("cos", Dedup.cosine(col("qvec"), col("cvec")))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
@@ -234,7 +378,8 @@ object AnnIndex {
     val segRoot = new org.apache.hadoop.fs.Path(s"$root/$SegmentsDir")
     if (!fs.exists(segRoot)) return Seq.empty
     val referenced = Manifest.versions(spark, root)
-      .flatMap(v => catalogOf(spark, root, Some(v)).map(_._1))
+      .flatMap(v => catalogOf(spark, root, Some(v))
+        .flatMap(g => Seq(g.path, g.codesPath).filter(_.nonEmpty)))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     val dead = fs.listStatus(segRoot).toSeq
       .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))

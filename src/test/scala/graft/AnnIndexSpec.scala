@@ -106,6 +106,49 @@ class AnnIndexSpec extends SparkSpec {
     assert(bad.batchMeanCos < bad.indexMeanCos - 0.05)
   }
 
+  test("PQ index: codes artifact is smaller, ADC probe lossless at full params") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = freshRoot("annidx-pq")
+    AnnIndex.build(spark, emb, root, cells = 8, nFiles = 8,
+      pqSubspaces = 8, pqCodes = 16)
+    // the codes table is materially smaller than the raw vectors
+    val cat = AnnIndex.catalogOf(spark, root)
+    assert(cat.forall(_.codesPath.nonEmpty))
+    def bytes(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
+    val raw = cat.map(g => bytes(g.path)).sum
+    val codes = cat.map(g => bytes(g.codesPath)).sum
+    assert(codes < raw / 2,
+      s"codes $codes bytes not materially smaller than raw $raw")
+    // lossless at nprobe=cells + unbounded rerank
+    val q = emb.where(col("vec_id") < 5)
+    val got = AnnIndex.probePq(spark, root, q, k = 5, nprobe = 8,
+        rerank = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === bf)
+    // appended batches inherit the code layout and stay ADC-searchable
+    AnnIndex.append(spark, root, emb.limit(0)
+      .select(col("vec_id") + 500000, col("embedding"))
+      .toDF("vec_id", "embedding"))
+    val cat2 = AnnIndex.catalogOf(spark, root)
+    assert(cat2.size === 2 && cat2.forall(_.codesPath.nonEmpty))
+    // a plain index refuses the ADC probe loudly
+    val plainRoot = freshRoot("annidx-plain")
+    AnnIndex.build(spark, emb.where(col("vec_id") < 50), plainRoot,
+      cells = 4, nFiles = 2)
+    intercept[IllegalStateException](
+      AnnIndex.probePq(spark, plainRoot, q, k = 5, nprobe = 4))
+  }
+
   test("vacuumSegments removes only unreferenced segments") {
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
     val root = freshRoot("annidx-vacuum")
