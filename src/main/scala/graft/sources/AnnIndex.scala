@@ -130,8 +130,17 @@ object AnnIndex {
                          centroids: Seq[(Int, Array[Float])],
                          catalog: Seq[Segment],
                          codebooks: Option[Seq[Seq[(Int, Array[Float])]]],
-                         retain: Int): Long =
+                         retain: Int, note: String = ""): Long =
     Manifest.commitWith(spark, root, retain) { dir =>
+      // the note lands INSIDE the staged dir, so it publishes (or
+      // vanishes) atomically with the CAS marker — the anchor
+      // streaming ingestion dedupes micro-batch retries against
+      if (note.nonEmpty) {
+        val np = new org.apache.hadoop.fs.Path(s"$dir/note")
+        val fs = np.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val o = fs.create(np, false)
+        try o.write(note.getBytes("UTF-8")) finally o.close()
+      }
       spark.createDataFrame(centroids).toDF("cell", "centroid")
         .coalesce(1).write.parquet(centroidsPath(dir))
       spark.createDataFrame(
@@ -175,6 +184,22 @@ object AnnIndex {
       .map(r => Segment(r.getString(0), r.getLong(1), r.getDouble(2),
         r.getString(3)))
       .sortBy(_.path).toSeq
+  }
+
+  /** The commit note of `version` ("" when none) — set by writers
+    * that need replay dedup (streaming appends tag versions with
+    * their micro-batch id). */
+  def noteOf(spark: SparkSession, root: String,
+             version: Option[Long] = None): String = {
+    val np = new org.apache.hadoop.fs.Path(
+      s"${dataDirOf(spark, root, version)}/note")
+    val fs = np.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(np)) ""
+    else {
+      val in = fs.open(np)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
   }
 
   /** The persisted PQ codebooks of `version`, if the index carries
@@ -228,7 +253,7 @@ object AnnIndex {
   def append(spark: SparkSession, root: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding",
              nFiles: Int = 16, driftTolerance: Double = 0.05,
-             retain: Int = 2): AppendResult = {
+             retain: Int = 2, note: String = ""): AppendResult = {
     val centroids = centroidsOf(spark, root)
     val prior = catalogOf(spark, root)
     // the batch inherits the index's code layout: a PQ index keeps
@@ -237,7 +262,7 @@ object AnnIndex {
     val seg = writeSegment(spark, root, batch, idCol, vecCol, centroids,
       nFiles, codebooks)
     val version = commitMeta(spark, root, centroids, prior :+ seg,
-      codebooks, retain)
+      codebooks, retain, note)
     // index mean weighted over PRIOR segments: the baseline the batch
     // is compared against (including the batch would mask its own drift)
     val priorRows = prior.map(_.nRows).sum

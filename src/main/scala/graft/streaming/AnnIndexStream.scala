@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.sources.{AnnIndex, Manifest}
+
+/** Streaming vector ingestion into the persisted ANN index — the
+  * third leg of the index lifecycle (batch [[graft.sources.AnnIndex
+  * .build]] → streaming appendTo → probe): embeddings arriving from
+  * the ingest pipeline land in the searchable artifact continuously,
+  * without a nightly rebuild, assigned against the index's FROZEN
+  * centroids exactly like a batch [[graft.sources.AnnIndex.append]].
+  *
+  * Sink discipline: `foreachBatch` + the index's own Manifest CAS
+  * commit. Structured Streaming replays a micro-batch after a crash
+  * (at-least-once at the sink boundary), so each append is tagged
+  * with its micro-batch id as the version's commit NOTE — written
+  * inside the staged data dir, hence published atomically WITH the
+  * version. A replayed batch finds its note on a retained version and
+  * skips: exactly-once ingestion, with the dedup memory bounded by
+  * Manifest retention (replays are immediate; retention spans them).
+  * A crash BEFORE the CAS leaves only an unreferenced staging dir
+  * (GC'd), never a half-visible version.
+  *
+  * Drift surfaces per batch through `onBatch` — the streaming twin of
+  * the batch drift report: a feed whose distribution departs from the
+  * trained centroids flags refitRecommended continuously rather than
+  * at the next rebuild. */
+object AnnIndexStream {
+
+  /** Append one micro-batch idempotently. Returns None when `batchId`
+    * already committed (replay) or the batch is empty. */
+  def appendBatch(root: String, batch: DataFrame, batchId: Long,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  nFiles: Int = 16, driftTolerance: Double = 0.05,
+                  retain: Int = 4): Option[AnnIndex.AppendResult] = {
+    val spark = batch.sparkSession
+    val note = s"stream-batch-$batchId"
+    val replayed = Manifest.versions(spark, root)
+      .exists(v => AnnIndex.noteOf(spark, root, Some(v)) == note)
+    if (replayed || batch.isEmpty) None
+    else Some(AnnIndex.append(spark, root, batch, idCol, vecCol,
+      nFiles, driftTolerance, retain, note))
+  }
+
+  /** The writer: wire to `.option("checkpointLocation", …).start()`.
+    * `retain` must cover the replay horizon (default 4 keeps the last
+    * 4 versions' notes visible for dedup — raise it for long
+    * time-travel windows; it never affects correctness of current
+    * reads). */
+  def appendTo(root: String, vectors: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               nFiles: Int = 16, driftTolerance: Double = 0.05,
+               retain: Int = 4,
+               onBatch: (Long, AnnIndex.AppendResult) => Unit = (_, _) => ())
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendBatch(root, batch, batchId, idCol, vecCol, nFiles,
+          driftTolerance, retain)
+          .foreach(r => onBatch(batchId, r))
+    }
+}
