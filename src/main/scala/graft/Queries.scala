@@ -3872,6 +3872,92 @@ object Queries {
       |  COUNT(DISTINCT o_custkey) AS n_exact, true AS est_ok
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Mergeable quantile cube (#29j2): per-DAY fixed-bin histograms of
+    * order value, merged to per-month quantile estimates WITHOUT
+    * rescanning the fact table — the quantile sibling of [[ndvCube]]
+    * (`percentile_approx` results can't compose across groups;
+    * integer bin counts can, by plain addition). The daily (day, bin,
+    * count) table IS the stored index at 100 TB: any date-range
+    * quantile is an integer sum over it plus one cumulative pick. 64
+    * exact-integer-width bins over [0, 600000); the estimate is the
+    * LOWER EDGE of the first bin whose cumulative count reaches the
+    * nearest-rank target, so every emitted number is integer/rational
+    * arithmetic both engines reproduce bit-for-bit. The `ok` flags are
+    * invariants, not tolerances: the rank-target row lives IN the
+    * picked bin, so |edge − exact| < width by construction — a false
+    * flag means the cube arithmetic broke. Exact per-month
+    * nearest-rank percentiles ride along (the 22y machinery), so the
+    * gate also pins the estimate against the truth it approximates. */
+  def quantileCube(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 64
+    val width = 9375L // 600000 / 64 — integer bin edges
+    val orders = Tables.orders(spark, dir)
+    val bin = least(greatest(floor(col("o_totalprice") / lit(width.toDouble)),
+      lit(0.0)), lit((nb - 1).toDouble)).cast("int")
+    val daily = orders
+      .groupBy(col("o_orderdate").as("day"), bin.as("bin"))
+      .agg(count(lit(1)).as("n")) // <- the stored per-day cube
+    val monthly = daily
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"), col("bin"))
+      .agg(sum(col("n")).as("n")) // <- the merge: integer addition
+    val wcum = Window.partitionBy(col("month")).orderBy(col("bin"))
+    val wall = Window.partitionBy(col("month"))
+    val cum = monthly
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .withColumn("total", sum(col("n")).over(wall))
+    def est(p: Double) =
+      (min(when(col("cum") >= ceil(lit(p) * col("total")), col("bin")))
+        * lit(width)).cast("double")
+    val ests = cum.groupBy(col("month"))
+      .agg(est(0.5).as("p50_est"), est(0.95).as("p95_est"))
+    val wo = Window.partitionBy(col("month"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("month"))
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")), col("o_totalprice")))
+    val exact = orders
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("month"))
+      .agg(pick(0.5).as("p50_exact"), pick(0.95).as("p95_exact"))
+    ests.join(exact, Seq("month"))
+      .select(col("month"), col("p50_est"), col("p95_est"),
+        col("p50_exact"), col("p95_exact"),
+        (abs(col("p50_est") - col("p50_exact")) < lit(width.toDouble))
+          .as("p50_ok"),
+        (abs(col("p95_est") - col("p95_exact")) < lit(width.toDouble))
+          .as("p95_ok"))
+  }
+
+  private val quantileCubeSql =
+    """WITH b AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(least(greatest(floor(o_totalprice / 9375.0), 0.0), 63.0) AS INTEGER) AS bin
+      |  FROM orders),
+      |m AS (SELECT month, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+      |c AS (SELECT month, bin, n,
+      |    SUM(n) OVER (PARTITION BY month ORDER BY bin) AS cum,
+      |    SUM(n) OVER (PARTITION BY month) AS total
+      |  FROM m),
+      |e AS (SELECT month,
+      |    CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) * 9375 AS DOUBLE) AS p50_est,
+      |    CAST(MIN(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 9375 AS DOUBLE) AS p95_est
+      |  FROM c GROUP BY 1),
+      |x AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
+      |    row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')) AS n
+      |  FROM orders),
+      |ex AS (SELECT month,
+      |    MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50_exact,
+      |    MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN o_totalprice END) AS p95_exact
+      |  FROM x GROUP BY 1)
+      |SELECT e.month, p50_est, p95_est, p50_exact, p95_exact,
+      |  abs(p50_est - p50_exact) < 9375.0 AS p50_ok,
+      |  abs(p95_est - p95_exact) < 9375.0 AS p95_ok
+      |FROM e JOIN ex ON e.month = ex.month""".stripMargin
+
   /** Forecast backtest (#63): naive vs seasonal-naive baselines over
     * the daily demand series the EWMA smoother feeds, scored by
     * WMAPE and signed bias per priority — the rolling-origin
@@ -5032,6 +5118,7 @@ object Queries {
     "semdedup"                 -> (semdedup _),
     "forecast_backtest"        -> (forecastBacktest _),
     "ndv_cube"                 -> (ndvCube _),
+    "quantile_cube"            -> (quantileCube _),
     "wordpiece_tokenize"       -> (wordpieceTokenize _),
     "bpe_train_sound"          -> (bpeTrainSound _),
     "lpa_sound"                -> (lpaSound _),
@@ -5198,6 +5285,7 @@ object Queries {
     "semdedup"                 -> semdedupSql,
     "forecast_backtest"        -> forecastBacktestSql,
     "ndv_cube"                 -> ndvCubeSql,
+    "quantile_cube"            -> quantileCubeSql,
     "wordpiece_tokenize"       -> wordpieceTokenizeSql,
     "bpe_train_sound"          -> bpeTrainSoundSql,
     "lpa_sound"                -> lpaSoundSql,
