@@ -742,6 +742,46 @@ object Queries {
       |  min(doc_id) AS keeper_id, count(*) AS n_docs
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Best-representative dedup (#23e): keep the HIGHEST-QUALITY doc
+    * of each exact-dup cluster instead of the lowest id — the actual
+    * curation choice (crawl dups differ in surrounding boilerplate
+    * upstream of normalization; production pipelines keep the best
+    * variant, not the first seen). One window shuffle on the
+    * fingerprint; quality ties (identical normalized text usually
+    * means identical score) break to the smallest id, keeping the
+    * keeper deterministic and engine-portable. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("q").desc, col("doc_id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(wn))
+      .where(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keeper_id"),
+        col("q").as("keeper_quality"), col("n_docs"))
+  }
+
+  private val dedupKeepBestSql =
+    """WITH d AS (SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) * 0.5
+      |    + CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |      / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 0.3
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 AS q
+      |  FROM documents),
+      |r AS (SELECT doc_id, fp, q,
+      |    row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY fp) AS n_docs
+      |  FROM d)
+      |SELECT fp, doc_id AS keeper_id, q AS keeper_quality, n_docs
+      |FROM r WHERE rn = 1""".stripMargin
+
   def dedupMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -5035,6 +5075,7 @@ object Queries {
     "text_quality"             -> (textQuality _),
     "text_fingerprint"         -> (textFingerprint _),
     "dedup_exact"              -> (dedupExact _),
+    "dedup_keep_best"          -> (dedupKeepBest _),
     "dedup_minhash_pairs"      -> (dedupMinhashPairs _),
     "dedup_simhash"            -> (dedupSimhash _),
     "dedup_simhash_sound"      -> (dedupSimhashSound _),
@@ -5216,6 +5257,7 @@ object Queries {
     "text_quality"             -> textQualitySql,
     "text_fingerprint"         -> textFingerprintSql,
     "dedup_exact"              -> dedupExactSql,
+    "dedup_keep_best"          -> dedupKeepBestSql,
     "ann_bruteforce_topk"      -> annBruteforceTopkSql,
     "ann_hard_negatives"       -> annHardNegativesSql,
     "events_json_extract"      -> eventsJsonExtractSql,

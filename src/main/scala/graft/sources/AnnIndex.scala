@@ -394,6 +394,33 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cos"))
   }
 
+  /** Compact every segment of the current version into ONE freshly
+    * cell-clustered segment — the index's OPTIMIZE step. Streaming
+    * ingestion leaves one small segment per micro-batch; each probe
+    * then pays per-segment stats lookups and opens many small files
+    * per probed cell. Compaction rewrites the union under the SAME
+    * frozen centroids (and codebooks — the code table is re-derived,
+    * so a PQ index stays ADC-searchable), publishes a single-segment
+    * catalog as the next version, and leaves the old segments to
+    * [[vacuumSegments]] once retention drops the versions naming
+    * them. Results are unchanged by construction: same rows, same
+    * assignment expression, same probe path. `nFiles` re-sizes the
+    * layout for the COMPACTED row count — the moment to restore
+    * ~1 cell/file after many tiny appends. */
+  def compactSegments(spark: SparkSession, root: String,
+                      nFiles: Int = 16, retain: Int = 2): Long = {
+    val centroids = centroidsOf(spark, root)
+    val catalog = catalogOf(spark, root)
+    require(catalog.nonEmpty, s"no ANN index at $root")
+    val codebooks = codebooksOf(spark, root)
+    val union = spark.read.parquet(catalog.map(_.path): _*)
+      .select(col("vec_id"), col("embedding"))
+    val seg = writeSegment(spark, root, union, "vec_id", "embedding",
+      centroids, nFiles, codebooks)
+    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain,
+      note = s"compaction-of-${catalog.size}")
+  }
+
   /** Delete segments referenced by NO retained version — the payload
     * half of [[Manifest.vacuum]] (which only GCs metadata dirs).
     * Returns the removed segment paths. */

@@ -149,6 +149,41 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.probePq(spark, plainRoot, q, k = 5, nprobe = 4))
   }
 
+  test("compactSegments folds many segments into one with identical answers") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val root = freshRoot("annidx-compact")
+    AnnIndex.build(spark, emb.where(col("vec_id") < 20), root,
+      cells = 8, nFiles = 4)
+    // three tiny appends = the post-streaming shape
+    for (lo <- Seq(20, 30, 40))
+      AnnIndex.append(spark, root,
+        emb.where(col("vec_id") >= lo && col("vec_id") < lo + 10),
+        nFiles = 2)
+    val q = emb.where(col("vec_id") < 5)
+    val before = AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(AnnIndex.catalogOf(spark, root).size === 4)
+    val centsBefore = AnnIndex.centroidsOf(spark, root)
+    AnnIndex.compactSegments(spark, root, nFiles = 8)
+    // one segment, same centroids, identical probe results
+    assert(AnnIndex.catalogOf(spark, root).size === 1)
+    assert(AnnIndex.centroidsOf(spark, root).zip(centsBefore).forall {
+      case ((c1, a), (c2, b)) => c1 == c2 && a.sameElements(b)
+    })
+    val after = AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(after === before)
+    // row count preserved exactly (no loss, no duplication)
+    assert(AnnIndex.catalogOf(spark, root).head.nRows === 50L)
+    // old segments fall to vacuum once retention drops their versions
+    Manifest.vacuum(spark, root, retain = 1)
+    assert(AnnIndex.vacuumSegments(spark, root).size === 4)
+    assert(AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
+      .count() === before.size)
+  }
+
   test("vacuumSegments removes only unreferenced segments") {
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
     val root = freshRoot("annidx-vacuum")
