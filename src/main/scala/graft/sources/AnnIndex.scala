@@ -15,19 +15,25 @@ import graft.operators.{Dedup, Similarity}
   * and gives probes a path that reads only the probed cells' FILES:
   *
   *  - `<root>/_commits/N` + `<root>/data-N-<tok>/` — the usual
-  *    [[Manifest]] CAS versions; a version's data dir holds the two
+  *    [[Manifest]] CAS versions; a version's data dir holds the
   *    metadata tables `centroids/` (cell, centroid — cells×dim floats,
-  *    always tiny) and `catalog/` (segment path, row count, mean
-  *    assignment cosine).
+  *    always tiny), `catalog/` (segment path, row count, mean
+  *    assignment cosine, code-table path), optionally `codebooks/`
+  *    (the PQ codebooks when built with `pqSubspaces > 0`) and a
+  *    commit `note` (streaming micro-batch dedup anchor).
   *  - `<root>/segments/seg-<tok>/` — the corpus payload: (cell,
   *    vec_id, embedding) CELL-CLUSTERED via repartitionByRange(cell) +
   *    sortWithinPartitions, each segment carrying its own
-  *    [[StatsIndex]] over `cell`. Segments are immutable and live
+  *    [[StatsIndex]] over `cell`; a PQ index adds the parallel
+  *    `seg-<tok>-codes/` table (cell, vec_id, codes) that [[probePq]]
+  *    scans instead of the vectors. Segments are immutable and live
   *    OUTSIDE the version dirs, so an append publishes a new metadata
   *    version referencing old segments + one new one — zero data
   *    copy, the Delta/Iceberg economics. They are indexed by the same
   *    writer that creates them, so index coverage is total by
-  *    construction (no staleness window).
+  *    construction (no staleness window). [[compactSegments]] is the
+  *    OPTIMIZE step after many small (streamed) appends;
+  *    [[vacuumSegments]] GCs segments no retained version names.
   *
   * Probe cost: rank the persisted centroids per query (broadcast,
   * tiny), collect the ≤`cells` distinct probed cell ids, keep only
