@@ -732,6 +732,92 @@ object Queries {
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       |FROM documents""".stripMargin
 
+  /** Gopher quality gate (#31c): the published rule-based document
+    * filter (Rae et al. 2021 §A.1.1), computed entirely per-row — the
+    * canonical pre-LLM-training cut that runs BEFORE any learned
+    * classifier. Signals over whitespace tokens: word count bounds,
+    * mean word length bounds, distinct-Gopher-stopword floor (the
+    * published rule wants ≥2 of the 8; this corpus draws from a
+    * ~60-word vocabulary where at most one of them occurs per doc, so
+    * the floor is scaled to ≥1 — at the published floor the flag
+    * would be constant-False and gate nothing), fraction of words
+    * containing an alphabetic character, and the repetition
+    * rule expressed as max char coverage by any single bigram
+    * (`max_g count(g)·len(g) / len(text)` — the max-of-integers form
+    * needs no tie-break on equal-count bigrams, so it is
+    * deterministic where "fraction of chars in THE most frequent
+    * n-gram" is not). The published line-level rules (bullet/ellipsis
+    * line fractions, #-symbol ratio) are identically zero on this
+    * corpus (no newlines, no symbols) and are omitted rather than
+    * hashed as constants.
+    *
+    * Scale shape: ONE scan, zero shuffle — every signal is an HOF
+    * over the row's own token array (the bigram coverage is O(n²)
+    * lambda work per row, n≈40 here; per-row cost is corpus-length
+    * independent). All keep-flag arithmetic is integer counts and
+    * single IEEE divisions, so the booleans are engine-exact. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nWords = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_distinct(filter(toks, w => w.isInCollection(stopSet))))
+    val grams = when(nWords >= 2,
+        transform(sequence(lit(1), nWords - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val bestCover = coalesce(
+      aggregate(array_distinct(grams), lit(0L),
+        (acc, g) => greatest(acc,
+          size(filter(grams, x => x === g)).cast("long") * length(g))),
+      lit(0L))
+    Tables.documents(spark, dir).select(
+        col("doc_id"),
+        nWords.cast("long").as("n_words"),
+        (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
+        (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
+        nStop.cast("long").as("n_stop_present"),
+        (bestCover.cast("double") / length(col("text")).cast("double"))
+          .as("top_bigram_char_frac"))
+      .withColumn("keep",
+        col("n_words").between(30, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("n_stop_present") >= 1 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("top_bigram_char_frac") <= 0.2)
+  }
+
+  private val gopherQualitySql =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(toks) >= 2 THEN list_transform(
+      |        generate_series(1, len(toks) - 1),
+      |        i -> array_to_string(toks[i:i+1], ' '))
+      |      ELSE [] END AS grams
+      |  FROM t),
+      |s AS (SELECT t.doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+      |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |        sw -> list_contains(toks, sw))) AS BIGINT) AS n_stop_present,
+      |    CAST(COALESCE(list_max(list_transform(list_distinct(grams),
+      |        d -> len(list_filter(grams, x -> x = d)) * length(d))), 0) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS top_bigram_char_frac
+      |  FROM t JOIN g ON t.doc_id = g.doc_id)
+      |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+      |  n_stop_present, top_bigram_char_frac,
+      |  (n_words BETWEEN 30 AND 100000)
+      |    AND (mean_word_len BETWEEN 3.0e0 AND 10.0e0)
+      |    AND n_stop_present >= 1
+      |    AND alpha_word_frac >= 0.8e0
+      |    AND top_bigram_char_frac <= 0.2e0 AS keep
+      |FROM s""".stripMargin
+
   // ------------------------------------------------- dedup/ANN (#23-29)
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -1171,6 +1257,45 @@ object Queries {
     graft.sources.AnnIndex
       .probe(spark, root, emb.where(col("vec_id") < 10), k = 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
+  }
+
+  /** Persisted-inverted-index gate (#39c): build the BM25 posting
+    * lists as a Manifest-versioned lake artifact (bucket-clustered
+    * posting + dictionary segments, stats-indexed on bucket), then
+    * probe the SAME terms as `bm25_search` — the probe recomposes
+    * n_docs/avgdl/df from exact per-segment integer sums and replays
+    * the identical score arithmetic, so the result must hash-match
+    * the in-query retriever's DuckDB oracle. Any posting row lost in
+    * the segment write, the bucket prune, or the df re-sum breaks
+    * the gate; InvertedIndexSpec separately proves the probe reads
+    * only the query terms' bucket files. */
+  def bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inv-index").toString + "/idx"
+    graft.sources.InvertedIndex.build(spark, Tables.documents(spark, dir),
+      root, nBuckets = 16, nFiles = 16)
+    graft.sources.InvertedIndex.probe(spark, root,
+      Seq("spark", "window", "merge"), k = 10)
+  }
+
+  /** Inverted-index incremental gate (#39c2): build on the even half
+    * of the corpus, [[graft.sources.InvertedIndex.append]] the odd
+    * half (tokenizes ONLY the batch — zero re-read of prior segments),
+    * probe the appended version: BM25's corpus statistics are exact
+    * integer sums, so the appended index must equal a from-scratch
+    * build over the full corpus BIT-exactly — same oracle as
+    * `bm25_search`. A doc dropped, double-counted, or a df merged
+    * inexactly anywhere in the append path breaks the hash. */
+  def bm25IndexIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-inv-append").toString + "/idx"
+    graft.sources.InvertedIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0), root, nBuckets = 16, nFiles = 16)
+    graft.sources.InvertedIndex.append(spark, root,
+      docs.where(col("doc_id") % 2 === 1))
+    graft.sources.InvertedIndex.probe(spark, root,
+      Seq("spark", "window", "merge"), k = 10)
   }
 
   /** LSH-ANN saturation gate (#29): at 32 bands of 2 every pair down
@@ -3275,6 +3400,148 @@ object Queries {
       |       GROUP BY v.node)
       |SELECT node, pr FROM r3""".stripMargin
 
+  /** k-core driver gate (#53a): the production [[Graph.kcore]] peel on
+    * a planted gadget graph — 16 blocks of [K8 core + 3-node cascade
+    * chain] keyed by doc_id (role = id mod 11, block = id div 11).
+    * Chain node c1 has degree 3 (peels in round 1), c2 and c3 each
+    * start at degree 4 and lose a neighbor per round, so k=4 peels
+    * c1→c2→c3 over THREE rounds — a cascade a one-round degree filter
+    * cannot fake — and the K8 cores (degree ≥ 7) survive as the
+    * provably NONEMPTY fixpoint, reached exactly at the gate's 4-round
+    * budget. All arithmetic is integer counts, so the gate is
+    * hash-exact; peeling is monotone, so the engine's
+    * converge-or-stop-at-4 result equals the oracle's fixed 4 unrolled
+    * rounds either way (GraphSpec proves the per-round survivor counts
+    * 160→144→128→128 and fixpoint within budget). */
+  def kcoreSound(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 11
+    val base = col("doc_id") - r
+    val core = when(r < 7,
+        transform(sequence(r + lit(1L), lit(7L)), s => base + s))
+      .otherwise(array().cast("array<bigint>"))
+    val attach = when(r === 8, array(base + 9, base + 0, base + 1))
+      .when(r === 9, array(base + 10, base + 2, base + 3))
+      .when(r === 10, array(base + 4, base + 5, base + 6))
+      .otherwise(array().cast("array<bigint>"))
+    val raw = Tables.documents(spark, dir)
+      .where(col("doc_id") < 176)
+      .select(col("doc_id").as("src"),
+        explode(concat(core, attach)).as("dst"))
+    Graph.kcore(Graph.canonicalEdges(raw, "src", "dst"),
+      k = 4, maxIters = 4)
+  }
+
+  private val kcoreSoundSql =
+    """WITH nn AS (SELECT doc_id AS i, doc_id % 11 AS r,
+      |      doc_id - (doc_id % 11) AS base
+      |    FROM documents WHERE doc_id < 176),
+      |raw AS (
+      |  SELECT i AS a, base + s AS b
+      |  FROM nn CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS s) t
+      |  WHERE r < 8 AND s > r
+      |  UNION ALL SELECT i, base + 9 FROM nn WHERE r = 8
+      |  UNION ALL SELECT i, base + 0 FROM nn WHERE r = 8
+      |  UNION ALL SELECT i, base + 1 FROM nn WHERE r = 8
+      |  UNION ALL SELECT i, base + 10 FROM nn WHERE r = 9
+      |  UNION ALL SELECT i, base + 2 FROM nn WHERE r = 9
+      |  UNION ALL SELECT i, base + 3 FROM nn WHERE r = 9
+      |  UNION ALL SELECT i, base + 4 FROM nn WHERE r = 10
+      |  UNION ALL SELECT i, base + 5 FROM nn WHERE r = 10
+      |  UNION ALL SELECT i, base + 6 FROM nn WHERE r = 10),
+      |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |      FROM raw WHERE a <> b),
+      |s AS (SELECT u AS node, v AS peer FROM e
+      |      UNION ALL SELECT v, u FROM e),
+      |a0 AS (SELECT DISTINCT node FROM s),
+      |d1 AS (SELECT s.node, COUNT(*) AS deg FROM s
+      |       JOIN a0 x ON s.node = x.node JOIN a0 y ON s.peer = y.node
+      |       GROUP BY 1 HAVING COUNT(*) >= 4),
+      |d2 AS (SELECT s.node, COUNT(*) AS deg FROM s
+      |       JOIN d1 x ON s.node = x.node JOIN d1 y ON s.peer = y.node
+      |       GROUP BY 1 HAVING COUNT(*) >= 4),
+      |d3 AS (SELECT s.node, COUNT(*) AS deg FROM s
+      |       JOIN d2 x ON s.node = x.node JOIN d2 y ON s.peer = y.node
+      |       GROUP BY 1 HAVING COUNT(*) >= 4),
+      |d4 AS (SELECT s.node, COUNT(*) AS deg FROM s
+      |       JOIN d3 x ON s.node = x.node JOIN d3 y ON s.peer = y.node
+      |       GROUP BY 1 HAVING COUNT(*) >= 4)
+      |SELECT node, deg FROM d4""".stripMargin
+
+  /** k-truss driver gate (#53b): the production [[Graph.ktruss]] edge
+    * peel on a planted gadget — 16 blocks of [K5 core + triangle-path
+    * tail] keyed by doc_id (role = id mod 10, block = id div 10). The
+    * tail's outer edges sit in one triangle each (support 1, peel
+    * round 1 at k=4); the two inner edges (6,7),(7,8) start at support
+    * 2 and lose BOTH their triangles to round 1's peel, so they die in
+    * round 2 — a genuine support cascade a single support filter
+    * cannot fake — and the K5 cores (every edge in 3 triangles)
+    * survive as the nonempty fixpoint, confirmed in round 3 (the
+    * gate's budget). Support counts are integers, so the gate is
+    * hash-exact; support peeling is monotone, so engine-converged ==
+    * oracle's fixed 3 unrolled rounds either way. */
+  def ktrussSound(spark: SparkSession, dir: String): DataFrame = {
+    val r = col("doc_id") % 10
+    val base = col("doc_id") - r
+    val core = when(r < 4,
+        transform(sequence(r + lit(1L), lit(4L)), s => base + s))
+      .otherwise(array().cast("array<bigint>"))
+    val tail = when(r === 5, array(base + 6, base + 7))
+      .when(r === 6, array(base + 7, base + 8))
+      .when(r === 7, array(base + 8, base + 9))
+      .when(r === 8, array(base + 9))
+      .otherwise(array().cast("array<bigint>"))
+    val raw = Tables.documents(spark, dir)
+      .where(col("doc_id") < 160)
+      .select(col("doc_id").as("src"),
+        explode(concat(core, tail)).as("dst"))
+    Graph.ktruss(Graph.canonicalEdges(raw, "src", "dst"),
+      k = 4, maxIters = 3)
+  }
+
+  private val ktrussSoundSql =
+    """WITH nn AS (SELECT doc_id AS i, doc_id % 10 AS r,
+      |      doc_id - (doc_id % 10) AS base
+      |    FROM documents WHERE doc_id < 160),
+      |raw AS (
+      |  SELECT i AS a, base + s AS b
+      |  FROM nn CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS s) t
+      |  WHERE r < 4 AND s > r
+      |  UNION ALL SELECT i, base + 6 FROM nn WHERE r = 5
+      |  UNION ALL SELECT i, base + 7 FROM nn WHERE r = 5
+      |  UNION ALL SELECT i, base + 7 FROM nn WHERE r = 6
+      |  UNION ALL SELECT i, base + 8 FROM nn WHERE r = 6
+      |  UNION ALL SELECT i, base + 8 FROM nn WHERE r = 7
+      |  UNION ALL SELECT i, base + 9 FROM nn WHERE r = 7
+      |  UNION ALL SELECT i, base + 9 FROM nn WHERE r = 8),
+      |e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      |       FROM raw WHERE a <> b),
+      |t0 AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e0 x
+      |       JOIN e0 y ON x.u = y.u AND x.v < y.v
+      |       JOIN e0 z ON z.u = x.v AND z.v = y.v),
+      |s0 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t0
+      |         UNION ALL SELECT a, c FROM t0
+      |         UNION ALL SELECT b, c FROM t0) q0 GROUP BY 1, 2),
+      |e1 AS (SELECT e.u, e.v FROM e0 e
+      |       JOIN s0 s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 2),
+      |t1 AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e1 x
+      |       JOIN e1 y ON x.u = y.u AND x.v < y.v
+      |       JOIN e1 z ON z.u = x.v AND z.v = y.v),
+      |s1 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t1
+      |         UNION ALL SELECT a, c FROM t1
+      |         UNION ALL SELECT b, c FROM t1) q1 GROUP BY 1, 2),
+      |e2 AS (SELECT e.u, e.v FROM e1 e
+      |       JOIN s1 s ON e.u = s.u AND e.v = s.v WHERE s.sup >= 2),
+      |t2 AS (SELECT x.u AS a, x.v AS b, y.v AS c FROM e2 x
+      |       JOIN e2 y ON x.u = y.u AND x.v < y.v
+      |       JOIN e2 z ON z.u = x.v AND z.v = y.v),
+      |s2 AS (SELECT u, v, COUNT(*) AS sup FROM (
+      |         SELECT a AS u, b AS v FROM t2
+      |         UNION ALL SELECT a, c FROM t2
+      |         UNION ALL SELECT b, c FROM t2) q2 GROUP BY 1, 2)
+      |SELECT u, v, sup AS support FROM s2 WHERE sup >= 2""".stripMargin
+
   // ----------------------------------------------- #17g-17m TPC-H shapes
 
   /** Q4 shape (#17g): EXISTS-driven priority census. */
@@ -5073,6 +5340,7 @@ object Queries {
     "text_token_count"         -> (textTokenCount _),
     "text_lang_id"             -> (textLangId _),
     "text_quality"             -> (textQuality _),
+    "gopher_quality"           -> (gopherQuality _),
     "text_fingerprint"         -> (textFingerprint _),
     "dedup_exact"              -> (dedupExact _),
     "dedup_keep_best"          -> (dedupKeepBest _),
@@ -5106,6 +5374,8 @@ object Queries {
     "ann_index_probe"          -> (annIndexProbe _),
     "ann_index_append"         -> (annIndexAppend _),
     "ann_index_pq"             -> (annIndexPq _),
+    "bm25_index_probe"         -> (bm25IndexProbe _),
+    "bm25_index_incremental"   -> (bm25IndexIncremental _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
     "multimodal_sound"         -> (multimodalSound _),
@@ -5209,6 +5479,7 @@ object Queries {
     "kmeans_prune"             -> (kmeansPrune _),
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
     "pagerank_sound"           -> (pagerankSound _),
+    "kcore_sound"              -> (kcoreSound _),
     "q19_band_revenue"         -> (q19BandRevenue _),
     "q4_priority_exists"       -> (q4PriorityExists _),
     "q6_forecast_revenue"      -> (q6ForecastRevenue _),
@@ -5255,6 +5526,7 @@ object Queries {
     "text_token_count"         -> textTokenCountSql,
     "text_lang_id"             -> textLangIdSql,
     "text_quality"             -> textQualitySql,
+    "gopher_quality"           -> gopherQualitySql,
     "text_fingerprint"         -> textFingerprintSql,
     "dedup_exact"              -> dedupExactSql,
     "dedup_keep_best"          -> dedupKeepBestSql,
@@ -5281,6 +5553,8 @@ object Queries {
     "ann_index_probe"          -> annBruteforceTopkSql,
     "ann_index_append"         -> annBruteforceTopkSql,
     "ann_index_pq"             -> annBruteforceTopkSql,
+    "bm25_index_probe"         -> bm25SearchSql,
+    "bm25_index_incremental"   -> bm25SearchSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,
     "multimodal_sound"         -> multimodalSoundSql,
@@ -5372,6 +5646,7 @@ object Queries {
     "kmeans_assign"            -> kmeansAssignSql,
     "kmeans_prune"             -> kmeansPruneSql,
     "pagerank_sound"           -> pagerankSoundSql,
+    "kcore_sound"              -> kcoreSoundSql,
     "q19_band_revenue"         -> q19BandRevenueSql,
     "q4_priority_exists"       -> q4PriorityExistsSql,
     "q6_forecast_revenue"      -> q6ForecastRevenueSql,

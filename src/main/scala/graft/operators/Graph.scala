@@ -128,4 +128,113 @@ object Graph {
       .union(t.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * BSP formulation every distributed graph engine uses): repeatedly
+    * drop nodes whose degree within the SURVIVING subgraph is < k
+    * until fixpoint. The dense-neighborhood complement to
+    * [[triangleCounts]] in corpus-graph curation — link farms and
+    * template rings survive deep cores, organically-linked pages peel
+    * out early.
+    *
+    * Scale shape: each round is one semi-join of the symmetric
+    * adjacency against the survivor set + one count agg — the LPA
+    * round shape, shuffles keyed on node id only. Rounds are bounded
+    * by `maxIters`; peeling is MONOTONE (survivor sets only shrink),
+    * so once the set is stable every later round returns the same
+    * table — callers gating against a fixed-round oracle get equality
+    * whether convergence came early or not. The symmetric adjacency is
+    * checkpointed ONCE and reused every round (the triangle_counts
+    * cache-race lesson); per-round survivor frames are checkpointed to
+    * cut lineage and freed as soon as the next round lands.
+    *
+    * Input: canonical undirected edges (u < v, distinct —
+    * [[canonicalEdges]]). Returns survivors as (node, deg): the final
+    * round's within-core degree, always >= k. */
+  def kcore(edges: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val sym = edges.select(col("u").as("node"), col("v").as("peer"))
+      .union(edges.select(col("v").as("node"), col("u").as("peer")))
+      .localCheckpoint(true)
+    // the materialized frame per round (LogicalRDD, freeable); round 0
+    // is the node set, later rounds the filtered degree table
+    var current = sym.select("node").distinct().localCheckpoint(true)
+    var aliveCount = current.count()
+    var deg: DataFrame = null
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val alive = if (it == 0) current else current.select("node")
+      val next = sym.join(alive, "node")
+        .join(alive.withColumnRenamed("node", "peer"), "peer")
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .localCheckpoint(true)
+      val n = next.count()
+      graft.Blocks.freeCheckpoint(current)
+      current = next
+      deg = next
+      if (n == aliveCount) done = true
+      aliveCount = n
+      it += 1
+    }
+    graft.Blocks.freeCheckpoint(sym)
+    deg
+  }
+
+  /** k-truss decomposition by iterative support peeling (Cohen 2008,
+    * the standard distributed formulation): repeatedly drop edges
+    * participating in fewer than k−2 triangles WITHIN the surviving
+    * edge set, until fixpoint. Where [[kcore]] peels sparse NODES and
+    * [[triangleCounts]] scores nodes, the truss peels EDGES — it is
+    * the strictest of the three density filters (every k-truss is a
+    * (k−1)-core of its own subgraph) and the one that isolates
+    * genuinely cohesive link communities: a hub node survives deep
+    * cores on degree alone, but its edges die in the truss unless the
+    * neighborhoods actually interlock in triangles.
+    *
+    * Scale shape: each round is one [[triangles]] enumeration over the
+    * survivors (degree-oriented, ≤ m^(3/2) candidates total, hub-proof)
+    * + a 3-way explode to per-edge support counts + one equi-join
+    * filter — all shuffles keyed on edge endpoints. Support peeling is
+    * MONOTONE exactly like the core peel, so a fixed-round oracle
+    * equals the engine whether convergence came early or not.
+    * Survivor edge frames are checkpointed per round and freed as the
+    * next round lands.
+    *
+    * Input: canonical undirected edges ([[canonicalEdges]]). Returns
+    * (u, v, support): surviving edges with their final within-truss
+    * triangle count, always >= k−2. */
+  def ktruss(edges: DataFrame, k: Int, maxIters: Int = 20): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var current = edges.localCheckpoint(true)
+    var aliveCount = current.count()
+    var out: DataFrame = null
+    var it = 0
+    var done = false
+    while (it < maxIters && !done) {
+      val t = triangles(current) // checkpointed output; inputs freed
+      // each triangle supports its three edges; triangle vertices obey
+      // a(wedge src) ⋈ b < c but a vs b is degree-ordered, so
+      // re-canonicalize the (a,b)/(a,c) sides before counting
+      val sup = t.select(least(col("a"), col("b")).as("u"),
+                         greatest(col("a"), col("b")).as("v"))
+        .union(t.select(least(col("a"), col("c")).as("u"),
+                        greatest(col("a"), col("c")).as("v")))
+        .union(t.select(col("b").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .where(col("support") >= k - 2)
+      val next = current.join(sup, Seq("u", "v")).localCheckpoint(true)
+      graft.Blocks.freeCheckpoint(current)
+      graft.Blocks.freeCheckpoint(t)
+      val n = next.count()
+      current = next
+      out = next
+      if (n == aliveCount) done = true
+      aliveCount = n
+      it += 1
+    }
+    out
+  }
 }

@@ -182,6 +182,45 @@ object Temporal {
       .drop("__ewma_raw", "__n")
   }
 
+  /** Brown's double exponential smoothing (Holt-form level+trend; the
+    * classic linear-trend extension of [[ewma]] a demand forecaster
+    * reaches for the moment the series drifts — a plain EWMA lags a
+    * trending series by (1−α)/α periods forever, DES cancels that lag
+    * exactly). Public formulation: s1 = EWMA(y), s2 = EWMA(s1), level
+    * = 2·s1 − s2, trend = α/(1−α)·(s1 − s2), ŷ(t+h) = level + h·trend.
+    *
+    * Bit-reproducibility: both passes are [[ewma]]'s fixed
+    * left-associated tree over exact dyadic weights; 2·s1 is an exact
+    * exponent shift; α/(1−α) = alphaNum/(2^k − alphaNum) is ONE IEEE
+    * division of two exactly-representable integers; every remaining
+    * step (s1−s2, ·ratio, ·h, +level) is a single IEEE op on identical
+    * doubles — so any engine replaying the same tree matches bitwise,
+    * and the driver's DuckDB twin hash-gates it.
+    *
+    * Scale: both passes window over the SAME partitioning and order,
+    * so the second pass reuses the first's exchange and sort — one
+    * shuffle end to end. Rows need 2·terms−1 periods of warmup — the
+    * fully-warmed contract [[ewma]] already documents. */
+  def holtBrown(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+                valueCol: String, terms: Int = 10,
+                tieBreakCols: Seq[String] = Seq.empty,
+                alphaNum: Int = 1, alphaLog2Den: Int = 1,
+                horizon: Int = 7): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val s1 = ewma(df, partitionCols, orderCol, valueCol, terms,
+        tieBreakCols, alphaNum, alphaLog2Den)
+      .withColumnRenamed("ewma", "s1")
+    val s2 = ewma(s1, partitionCols, orderCol, "s1", terms,
+        tieBreakCols, alphaNum, alphaLog2Den)
+      .withColumnRenamed("ewma", "s2")
+    val den = (1 << alphaLog2Den) - alphaNum
+    val ratio = lit(alphaNum.toDouble) / lit(den.toDouble)
+    s2.withColumn("level", lit(2.0) * col("s1") - col("s2"))
+      .withColumn("trend", (col("s1") - col("s2")) * ratio)
+      .withColumn("forecast",
+        col("level") + lit(horizon.toDouble) * col("trend"))
+  }
+
   /** Rolling-origin forecast backtest: score baseline forecasters
     * against the realized series and report WMAPE (Σ|a−f| / Σa — the
     * volume-weighted MAPE practitioners prefer: no per-row division,

@@ -54,4 +54,48 @@ class GraphSpec extends SparkSpec {
     val es = Graph.canonicalEdges(raw, "a", "b").as[(Long, Long)].collect().toSet
     assert(es === Set((1L, 2L), (2L, 3L)))
   }
+
+  test("kcore peels a hand graph to its known core") {
+    // triangle {1,2,3} + pendant chain 3-4-5: the 2-core is exactly
+    // the triangle, and finding it REQUIRES cascade (after round 1
+    // drops 5, node 4 still has degree 1 and must drop in round 2)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val core = Graph.kcore(edges, k = 2, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(Graph.kcore(edges, k = 5, maxIters = 10).count() === 0L)
+  }
+
+  test("kcore reaches a nonempty fixpoint on the planted gate gadget within budget") {
+    // the kcore_sound gate construction: 16 blocks of K8 core (deg 7,
+    // survives k=4 forever) + a 3-node cascade chain — c1 deg 3 (peels
+    // round 1), c2 deg 4 losing c1 (round 2), c3 deg 4 losing c2
+    // (round 3); round 4 is the fixpoint confirmation. Survivor counts
+    // must walk 160 -> 144 -> 128 -> 128, proving the cascade is a
+    // genuine multi-round peel a one-pass degree filter cannot fake.
+    val raw = (0 until 176).flatMap { i =>
+      val r = i % 11; val base = i - r
+      val core = if (r < 8) (r + 1 to 7).map(s => (i.toLong, (base + s).toLong))
+                 else Seq.empty
+      val attach = (r match {
+        case 8  => Seq(9, 0, 1)
+        case 9  => Seq(10, 2, 3)
+        case 10 => Seq(4, 5, 6)
+        case _  => Seq.empty[Int]
+      }).map(s => (i.toLong, (base + s).toLong))
+      core ++ attach
+    }.toDF("a", "b")
+    val edges = Graph.canonicalEdges(raw, "a", "b")
+    def run(iters: Int) = Graph.kcore(edges, k = 4, maxIters = iters)
+      .as[(Long, Long)].collect().toSet
+    val at4 = run(4)
+    assert(at4 === run(8), "gate's 4-round budget is not a fixpoint")
+    assert(at4.size === 128 && at4.forall(_._2 === 7L),
+      "fixpoint must be exactly the 16 K8 cores at within-core degree 7")
+    assert(run(1).size === 160, "round 1 must peel exactly the 16 c1 nodes")
+    assert(run(2).size === 144, "round 2 must cascade-peel the 16 c2 nodes")
+    assert(run(3).size === 128, "round 3 must cascade-peel the 16 c3 nodes")
+  }
 }

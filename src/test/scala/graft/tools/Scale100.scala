@@ -372,6 +372,33 @@ object Scale100 {
       SparkEntry.queries("sample_by_classifier")(spark, dir)
         .groupBy((floor(col("p_keep") * 10)).as("b")).count())
 
+    // ---- round-11 batch 2: the persisted inverted index over the
+    // full 500k-doc corpus (build = tokenize + tf agg + bucket-
+    // clustered posting/dict writes + stats indexes; probe = stats-
+    // pruned read of the query terms' bucket files only), k-core over
+    // the real 27M-pair graph (bounded 4-round peel — the LPA round
+    // shape), and the Gopher rule gate (pure scan, zero shuffle)
+    val invRoot = s"$dir/__inv_index"
+    run("bm25_index_build") {
+      graft.sources.InvertedIndex.build(spark,
+        Tables.documents(spark, dir), invRoot, nBuckets = 64, nFiles = 64)
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$invRoot/segments").groupBy("bucket").count()
+    }
+    run("bm25_index_probe") {
+      graft.sources.InvertedIndex.probe(spark, invRoot,
+        Seq("spark", "window", "merge"), k = 10)
+    }
+    println("SCALE100 inv_prune_3t=" +
+      spark.conf.get("spark.graft.inv.lastPruned", "?"))
+    run("kcore_pair_graph")(
+      graft.operators.Graph.kcore(
+        graft.operators.Graph.canonicalEdges(pairs, "doc_a", "doc_b"),
+        k = 8, maxIters = 4))
+    run("gopher_quality")(
+      SparkEntry.queries("gopher_quality")(spark, dir)
+        .groupBy(col("keep")).agg(count(lit(1))))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
