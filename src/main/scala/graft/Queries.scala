@@ -2157,6 +2157,99 @@ object Queries {
       |SELECT vec_id, norm, qv[1] AS q0, CAST(list_sum(qv) AS BIGINT) AS qsum
       |FROM q""".stripMargin
 
+  /** Johnson-Lindenstrauss random projection (#40b): 64-dim embeddings
+    * → 8 dims through a ±1 sign matrix (Achlioptas 2003's
+    * database-friendly JL construction — ±1 entries preserve pairwise
+    * distances in expectation like Gaussians do, but the projection is
+    * pure adds/subtracts). The signs are CONTENT-INDEPENDENT constants
+    * derived from md5(k|j) (first hex char ≤ '7' → +1), so the engine
+    * folds the whole matrix into plan literals at build time — zero
+    * per-row hashing, one scan, no shuffle — while the oracle
+    * re-derives the identical signs in SQL. Each output component is
+    * the [[embeddingNormQuant]] decimal-routed sum (±x is an exact
+    * IEEE sign flip; per-term DECIMAL(20,12) casts make the sum
+    * order-independent), so all 8 projections are hash-exact.
+    *
+    * Bit-exactness: each component is ONE fixed left-associated
+    * 64-term ±x chain over exactly-widened floats (the [[ewmaSql]]
+    * discipline — identical IEEE add/negate trees on both engines;
+    * per-row, so there is no aggregation-order surface at all). A
+    * decimal-routed sum was measured to 1-ulp-drift here: float
+    * expansions TIE at the 12th decimal often enough that Spark's
+    * HALF_UP and DuckDB's decimal cast disagree — the fixed tree
+    * sidesteps rounding entirely.
+    *
+    * This is the dimensionality-reduction front-end the similarity
+    * family composes with: at 100 TB you JL-project once and run
+    * LSH/IVF in the cheap space (the plan literal matrix ships with
+    * the task binary, not the data). */
+  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    val proj = (0 until JlDims).map { k =>
+      (1 to JlSrcDims).map { j =>
+        val e = element_at(col("embedding"), j).cast("double")
+        if (jlSign(k, j) > 0) e else -e
+      }.reduceLeft(_ + _).as(s"p$k")
+    }
+    Tables.embeddings(spark, dir).select((col("vec_id") +: proj): _*)
+  }
+
+  private val JlSrcDims = 64
+  private val JlDims = 8
+
+  /** The Achlioptas ±1 entry at (k, j), derived from md5 so the matrix
+    * is reproducible from public arithmetic alone (first hex char of
+    * md5("k|j") ≤ '7' → +1 — an unbiased bit). */
+  private def jlSign(k: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$k|$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0) <= '7') 1.0 else -1.0
+  }
+
+  private val jlProjectSql = {
+    val comps = (0 until JlDims).map { k =>
+      (1 to JlSrcDims).map { j =>
+        val term = s"CAST(embedding[$j] AS DOUBLE)"
+        if (j == 1) { if (jlSign(k, j) > 0) term else s"-$term" }
+        else if (jlSign(k, j) > 0) s"+ $term" else s"- $term"
+      }.grouped(4).map(_.mkString(" ")).mkString("\n    ") + s" AS p$k"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $comps
+       |FROM embeddings""".stripMargin
+  }
+
+  /** Modal-value profiling (#46c): the most frequent categorical value
+    * per group with a deterministic tie-break — the categorical
+    * sibling of [[profileColumns]]' NDV rows (mode is what categorical
+    * imputation and drift dashboards read). One partial-agg shuffle to
+    * (source, lang) counts, then an argmax via min_by over
+    * (−count, value) — no window, no second sort of the corpus; the
+    * negated-count struct ordering is exactly (count DESC, value ASC),
+    * deterministic through ties. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(
+        min_by(struct(col("lang"), col("cnt")),
+               struct(-col("cnt"), col("lang"))).as("m"),
+        sum(col("cnt")).as("n_docs"))
+      .select(col("source"), col("m.lang").as("modal_lang"),
+              col("m.cnt").as("modal_count"), col("n_docs"))
+
+  private val modePerGroupSql =
+    """WITH c AS (SELECT source, lang, COUNT(*) AS cnt
+      |           FROM documents GROUP BY 1, 2),
+      |r AS (SELECT source, lang, cnt,
+      |        CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY cnt DESC, lang) AS rk
+      |      FROM c)
+      |SELECT source, lang AS modal_lang, cnt AS modal_count, n_docs
+      |FROM r WHERE rk = 1""".stripMargin
+
   /** Repetition quality signals (Gopher/C4-style): duplicated-n-gram
     * fractions (per-row HOF, no shuffle) + top-token fraction (explode →
     * partial-agg — the only shuffle, at (doc,token) grain). High values
@@ -4760,6 +4853,73 @@ object Queries {
 
   private val ewmaDailyDemandTunedSql = ewmaSql(3, 3, 10)
 
+  /** Holt/Brown trend forecast (#54b): double exponential smoothing of
+    * the same daily demand series at α = 3/8 — [[Temporal.holtBrown]]:
+    * s1 = EWMA(y), s2 = EWMA(s1), level = 2·s1 − s2, trend =
+    * α/(1−α)·(s1 − s2), 7-day-ahead forecast. Every step past the two
+    * exact-dyadic EWMA passes is a single IEEE op (one exact-integer
+    * division for the ratio), so the oracle is hash-exact like the
+    * EWMA gates it builds on. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(Relational.dsum(col("o_totalprice")).as("demand"))
+    Temporal.holtBrown(daily, Seq("prio"), "day", "demand", terms = 8,
+      alphaNum = 3, alphaLog2Den = 3, horizon = 7)
+  }
+
+  /** DuckDB twin of [[Temporal.holtBrown]]: two nested EWMA window
+    * passes with [[ewmaSql]]'s exact `m::DOUBLE/2^e::DOUBLE` weight
+    * ratios, then the identical level/trend/forecast expression trees
+    * (2·s1 exact shift; the α/(1−α) ratio as one division of two exact
+    * integers). */
+  private def holtSql(alphaNum: Int, alphaLog2Den: Int, terms: Int,
+                      horizon: Int): String = {
+    def exactRatio(num: BigInt, log2den: Int): String = {
+      require(num.bitLength <= 53 && log2den <= 62)
+      s"(${num}::DOUBLE / ${BigInt(1) << log2den}::DOUBLE)"
+    }
+    val q = (BigInt(1) << alphaLog2Den) - alphaNum
+    val ws = (0 until terms).map { i =>
+      exactRatio(BigInt(alphaNum) * q.pow(i), alphaLog2Den * (i + 1))
+    }
+    val norm = exactRatio(
+      (BigInt(1) << (alphaLog2Den * terms)) - q.pow(terms),
+      alphaLog2Den * terms)
+    def pass(v: String) = ws.zipWithIndex.map {
+      case (w, 0) => s"$v * $w"
+      case (w, i) => s"lag($v, $i) OVER w * $w"
+    }.mkString("\n     + ")
+    val den = (BigInt(1) << alphaLog2Den) - alphaNum
+    s"""WITH daily AS (
+       |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+       |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS demand
+       |  FROM orders GROUP BY 1, 2),
+       |p1 AS (
+       |  SELECT prio, day, demand,
+       |    (${pass("demand")}) / $norm AS s1,
+       |    row_number() OVER w AS rn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY prio ORDER BY day)),
+       |f1 AS (SELECT prio, day, demand, s1 FROM p1 WHERE rn >= $terms),
+       |p2 AS (
+       |  SELECT prio, day, demand, s1,
+       |    (${pass("s1")}) / $norm AS s2,
+       |    row_number() OVER w AS rn
+       |  FROM f1
+       |  WINDOW w AS (PARTITION BY prio ORDER BY day)),
+       |f2 AS (SELECT prio, day, demand, s1, s2 FROM p2 WHERE rn >= $terms),
+       |g AS (SELECT prio, day, demand, s1, s2,
+       |        2::DOUBLE * s1 - s2 AS level,
+       |        (s1 - s2) * (${alphaNum}::DOUBLE / ${den}::DOUBLE) AS trend
+       |      FROM f2)
+       |SELECT prio, day, demand, s1, s2, level, trend,
+       |       level + ${horizon}::DOUBLE * trend AS forecast
+       |FROM g""".stripMargin
+  }
+
+  private val holtForecastSql = holtSql(3, 3, 8, 7)
+
   /** Winnowing fingerprints (#55): k=8, w=4 — see [[Corpus.winnow]]. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     Corpus.winnow(Tables.documents(spark, dir), "doc_id", "text", k = 8, w = 4)
@@ -5480,6 +5640,10 @@ object Queries {
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
     "pagerank_sound"           -> (pagerankSound _),
     "kcore_sound"              -> (kcoreSound _),
+    "ktruss_sound"             -> (ktrussSound _),
+    "holt_forecast"            -> (holtForecast _),
+    "jl_project"               -> (jlProject _),
+    "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
     "q4_priority_exists"       -> (q4PriorityExists _),
     "q6_forecast_revenue"      -> (q6ForecastRevenue _),
@@ -5647,6 +5811,10 @@ object Queries {
     "kmeans_prune"             -> kmeansPruneSql,
     "pagerank_sound"           -> pagerankSoundSql,
     "kcore_sound"              -> kcoreSoundSql,
+    "ktruss_sound"             -> ktrussSoundSql,
+    "holt_forecast"            -> holtForecastSql,
+    "jl_project"               -> jlProjectSql,
+    "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,
     "q4_priority_exists"       -> q4PriorityExistsSql,
     "q6_forecast_revenue"      -> q6ForecastRevenueSql,

@@ -225,7 +225,10 @@ object Graph {
         .union(t.select(col("b").as("u"), col("c").as("v")))
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .where(col("support") >= k - 2)
-      val next = current.join(sup, Seq("u", "v")).localCheckpoint(true)
+      // select(u,v) both re-bares round-2+ survivors (which carry the
+      // prior round's support column) and keeps the join a semi-shape
+      val next = current.select("u", "v").join(sup, Seq("u", "v"))
+        .localCheckpoint(true)
       graft.Blocks.freeCheckpoint(current)
       graft.Blocks.freeCheckpoint(t)
       val n = next.count()

@@ -98,4 +98,41 @@ class GraphSpec extends SparkSpec {
     assert(run(2).size === 144, "round 2 must cascade-peel the 16 c2 nodes")
     assert(run(3).size === 128, "round 3 must cascade-peel the 16 c3 nodes")
   }
+
+  test("ktruss peels a hand graph to its known truss") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) + pendant triangle
+    // {4,5,6} (each edge in 1): the 4-truss is exactly the K4, and the
+    // pendant triangle's edges must peel TOGETHER in round 1
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("u", "v")
+    val t4 = Graph.ktruss(edges, k = 4, maxIters = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(t4 === Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)))
+    // k above the strongest support empties the graph
+    assert(Graph.ktruss(edges, k = 5, maxIters = 10).count() === 0L)
+    // the pendant triangle alone IS a 3-truss (support >= 1 everywhere)
+    val t3 = Graph.ktruss(edges, k = 3, maxIters = 10).count()
+    assert(t3 === 9L)
+  }
+
+  test("ktruss cascade on one gate-gadget block needs two peel rounds") {
+    // one block of the ktruss_sound gadget: K5 {0..4} + triangle path
+    // {5..9}; outer tail edges peel round 1 (support 1), the inner
+    // (6,7),(7,8) start at support 2 but lose both triangles to round
+    // 1's peel and die in round 2 — survivor counts walk 17→12→10→10
+    val edges = (
+      (for (a <- 0 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)) ++
+      Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L),
+          (5L, 7L), (6L, 8L), (7L, 9L))).toDF("u", "v")
+    def run(iters: Int) = Graph.ktruss(edges, k = 4, maxIters = iters)
+    assert(run(1).count() === 12)
+    assert(run(2).count() === 10)
+    val at3 = run(3).as[(Long, Long, Long)].collect().toSet
+    assert(at3 === run(6).as[(Long, Long, Long)].collect().toSet,
+      "3-round budget is not a fixpoint")
+    assert(at3.size === 10 && at3.forall(_._3 === 3L),
+      "fixpoint must be the K5 with every edge in 3 triangles")
+  }
 }

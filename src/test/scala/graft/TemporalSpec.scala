@@ -267,4 +267,35 @@ class TemporalSpec extends SparkSpec {
     assert(out("naive") === ((3.0 / den, -3.0 / den, 3L)))
     assert(out("seasonal_naive") === ((21.0 / den, -21.0 / den, 3L)))
   }
+
+  test("holtBrown is exact on a constant series: level=c, trend=0, forecast=c") {
+    // constant 1.0 with dyadic weights: every product and the weight
+    // sum are exact, so s1 = s2 = 1 BITWISE, trend is exactly 0 and
+    // the forecast exactly the constant — a stronger-than-epsilon check
+    val df = (1 to 30).map(t => ("g", t, 1.0)).toDF("grp", "t", "x")
+    val out = Temporal.holtBrown(df, Seq("grp"), "t", "x", terms = 8,
+        alphaNum = 3, alphaLog2Den = 3)
+      .select("t", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(out.length === 30 - 2 * 7) // 2·(terms−1) warmup rows dropped
+    out.foreach { case (t, level, trend, fc) =>
+      assert(level === 1.0 && trend === 0.0 && fc === 1.0, s"t=$t")
+    }
+  }
+
+  test("holtBrown closes most of the EWMA lag on a linear trend") {
+    // y_t = t: a plain EWMA lags a trending series forever; DES's
+    // level+trend correction must forecast t+h far closer than the
+    // smoothed level alone
+    val h = 7
+    val df = (1 to 40).map(t => ("g", t, t.toDouble)).toDF("grp", "t", "x")
+    val des = Temporal.holtBrown(df, Seq("grp"), "t", "x", terms = 8,
+        alphaNum = 1, alphaLog2Den = 1, horizon = h)
+      .select("t", "s1", "forecast").as[(Long, Double, Double)].collect()
+    des.foreach { case (t, s1, fc) =>
+      val target = (t + h).toDouble
+      assert(math.abs(fc - target) < math.abs(s1 - target) / 4,
+        s"t=$t: DES forecast $fc vs EWMA $s1 against $target")
+    }
+  }
 }

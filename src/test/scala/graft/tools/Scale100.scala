@@ -399,6 +399,32 @@ object Scale100 {
       SparkEntry.queries("gopher_quality")(spark, dir)
         .groupBy(col("keep")).agg(count(lit(1))))
 
+    // ---- round-11 batch 3: truss peel over the REAL (unbounded)
+    // supplier co-occurrence kNN graph — each round pays one
+    // degree-oriented triangle enumeration, so this is ~3× the
+    // triangle_counts work on the same graph; Holt DES over the 100×
+    // daily series (two window passes, one exchange); JL projection
+    // over the full embedding table (pure scan, plan-literal matrix);
+    // modal-value profiling (one partial-agg shuffle)
+    run("ktruss_knn_graph") {
+      val sets = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
+      val weighted = sets
+        .select(explode(flatten(transform(col("sups"), (x, i) =>
+          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
+            struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.ktruss(
+        graft.operators.Graph.topKEdges(weighted, 20), k = 4, maxIters = 3)
+    }
+    run("holt_forecast")(SparkEntry.queries("holt_forecast")(spark, dir))
+    run("jl_project")(
+      SparkEntry.queries("jl_project")(spark, dir)
+        .agg(sum(col("p0")), sum(col("p7"))))
+    run("mode_per_group")(SparkEntry.queries("mode_per_group")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
