@@ -2876,6 +2876,38 @@ object Queries {
       |  ON a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
 
+  /** Consecutive-active-day streaks per user (#50b): the
+    * gaps-and-islands pattern over event days — see
+    * [[Sessionize.dailyStreaks]]. Two exchanges end to end — the
+    * map-side-combined day-grain dedup, then the user window; the
+    * island groupBy and per-user argmax reuse the window's
+    * partitioning. All-integer/date arithmetic, longest-streak ties
+    * broken (length DESC, start ASC). */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.dailyStreaks(Tables.events(spark, dir), "user_id", "ts")
+
+  private val activityStreaksSql =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |n AS (SELECT user_id, day,
+      |        day - CAST(row_number() OVER (PARTITION BY user_id
+      |                                      ORDER BY day) AS INT) AS anchor
+      |      FROM active),
+      |i AS (SELECT user_id, anchor, COUNT(*) AS len,
+      |        MIN(day) AS st, MAX(day) AS en
+      |      FROM n GROUP BY 1, 2),
+      |r AS (SELECT user_id, len, st, en,
+      |        CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT)
+      |          AS n_active_days,
+      |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+      |          AS n_streaks,
+      |        row_number() OVER (PARTITION BY user_id
+      |                           ORDER BY len DESC, st) AS rk
+      |      FROM i)
+      |SELECT user_id, n_active_days, n_streaks, len AS longest_streak,
+      |       st AS streak_start, en AS streak_end
+      |FROM r WHERE rk = 1""".stripMargin
+
   /** Funnel conversion: each purchase attributed to the user's most
     * recent view (as-of join), converted iff that view is within the
     * preceding hour — per-user purchase/conversion counts. Same
@@ -3491,6 +3523,67 @@ object Queries {
       |              LEFT JOIN d ON d.src = e.src
       |              LEFT JOIN r2 ON r2.node = e.src
       |       GROUP BY v.node)
+      |SELECT node, pr FROM r3""".stripMargin
+
+  /** Personalized-PageRank driver gate (#52b): the production
+    * [[Rank.personalizedPageRank]] loop on the SAME planted 256-node
+    * graph as [[pagerankSound]] (out-degree exactly 2 → contributions
+    * rank/2, dyadic), restarting onto the 16-seed set doc_id ≡ 0
+    * (mod 16). With damping 3/4 and a {0,1} seed indicator, every
+    * intermediate stays a short dyadic rational, so the distributed
+    * aggregation and DuckDB's 3 unrolled rounds are bit-identical —
+    * including exact 0.0 for nodes the seeds cannot reach in 3 hops,
+    * which is precisely the locality the personalized form exists to
+    * express (and a global-rank impostor would fail instantly: it
+    * scores every node positive). */
+  def pprSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < n)
+    val edges = docs.select(col("doc_id"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 2 + 1) % n).as("dst")),
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 4 + 2) % n).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = docs.where(col("doc_id") % 16 === 0).select(col("doc_id"))
+    Rank.personalizedPageRank(edges, "src", "dst", seeds, "doc_id",
+        iters = 3, damping = 0.75)
+      .select(col("node"), col("pr"))
+  }
+
+  private val pprSoundSql =
+    """WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 256),
+      |e AS (SELECT i AS src, (2*i+1) % 256 AS dst FROM nn
+      |      UNION ALL SELECT i, (4*i+2) % 256 FROM nn),
+      |v AS (SELECT node,
+      |        CASE WHEN node % 16 = 0 THEN CAST(1 AS DOUBLE)
+      |             ELSE CAST(0 AS DOUBLE) END AS seed
+      |      FROM (SELECT DISTINCT node FROM
+      |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+      |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, seed AS pr FROM v),
+      |r1 AS (SELECT v.node, v.seed,
+      |         0.25e0 * v.seed + 0.75e0 * COALESCE(SUM(r0.pr / d.outdeg),
+      |                                             CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r0 ON r0.node = e.src
+      |       GROUP BY v.node, v.seed),
+      |r2 AS (SELECT v.node, v.seed,
+      |         0.25e0 * v.seed + 0.75e0 * COALESCE(SUM(r1.pr / d.outdeg),
+      |                                             CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r1 ON r1.node = e.src
+      |       GROUP BY v.node, v.seed),
+      |r3 AS (SELECT v.node,
+      |         0.25e0 * v.seed + 0.75e0 * COALESCE(SUM(r2.pr / d.outdeg),
+      |                                             CAST(0 AS DOUBLE)) AS pr
+      |       FROM v LEFT JOIN e ON e.dst = v.node
+      |              LEFT JOIN d ON d.src = e.src
+      |              LEFT JOIN r2 ON r2.node = e.src
+      |       GROUP BY v.node, v.seed)
       |SELECT node, pr FROM r3""".stripMargin
 
   /** k-core driver gate (#53a): the production [[Graph.kcore]] peel on
@@ -5639,6 +5732,8 @@ object Queries {
     "kmeans_prune"             -> (kmeansPrune _),
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
     "pagerank_sound"           -> (pagerankSound _),
+    "ppr_sound"                -> (pprSound _),
+    "activity_streaks"         -> (activityStreaks _),
     "kcore_sound"              -> (kcoreSound _),
     "ktruss_sound"             -> (ktrussSound _),
     "holt_forecast"            -> (holtForecast _),
@@ -5810,6 +5905,8 @@ object Queries {
     "kmeans_assign"            -> kmeansAssignSql,
     "kmeans_prune"             -> kmeansPruneSql,
     "pagerank_sound"           -> pagerankSoundSql,
+    "ppr_sound"                -> pprSoundSql,
+    "activity_streaks"         -> activityStreaksSql,
     "kcore_sound"              -> kcoreSoundSql,
     "ktruss_sound"             -> ktrussSoundSql,
     "holt_forecast"            -> holtForecastSql,

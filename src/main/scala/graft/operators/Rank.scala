@@ -83,6 +83,75 @@ object Rank {
     ranks
   }
 
+  /** Personalized PageRank (random walk with restart — Jeh & Widom
+    * 2003's topic-sensitive form): teleportation returns to a SEED set
+    * instead of the uniform base, so rank measures proximity to the
+    * seeds rather than global importance. This is the standard
+    * seeded-quality-propagation tool for corpus curation: plant a
+    * small trusted set (curated domains, verified docs) and harvest
+    * the pages the link structure pulls toward them — the global
+    * [[pageRank]] cannot express "near the good stuff", only
+    * "popular".
+    *
+    * rank₀(v) = seed(v);
+    * rankₜ₊₁(v) = (1−d)·seed(v) + d·Σ_{u→v} rankₜ(u)/outdeg(u).
+    * Unnormalized like [[pageRank]] (callers renormalize if they need
+    * a distribution); non-seed nodes unreachable from any seed stay
+    * at exactly 0.0.
+    *
+    * Scale shape: identical to [[pageRank]] — edges cached bare and
+    * never re-shuffled, the node-sized rank vector does all the
+    * moving, contribution join broadcast under `maxBroadcastNodes`.
+    * The seed indicator is computed ONCE onto the checkpointed node
+    * spine (a node-keyed left semi probe), so per-round cost is
+    * unchanged: the restart term is a per-row multiply on the spine
+    * join that closes each iteration. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int = 3, damping: Double = 0.75,
+                           maxBroadcastNodes: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    // the spine carries the indicator for the whole loop: seed
+    // membership is consulted every round (restart term), so resolve
+    // the join once and checkpoint the two-column result
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(s.withColumn("seed", lit(1.0)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(0.0)).as("seed"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nNodes = nodes.count()
+    var ranks = nodes.select(col("node"), col("seed").as("pr")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contrib0 = ranks
+        .join(deg, col("node") === col("src"))
+        .select(col("src"), (col("pr") / col("outdeg")).as("w"))
+      val contrib = if (maxBroadcastNodes > 0 && nNodes <= maxBroadcastNodes)
+        broadcast(contrib0) else contrib0
+      val mass = e.join(contrib, "src")
+        .groupBy(col("dst")).agg(sum(col("w")).as("in_mass"))
+      val next = nodes
+        .join(mass, col("node") === col("dst"), "left")
+        .select(col("node"), col("seed"),
+          (lit(1.0 - damping) * col("seed") +
+           lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+      graft.Blocks.freeCheckpoint(ranks)
+      ranks = next
+    }
+    graft.Blocks.freeCheckpoint(nodes)
+    graft.Blocks.freeCheckpoint(deg)
+    e.unpersist(false)
+    ranks.select(col("node"), col("pr"))
+  }
+
   /** Synchronous label propagation communities (Raghavan et al. 2007)
     * over an undirected pair graph: labels start as node ids; each
     * round every node takes the most frequent label among its

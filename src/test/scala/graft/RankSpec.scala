@@ -54,6 +54,52 @@ class RankSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("personalized pagerank hand-check: restart mass stays near the seed (d=0.5)") {
+    // tri graph, seed {1}: r1 = (0.5, 0.25, 0.25);
+    // r2(2) = 0.5·(r1(1)/2) = 0.125, r2(3) = 0.5·(r1(1)/2 + r1(2)/1) = 0.25
+    val seeds = Seq(1L).toDF("n")
+    def run(iters: Int) = ranksOf(Rank.personalizedPageRank(
+      tri, "s", "d", seeds, "n", iters = iters, damping = 0.5))
+    assert(run(1) === Map(1L -> 0.5, 2L -> 0.25, 3L -> 0.25))
+    assert(run(2) === Map(1L -> 0.5, 2L -> 0.125, 3L -> 0.25))
+  }
+
+  test("personalized pagerank scores unreached nodes exactly 0.0") {
+    // directed path 1→2→…→6, seed {1}: after 2 rounds mass has walked
+    // at most 2 hops, so nodes 4..6 must be EXACTLY zero — the
+    // locality a global pagerank cannot express (it scores all > 0)
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("s", "d")
+    val r = ranksOf(Rank.personalizedPageRank(
+      path, "s", "d", Seq(1L).toDF("n"), "n", iters = 2, damping = 0.5))
+    assert(r(1L) === 0.5 && r(2L) === 0.25 && r(3L) === 0.25)
+    assert(r(4L) === 0.0 && r(5L) === 0.0 && r(6L) === 0.0)
+    val global = ranksOf(Rank.pageRank(path, "s", "d", iters = 2, damping = 0.5))
+    assert(global.values.forall(_ > 0.0))
+  }
+
+  test("personalized pagerank is partition-independent and frees its rounds") {
+    Blocks.freeAll(spark)
+    val n = 128
+    val base = spark.range(n).select(col("id").as("s"))
+      .select(explode(array(
+        struct(col("s"), ((col("s") * 2 + 1) % n).as("d")),
+        struct(col("s"), ((col("s") * 4 + 2) % n).as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val seeds = spark.range(0, n, 16).select(col("id").as("n"))
+    val a = ranksOf(Rank.personalizedPageRank(base, "s", "d", seeds, "n",
+                                              iters = 3, damping = 0.75))
+    val b = ranksOf(Rank.personalizedPageRank(base.repartition(7), "s", "d",
+                                              seeds, "n",
+                                              iters = 3, damping = 0.75))
+    assert(a === b) // dyadic arithmetic, order-free
+    assert(a.size === n)
+    // seeds hold their restart floor; total mass stays seed-anchored
+    seeds.as[Long].collect().foreach(sd => assert(a(sd) >= 0.25))
+    val alive = spark.sparkContext.getPersistentRDDs.size
+    assert(alive <= 1, s"leaked checkpoint blocks: $alive alive")
+    Blocks.freeAll(spark)
+  }
+
   test("label propagation: disconnected cliques converge to distinct labels") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),

@@ -425,6 +425,23 @@ object Scale100 {
         .agg(sum(col("p0")), sum(col("p7"))))
     run("mode_per_group")(SparkEntry.queries("mode_per_group")(spark, dir))
 
+    // ---- round-11 batch 4: streaks over the full 100× event stream
+    // (the day-grain dedup is the scale claim: raw events collapse
+    // map-side before either shuffle), and personalized PageRank over
+    // the 500k-node doc pair graph seeded with every 1000th doc (the
+    // pageRank loop + one spine-join — same cached-edge discipline)
+    run("activity_streaks")(
+      SparkEntry.queries("activity_streaks")(spark, dir))
+    run("ppr_pair_graph") {
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.operators.Rank.personalizedPageRank(
+        e, "src", "dst",
+        Tables.documents(spark, dir)
+          .where(col("doc_id") % 1000 === 0).select(col("doc_id")),
+        "doc_id", iters = 3, damping = 0.75)
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
