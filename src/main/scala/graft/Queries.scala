@@ -2908,6 +2908,24 @@ object Queries {
       |       st AS streak_start, en AS streak_end
       |FROM r WHERE rk = 1""".stripMargin
 
+  /** Blocked fuzzy matching (#49a): [[operators.Fuzzy.selfJoin]] over
+    * the FULL supplier table — the scale path [[fuzzyNameMatch]]'s
+    * all-pairs gate points at. FastSS deletion-neighborhood blocking
+    * is LOSSLESS for ed ≤ 1, so this must equal the all-pairs result
+    * exactly — and the oracle IS the all-pairs result: DuckDB computes
+    * the quadratic form the engine refuses to materialize, and the
+    * hashes must still agree. */
+  def fuzzyMatchBlocked(spark: SparkSession, dir: String): DataFrame =
+    operators.Fuzzy.selfJoin(
+      Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+      "s_suppkey", "s_name", maxDist = 1)
+
+  private val fuzzyMatchBlockedSql =
+    """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
+
   /** Funnel conversion: each purchase attributed to the user's most
     * recent view (as-of join), converted iff that view is within the
     * preceding hour — per-user purchase/conversion counts. Same
@@ -5013,6 +5031,49 @@ object Queries {
 
   private val holtForecastSql = holtSql(3, 3, 8, 7)
 
+  /** Classical seasonal decomposition (#54c): weekly additive
+    * decomposition of the daily demand series — see
+    * [[Temporal.seasonalDecompose]]. The series stays DECIMAL through
+    * the moving sum and the per-position detrended sums (exact at any
+    * order); only three single-IEEE-op double steps close the query,
+    * so the DuckDB twin is hash-exact. */
+  def seasonalDecomposeQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("demand_dec"))
+    Temporal.seasonalDecompose(daily, Seq("prio"), "day", "demand_dec",
+                               period = 7)
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS demand_dec
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT prio, day, demand_dec,
+      |        SUM(demand_dec) OVER w AS movsum,
+      |        COUNT(*) OVER w AS nf
+      |      FROM daily
+      |      WINDOW w AS (PARTITION BY prio ORDER BY day
+      |                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |f AS (SELECT prio, day, demand_dec, movsum,
+      |        7 * demand_dec - movsum AS detr,
+      |        ((datediff('day', DATE '1970-01-05', CAST(day AS DATE)) % 7)
+      |         + 7) % 7 AS pos
+      |      FROM b WHERE nf = 7),
+      |s AS (SELECT prio, pos,
+      |        CAST(CAST(SUM(detr) AS VARCHAR) AS DOUBLE)
+      |          / (7.0e0 * COUNT(*)) AS seasonal
+      |      FROM f GROUP BY 1, 2)
+      |SELECT f.prio, f.day,
+      |  CAST(CAST(f.demand_dec AS VARCHAR) AS DOUBLE) AS value,
+      |  CAST(CAST(f.movsum AS VARCHAR) AS DOUBLE) / 7.0e0 AS trend,
+      |  s.seasonal,
+      |  CAST(CAST(f.demand_dec AS VARCHAR) AS DOUBLE)
+      |    - CAST(CAST(f.movsum AS VARCHAR) AS DOUBLE) / 7.0e0
+      |    - s.seasonal AS resid
+      |FROM f JOIN s ON s.prio = f.prio AND s.pos = f.pos""".stripMargin
+
   /** Winnowing fingerprints (#55): k=8, w=4 — see [[Corpus.winnow]]. */
   def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
     Corpus.winnow(Tables.documents(spark, dir), "doc_id", "text", k = 8, w = 4)
@@ -5733,10 +5794,12 @@ object Queries {
     "kmeans_fit_sizes"         -> (kmeansFitSizes _),
     "pagerank_sound"           -> (pagerankSound _),
     "ppr_sound"                -> (pprSound _),
+    "fuzzy_match_blocked"      -> (fuzzyMatchBlocked _),
     "activity_streaks"         -> (activityStreaks _),
     "kcore_sound"              -> (kcoreSound _),
     "ktruss_sound"             -> (ktrussSound _),
     "holt_forecast"            -> (holtForecast _),
+    "seasonal_decompose"       -> (seasonalDecomposeQ _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -5906,10 +5969,12 @@ object Queries {
     "kmeans_prune"             -> kmeansPruneSql,
     "pagerank_sound"           -> pagerankSoundSql,
     "ppr_sound"                -> pprSoundSql,
+    "fuzzy_match_blocked"      -> fuzzyMatchBlockedSql,
     "activity_streaks"         -> activityStreaksSql,
     "kcore_sound"              -> kcoreSoundSql,
     "ktruss_sound"             -> ktrussSoundSql,
     "holt_forecast"            -> holtForecastSql,
+    "seasonal_decompose"       -> seasonalDecomposeSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

@@ -221,6 +221,68 @@ object Temporal {
         col("level") + lit(horizon.toDouble) * col("trend"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method every stats text opens with — trend by centered period
+    * mean, seasonal index by position-in-period mean of the detrended
+    * series, residual as what's left). The demand-series consumer this
+    * feeds: separate the weekly rhythm from the drift before anomaly
+    * gates ([[graft.Queries]] anomaly_mad) or forecasters ([[ewma]],
+    * [[holtBrown]]) look at the series — a Monday spike is seasonality,
+    * not an anomaly.
+    *
+    * Exactness discipline: `valueCol` must be DECIMAL (the backtest
+    * contract). The centered moving SUM and the per-position detrended
+    * sums stay exact decimal at any aggregation/frame order; the
+    * detrended series is `period·y − movsum` — an EXACT decimal shift
+    * that dodges the trend division entirely. Only THREE IEEE steps
+    * ever touch doubles, each a single op on exactly-cast operands:
+    * trend = movsum/period, seasonal = possum/(period·n), and the
+    * residual chain y − trend − seasonal (fixed left-assoc tree) — so
+    * engines replaying the same trees agree bitwise.
+    *
+    * Scale shape: one window exchange (the centered frame), one TINY
+    * agg (groups × period rows) broadcast back, per-row arithmetic to
+    * close. Position-in-period is day-integer arithmetic
+    * ((day − epoch_anchor) mod period), not engine-specific dow
+    * functions. Interior-only rows (full frames) are emitted — the
+    * centered mean is undefined on the edges. */
+  def seasonalDecompose(df: DataFrame, partitionCols: Seq[String],
+                        dayCol: String, valueCol: String,
+                        period: Int = 7): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+            s"period must be odd >= 3 for a centered window, got $period")
+    val h = period / 2
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(dayCol)).rowsBetween(-h, h)
+    val pcols = partitionCols.map(col)
+    // Monday 1970-01-05 anchors position 0: pure integer day math,
+    // identical in any engine (dayofweek() conventions are not)
+    val pos = pmod(datediff(col(dayCol), to_date(lit("1970-01-05"))),
+                   lit(period))
+    val base = df
+      .withColumn("__movsum", sum(col(valueCol)).over(w))
+      .withColumn("__n_frame", count(lit(1)).over(w))
+      .where(col("__n_frame") === period)
+      .withColumn("__detr", col(valueCol) * period - col("__movsum"))
+      .withColumn("__pos", pos)
+    val seas = base
+      .groupBy(pcols :+ col("__pos"): _*)
+      .agg(sum(col("__detr")).as("__possum"), count(lit(1)).as("__pn"))
+      .select(pcols :+ col("__pos") :+
+        (col("__possum").cast("double") /
+          (lit(period.toDouble) * col("__pn"))).as("seasonal"): _*)
+    base
+      .join(broadcast(seas), partitionCols :+ "__pos")
+      .select(pcols ++ Seq(
+        col(dayCol),
+        col(valueCol).cast("double").as("value"),
+        (col("__movsum").cast("double") / lit(period.toDouble)).as("trend"),
+        col("seasonal"),
+        (col(valueCol).cast("double") -
+          col("__movsum").cast("double") / lit(period.toDouble) -
+          col("seasonal")).as("resid")): _*)
+  }
+
   /** Rolling-origin forecast backtest: score baseline forecasters
     * against the realized series and report WMAPE (Σ|a−f| / Σa — the
     * volume-weighted MAPE practitioners prefer: no per-row division,

@@ -283,6 +283,30 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDecompose recovers a planted weekly pattern BITWISE") {
+    // y = 100 + pattern[pos], pattern sums to 0 over the period: the
+    // centered 7-sum is exactly 700, so trend = 100.0 exactly; the
+    // detrended series is exactly 7·pattern[pos], so the seasonal
+    // index is pattern[pos] exactly and the residual exactly 0.0
+    val pattern = Seq(3.0, -1.0, 4.0, -2.0, 0.5, -4.0, -0.5) // Σ = 0
+    val start = java.time.LocalDate.parse("1970-01-05") // pos 0 anchor
+    val df = (0 until 28).map { i =>
+      ("g", java.sql.Date.valueOf(start.plusDays(i)), 100.0 + pattern(i % 7))
+    }.toDF("grp", "day", "y")
+      .select(col("grp"), col("day"), col("y").cast("decimal(25,6)").as("y"))
+    val out = Temporal.seasonalDecompose(df, Seq("grp"), "day", "y")
+      .select("day", "value", "trend", "seasonal", "resid")
+      .as[(java.sql.Date, Double, Double, Double, Double)].collect()
+    assert(out.length === 28 - 6) // 3 edge rows lost each side
+    out.foreach { case (day, v, t, s, r) =>
+      val pos = java.time.temporal.ChronoUnit.DAYS.between(
+        start, day.toLocalDate).toInt % 7
+      assert(t === 100.0, s"trend at $day")
+      assert(s === pattern(pos), s"seasonal at $day")
+      assert(v === 100.0 + pattern(pos) && r === 0.0, s"value/resid at $day")
+    }
+  }
+
   test("holtBrown closes most of the EWMA lag on a linear trend") {
     // y_t = t: a plain EWMA lags a trending series forever; DES's
     // level+trend correction must forecast t+h far closer than the

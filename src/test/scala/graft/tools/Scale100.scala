@@ -432,6 +432,17 @@ object Scale100 {
     // pageRank loop + one spine-join — same cached-edge discipline)
     run("activity_streaks")(
       SparkEntry.queries("activity_streaks")(spark, dir))
+    // batch 5: blocked fuzzy join at 100× — ScaleN key-shifts suppkeys
+    // but keeps name strings, so collapse exact-dup names to
+    // representatives FIRST (the documented discipline; without it the
+    // 100 copies of every name re-inflate quadratically inside blocks)
+    run("fuzzy_match_blocked_dedup") {
+      val reps = Tables.supplier(spark, dir)
+        .groupBy(col("s_name")).agg(min(col("s_suppkey")).as("rep"))
+      graft.operators.Fuzzy.selfJoin(reps, "rep", "s_name", maxDist = 1)
+    }
+    run("seasonal_decompose")(
+      SparkEntry.queries("seasonal_decompose")(spark, dir))
     run("ppr_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
