@@ -4383,6 +4383,120 @@ object Queries {
       |  COUNT(DISTINCT o_custkey) AS n_exact, true AS est_ok
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Cross-source vocabulary overlap by sketch inclusion–exclusion
+    * (#46d): |A∩B| ≈ ndv(A) + ndv(B) − ndv(A∪B), with the union NDV
+    * from `hll_union` of the two per-source sketches — the
+    * dedup-PLANNING signal at 100 TB: which corpus pairs overlap
+    * enough to deserve a cross-corpus dedup pass (#24a/#24c), decided
+    * from source-sized sketches without ever joining the corpora. The
+    * production plan is the sketch side alone: one scan, map-side
+    * partial sketches, a sources² (tiny) pair join of register-max
+    * unions — deterministic under any partitioning, so the tolerance
+    * flag gates it (ndv_cube pattern). The exact per-source NDVs and
+    * the exact pairwise overlap (a (source,word)-distinct self-join)
+    * are the GATE'S price, not the plan. */
+  def sourceOverlapApprox(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+    val sk = raw.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("word")).as("sk"))
+    val d = raw.distinct()
+    val nd = d.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val per = sk.join(nd, "source").localCheckpoint(true) // sources-sized
+    val shared = d.as("x").join(d.as("y"),
+        col("x.word") === col("y.word") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val pairs = per.as("a").join(per.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+              col("a.nd").as("nd_a"), col("b.nd").as("nd_b"),
+              hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+                .as("est_u"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("nd_a"), col("nd_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (abs(col("nd_a") + col("nd_b") - col("est_u") - col("n_overlap")) <=
+          greatest((col("nd_a") + col("nd_b")) * lit(0.08), lit(24.0)))
+          .as("approx_ok"))
+  }
+
+  private val sourceOverlapApproxSql =
+    """WITH d AS (
+      |  SELECT DISTINCT source, word
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) t),
+      |nd AS (SELECT source, COUNT(*) AS nd FROM d GROUP BY 1),
+      |sh AS (SELECT x.source AS src_a, y.source AS src_b,
+      |         COUNT(*) AS n_overlap
+      |       FROM d x JOIN d y
+      |         ON x.word = y.word AND x.source < y.source
+      |       GROUP BY 1, 2)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  a.nd AS nd_a, b.nd AS nd_b,
+      |  COALESCE(sh.n_overlap, 0) AS n_overlap, TRUE AS approx_ok
+      |FROM nd a JOIN nd b ON a.source < b.source
+      |LEFT JOIN sh ON sh.src_a = a.source AND sh.src_b = b.source""".stripMargin
+
+  /** Market-basket affinity (#17q): parts bought together with exact
+    * lift — the transaction-grain sibling of the text PMI gate (#38c).
+    * Per-order part pairs come from the sorted-set slice explode (the
+    * triangle graph's co-occurrence machinery) so each unordered pair
+    * counts once; support counts and the basket total are exact
+    * integers, lift = (nab·N)/(na·nb) is ONE division of two exact
+    * ≤53-bit products. Top 20 by (nab DESC, pair) via
+    * limit-after-sort — TakeOrdered map-side heads, no global window
+    * funnel (vocab_top_words precedent). */
+  def basketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .localCheckpoint(true) // feeds pair explode + per-part supports
+    val nOrders = baskets.select(count(lit(1)).as("n_orders"))
+    val partSup = baskets
+      .select(explode(col("parts")).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("sup"))
+    val pairSup = baskets
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val top = pairSup
+      .orderBy(col("n_ab").desc, col("part_a"), col("part_b")).limit(20)
+    top
+      .join(partSup.withColumnRenamed("part", "part_a")
+                   .withColumnRenamed("sup", "n_a"), "part_a")
+      .join(partSup.withColumnRenamed("part", "part_b")
+                   .withColumnRenamed("sup", "n_b"), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+              col("n_a"), col("n_b"), col("n_orders"),
+              ((col("n_ab") * col("n_orders")).cast("double") /
+                (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  private val basketAffinitySql =
+    """WITH b AS (
+      |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
+      |  FROM lineitem GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_orders FROM b),
+      |u AS (SELECT l_orderkey, unnest(parts) AS part FROM b),
+      |ps AS (SELECT part, COUNT(*) AS sup FROM u GROUP BY 1),
+      |pp AS (SELECT x.part AS part_a, y.part AS part_b, COUNT(*) AS n_ab
+      |       FROM u x JOIN u y
+      |         ON x.l_orderkey = y.l_orderkey AND x.part < y.part
+      |       GROUP BY 1, 2),
+      |top AS (SELECT part_a, part_b, n_ab FROM pp
+      |        ORDER BY n_ab DESC, part_a, part_b LIMIT 20)
+      |SELECT t.part_a, t.part_b, t.n_ab, a.sup AS n_a, b2.sup AS n_b,
+      |  n.n_orders,
+      |  CAST(t.n_ab * n.n_orders AS DOUBLE)
+      |    / CAST(a.sup * b2.sup AS DOUBLE) AS lift
+      |FROM top t
+      |JOIN ps a ON a.part = t.part_a
+      |JOIN ps b2 ON b2.part = t.part_b
+      |CROSS JOIN n""".stripMargin
+
   /** Mergeable quantile cube (#29j2): per-DAY fixed-bin histograms of
     * order value, merged to per-month quantile estimates WITHOUT
     * rescanning the fact table — the quantile sibling of [[ndvCube]]
@@ -5800,6 +5914,8 @@ object Queries {
     "ktruss_sound"             -> (ktrussSound _),
     "holt_forecast"            -> (holtForecast _),
     "seasonal_decompose"       -> (seasonalDecomposeQ _),
+    "source_overlap_approx"    -> (sourceOverlapApprox _),
+    "basket_affinity"          -> (basketAffinity _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -5975,6 +6091,8 @@ object Queries {
     "ktruss_sound"             -> ktrussSoundSql,
     "holt_forecast"            -> holtForecastSql,
     "seasonal_decompose"       -> seasonalDecomposeSql,
+    "source_overlap_approx"    -> sourceOverlapApproxSql,
+    "basket_affinity"          -> basketAffinitySql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

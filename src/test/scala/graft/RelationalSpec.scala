@@ -182,4 +182,29 @@ class RelationalSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian")
     }
   }
+  test("basket affinity lift is exact on hand baskets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 baskets: {1,2} x3, {1,3}, so N=4, n1=4, n2=3, n3=1,
+    // pair (1,2): nab=3, lift = 3*4/(4*3) = 1.0; (1,3): 1*4/(4*1)=1.0
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+                 (12L, 1L), (12L, 2L), (13L, 1L), (13L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val b = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = b.select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
+          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa"), col("p.pb")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L, 3L), (1L, 3L, 1L)))
+    val out = Queries.basketAffinity(spark, sfDir)
+    val r = out.select("n_ab", "n_a", "n_b", "n_orders", "lift")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    r.foreach { case (nab, na, nb, n, lift) =>
+      assert(lift === (nab * n).toDouble / (na * nb).toDouble)
+      assert(nab <= na && nab <= nb && na <= n && nb <= n)
+    }
+    assert(r.length === 20)
+  }
 }

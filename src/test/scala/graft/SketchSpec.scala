@@ -67,4 +67,37 @@ class SketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CountMin.buildTable(df, "word", depth = 5, width = 512))
   }
+  test("sketch inclusion-exclusion recovers a planted vocabulary overlap") {
+    import spark.implicits._
+    // A = w0..w999, B = w500..w1499: true overlap 500, unions 1500
+    val docs = ((0 until 1000).map(i => ("a", s"w$i")) ++
+                (500 until 1500).map(i => ("b", s"w$i")))
+      .toDF("source", "word")
+    val sk = docs.groupBy(col("source"))
+      .agg(hll_sketch_agg(col("word")).as("sk"),
+           count_distinct(col("word")).as("nd"))
+    val est = sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+      .select((col("x.nd") + col("y.nd") -
+        hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))))
+        .as("inter"))
+      .as[Double].head()
+    assert(math.abs(est - 500.0) <= 0.08 * 2000 + 24, s"estimate $est")
+    // and the estimate is partitioning-independent (register-max merge)
+    val est2 = docs.repartition(13).groupBy(col("source"))
+      .agg(hll_sketch_agg(col("word")).as("sk"),
+           count_distinct(col("word")).as("nd"))
+      .as("x").join(sk.as("y"),
+        col("x.source") < col("y.source"))
+      .select((col("x.nd") + col("y.nd") -
+        hll_sketch_estimate(hll_union(col("x.sk"), col("y.sk"))))
+        .as("inter"))
+      .as[Double].head()
+    assert(est === est2)
+  }
+
+  test("source_overlap_approx flags are all green at gate scale") {
+    val rows = Queries.sourceOverlapApprox(spark, sfDir).collect()
+    assert(rows.length === 190) // C(20,2) source pairs
+    assert(rows.forall(_.getAs[Boolean]("approx_ok")))
+  }
 }

@@ -443,6 +443,23 @@ object Scale100 {
     }
     run("seasonal_decompose")(
       SparkEntry.queries("seasonal_decompose")(spark, dir))
+    // batch 6: the sketch-only production side of the overlap planner
+    // (no exact joins — the plan a 100 TB run would issue) and basket
+    // affinity over the full 60M-lineitem basket set
+    run("source_overlap_sketch_only") {
+      val raw = Tables.documents(spark, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val sk = raw.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("word")).as("sk"),
+             approx_count_distinct(col("word")).as("nd"))
+        .localCheckpoint(true)
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (col("a.nd") + col("b.nd") -
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+            .as("est_overlap"))
+    }
+    run("basket_affinity")(SparkEntry.queries("basket_affinity")(spark, dir))
     run("ppr_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
