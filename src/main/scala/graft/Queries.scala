@@ -3604,6 +3604,94 @@ object Queries {
       |       GROUP BY v.node, v.seed)
       |SELECT node, pr FROM r3""".stripMargin
 
+  /** HITS driver gate (#52c): the production [[Rank.hits]] loop on the
+    * planted 256-node graph. Unnormalized integer HITS — every
+    * intermediate an exact long (auth = in-mass of hubs, hub =
+    * out-mass of fresh auths, textbook update order), so DuckDB's 3
+    * unrolled rounds match bit-for-bit with no float surface at all.
+    * The graph's in-degrees split 0/2/4, so auth and hub genuinely
+    * diverge — a blended-rank impostor cannot fake both columns. */
+  def hitsSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val edges = Tables.documents(spark, dir)
+      .where(col("doc_id") < n).select(col("doc_id"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 2 + 1) % n).as("dst")),
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 4 + 2) % n).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    Rank.hits(edges, "src", "dst", iters = 3)
+  }
+
+  private val hitsSoundSql = {
+    def authRound(prev: String, out: String) =
+      s"""$out AS (SELECT v.node,
+         |  COALESCE(CAST(SUM($prev.hub) AS BIGINT), 0) AS auth
+         |FROM v LEFT JOIN e ON e.dst = v.node
+         |       LEFT JOIN $prev ON $prev.node = e.src
+         |GROUP BY v.node)""".stripMargin
+    def hubRound(auths: String, out: String) =
+      s"""$out AS (SELECT v.node,
+         |  COALESCE(CAST(SUM($auths.auth) AS BIGINT), 0) AS hub
+         |FROM v LEFT JOIN e ON e.src = v.node
+         |       LEFT JOIN $auths ON $auths.node = e.dst
+         |GROUP BY v.node)""".stripMargin
+    s"""WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 256),
+       |e AS (SELECT i AS src, (2*i+1) % 256 AS dst FROM nn
+       |      UNION ALL SELECT i, (4*i+2) % 256 FROM nn),
+       |v AS (SELECT DISTINCT node FROM
+       |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS hub FROM v),
+       |${authRound("h0", "a1")},
+       |${hubRound("a1", "h1")},
+       |${authRound("h1", "a2")},
+       |${hubRound("a2", "h2")},
+       |${authRound("h2", "a3")},
+       |${hubRound("a3", "h3")}
+       |SELECT a3.node, a3.auth, h3.hub
+       |FROM a3 JOIN h3 ON h3.node = a3.node""".stripMargin
+  }
+
+  /** Multi-source BFS driver gate (#52d): [[Graph.bfsDistances]] from
+    * the 16-seed set over the planted graph, 3 relaxation rounds —
+    * all-integer and monotone, so the oracle unrolls exactly and
+    * convergence timing cannot matter. Nodes the seeds cannot reach
+    * in 3 hops are ABSENT on both sides (the 100 TB contract: the
+    * unreachable set is the corpus, not a result). */
+  def bfsSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < n)
+    val edges = docs.select(col("doc_id"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 2 + 1) % n).as("dst")),
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 4 + 2) % n).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val seeds = docs.where(col("doc_id") % 16 === 0).select(col("doc_id"))
+    Graph.bfsDistances(edges, "src", "dst", seeds, "doc_id", maxIters = 3)
+  }
+
+  private val bfsSoundSql = {
+    def round(prev: String, out: String) =
+      s"""$out AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst, $prev.dist + 1 FROM e
+         |    JOIN $prev ON $prev.node = e.src) t
+         |GROUP BY node)""".stripMargin
+    s"""WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 256),
+       |e AS (SELECT i AS src, (2*i+1) % 256 AS dst FROM nn
+       |      UNION ALL SELECT i, (4*i+2) % 256 FROM nn),
+       |d0 AS (SELECT i AS node, CAST(0 AS BIGINT) AS dist FROM nn
+       |       WHERE i % 16 = 0),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT node, dist FROM d3""".stripMargin
+  }
+
   /** k-core driver gate (#53a): the production [[Graph.kcore]] peel on
     * a planted gadget graph — 16 blocks of [K8 core + 3-node cascade
     * chain] keyed by doc_id (role = id mod 11, block = id div 11).
@@ -5909,6 +5997,8 @@ object Queries {
     "pagerank_sound"           -> (pagerankSound _),
     "ppr_sound"                -> (pprSound _),
     "fuzzy_match_blocked"      -> (fuzzyMatchBlocked _),
+    "hits_sound"               -> (hitsSound _),
+    "bfs_sound"                -> (bfsSound _),
     "activity_streaks"         -> (activityStreaks _),
     "kcore_sound"              -> (kcoreSound _),
     "ktruss_sound"             -> (ktrussSound _),
@@ -6086,6 +6176,8 @@ object Queries {
     "pagerank_sound"           -> pagerankSoundSql,
     "ppr_sound"                -> pprSoundSql,
     "fuzzy_match_blocked"      -> fuzzyMatchBlockedSql,
+    "hits_sound"               -> hitsSoundSql,
+    "bfs_sound"                -> bfsSoundSql,
     "activity_streaks"         -> activityStreaksSql,
     "kcore_sound"              -> kcoreSoundSql,
     "ktruss_sound"             -> ktrussSoundSql,

@@ -182,6 +182,49 @@ object Graph {
     deg
   }
 
+  /** Multi-source BFS hop distances: dist(v) = length of the shortest
+    * directed path from ANY seed, computed by synchronous relaxation —
+    * per round dist(v) ← min(dist(v), min over in-neighbors
+    * dist(u)+1). The reach/coverage complement to
+    * [[Rank.personalizedPageRank]]: PPR weights proximity
+    * continuously, BFS answers the discrete question ("how many hops
+    * from the trusted set is this page?") that crawl-frontier and
+    * contamination-radius policies threshold on. Relaxation is
+    * MONOTONE (distances only decrease) and all-integer, so a
+    * fixed-round oracle equals the engine whether convergence came
+    * early or not, and rounds beyond the diameter are no-ops.
+    *
+    * Scale shape: the peel/LPA round discipline — edges cached bare
+    * (one hash-partition, never re-shuffled at broadcast scale), the
+    * node-sized distance table does the moving: one edge⋈dist join +
+    * one min-agg + one outer combine per round; superseded rounds
+    * freed eagerly. Returns (node, dist) for REACHED nodes only —
+    * at 100 TB the unreachable set is the corpus, not a result. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxIters: Int = 3): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 0 until maxIters) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + 1L).as("nd"))
+      val next = dist.join(relaxed, Seq("node"), "full")
+        .select(col("node"),
+                least(coalesce(col("dist"), lit(Long.MaxValue)),
+                      coalesce(col("nd"), lit(Long.MaxValue))).as("dist"))
+        .localCheckpoint(true)
+      graft.Blocks.freeCheckpoint(dist)
+      dist = next
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** k-truss decomposition by iterative support peeling (Cohen 2008,
     * the standard distributed formulation): repeatedly drop edges
     * participating in fewer than k−2 triangles WITHIN the surviving

@@ -152,6 +152,68 @@ object Rank {
     ranks.select(col("node"), col("pr"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) in the UNNORMALIZED
+    * integer form: auth₀ = hub₀ = 1; per round
+    * authₜ₊₁(v) = Σ_{u→v} hubₜ(u), then
+    * hubₜ₊₁(u) = Σ_{u→v} authₜ₊₁(v) — the textbook update order, with
+    * the per-round L2 normalization DROPPED. Normalizing divides by a
+    * float norm whose accumulation order is engine-dependent, so the
+    * classic form cannot be gated bit-exactly; the unnormalized
+    * iteration is order-isomorphic to it (normalization rescales both
+    * vectors uniformly — the RANKING each round is identical), keeps
+    * every intermediate an exact integer, and bounds growth by
+    * deg_max² per round — far inside long range at any realistic
+    * round budget over a kNN-bounded graph. Callers who need unit
+    * vectors normalize once at the end.
+    *
+    * What it adds over [[pageRank]]: directionality split. A page
+    * that LINKS well (hub) and a page that IS linked well (authority)
+    * are different quality signals on a crawl graph; PageRank blends
+    * them into one stationary score.
+    *
+    * Scale shape: the [[pageRank]] discipline — edges cached bare and
+    * never re-shuffled; two node-sized vector joins + two node-keyed
+    * aggs per round; spine left-joins keep degree-0 sides at 0. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3,
+           maxBroadcastNodes: Long = 4000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val nNodes = nodes.count()
+    def bcast(df: DataFrame): DataFrame =
+      if (maxBroadcastNodes > 0 && nNodes <= maxBroadcastNodes) broadcast(df)
+      else df
+    var scores = nodes.select(col("node"), lit(1L).as("auth"),
+                              lit(1L).as("hub")).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val inMass = e.join(
+          bcast(scores.select(col("node").as("src"), col("hub"))), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("a"))
+      val auth = nodes.join(inMass, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      val outMass = e.join(
+          bcast(auth.select(col("node").as("dst"), col("auth").as("na"))),
+          "dst")
+        .groupBy(col("src")).agg(sum(col("na")).as("h"))
+      val next = auth.join(outMass, col("node") === col("src"), "left")
+        .select(col("node"), col("auth"),
+                coalesce(col("h"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      graft.Blocks.freeCheckpoint(scores)
+      graft.Blocks.freeCheckpoint(auth)
+      scores = next
+    }
+    graft.Blocks.freeCheckpoint(nodes)
+    e.unpersist(false)
+    scores
+  }
+
   /** Synchronous label propagation communities (Raghavan et al. 2007)
     * over an undirected pair graph: labels start as node ids; each
     * round every node takes the most frequent label among its

@@ -117,6 +117,26 @@ class GraphSpec extends SparkSpec {
     assert(t3 === 9L)
   }
 
+  test("bfs distances: hop counts, multi-seed min, reached-only contract") {
+    val path = (1L to 5L).map(i => (i, i + 1)).toDF("s", "d")
+    val one = Graph.bfsDistances(path, "s", "d", Seq(1L).toDF("n"), "n",
+        maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // two seeds: every node takes the NEARER one
+    val two = Graph.bfsDistances(path, "s", "d", Seq(1L, 4L).toDF("n"), "n",
+        maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+                       4L -> 0L, 5L -> 1L, 6L -> 2L))
+    // monotone: once converged, extra rounds are no-ops
+    val more = Graph.bfsDistances(path, "s", "d", Seq(1L, 4L).toDF("n"), "n",
+        maxIters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L,
+                        5L -> 1L, 6L -> 2L))
+  }
+
   test("ktruss cascade on one gate-gadget block needs two peel rounds") {
     // one block of the ktruss_sound gadget: K5 {0..4} + triangle path
     // {5..9}; outer tail edges peel round 1 (support 1), the inner

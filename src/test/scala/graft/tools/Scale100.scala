@@ -460,6 +460,38 @@ object Scale100 {
             .as("est_overlap"))
     }
     run("basket_affinity")(SparkEntry.queries("basket_affinity")(spark, dir))
+    // batch 7: HITS and multi-source BFS over the same 54M-directed-
+    // edge doc pair graph the PPR/LPA probes walk — the full graph
+    // family now has 100× rows on identical input
+    // HITS runs on the kNN-BOUNDED co-occurrence graph, not the raw
+    // pair graph: unnormalized integer growth is deg_max^(2·iters),
+    // and a dup-heavy pair cluster's degree could push that past 64
+    // bits — the kNN cap (deg ≤ ~2k) keeps 3 rounds ≤ ~4e9, the
+    // documented contract
+    run("hits_knn_graph") {
+      val sets = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
+      val weighted = sets
+        .select(explode(flatten(transform(col("sups"), (x, i) =>
+          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
+            struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val knn = graft.operators.Graph.topKEdges(weighted, 20)
+      graft.operators.Rank.hits(
+        knn.select(col("u").as("src"), col("v").as("dst"))
+          .union(knn.select(col("v").as("src"), col("u").as("dst"))),
+        "src", "dst", iters = 3)
+    }
+    run("bfs_pair_graph") {
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      graft.operators.Graph.bfsDistances(e, "src", "dst",
+        Tables.documents(spark, dir)
+          .where(col("doc_id") % 1000 === 0).select(col("doc_id")),
+        "doc_id", maxIters = 3)
+    }
     run("ppr_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
