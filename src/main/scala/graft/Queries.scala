@@ -4525,6 +4525,110 @@ object Queries {
       |FROM nd a JOIN nd b ON a.source < b.source
       |LEFT JOIN sh ON sh.src_a = a.source AND sh.src_b = b.source""".stripMargin
 
+  /** Exact prefix-filtered Jaccard join (#26b): every document pair
+    * with token-set Jaccard ≥ 9/10 — see
+    * [[operators.SetJoin.prefixJaccardSelfJoin]]. The EXACT-recall
+    * complement to the MinHash path (#24): LSH recall is
+    * probabilistic, the prefix filter lossless — and like
+    * fuzzy_match_blocked, losslessness IS the oracle: DuckDB computes
+    * the all-pairs quadratic form and the blocked result must
+    * hash-match it. Gate corpus bounded to doc_id < 20000 (the
+    * containment-gate rule: full table at the driver's sf0.01/sf0.1,
+    * one copy at 100×) because the ORACLE side is quadratic; the
+    * engine side needs no bound. */
+  def jaccardJoinExact(spark: SparkSession, dir: String): DataFrame =
+    operators.SetJoin.prefixJaccardSelfJoin(
+      Tables.documents(spark, dir).where(col("doc_id") < 20000),
+      "doc_id", "text", tauNum = 9, tauDen = 10)
+
+  private val jaccardJoinExactSql =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents WHERE doc_id < 20000),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |        CAST(len(a.toks) AS BIGINT) AS sz_a,
+      |        CAST(len(b.toks) AS BIGINT) AS sz_b
+      |      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, inter, sz_a, sz_b,
+      |  CAST(inter AS DOUBLE) / CAST(sz_a + sz_b - inter AS DOUBLE)
+      |    AS jaccard
+      |FROM p WHERE inter * 10 >= (sz_a + sz_b - inter) * 9""".stripMargin
+
+  /** Revenue concentration (#20b): exact Gini coefficient and
+    * Lorenz-tail shares over per-customer revenue. The scale problem
+    * is the GLOBAL rank — a bare global row_number funnels every
+    * customer through one task, so ranks come from the bucketed
+    * two-pass scheme instead: fixed-width revenue buckets (the
+    * quantile-cube bin discipline), per-bucket counts → cumulative
+    * offsets (bucket-table-sized, broadcast), within-bucket
+    * row_number + offset = exact global rank with only
+    * bucket-parallel windows. Revenue stays DECIMAL through Σx and
+    * Σ rank·x (long×decimal is exact); Gini
+    * = (2·S1 − (n+1)·S)/(n·S) and each share are ONE division of
+    * exactly-cast operands. Ranks tie-break (rev, custkey) — total
+    * order, so both engines agree bit-for-bit. */
+  def revenueGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
+    val b = per.withColumn("bkt", floor(col("rev") / 50000).cast("long"))
+    val counts = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val offs = counts
+      .withColumn("off",
+        coalesce(sum(col("c")).over(
+          Window.orderBy(col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val ranked = b.join(broadcast(offs), "bkt")
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("bkt"))
+          .orderBy(col("rev"), col("o_custkey"))) + col("off"))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+                         sum(col("rev") * col("r")).as("s1"))
+    val deciles = ranked.crossJoin(broadcast(tot.select(col("n"))))
+      .withColumn("dec", expr("(10 * r + n - 1) div n"))
+      .agg(sum(when(col("dec") === 10, col("rev"))
+                 .otherwise(lit(0).cast("decimal(25,6)"))).as("top10"),
+           sum(when(col("dec") <= 5, col("rev"))
+                 .otherwise(lit(0).cast("decimal(25,6)"))).as("bot50"))
+    tot.crossJoin(deciles)
+      .select(col("n").as("n_customers"),
+        col("s").cast("double").as("total_revenue"),
+        ((lit(2) * col("s1") - (col("n") + 1) * col("s")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("gini"),
+        (col("top10").cast("double") / col("s").cast("double"))
+          .as("top10_share"),
+        (col("bot50").cast("double") / col("s").cast("double"))
+          .as("bottom50_share"))
+  }
+
+  private val revenueGiniSql =
+    """WITH per AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS rev
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT o_custkey, rev,
+      |        row_number() OVER (ORDER BY rev, o_custkey) AS rk
+      |      FROM per),
+      |t AS (SELECT COUNT(*) AS n, SUM(rev) AS s, SUM(rev * rk) AS s1
+      |      FROM r),
+      |d AS (SELECT r.rev, (10 * r.rk + t.n - 1) // t.n AS dec
+      |      FROM r, t),
+      |dd AS (SELECT
+      |    SUM(CASE WHEN dec = 10 THEN rev ELSE 0 END) AS top10,
+      |    SUM(CASE WHEN dec <= 5 THEN rev ELSE 0 END) AS bot50
+      |  FROM d)
+      |SELECT t.n AS n_customers,
+      |  CAST(CAST(t.s AS VARCHAR) AS DOUBLE) AS total_revenue,
+      |  CAST(CAST(2 * t.s1 - (t.n + 1) * t.s AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.n * t.s AS VARCHAR) AS DOUBLE) AS gini,
+      |  CAST(CAST(dd.top10 AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.s AS VARCHAR) AS DOUBLE) AS top10_share,
+      |  CAST(CAST(dd.bot50 AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(t.s AS VARCHAR) AS DOUBLE) AS bottom50_share
+      |FROM t, dd""".stripMargin
+
   /** Market-basket affinity (#17q): parts bought together with exact
     * lift — the transaction-grain sibling of the text PMI gate (#38c).
     * Per-order part pairs come from the sorted-set slice explode (the
@@ -6006,6 +6110,8 @@ object Queries {
     "seasonal_decompose"       -> (seasonalDecomposeQ _),
     "source_overlap_approx"    -> (sourceOverlapApprox _),
     "basket_affinity"          -> (basketAffinity _),
+    "jaccard_join_exact"       -> (jaccardJoinExact _),
+    "revenue_gini"             -> (revenueGini _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6185,6 +6291,8 @@ object Queries {
     "seasonal_decompose"       -> seasonalDecomposeSql,
     "source_overlap_approx"    -> sourceOverlapApproxSql,
     "basket_affinity"          -> basketAffinitySql,
+    "jaccard_join_exact"       -> jaccardJoinExactSql,
+    "revenue_gini"             -> revenueGiniSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

@@ -207,4 +207,30 @@ class RelationalSpec extends SparkSpec {
     }
     assert(r.length === 20)
   }
+  test("revenue gini: bucketed global rank matches the one-task window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val out = Queries.revenueGini(spark, sfDir).collect().head
+    val gini = out.getAs[Double]("gini")
+    val n = out.getAs[Long]("n_customers")
+    // reference: the naive global window the operator exists to avoid
+    val per = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rev"), col("o_custkey"))))
+    val t = per.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
+                    sum(col("rev") * col("r")).as("s1")).collect().head
+    val (nn, s, s1) = (t.getLong(0), t.getDecimal(1), t.getDecimal(2))
+    val ref = (s1.multiply(new java.math.BigDecimal(2))
+        .subtract(s.multiply(new java.math.BigDecimal(nn + 1)))).doubleValue() /
+      s.multiply(new java.math.BigDecimal(nn)).doubleValue()
+    assert(n === nn)
+    assert(gini === ref, s"bucketed $gini vs window $ref")
+    assert(gini > 0.0 && gini < 1.0)
+    val top10 = out.getAs[Double]("top10_share")
+    val bot50 = out.getAs[Double]("bottom50_share")
+    assert(top10 > 0.1 && top10 < 1.0) // top decile holds > its pro-rata
+    assert(bot50 < 0.5 && bot50 > 0.0)
+  }
 }

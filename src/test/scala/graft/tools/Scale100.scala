@@ -484,6 +484,18 @@ object Scale100 {
           .union(knn.select(col("v").as("src"), col("u").as("dst"))),
         "src", "dst", iters = 3)
     }
+    // batch 8: exact-recall jaccard join over the FULL 500k-doc corpus
+    // with exact-dup collapse first (the standing rule — the corpus is
+    // dup-heavy by construction); count the surviving pairs. And the
+    // bucketed-rank Gini over 1.5M customers.
+    run("jaccard_join_collapse_first") {
+      val reps = Tables.documents(spark, dir)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      graft.operators.SetJoin
+        .prefixJaccardSelfJoin(reps, "doc_id", "text", 9, 10)
+        .groupBy().agg(count(lit(1)).as("n_pairs"))
+    }
+    run("revenue_gini")(SparkEntry.queries("revenue_gini")(spark, dir))
     run("bfs_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
