@@ -4532,19 +4532,22 @@ object Queries {
     * probabilistic, the prefix filter lossless — and like
     * fuzzy_match_blocked, losslessness IS the oracle: DuckDB computes
     * the all-pairs quadratic form and the blocked result must
-    * hash-match it. Gate corpus bounded to doc_id < 20000 (the
-    * containment-gate rule: full table at the driver's sf0.01/sf0.1,
-    * one copy at 100×) because the ORACLE side is quadratic; the
-    * engine side needs no bound. */
+    * hash-match it. Gate corpus bounded to doc_id < 2000 (the
+    * containment-gate rule: full table at the driver's sf0.01, a
+    * fixed slice above) because BOTH sides of the compare are
+    * quadratic-ish on this deliberately dup-dense corpus — at sf0.1
+    * the unbounded pair count is ~1M and the bench line would be all
+    * gate, no signal. The UNBOUNDED form is probed by Scale100 over
+    * the full 500k-doc table (collapse-first, 26 s zero-spill). */
   def jaccardJoinExact(spark: SparkSession, dir: String): DataFrame =
     operators.SetJoin.prefixJaccardSelfJoin(
-      Tables.documents(spark, dir).where(col("doc_id") < 20000),
+      Tables.documents(spark, dir).where(col("doc_id") < 2000),
       "doc_id", "text", tauNum = 9, tauDen = 10)
 
   private val jaccardJoinExactSql =
     """WITH d AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-      |  FROM documents WHERE doc_id < 20000),
+      |  FROM documents WHERE doc_id < 2000),
       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |        CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
       |        CAST(len(a.toks) AS BIGINT) AS sz_a,

@@ -46,8 +46,13 @@ object SetJoin {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= prefLen)
       .select(col("id"), col("tok"), col("sz"))
+    // length filter rides the candidate join (PPJoin): J ≥ τ forces
+    // τ·|a| ≤ |b| ≤ |a|/τ, so size-mismatched pairs die before the
+    // distinct ever sees them
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+        col("b.sz") * tauDen >= col("a.sz") * tauNum &&
+        col("a.sz") * tauDen >= col("b.sz") * tauNum)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .distinct() // close pairs share several prefix tokens; verify once
