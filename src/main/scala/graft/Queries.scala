@@ -2926,6 +2926,56 @@ object Queries {
       |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
 
+  /** Multi-step ordered funnel (#50d): view → click → purchase, each
+    * step STRICTLY after the previous and within 24 h of it, anchored
+    * at the user's FIRST qualifying event per step (the deterministic
+    * convention — "first touch"). Three type-filtered passes (each
+    * filter reaches the scan), two user-keyed joins of user-grain
+    * aggregates; all comparisons are exact timestamp arithmetic, so
+    * the census is oracle-exact. Where [[funnelConversion]] scores a
+    * single attribution edge, this reports the classic step-census
+    * marketers read: how many users survive each stage. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val day = expr("INTERVAL 24 HOURS")
+    val t1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = ev.where(col("event_type") === "click")
+      .join(t1, "user_id")
+      .where(col("ts") > col("t1") && col("ts") <= col("t1") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = ev.where(col("event_type") === "purchase")
+      .join(t2, "user_id")
+      .where(col("ts") > col("t2") && col("ts") <= col("t2") + day)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("step"), col("n_users"))
+      .unionAll(t2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionAll(t3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+  }
+
+  private val funnelStepsSql =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN t1 ON t1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+      |    AND e.ts <= t1.t1 + INTERVAL 24 HOURS
+      |  GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      |    AND e.ts <= t2.t2 + INTERVAL 24 HOURS
+      |  GROUP BY 1)
+      |SELECT '1_view' AS step, COUNT(*) AS n_users FROM t1
+      |UNION ALL SELECT '2_click', COUNT(*) FROM t2
+      |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3""".stripMargin
+
   /** Funnel conversion: each purchase attributed to the user's most
     * recent view (as-of join), converted iff that view is within the
     * preceding hour — per-user purchase/conversion counts. Same
@@ -6115,6 +6165,7 @@ object Queries {
     "basket_affinity"          -> (basketAffinity _),
     "jaccard_join_exact"       -> (jaccardJoinExact _),
     "revenue_gini"             -> (revenueGini _),
+    "funnel_steps"             -> (funnelSteps _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6296,6 +6347,7 @@ object Queries {
     "basket_affinity"          -> basketAffinitySql,
     "jaccard_join_exact"       -> jaccardJoinExactSql,
     "revenue_gini"             -> revenueGiniSql,
+    "funnel_steps"             -> funnelStepsSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

@@ -496,6 +496,7 @@ object Scale100 {
         .groupBy().agg(count(lit(1)).as("n_pairs"))
     }
     run("revenue_gini")(SparkEntry.queries("revenue_gini")(spark, dir))
+    run("funnel_steps")(SparkEntry.queries("funnel_steps")(spark, dir))
     run("bfs_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
