@@ -3742,6 +3742,78 @@ object Queries {
        |SELECT node, dist FROM d3""".stripMargin
   }
 
+  /** Weighted SSSP driver gate (#52e): [[Graph.ssspDistances]] with
+    * integer weights w = 1 + (src mod 3) over the planted graph —
+    * Bellman-Ford's round-k invariant makes the 3-round unroll exact,
+    * and the weighted relaxation genuinely reorders reachability vs
+    * [[bfsSound]] (a 2-hop path can now be cheaper than a 1-hop one),
+    * so a hop-count impostor fails. */
+  def ssspSound(spark: SparkSession, dir: String): DataFrame = {
+    val n = 256
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < n)
+    val edges = docs.select(col("doc_id"))
+      .select(explode(array(
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 2 + 1) % n).as("dst")),
+        struct(col("doc_id").as("src"),
+               ((col("doc_id") * 4 + 2) % n).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+              (col("e.src") % 3 + 1).as("w"))
+    val seeds = docs.where(col("doc_id") % 16 === 0).select(col("doc_id"))
+    Graph.ssspDistances(edges, "src", "dst", "w", seeds, "doc_id",
+                        maxIters = 3)
+  }
+
+  private val ssspSoundSql = {
+    def round(prev: String, out: String) =
+      s"""$out AS (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM $prev
+         |  UNION ALL
+         |  SELECT e.dst, $prev.dist + e.w FROM e
+         |    JOIN $prev ON $prev.node = e.src) t
+         |GROUP BY node)""".stripMargin
+    s"""WITH nn AS (SELECT doc_id AS i FROM documents WHERE doc_id < 256),
+       |e AS (SELECT i AS src, (2*i+1) % 256 AS dst, i % 3 + 1 AS w FROM nn
+       |      UNION ALL SELECT i, (4*i+2) % 256, i % 3 + 1 FROM nn),
+       |d0 AS (SELECT i AS node, CAST(0 AS BIGINT) AS dist FROM nn
+       |       WHERE i % 16 = 0),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")},
+       |${round("d2", "d3")}
+       |SELECT node, dist FROM d3""".stripMargin
+  }
+
+  /** Entity resolution (#49b): the composition the master-data flow
+    * actually runs — [[operators.Fuzzy.selfJoin]]'s lossless blocked
+    * match pairs resolved to canonical entity ids by connected
+    * components ([[Dedup.clusters]]'s transitive closure): a↔b and
+    * b↔c merge a,b,c under one representative even when a↔c exceeds
+    * the edit threshold. Oracle recomputes the pairs ALL-PAIRS and
+    * the closure as a recursive CTE (the dedup_clusters machinery).
+    * Only keys participating in ≥1 match appear — singletons are the
+    * corpus, not a result. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(
+      operators.Fuzzy.selfJoin(
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name")),
+        "s_suppkey", "s_name", maxDist = 1),
+      "key_a", "key_b")
+      .select(col("doc_id").as("s_suppkey"), col("cluster_rep").as("entity_rep"))
+
+  private val entityResolutionSql =
+    """WITH RECURSIVE s AS (
+      |  SELECT s_suppkey, s_name FROM supplier),
+      |e0 AS (
+      |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+      |  FROM s a JOIN s b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      |SELECT id AS s_suppkey, MIN(r) AS entity_rep FROM reach GROUP BY id""".stripMargin
+
   /** k-core driver gate (#53a): the production [[Graph.kcore]] peel on
     * a planted gadget graph — 16 blocks of [K8 core + 3-node cascade
     * chain] keyed by doc_id (role = id mod 11, block = id div 11).
@@ -4681,6 +4753,58 @@ object Queries {
       |  CAST(CAST(dd.bot50 AS VARCHAR) AS DOUBLE)
       |    / CAST(CAST(t.s AS VARCHAR) AS DOUBLE) AS bottom50_share
       |FROM t, dd""".stripMargin
+
+  /** CUSUM change detection (#56b): Page's cumulative-sum statistic
+    * over the daily demand series — the SUSTAINED-shift detector the
+    * MAD gate (#56) cannot express (MAD flags single spikes; CUSUM
+    * accumulates small persistent drift until it crosses). Exactness
+    * by algebra instead of recursion: S_t = max(0, S_{t−1} + x_t − μ)
+    * has the closed form C_t − min_{j≤t} C_j with C the running sum
+    * of (x − μ), and multiplying through by n clears the mean:
+    * D_t = n·R_t − t·S (R = running demand sum, S = total, all exact
+    * DECIMAL — decimal window sums are exact under ANY accumulation
+    * association, so even a segment-tree window implementation
+    * agrees), M_t = running min of D, alert iff D_t − M_t > 30·S
+    * (⟺ CUSUM excess > thirty mean-days — sized so the series'
+    * random-walk excursions mostly stay under it and only sustained
+    * drifts cross: ~10% of days alert, in four of five priorities,
+    * measured; at h = 1·S the gate alerted on 92% of days, a siren
+    * not a detector). Zero float ops before the
+    * output casts. One window exchange (both windows + row_number
+    * share it) + a 5-row broadcast of totals. */
+  def cusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("x"))
+    Temporal.cusum(daily, Seq("prio"), "day", "x", hMultiple = 30)
+  }
+
+  private val cusumAlertsSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS x
+      |  FROM orders GROUP BY 1, 2),
+      |tot AS (SELECT prio, CAST(SUM(x) AS DECIMAL(25,6)) AS s,
+      |          COUNT(*) AS n
+      |        FROM daily GROUP BY 1),
+      |w AS (SELECT d.prio, d.day, d.x, t.s,
+      |        CAST(row_number() OVER win AS DECIMAL(10,0)) AS rn,
+      |        CAST(t.n AS DECIMAL(10,0)) AS nn,
+      |        CAST(SUM(d.x) OVER (win ROWS UNBOUNDED PRECEDING)
+      |             AS DECIMAL(25,6)) AS r
+      |      FROM daily d JOIN tot t ON t.prio = d.prio
+      |      WINDOW win AS (PARTITION BY d.prio ORDER BY d.day)),
+      |dd AS (SELECT prio, day, x, s, nn * r - rn * s AS d
+      |       FROM w),
+      |mm AS (SELECT prio, day, x, s, d,
+      |         MIN(d) OVER (PARTITION BY prio ORDER BY day
+      |                      ROWS UNBOUNDED PRECEDING) AS m
+      |       FROM dd)
+      |SELECT prio, day,
+      |  CAST(CAST(x AS VARCHAR) AS DOUBLE) AS demand,
+      |  CAST(CAST(d - m AS VARCHAR) AS DOUBLE) AS excess_total,
+      |  CAST(CAST(s * 30 AS VARCHAR) AS DOUBLE) AS threshold_total
+      |FROM mm WHERE d - m > s * 30""".stripMargin
 
   /** Market-basket affinity (#17q): parts bought together with exact
     * lift — the transaction-grain sibling of the text PMI gate (#38c).
@@ -6166,6 +6290,9 @@ object Queries {
     "jaccard_join_exact"       -> (jaccardJoinExact _),
     "revenue_gini"             -> (revenueGini _),
     "funnel_steps"             -> (funnelSteps _),
+    "sssp_sound"               -> (ssspSound _),
+    "entity_resolution"        -> (entityResolution _),
+    "cusum_alerts"             -> (cusumAlerts _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6348,6 +6475,9 @@ object Queries {
     "jaccard_join_exact"       -> jaccardJoinExactSql,
     "revenue_gini"             -> revenueGiniSql,
     "funnel_steps"             -> funnelStepsSql,
+    "sssp_sound"               -> ssspSoundSql,
+    "entity_resolution"        -> entityResolutionSql,
+    "cusum_alerts"             -> cusumAlertsSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

@@ -202,17 +202,37 @@ object Graph {
     * at 100 TB the unreachable set is the corpus, not a result. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
-                   maxIters: Int = 3): DataFrame = {
+                   maxIters: Int = 3): DataFrame =
+    ssspDistances(edges.withColumn("__w", lit(1L)), srcCol, dstCol, "__w",
+                  seeds, seedCol, maxIters)
+
+  /** Weighted single/multi-source shortest paths by synchronous
+    * Bellman-Ford relaxation: dist(v) ← min(dist(v), min over
+    * in-edges dist(u) + w(u→v)), `maxIters` rounds — exact for paths
+    * of ≤ maxIters hops (Bellman-Ford's round-k invariant). The
+    * weighted generalization of [[bfsDistances]]: hop counts answer
+    * "how far", weighted distances answer "how costly" (latency
+    * routing, dissimilarity radius over an edge-weighted near-dup
+    * graph). INTEGER weights keep every distance an exact long, the
+    * monotone-relaxation/fixed-round-oracle argument identical to the
+    * BFS case. Negative weights are rejected: with bounded rounds
+    * they would break the ≤k-hop optimality invariant silently. */
+  def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                    wCol: String, seeds: DataFrame, seedCol: String,
+                    maxIters: Int = 3): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
+                         col(dstCol).cast("long").as("dst"),
+                         col(wCol).cast("long").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negatives = e.where(col("w") < 0).limit(1).count()
+    require(negatives == 0, "ssspDistances requires non-negative weights")
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
     for (_ <- 0 until maxIters) {
       val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(min(col("dist") + 1L).as("nd"))
+        .agg(min(col("dist") + col("w")).as("nd"))
       val next = dist.join(relaxed, Seq("node"), "full")
         .select(col("node"),
                 least(coalesce(col("dist"), lit(Long.MaxValue)),

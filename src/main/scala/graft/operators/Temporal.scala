@@ -283,6 +283,36 @@ object Temporal {
           col("seasonal")).as("resid")): _*)
   }
 
+  /** Page's CUSUM sustained-shift detector in exact decimal algebra —
+    * the recursion S_t = max(0, S_{t−1} + x_t − μ) closed-formed as
+    * C_t − min_{j≤t} C_j and cleared of the mean division by scaling
+    * through n: D_t = n·R_t − t·S, alert iff D_t − M_t > h·S. See the
+    * cusum_alerts gate for the full argument; `valueCol` must be
+    * DECIMAL (the backtest contract). One window exchange (row_number,
+    * running sum, running min all share it) + a group-count-sized
+    * broadcast of totals. */
+  def cusum(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+            valueCol: String, hMultiple: Int): DataFrame = {
+    require(hMultiple >= 1, s"hMultiple must be >= 1, got $hMultiple")
+    val pcols = partitionCols.map(col)
+    val tot = df.groupBy(pcols: _*)
+      .agg(sum(col(valueCol)).cast("decimal(25,6)").as("s"),
+           count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(pcols: _*).orderBy(col(orderCol))
+    val run = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    df.join(broadcast(tot), partitionCols)
+      .withColumn("t", row_number().over(wOrd).cast("decimal(10,0)"))
+      .withColumn("r", sum(col(valueCol)).over(run).cast("decimal(25,6)"))
+      .withColumn("d", col("n").cast("decimal(10,0)") * col("r") -
+                       col("t") * col("s"))
+      .withColumn("m", min(col("d")).over(run))
+      .where(col("d") - col("m") > col("s") * hMultiple)
+      .select(pcols ++ Seq(col(orderCol),
+              col(valueCol).cast("double").as("demand"),
+              (col("d") - col("m")).cast("double").as("excess_total"),
+              (col("s") * hMultiple).cast("double").as("threshold_total")): _*)
+  }
+
   /** Rolling-origin forecast backtest: score baseline forecasters
     * against the realized series and report WMAPE (Σ|a−f| / Σa — the
     * volume-weighted MAPE practitioners prefer: no per-row division,

@@ -50,6 +50,18 @@ class FuzzySpec extends SparkSpec {
     assert(blocked.nonEmpty, "gate must be non-trivial at sf0.001")
   }
 
+  test("entity resolution merges transitively past the edit threshold") {
+    // ed(aaaa,aaab)=1, ed(aaab,aabb)=1, but ed(aaaa,aabb)=2: the
+    // closure must still put all three under one representative —
+    // exactly what a pairwise-threshold-only impostor cannot do
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb"), (4L, "zzzz"),
+                 (5L, "zzzy")).toDF("id", "name")
+    val out = graft.operators.Dedup.clusters(
+        Fuzzy.selfJoin(df, "id", "name", 1), "key_a", "key_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("blocked plan forms no cartesian/nested-loop product") {
     val p = Queries.fuzzyMatchBlocked(spark, sfDir)
       .queryExecution.executedPlan.toString

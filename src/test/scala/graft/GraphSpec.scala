@@ -137,6 +137,26 @@ class GraphSpec extends SparkSpec {
                         5L -> 1L, 6L -> 2L))
   }
 
+  test("sssp takes the cheaper multi-hop path and rejects negative weights") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — Bellman-Ford must
+    // prefer the longer-hop cheaper path (a BFS impostor cannot)
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("s", "d", "w")
+    val dist = Graph.ssspDistances(g, "s", "d", "w", Seq(1L).toDF("n"), "n",
+        maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    // one round only: the relaxation hasn't seen the 2-hop path yet
+    val r1 = Graph.ssspDistances(g, "s", "d", "w", Seq(1L).toDF("n"), "n",
+        maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(3L) === 10L && r1(2L) === 2L)
+    intercept[IllegalArgumentException] {
+      Graph.ssspDistances(Seq((1L, 2L, -1L)).toDF("s", "d", "w"),
+        "s", "d", "w", Seq(1L).toDF("n"), "n")
+    }
+  }
+
   test("ktruss cascade on one gate-gadget block needs two peel rounds") {
     // one block of the ktruss_sound gadget: K5 {0..4} + triangle path
     // {5..9}; outer tail edges peel round 1 (support 1), the inner

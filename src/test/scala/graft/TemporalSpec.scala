@@ -307,6 +307,28 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("cusum flags a sustained shift and stays quiet on flat + spike") {
+    // 60 flat days at 100; then 20 days at 130: mean ≈ 107.5, the
+    // shifted tail accumulates (130 − mean) per day and must cross
+    // h = 2·mean, while the flat head never alerts. A lone DOUBLED
+    // day on an otherwise flat series (≈ +90 once vs h ≈ 2·100·...)
+    // stays under threshold — the single-spike case belongs to the
+    // MAD gate, not CUSUM.
+    def series(vals: Seq[Double]) = vals.zipWithIndex
+      .map { case (v, i) => ("g", i, v) }.toDF("grp", "t", "x")
+      .select(col("grp"), col("t"), col("x").cast("decimal(25,6)").as("x"))
+    val shifted = Temporal.cusum(
+      series(Seq.fill(60)(100.0) ++ Seq.fill(20)(130.0)),
+      Seq("grp"), "t", "x", hMultiple = 2)
+      .select("t").as[Long].collect().sorted
+    assert(shifted.nonEmpty, "sustained shift must alert")
+    assert(shifted.forall(_ >= 60), s"flat head must not alert: $shifted")
+    val spike = Temporal.cusum(
+      series(Seq.fill(40)(100.0).updated(20, 190.0)),
+      Seq("grp"), "t", "x", hMultiple = 2)
+    assert(spike.count() === 0, "a single spike is MAD's job, not CUSUM's")
+  }
+
   test("holtBrown closes most of the EWMA lag on a linear trend") {
     // y_t = t: a plain EWMA lags a trending series forever; DES's
     // level+trend correction must forecast t+h far closer than the

@@ -497,6 +497,28 @@ object Scale100 {
     }
     run("revenue_gini")(SparkEntry.queries("revenue_gini")(spark, dir))
     run("funnel_steps")(SparkEntry.queries("funnel_steps")(spark, dir))
+    // batch 10: CUSUM over the 100× daily series (one window + tiny
+    // broadcast); weighted SSSP over the pair graph with unit+hash
+    // weights; entity resolution over 100k suppliers (collapse-first
+    // inside: names dedup to ~1k distinct)
+    run("cusum_alerts")(SparkEntry.queries("cusum_alerts")(spark, dir))
+    run("sssp_pair_graph") {
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+                           (col("doc_a") % 3 + 1).as("w"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"),
+                            (col("doc_b") % 3 + 1).as("w")))
+      graft.operators.Graph.ssspDistances(e, "src", "dst", "w",
+        Tables.documents(spark, dir)
+          .where(col("doc_id") % 1000 === 0).select(col("doc_id")),
+        "doc_id", maxIters = 3)
+    }
+    run("entity_resolution_dedup") {
+      val reps = Tables.supplier(spark, dir)
+        .groupBy(col("s_name")).agg(min(col("s_suppkey")).as("rep"))
+      graft.operators.Dedup.clusters(
+        graft.operators.Fuzzy.selfJoin(reps, "rep", "s_name", 1),
+        "key_a", "key_b")
+    }
     run("bfs_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
