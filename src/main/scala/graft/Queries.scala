@@ -2876,6 +2876,134 @@ object Queries {
       |  ON a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
 
+  /** Interval-union coverage (#22z3): per supplier, merge the
+    * overlapping service spans of its lineitems ([ship, ship +
+    * linenumber days] — the synthetic schema carries no receipt date,
+    * so span length derives from the line number) and report
+    * total covered days, merged-span count, and the longest span —
+    * the classic overlapping-intervals pattern (machine-utilization /
+    * on-the-hook windows), which neither gap-sessionization (fixed
+    * gap) nor day-streaks (day grain, adjacency) expresses: intervals
+    * here have extent and overlap arbitrarily. One window exchange:
+    * sort by (start, end), island = cumulative count of strict
+    * coverage breaks (start > running max end over PRECEDING rows),
+    * then the same partitioning carries the island groupBy and the
+    * per-supplier rollup. All date/integer arithmetic — hash-exact. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.lineitem(spark, dir)
+      .where(col("l_suppkey") < 100)
+      .select(col("l_suppkey").as("supp"),
+              col("l_shipdate").cast("date").as("s"),
+              date_add(col("l_shipdate").cast("date"),
+                       col("l_linenumber")).as("e"))
+    val w = Window.partitionBy(col("supp")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = iv
+      .withColumn("brk",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = marked.groupBy(col("supp"), col("island"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"),
+           count(lit(1)).as("n_iv"))
+    spans.groupBy(col("supp"))
+      .agg(sum(datediff(col("ee"), col("ss")) + 1).as("covered_days"),
+           count(lit(1)).as("n_spans"),
+           sum(col("n_iv")).as("n_intervals"),
+           max((datediff(col("ee"), col("ss")) + 1).cast("long"))
+             .as("longest_span_days"))
+  }
+
+  private val intervalCoverageSql =
+    """WITH iv AS (
+      |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS s,
+      |         CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INT) AS e
+      |  FROM lineitem WHERE l_suppkey < 100),
+      |m AS (SELECT supp, s, e,
+      |        CASE WHEN MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |               IS NULL
+      |          OR s > MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        THEN 1 ELSE 0 END AS brk
+      |      FROM iv),
+      |isl AS (SELECT supp, s, e,
+      |          SUM(brk) OVER (PARTITION BY supp ORDER BY s, e
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |        FROM m),
+      |spans AS (SELECT supp, island, MIN(s) AS ss, MAX(e) AS ee,
+      |            COUNT(*) AS n_iv
+      |          FROM isl GROUP BY 1, 2)
+      |SELECT supp,
+      |  CAST(SUM(datediff('day', ss, ee) + 1) AS BIGINT) AS covered_days,
+      |  COUNT(*) AS n_spans,
+      |  CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+      |  CAST(MAX(datediff('day', ss, ee) + 1) AS BIGINT)
+      |    AS longest_span_days
+      |FROM spans GROUP BY 1""".stripMargin
+
+  /** Per-group OLS demand trend (#54d): closed-form least squares
+    * over the daily series — slope/intercept per priority, the
+    * MODEL-BASED trend estimate beside Holt's smoothing-based one
+    * (#54b): OLS weights all history equally and is the regression
+    * every dashboard fits; DES tracks drift adaptively. Exactness:
+    * x = integer day offset from a fixed anchor, y decimal → Σx, Σx²,
+    * Σxy, Σy, n are ALL exact (integer×decimal products); slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is ONE division of two exactly-cast
+    * operands, and the intercept tree reuses the already-rounded
+    * slope in a fixed expression — bit-stable on both engines. One
+    * partial-agg shuffle, 5 output rows. */
+  def demandTrendOls(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = to_date(lit("1992-01-01"))
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("y"))
+      .withColumn("x", datediff(col("day"), anchor).cast("long"))
+    // widths chosen so every product stays under BOTH engines'
+    // 38-digit decimal cap with room to spare (values bounded by the
+    // series magnitudes, asserted in the docstring arithmetic)
+    val agg = daily.groupBy(col("prio")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y")).cast("decimal(25,6)").as("sy"),
+      sum(col("y") * col("x")).cast("decimal(25,6)").as("sxy"))
+    val num = (col("n").cast("decimal(10,0)") * col("sxy") -
+      col("sx").cast("decimal(10,0)") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    agg.withColumn("slope", num / den)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+          / col("n").cast("double"))
+      .select(col("prio"), col("n"), col("slope"), col("intercept"))
+  }
+
+  private val demandTrendOlsSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |d2 AS (SELECT prio, y,
+      |         CAST(datediff('day', DATE '1992-01-01', CAST(day AS DATE))
+      |              AS BIGINT) AS x
+      |       FROM daily),
+      |a AS (SELECT prio, COUNT(*) AS n, SUM(x) AS sx, SUM(x*x) AS sxx,
+      |        CAST(SUM(y) AS DECIMAL(25,6)) AS sy,
+      |        CAST(SUM(y * x) AS DECIMAL(25,6)) AS sxy
+      |      FROM d2 GROUP BY 1),
+      |b AS (SELECT prio, n,
+      |        CAST(CAST(CAST(n AS DECIMAL(10,0)) * sxy
+      |                  - CAST(sx AS DECIMAL(10,0)) * sy
+      |                  AS VARCHAR) AS DOUBLE)
+      |          / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |        CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+      |        CAST(sx AS DOUBLE) AS sxd
+      |      FROM a)
+      |SELECT prio, n, slope,
+      |  (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept
+      |FROM b""".stripMargin
+
   /** Consecutive-active-day streaks per user (#50b): the
     * gaps-and-islands pattern over event days — see
     * [[Sessionize.dailyStreaks]]. Two exchanges end to end — the
@@ -6293,6 +6421,8 @@ object Queries {
     "sssp_sound"               -> (ssspSound _),
     "entity_resolution"        -> (entityResolution _),
     "cusum_alerts"             -> (cusumAlerts _),
+    "interval_coverage"        -> (intervalCoverage _),
+    "demand_trend_ols"         -> (demandTrendOls _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6478,6 +6608,8 @@ object Queries {
     "sssp_sound"               -> ssspSoundSql,
     "entity_resolution"        -> entityResolutionSql,
     "cusum_alerts"             -> cusumAlertsSql,
+    "interval_coverage"        -> intervalCoverageSql,
+    "demand_trend_ols"         -> demandTrendOlsSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

@@ -54,6 +54,24 @@ class SessionizeSpec extends SparkSpec {
       "raw events must dedup map-side before any shuffle")
   }
 
+  test("interval coverage merges overlaps, counts gaps, finds the longest span") {
+    import org.apache.spark.sql.functions._
+    // supplier 1: [1,4]+[3,6] merge to [1,6]; [10,11] separate
+    val li = Seq(
+      (1L, "2024-01-01", 3), (1L, "2024-01-03", 3), (1L, "2024-01-10", 1),
+      (2L, "2024-02-01", 2)).toDF("l_suppkey", "ship", "l_linenumber")
+      .select(col("l_suppkey"), col("ship").cast("timestamp").as("l_shipdate"),
+              col("l_linenumber"))
+    val tmp = java.nio.file.Files.createTempDirectory("iv").toString
+    li.write.parquet(s"$tmp/lineitem.parquet")
+    val out = Queries.intervalCoverage(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // covered: [Jan1,Jan6]=6 days + [Jan10,Jan11]=2 days = 8
+    assert(out(1L) === ((8L, 2L, 3L, 6L)))
+    assert(out(2L) === ((3L, 1L, 1L, 3L)))
+  }
+
   private implicit class Tupled(
       rows: Array[(Long, Long, Long, Long, Date, Date)]) {
     def toMap2: Map[Long, (Long, Long, Long, Date, Date)] =

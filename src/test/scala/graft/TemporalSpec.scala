@@ -329,6 +329,23 @@ class TemporalSpec extends SparkSpec {
     assert(spike.count() === 0, "a single spike is MAD's job, not CUSUM's")
   }
 
+  test("OLS trend recovers a planted line exactly") {
+    // y = 7·x + 300 with x = day offsets (incl. gaps): closed-form
+    // sums are exact, so slope/intercept come back as exact doubles
+    val anchor = java.time.LocalDate.parse("1992-01-01")
+    val xs = Seq(0, 1, 2, 5, 9, 10, 14, 20)
+    val df = xs.map { x =>
+      ("1-URGENT", java.sql.Date.valueOf(anchor.plusDays(x)),
+       7.0 * x + 300.0)
+    }.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("ols").toString
+    df.write.parquet(s"$tmp/orders.parquet")
+    val out = Queries.demandTrendOls(spark, tmp)
+      .select("n", "slope", "intercept")
+      .as[(Long, Double, Double)].head()
+    assert(out === ((xs.size.toLong, 7.0, 300.0)))
+  }
+
   test("holtBrown closes most of the EWMA lag on a linear trend") {
     // y_t = t: a plain EWMA lags a trending series forever; DES's
     // level+trend correction must forecast t+h far closer than the

@@ -502,6 +502,10 @@ object Scale100 {
     // weights; entity resolution over 100k suppliers (collapse-first
     // inside: names dedup to ~1k distinct)
     run("cusum_alerts")(SparkEntry.queries("cusum_alerts")(spark, dir))
+    run("interval_coverage")(
+      SparkEntry.queries("interval_coverage")(spark, dir))
+    run("demand_trend_ols")(
+      SparkEntry.queries("demand_trend_ols")(spark, dir))
     run("sssp_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
                            (col("doc_a") % 3 + 1).as("w"))
