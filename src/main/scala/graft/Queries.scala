@@ -2885,10 +2885,17 @@ object Queries {
     * on-the-hook windows), which neither gap-sessionization (fixed
     * gap) nor day-streaks (day grain, adjacency) expresses: intervals
     * here have extent and overlap arbitrarily. One window exchange:
-    * sort by (start, end), island = cumulative count of strict
-    * coverage breaks (start > running max end over PRECEDING rows),
-    * then the same partitioning carries the island groupBy and the
-    * per-supplier rollup. All date/integer arithmetic — hash-exact. */
+    * sort by (start, end, line id), island = cumulative count of
+    * strict coverage breaks (start > running max end over PRECEDING
+    * rows), then the same partitioning carries the island groupBy and
+    * the per-supplier rollup. All date/integer arithmetic —
+    * hash-exact. The order is made TOTAL by the unique line id: the
+    * merge RESULT is permutation-invariant over (s, e) ties, but the
+    * two window passes (brk, then its cumsum) must see the SAME tie
+    * permutation — Spark reuses one sort for both so it's consistent
+    * for free, while DuckDB re-sorted between CTEs and mis-labeled
+    * islands at 100× (59k rows/supplier, massive tie groups) until
+    * the tiebreak pinned it. */
   def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val iv = Tables.lineitem(spark, dir)
@@ -2896,8 +2903,10 @@ object Queries {
       .select(col("l_suppkey").as("supp"),
               col("l_shipdate").cast("date").as("s"),
               date_add(col("l_shipdate").cast("date"),
-                       col("l_linenumber")).as("e"))
-    val w = Window.partitionBy(col("supp")).orderBy(col("s"), col("e"))
+                       col("l_linenumber")).as("e"),
+              (col("l_orderkey") * 8 + col("l_linenumber")).as("lid"))
+    val w = Window.partitionBy(col("supp"))
+      .orderBy(col("s"), col("e"), col("lid"))
     val prevMax = max(col("e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val marked = iv
@@ -2919,18 +2928,19 @@ object Queries {
   private val intervalCoverageSql =
     """WITH iv AS (
       |  SELECT l_suppkey AS supp, CAST(l_shipdate AS DATE) AS s,
-      |         CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INT) AS e
+      |         CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INT) AS e,
+      |         l_orderkey * 8 + l_linenumber AS lid
       |  FROM lineitem WHERE l_suppkey < 100),
-      |m AS (SELECT supp, s, e,
-      |        CASE WHEN MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+      |m AS (SELECT supp, s, e, lid,
+      |        CASE WHEN MAX(e) OVER (PARTITION BY supp ORDER BY s, e, lid
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |               IS NULL
-      |          OR s > MAX(e) OVER (PARTITION BY supp ORDER BY s, e
+      |          OR s > MAX(e) OVER (PARTITION BY supp ORDER BY s, e, lid
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
       |        THEN 1 ELSE 0 END AS brk
       |      FROM iv),
       |isl AS (SELECT supp, s, e,
-      |          SUM(brk) OVER (PARTITION BY supp ORDER BY s, e
+      |          SUM(brk) OVER (PARTITION BY supp ORDER BY s, e, lid
       |            ROWS UNBOUNDED PRECEDING) AS island
       |        FROM m),
       |spans AS (SELECT supp, island, MIN(s) AS ss, MAX(e) AS ee,
@@ -4826,18 +4836,8 @@ object Queries {
     val per = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(25,6)")).as("rev"))
-    val b = per.withColumn("bkt", floor(col("rev") / 50000).cast("long"))
-    val counts = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
-    val offs = counts
-      .withColumn("off",
-        coalesce(sum(col("c")).over(
-          Window.orderBy(col("bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bkt"), col("off"))
-    val ranked = b.join(broadcast(offs), "bkt")
-      .withColumn("r",
-        row_number().over(Window.partitionBy(col("bkt"))
-          .orderBy(col("rev"), col("o_custkey"))) + col("off"))
+    val ranked = Relational.bucketedGlobalRank(per, "rev", "o_custkey",
+                                               bucketWidth = 50000)
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("rev")).as("s"),
                          sum(col("rev") * col("r")).as("s1"))
     val deciles = ranked.crossJoin(broadcast(tot.select(col("n"))))
@@ -4933,6 +4933,96 @@ object Queries {
       |  CAST(CAST(d - m AS VARCHAR) AS DOUBLE) AS excess_total,
       |  CAST(CAST(s * 30 AS VARCHAR) AS DOUBLE) AS threshold_total
       |FROM mm WHERE d - m > s * 30""".stripMargin
+
+  /** Corpus-wide length percentile per document (#46e): the exact
+    * percentile-rank normalization that turns a raw signal (token
+    * count) into the [0,1] score curriculum samplers and length
+    * filters consume — [[Relational.bucketedGlobalRank]] at DOC grain,
+    * proving the distributed-rank machinery is a general operator,
+    * not a Gini special case. Integer values, ties by doc_id; pct is
+    * ONE division of exact longs. */
+  def docLengthPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    Relational.bucketedGlobalRank(toks, "n_tokens", "doc_id",
+                                  bucketWidth = 64)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"), col("r").as("len_rank"),
+              (col("r").cast("double") / col("n").cast("double")).as("pct"))
+  }
+
+  private val docLengthPercentileSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |        row_number() OVER (ORDER BY n_tokens, doc_id) AS len_rank,
+      |        COUNT(*) OVER () AS n
+      |      FROM t)
+      |SELECT doc_id, n_tokens, len_rank,
+      |  CAST(len_rank AS DOUBLE) / CAST(n AS DOUBLE) AS pct
+      |FROM r""".stripMargin
+
+  /** Cross-series Pearson correlation (#54e): the co-movement matrix
+    * over the five priorities' daily demand series — which demand
+    * streams rise and fall together (shared seasonality/shocks), the
+    * question trend (#54d) and smoothing (#54b) ask per-series and
+    * cannot answer jointly. Exactness: the series becomes integer
+    * CENTS (decimal→×100→integer, exact; r is scale-invariant so
+    * cents cancel), and the whole closed form runs in exact integers
+    * — Spark in decimal(38,0) (every value here < 1e38), DuckDB in
+    * HUGEINT — so num and den are the SAME exact integers on both
+    * engines; the final r = num/sqrt(den_a·den_b) is one division,
+    * one multiply, and an IEEE-correctly-rounded sqrt over doubles
+    * cast from those integers (nearest-even on both). One day-keyed
+    * self-join of 5 tiny series + a 10-row agg. */
+  def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("day"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("decimal(19,0)").as("y"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") && col("a.prio") < col("b.prio"))
+      .select(col("a.prio").as("prio_a"), col("b.prio").as("prio_b"),
+              col("a.y").as("x"), col("b.y").as("y"))
+    val agg = pairs.groupBy(col("prio_a"), col("prio_b")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+      sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"))
+    agg.select(col("prio_a"), col("prio_b"),
+      col("n").cast("long").as("n_days"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+             (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+        .as("r"))
+  }
+
+  private val seriesCorrelationSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS prio, o_orderdate AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+      |         AS HUGEINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (SELECT a.prio AS prio_a, b.prio AS prio_b,
+      |        a.y AS x, b.y AS y
+      |      FROM daily a JOIN daily b
+      |        ON a.day = b.day AND a.prio < b.prio),
+      |agg AS (SELECT prio_a, prio_b,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT prio_a, prio_b, CAST(n AS BIGINT) AS n_days,
+      |  CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+      |    / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+      |         * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) AS r
+      |FROM agg""".stripMargin
 
   /** Market-basket affinity (#17q): parts bought together with exact
     * lift — the transaction-grain sibling of the text PMI gate (#38c).
@@ -6423,6 +6513,8 @@ object Queries {
     "cusum_alerts"             -> (cusumAlerts _),
     "interval_coverage"        -> (intervalCoverage _),
     "demand_trend_ols"         -> (demandTrendOls _),
+    "doc_length_percentile"    -> (docLengthPercentile _),
+    "series_correlation"       -> (seriesCorrelation _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6610,6 +6702,8 @@ object Queries {
     "cusum_alerts"             -> cusumAlertsSql,
     "interval_coverage"        -> intervalCoverageSql,
     "demand_trend_ols"         -> demandTrendOlsSql,
+    "doc_length_percentile"    -> docLengthPercentileSql,
+    "series_correlation"       -> seriesCorrelationSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

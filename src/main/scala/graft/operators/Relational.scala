@@ -23,6 +23,34 @@ object Relational {
   private[graft] def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(25,6)")).cast("double")
 
+  /** Exact GLOBAL rank without the one-task global window: fixed-width
+    * value buckets, per-bucket counts folded into cumulative offsets
+    * (bucket-table-sized, broadcast), within-bucket row_number +
+    * offset. Rank order is (value, tie) ascending — a total order when
+    * `tieCol` is unique, so the result is deterministic and equals the
+    * naive global window bit-for-bit (RelationalSpec proves it on the
+    * Gini path) while every window stays bucket-parallel. Appends
+    * column `r` (1-based rank). `bucketWidth` only balances
+    * parallelism — correctness never depends on it. */
+  private[graft] def bucketedGlobalRank(df: org.apache.spark.sql.DataFrame,
+                                        valueCol: String, tieCol: String,
+                                        bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bkt",
+      floor(col(valueCol) / bucketWidth).cast("long"))
+    val offs = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    b.join(broadcast(offs), "__bkt")
+      .withColumn("r",
+        row_number().over(Window.partitionBy(col("__bkt"))
+          .orderBy(col(valueCol), col(tieCol))) + col("__off"))
+      .drop("__bkt")
+  }
+
   /** l_extendedprice·(1−l_discount) with the CASTS ON THE FACTORS:
     * 2-decimal source values convert to DECIMAL tie-free, and decimal
     * multiplication is exact — so the sum is bit-identical across

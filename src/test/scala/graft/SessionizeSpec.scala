@@ -58,10 +58,11 @@ class SessionizeSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     // supplier 1: [1,4]+[3,6] merge to [1,6]; [10,11] separate
     val li = Seq(
-      (1L, "2024-01-01", 3), (1L, "2024-01-03", 3), (1L, "2024-01-10", 1),
-      (2L, "2024-02-01", 2)).toDF("l_suppkey", "ship", "l_linenumber")
+      (1L, "2024-01-01", 3, 10L), (1L, "2024-01-03", 3, 11L),
+      (1L, "2024-01-10", 1, 12L), (2L, "2024-02-01", 2, 13L))
+      .toDF("l_suppkey", "ship", "l_linenumber", "l_orderkey")
       .select(col("l_suppkey"), col("ship").cast("timestamp").as("l_shipdate"),
-              col("l_linenumber"))
+              col("l_linenumber"), col("l_orderkey"))
     val tmp = java.nio.file.Files.createTempDirectory("iv").toString
     li.write.parquet(s"$tmp/lineitem.parquet")
     val out = Queries.intervalCoverage(spark, tmp)

@@ -346,6 +346,28 @@ class TemporalSpec extends SparkSpec {
     assert(out === ((xs.size.toLong, 7.0, 300.0)))
   }
 
+  test("series correlation is exactly +/-1 on planted linear twins") {
+    // priorities A/B/C share days; B = 2·A (r=+1 exactly: every sum,
+    // the 4·d² product, and sqrt of a perfect square are exact
+    // doubles at these magnitudes), C = 100 − A (r = −1)
+    val days = (1 to 12).map(d => java.sql.Date.valueOf(f"2024-01-$d%02d"))
+    val a = Seq(3.0, 5.0, 2.0, 8.0, 6.0, 4.0, 7.0, 1.0, 9.0, 2.0, 5.0, 6.0)
+    val rows =
+      days.zip(a).map { case (d, v) => ("A", d, v) } ++
+      days.zip(a).map { case (d, v) => ("B", d, 2.0 * v) } ++
+      days.zip(a).map { case (d, v) => ("C", d, 100.0 - v) }
+    val tmp = java.nio.file.Files.createTempDirectory("corr").toString
+    rows.toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    val out = Queries.seriesCorrelation(spark, tmp)
+      .select("prio_a", "prio_b", "n_days", "r")
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(out(("A", "B")) === ((12L, 1.0)))
+    assert(out(("A", "C")) === ((12L, -1.0)))
+    assert(out(("B", "C"))._2 === -1.0)
+  }
+
   test("holtBrown closes most of the EWMA lag on a linear trend") {
     // y_t = t: a plain EWMA lags a trending series forever; DES's
     // level+trend correction must forecast t+h far closer than the

@@ -506,6 +506,12 @@ object Scale100 {
       SparkEntry.queries("interval_coverage")(spark, dir))
     run("demand_trend_ols")(
       SparkEntry.queries("demand_trend_ols")(spark, dir))
+    run("doc_length_percentile") {
+      SparkEntry.queries("doc_length_percentile")(spark, dir)
+        .agg(sum(col("len_rank")), sum(col("n_tokens")))
+    }
+    run("series_correlation")(
+      SparkEntry.queries("series_correlation")(spark, dir))
     run("sssp_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
                            (col("doc_a") % 3 + 1).as("w"))
