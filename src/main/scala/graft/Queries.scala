@@ -4966,6 +4966,48 @@ object Queries {
       |  CAST(len_rank AS DOUBLE) / CAST(n AS DOUBLE) AS pct
       |FROM r""".stripMargin
 
+  /** Per-label embedding centroids (#40c): exact per-dimension means
+    * of each label's vectors — the mixture diagnostic SemDeDup/IVF
+    * sit on (how far apart are the label clusters, is a source
+    * drifting) and the warm-start k-means initializer. The GATE form
+    * folds each (label, dim) group's values in vec_id order — one
+    * fixed left-associated IEEE chain, so both engines produce the
+    * identical double. Two cheaper forms were measured and rejected
+    * for the gate: casting the FLOAT straight to DECIMAL(20,12) lets
+    * Spark round the 9-digit shortest float repr where DuckDB rounds
+    * the exact binary (1e-9 drift), and widening to double first
+    * still tie-breaks the 12th decimal differently about once per
+    * 10⁵ casts (1e-14 drift). Small floats simply have no exact
+    * decimal representation inside the 38-digit cap, so order-free
+    * decimal sums cannot gate this — the PRODUCTION swap at 100 TB is
+    * exactly that plain decimal-sum mean (deterministic under any
+    * partitioning, 1e-14-close); the fold pins the arithmetic at gate
+    * scale, where per-(label,dim) groups are collect-size-bounded. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+              posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sort_array(collect_list(
+             struct(col("vec_id"), col("v").cast("double").as("v"))))
+             .as("vs"),
+           count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (expr("aggregate(vs, 0.0D, (acc, p) -> acc + p.v)") /
+          col("n_vecs").cast("double")).as("centroid"))
+
+  private val embeddingCentroidsSql =
+    """WITH x AS (
+      |  SELECT label, CAST(i - 1 AS INT) AS dim, vec_id,
+      |    CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+      |SELECT label, dim, COUNT(*) AS n_vecs,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |                           list(v ORDER BY vec_id)),
+      |              (a, b) -> a + b)
+      |    / CAST(COUNT(*) AS DOUBLE) AS centroid
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** Cross-series Pearson correlation (#54e): the co-movement matrix
     * over the five priorities' daily demand series — which demand
     * streams rise and fall together (shared seasonality/shocks), the
@@ -6515,6 +6557,7 @@ object Queries {
     "demand_trend_ols"         -> (demandTrendOls _),
     "doc_length_percentile"    -> (docLengthPercentile _),
     "series_correlation"       -> (seriesCorrelation _),
+    "embedding_centroids"      -> (embeddingCentroids _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6704,6 +6747,7 @@ object Queries {
     "demand_trend_ols"         -> demandTrendOlsSql,
     "doc_length_percentile"    -> docLengthPercentileSql,
     "series_correlation"       -> seriesCorrelationSql,
+    "embedding_centroids"      -> embeddingCentroidsSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

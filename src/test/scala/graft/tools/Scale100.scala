@@ -512,6 +512,19 @@ object Scale100 {
     }
     run("series_correlation")(
       SparkEntry.queries("series_correlation")(spark, dir))
+    // centroid PRODUCTION form (order-free decimal sums — the plan a
+    // 100 TB run issues; the gate's ordered fold pins the arithmetic)
+    run("embedding_centroids_prod") {
+      Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("v").cast("double").cast("decimal(20,12)")).as("sv"),
+             count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("sv").cast("double") / col("n").cast("double")).as("centroid"))
+    }
+    run("embedding_centroids_gate")(
+      SparkEntry.queries("embedding_centroids")(spark, dir))
     run("sssp_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
                            (col("doc_a") % 3 + 1).as("w"))
