@@ -5008,6 +5008,36 @@ object Queries {
       |    / CAST(COUNT(*) AS DOUBLE) AS centroid
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** Exact equi-depth binning (#46f): discretize order value into 10
+    * equal-frequency bins — the feature-pipeline quantile transform
+    * (equal-WIDTH histograms starve under skew; equi-depth bins carry
+    * the same row mass by construction). Built on
+    * [[Relational.bucketedGlobalRank]] at FACT grain: exact global
+    * rank without a one-task window, bin = ⌈10·r/n⌉ in pure integer
+    * arithmetic, per-bin bounds are exact data values (nearest-rank
+    * discipline — no interpolation, nothing to drift). */
+  def equiDepthBins(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("v"))
+    val n = v.agg(count(lit(1)).as("n"))
+    Relational.bucketedGlobalRank(v, "v", "o_orderkey", bucketWidth = 50000)
+      .crossJoin(broadcast(n))
+      .withColumn("bin", expr("(10 * r + n - 1) div n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  private val equiDepthBinsSql =
+    """WITH r AS (
+      |  SELECT o_totalprice AS v,
+      |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM orders)
+      |SELECT (10 * rn + n - 1) // n AS bin, COUNT(*) AS n_rows,
+      |  MIN(v) AS lo, MAX(v) AS hi
+      |FROM r GROUP BY 1""".stripMargin
+
   /** Cross-series Pearson correlation (#54e): the co-movement matrix
     * over the five priorities' daily demand series — which demand
     * streams rise and fall together (shared seasonality/shocks), the
@@ -6558,6 +6588,7 @@ object Queries {
     "doc_length_percentile"    -> (docLengthPercentile _),
     "series_correlation"       -> (seriesCorrelation _),
     "embedding_centroids"      -> (embeddingCentroids _),
+    "equi_depth_bins"          -> (equiDepthBins _),
     "jl_project"               -> (jlProject _),
     "mode_per_group"           -> (modePerGroup _),
     "q19_band_revenue"         -> (q19BandRevenue _),
@@ -6748,6 +6779,7 @@ object Queries {
     "doc_length_percentile"    -> docLengthPercentileSql,
     "series_correlation"       -> seriesCorrelationSql,
     "embedding_centroids"      -> embeddingCentroidsSql,
+    "equi_depth_bins"          -> equiDepthBinsSql,
     "jl_project"               -> jlProjectSql,
     "mode_per_group"           -> modePerGroupSql,
     "q19_band_revenue"         -> q19BandRevenueSql,

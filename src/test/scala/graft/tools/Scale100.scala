@@ -525,6 +525,7 @@ object Scale100 {
     }
     run("embedding_centroids_gate")(
       SparkEntry.queries("embedding_centroids")(spark, dir))
+    run("equi_depth_bins")(SparkEntry.queries("equi_depth_bins")(spark, dir))
     run("sssp_pair_graph") {
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
                            (col("doc_a") % 3 + 1).as("w"))
