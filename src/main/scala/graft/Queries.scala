@@ -576,9 +576,15 @@ object Queries {
       .select(col("doc_id"),
         terms.map(t => coalesce(col(t), lit(0.0)))
           .reduceLeft(_ + _).as("score"))
+    // limit BEFORE the window (vocab_top_words discipline): matched
+    // docs are corpus-scale on common terms, and a bare global window
+    // would funnel them through ONE task; TakeOrdered's map-side heads
+    // do the top-k in parallel and the window then only numbers the
+    // 10 survivors. Total order (score DESC, doc_id) → identical rows.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
   }
 
   private val bm25SearchSql =

@@ -247,8 +247,14 @@ object InvertedIndex {
       .select(col("doc_id"),
         terms.map(t => coalesce(col(t), lit(0.0)))
           .reduceLeft(_ + _).as("score"))
+    // limit BEFORE the window (vocab_top_words discipline): probe
+    // candidates are posting-list-sized — corpus-scale on common
+    // terms — and a bare global window funnels them through one task;
+    // TakeOrdered heads run in parallel, the window numbers only the
+    // k survivors. Total order → identical rows.
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
   /** Compact every segment of the current version into ONE freshly
