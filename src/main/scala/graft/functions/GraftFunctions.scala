@@ -22,6 +22,7 @@ object GraftFunctions {
   val WordpieceName = "graft_wordpiece"
   val BpeEncodeName = "graft_bpe_encode"
   val UnicodeNormalizeName = "graft_unicode_normalize"
+  val QualityStatsName = "graft_quality_stats"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -76,7 +77,11 @@ object GraftFunctions {
     (UnicodeNormalizeName, classOf[graft.functions.expressions.UnicodeNormalize],
       (c0: Seq[Expression]) => { val c = arity(UnicodeNormalizeName,
           "text, form", 2, c0)
-        graft.functions.expressions.UnicodeNormalize(c(0), c(1)) }))
+        graft.functions.expressions.UnicodeNormalize(c(0), c(1)) }),
+    (QualityStatsName, classOf[graft.functions.expressions.TextQualityStats],
+      (c0: Seq[Expression]) => { val c = arity(QualityStatsName,
+          "text", 1, c0)
+        graft.functions.expressions.TextQualityStats(c(0)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -169,6 +174,13 @@ object GraftFunctions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(UnicodeNormalizeName, text, lit(form))
+  }
+
+  /** All four quality components in one codegen'd scan — see
+    * [[graft.functions.expressions.TextQualityStats]]. */
+  def qualityStats(text: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(QualityStatsName, text)
   }
 
   /** Cosine similarity on top of the native dot product. NULL for
