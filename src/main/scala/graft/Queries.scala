@@ -5187,10 +5187,14 @@ object Queries {
       lit(0.0)), lit((nb - 1).toDouble)).cast("int")
     val daily = orders
       .groupBy(col("o_orderdate").as("day"), bin.as("bin"))
-      .agg(count(lit(1)).as("n")) // <- the stored per-day cube
+      // the stored per-day cube; mx rides along (merges by max) so the
+      // bin-range assumption [0, 600000) is CHECKED, not assumed — see
+      // range_ok below
+      .agg(count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
     val monthly = daily
       .groupBy(date_format(col("day"), "yyyy-MM").as("month"), col("bin"))
-      .agg(sum(col("n")).as("n")) // <- the merge: integer addition
+      .agg(sum(col("n")).as("n"), // <- the merge: integer addition
+           max(col("mx")).as("mx"))
     val wcum = Window.partitionBy(col("month")).orderBy(col("bin"))
     val wall = Window.partitionBy(col("month"))
     val cum = monthly
@@ -5199,8 +5203,16 @@ object Queries {
     def est(p: Double) =
       (min(when(col("cum") >= ceil(lit(p) * col("total")), col("bin")))
         * lit(width)).cast("double")
+    // range_ok pins the documented invariant: the '|edge - exact| <
+    // width by construction' claim for the ok flags only holds while
+    // every value lands strictly inside [0, 600000) — a value >=
+    // 600000 clamps into bin 63 and could push the edge further than
+    // one width from the exact rank row. Emitting the guard makes an
+    // out-of-range corpus a visible false, not a silently broken
+    // invariant.
     val ests = cum.groupBy(col("month"))
-      .agg(est(0.5).as("p50_est"), est(0.95).as("p95_est"))
+      .agg(est(0.5).as("p50_est"), est(0.95).as("p95_est"),
+           (max(col("mx")) < lit((nb * width).toDouble)).as("range_ok"))
     val wo = Window.partitionBy(col("month"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     val wn = Window.partitionBy(col("month"))
@@ -5218,21 +5230,24 @@ object Queries {
         (abs(col("p50_est") - col("p50_exact")) < lit(width.toDouble))
           .as("p50_ok"),
         (abs(col("p95_est") - col("p95_exact")) < lit(width.toDouble))
-          .as("p95_ok"))
+          .as("p95_ok"),
+        col("range_ok"))
   }
 
   private val quantileCubeSql =
-    """WITH b AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+    """WITH b AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
       |    CAST(least(greatest(floor(o_totalprice / 9375.0), 0.0), 63.0) AS INTEGER) AS bin
       |  FROM orders),
-      |m AS (SELECT month, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
-      |c AS (SELECT month, bin, n,
+      |m AS (SELECT month, bin, COUNT(*) AS n, MAX(o_totalprice) AS mx
+      |  FROM b GROUP BY 1, 2),
+      |c AS (SELECT month, bin, n, mx,
       |    SUM(n) OVER (PARTITION BY month ORDER BY bin) AS cum,
       |    SUM(n) OVER (PARTITION BY month) AS total
       |  FROM m),
       |e AS (SELECT month,
       |    CAST(MIN(CASE WHEN cum >= ceil(0.5 * total) THEN bin END) * 9375 AS DOUBLE) AS p50_est,
-      |    CAST(MIN(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 9375 AS DOUBLE) AS p95_est
+      |    CAST(MIN(CASE WHEN cum >= ceil(0.95 * total) THEN bin END) * 9375 AS DOUBLE) AS p95_est,
+      |    MAX(mx) < 600000.0 AS range_ok
       |  FROM c GROUP BY 1),
       |x AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, o_totalprice,
       |    row_number() OVER (PARTITION BY strftime(o_orderdate, '%Y-%m')
@@ -5245,7 +5260,8 @@ object Queries {
       |  FROM x GROUP BY 1)
       |SELECT e.month, p50_est, p95_est, p50_exact, p95_exact,
       |  abs(p50_est - p50_exact) < 9375.0 AS p50_ok,
-      |  abs(p95_est - p95_exact) < 9375.0 AS p95_ok
+      |  abs(p95_est - p95_exact) < 9375.0 AS p95_ok,
+      |  range_ok
       |FROM e JOIN ex ON e.month = ex.month""".stripMargin
 
   /** Forecast backtest (#63): naive vs seasonal-naive baselines over

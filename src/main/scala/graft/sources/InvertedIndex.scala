@@ -211,10 +211,19 @@ object InvertedIndex {
     * exact integer sums, and the identical score expression with the
     * identical fixed-term-order float sum. Output (doc_id, score, rk),
     * the retriever's shape. */
-  def probe(spark: SparkSession, root: String, terms: Seq[String],
+  def probe(spark: SparkSession, root: String, terms0: Seq[String],
             k: Int, k1: Double = 1.2, b: Double = 0.75,
             version: Option[Long] = None): DataFrame = {
+    // Dedup up front: the fixed-term-order sum pivots on the term
+    // list, and a duplicated query term would create duplicate pivot
+    // columns (ambiguous at analysis time). BM25 over a set of terms
+    // is dedup-idempotent, so distinct preserves scores. A term
+    // literally named like the grouping column can't be referenced
+    // unambiguously post-pivot — reject it loudly.
+    val terms = terms0.distinct
     require(terms.nonEmpty, "probe needs at least one term")
+    require(!terms.contains("doc_id"),
+      "probe cannot score the literal term 'doc_id' (pivot column collision)")
     val catalog = catalogOf(spark, root, version)
     require(catalog.map(_.nBuckets).distinct.size == 1,
       s"inconsistent bucket counts in catalog at $root")
@@ -245,7 +254,9 @@ object InvertedIndex {
     val scored = perTerm.groupBy(col("doc_id"))
       .pivot("term", terms).agg(first(col("s")))
       .select(col("doc_id"),
-        terms.map(t => coalesce(col(t), lit(0.0)))
+        // backticked refs: corpus terms may contain '.' or other
+        // chars col() would parse as field access
+        terms.map(t => coalesce(col(s"`${t.replace("`", "``")}`"), lit(0.0)))
           .reduceLeft(_ + _).as("score"))
     // limit BEFORE the window (vocab_top_words discipline): probe
     // candidates are posting-list-sized — corpus-scale on common

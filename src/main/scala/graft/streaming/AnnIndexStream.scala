@@ -36,11 +36,19 @@ object AnnIndexStream {
                   retain: Int = 4): Option[AnnIndex.AppendResult] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
-    val replayed = Manifest.versions(spark, root)
-      .exists(v => AnnIndex.noteOf(spark, root, Some(v)) == note)
+    // Two-layer replay dedup — see [[StreamMarkers]]: notes cover the
+    // immediate replay, the durable marker covers replays that arrive
+    // after retention GC'd the noted version.
+    val replayed = StreamMarkers.seen(spark, root, batchId) ||
+      Manifest.versions(spark, root)
+        .exists(v => AnnIndex.noteOf(spark, root, Some(v)) == note)
     if (replayed || batch.isEmpty) None
-    else Some(AnnIndex.append(spark, root, batch, idCol, vecCol,
-      nFiles, driftTolerance, retain, note))
+    else {
+      val r = AnnIndex.append(spark, root, batch, idCol, vecCol,
+        nFiles, driftTolerance, retain, note)
+      StreamMarkers.record(spark, root, batchId)
+      Some(r)
+    }
   }
 
   /** The writer: wire to `.option("checkpointLocation", …).start()`.

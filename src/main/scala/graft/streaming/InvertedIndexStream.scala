@@ -32,11 +32,22 @@ object InvertedIndexStream {
                   nFiles: Int = 16, retain: Int = 4): Option[Long] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
-    val replayed = Manifest.versions(spark, root)
-      .exists(v => InvertedIndex.noteOf(spark, root, Some(v)) == note)
+    // Two-layer replay dedup: the retained-version notes catch the
+    // immediate replay (incl. a crash between commit and marker); the
+    // durable [[StreamMarkers]] high-water record catches replays
+    // arriving after retention has GC'd the noted version (long
+    // recovery gap) — without it such a batch double-appends and
+    // corrupts the recomposed df/BM25 stats.
+    val replayed = StreamMarkers.seen(spark, root, batchId) ||
+      Manifest.versions(spark, root)
+        .exists(v => InvertedIndex.noteOf(spark, root, Some(v)) == note)
     if (replayed || batch.isEmpty) None
-    else Some(InvertedIndex.append(spark, root, batch, idCol, textCol,
-      nFiles, retain, note))
+    else {
+      val v = InvertedIndex.append(spark, root, batch, idCol, textCol,
+        nFiles, retain, note)
+      StreamMarkers.record(spark, root, batchId)
+      Some(v)
+    }
   }
 
   /** The writer: wire to `.option("checkpointLocation", …).start()`.

@@ -24,8 +24,6 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * newest without relying on sink ordering. */
 object StreaksStream extends Serializable {
 
-  private val DayUs = 86400000000L
-
   case class Ev(user_id: Long, ts: Instant)
   case class Island(start: Long, end: Long)
   case class St(seq: Long, closedDays: Long, closedCount: Long,
@@ -38,9 +36,6 @@ object StreaksStream extends Serializable {
                      streak_start: java.time.LocalDate,
                      streak_end: java.time.LocalDate)
 
-  private def micros(i: Instant): Long =
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-
   /** (len DESC, start ASC) champion fold — the batch tie rule. */
   private def better(aLen: Long, aStart: Long, aEnd: Long,
                      bLen: Long, bStart: Long, bEnd: Long): (Long, Long, Long) =
@@ -50,11 +45,20 @@ object StreaksStream extends Serializable {
   def summaries(spark: SparkSession, events: DataFrame,
                 watermarkDelay: String = "30 minutes"): Dataset[Summary] = {
     import spark.implicits._
+    // Day bucketing must match the batch twin's to_date(ts), which
+    // applies the SESSION timezone — a raw floorDiv of epoch micros is
+    // the UTC day and silently breaks batch/stream parity (the
+    // documented contract, asserted by StreaksStreamSpec) for any
+    // non-UTC session. Local dates are monotone in the instant for a
+    // fixed zone (even across DST), so the island-closing argument
+    // below is unchanged. Captured HERE, not inside fn: executors
+    // don't see the driver's session conf.
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
 
     def fn(userId: Long, it: Iterator[Ev],
            state: GroupState[St]): Iterator[Summary] = {
       val st = state.getOption.getOrElse(St(0L, 0L, 0L, 0L, 0L, 0L, Nil))
-      val days = it.map(e => Math.floorDiv(micros(e.ts), DayUs)).toSet
+      val days = it.map(e => e.ts.atZone(zone).toLocalDate.toEpochDay).toSet
       if (days.isEmpty && !state.hasTimedOut) return Iterator.empty
       // merge incoming days + open islands: sort by start, collapse
       // neighbors within one day (duplicates fold into the same run)
@@ -67,8 +71,9 @@ object StreaksStream extends Serializable {
           case _ => i :: acc
         }
       }.reverse
-      val watermarkDay =
-        Math.floorDiv(state.getCurrentWatermarkMs() * 1000L, DayUs)
+      val watermarkDay = java.time.Instant
+        .ofEpochMilli(state.getCurrentWatermarkMs())
+        .atZone(zone).toLocalDate.toEpochDay
       val (done, open) = merged.partition(_.end + 1 < watermarkDay)
       var (cd, cc) = (st.closedDays, st.closedCount)
       var (bl, bs, be) = (st.bestLen, st.bestStart, st.bestEnd)
@@ -81,7 +86,9 @@ object StreaksStream extends Serializable {
       val next = St(st.seq + 1, cd, cc, bl, bs, be, open)
       state.update(next)
       if (open.nonEmpty)
-        state.setTimeoutTimestamp((open.map(_.end).min + 2) * DayUs / 1000L + 1)
+        state.setTimeoutTimestamp(java.time.LocalDate
+          .ofEpochDay(open.map(_.end).min + 2)
+          .atStartOfDay(zone).toInstant.toEpochMilli + 1)
       // summary over closed counters + open islands together
       var (tl, ts2, te) = (bl, bs, be)
       open.foreach { i =>

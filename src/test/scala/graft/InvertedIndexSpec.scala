@@ -24,6 +24,16 @@ class InvertedIndexSpec extends SparkSpec {
     val got = asRows(InvertedIndex.probe(spark, root, terms, k = 10))
     val want = asRows(Queries.bm25Search(spark, sfDir))
     assert(got === want) // doubles compared exactly: same arithmetic
+    // duplicated query terms dedup up front instead of failing on
+    // duplicate pivot columns; BM25 over a term SET is unchanged
+    val dup = asRows(InvertedIndex.probe(spark, root,
+      terms ++ terms.take(2), k = 10))
+    assert(dup === want)
+    // a term colliding with the grouping column is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.probe(spark, root, Seq("doc_id"), k = 5)
+    }
+    assert(e.getMessage.contains("doc_id"))
   }
 
   test("probe reads ONLY the query terms' bucket files") {

@@ -71,4 +71,34 @@ class InvertedIndexStreamSpec extends SparkSpec {
       batchId = 8L).nonEmpty)
     assert(Manifest.currentVersion(spark, root).get === vAfter + 1)
   }
+
+  test("a replay beyond the retention horizon is still skipped (durable marker)") {
+    val tmp = Files.createTempDirectory("invidx-replay-gap").toString
+    val root = s"$tmp/idx"
+    val docs = Tables.documents(spark, sfDir)
+    InvertedIndex.build(spark, docs.where(col("doc_id") < 10), root,
+      nBuckets = 4, nFiles = 4)
+    val batch7 = docs.where(col("doc_id") >= 10 && col("doc_id") < 15)
+    assert(InvertedIndexStream.appendBatch(root, batch7, batchId = 7L,
+      retain = 2).nonEmpty)
+    // push SIX more commits at retain=2: the version holding note
+    // "stream-batch-7" is long GC'd, so the note check alone would
+    // let a late replay through and double-append
+    (8L to 13L).foreach { id =>
+      assert(InvertedIndexStream.appendBatch(root,
+        docs.where(col("doc_id") >= 15 + id && col("doc_id") < 16 + id),
+        batchId = id, retain = 2).nonEmpty)
+    }
+    val vs = Manifest.versions(spark, root)
+    assert(!vs.exists(v =>
+      InvertedIndex.noteOf(spark, root, Some(v)) == "stream-batch-7"),
+      s"retention should have GC'd the batch-7 note; versions: $vs")
+    val nDocsBefore = InvertedIndex.catalogOf(spark, root).map(_.nDocs).sum
+    val vBefore = Manifest.currentVersion(spark, root).get
+    // the long-gap replay: caught by the durable high-water marker
+    assert(InvertedIndexStream.appendBatch(root, batch7, batchId = 7L,
+      retain = 2).isEmpty)
+    assert(Manifest.currentVersion(spark, root).get === vBefore)
+    assert(InvertedIndex.catalogOf(spark, root).map(_.nDocs).sum === nDocsBefore)
+  }
 }

@@ -83,4 +83,48 @@ class StreaksStreamSpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(last === ((3L, 1L, 3L)))
   }
+
+  test("batch/stream parity holds under a non-UTC session timezone") {
+    // The batch twin buckets days via to_date(ts) — SESSION timezone —
+    // so the stream must derive days in the same zone, not raw UTC
+    // epoch-day division. UTC+10/+11 shifts many evening events across
+    // a date boundary, so a UTC-day stream would diverge visibly here.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+    try {
+      val tmp = Files.createTempDirectory("stream-streaks-tz").toString
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value"))
+      base.write.parquet(s"$tmp/in")
+      val stream = EventsStream.fromParquetDir(spark, s"$tmp/in", base)
+      val q = StreaksStream.summaries(spark, stream).writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/cp")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+      val streamed = spark.read.parquet(s"$tmp/out")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("seq").desc)))
+        .where(col("rk") === 1)
+        .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Sessionize
+        .dailyStreaks(Tables.events(spark, sfDir), "user_id", "ts")
+        .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // and the zone genuinely matters: the UTC-day bucketing differs
+      val utcBatch = graft.operators.Sessionize
+        .dailyStreaks(
+          Tables.events(spark, sfDir)
+            .withColumn("ts", to_utc_timestamp(col("ts"), "Australia/Sydney")),
+          "user_id", "ts")
+        .select("user_id", "n_active_days", "n_streaks", "longest_streak")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(utcBatch !== batch,
+        "test data never crosses a Sydney/UTC date boundary - pick a bigger offset")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
