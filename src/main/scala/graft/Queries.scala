@@ -1789,6 +1789,104 @@ object Queries {
       |        + COALESCE(list_sum(pb[1:(n % 16)]), 0)) // n AS INTEGER) AS mean_pixel
       |FROM p""".stripMargin
 
+  /** Image perceptual-hash near-dup (#34b): the image sibling of text
+    * MinHash — aHash/dHash over DECODED rasters with hamming-banded
+    * candidate generation (the SimHash 4×16-bit pigeonhole join,
+    * COMPLETE at hamming <= 3, never all-pairs). The planted corpus
+    * ([[Multimodal.attachBlobDup]]) puts each group's raster through
+    * three different REAL containers (BMP/PPM/PNG — re-encoded
+    * duplicates must hash identically, which only holds if all three
+    * codecs decode to the same raster) plus single-byte-perturbed
+    * copies that straddle the <=3 accept boundary. The DuckDB oracle
+    * recomputes BOTH hashes from the md5 construction via the
+    * period-16 cycled-payload closed form (cyclic prefix sums — no
+    * container parsing) and does an EXHAUSTIVE all-pairs hamming scan;
+    * pigeonhole completeness means the engine's banded join must
+    * reproduce it pair-for-pair, recall exactly 1.0. Bounded to
+    * doc_id < 600 like its simhash/minhash siblings (the exhaustive
+    * oracle is quadratic; the construction repeats every 6 ids). */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 600)
+    val sigs = Multimodal.withPerceptualHash(
+      spark, Multimodal.attachBlobDup(docs)).localCheckpoint()
+    val pairs = Dedup.simhashPairsFromSigs(
+      sigs.select(col("id"), col("ahash").as("simhash")), maxHamming = 3)
+    val dh = sigs.select(col("id"), col("dhash"))
+    pairs
+      .join(dh.select(col("id").as("doc_a"), col("dhash").as("dh_a")), "doc_a")
+      .join(dh.select(col("id").as("doc_b"), col("dhash").as("dh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              col("hamming").as("ham_ahash"),
+              expr("CAST(bit_count(dh_a ^ dh_b) AS INT)").as("ham_dhash"))
+  }
+
+  private val multimodalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 6 AS g, CAST(doc_id % 6 AS INTEGER) AS j
+      |  FROM documents WHERE doc_id < 600),
+      |s AS (
+      |  SELECT doc_id, j, md5(CAST(g AS VARCHAR)) AS x FROM d),
+      |dims AS (
+      |  SELECT doc_id, j, x,
+      |    ((strpos('0123456789abcdef', substr(x, 1, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(x, 2, 1)) - 1) % 128 + 16 AS w,
+      |    ((strpos('0123456789abcdef', substr(x, 3, 1)) - 1) * 16
+      |     + strpos('0123456789abcdef', substr(x, 4, 1)) - 1) % 128 + 16 AS h
+      |  FROM s),
+      |pb AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(1, 16), i ->
+      |      (((strpos('0123456789abcdef', substr(x, 2*i - 1, 1)) - 1) * 16
+      |        + strpos('0123456789abcdef', substr(x, 2*i, 1)) - 1)
+      |       + CASE WHEN j >= 3 AND i = j - 2 THEN 16 ELSE 0 END) % 256) AS p
+      |  FROM dims),
+      |gr AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, 15), m ->
+      |      (p[(3*m) % 16 + 1] + p[(3*m + 1) % 16 + 1] + p[(3*m + 2) % 16 + 1]) // 3) AS G
+      |  FROM pb),
+      |pre AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(generate_series(0, 16), k -> COALESCE(list_sum(G[1:k]), 0)) AS pf,
+      |    list_sum(G) AS S
+      |  FROM gr),
+      |ac AS (
+      |  SELECT doc_id, w, h, pf, S,
+      |    list_transform(generate_series(0, 63), c ->
+      |      list_sum(list_transform(
+      |        generate_series((c // 8) * h // 8, (c // 8 + 1) * h // 8 - 1), y ->
+      |          ((y * w + (c % 8 + 1) * w // 8) // 16) * S
+      |          + pf[(y * w + (c % 8 + 1) * w // 8) % 16 + 1]
+      |          - ((y * w + (c % 8) * w // 8) // 16) * S
+      |          - pf[(y * w + (c % 8) * w // 8) % 16 + 1]))
+      |      // (((c // 8 + 1) * h // 8 - (c // 8) * h // 8)
+      |         * ((c % 8 + 1) * w // 8 - (c % 8) * w // 8))) AS cell
+      |  FROM pre),
+      |dc AS (
+      |  SELECT doc_id, cell,
+      |    list_transform(generate_series(0, 71), c ->
+      |      list_sum(list_transform(
+      |        generate_series((c // 9) * h // 8, (c // 9 + 1) * h // 8 - 1), y ->
+      |          ((y * w + (c % 9 + 1) * w // 9) // 16) * S
+      |          + pf[(y * w + (c % 9 + 1) * w // 9) % 16 + 1]
+      |          - ((y * w + (c % 9) * w // 9) // 16) * S
+      |          - pf[(y * w + (c % 9) * w // 9) % 16 + 1]))
+      |      // (((c // 9 + 1) * h // 8 - (c // 9) * h // 8)
+      |         * ((c % 9 + 1) * w // 9 - (c % 9) * w // 9))) AS dcell
+      |  FROM ac),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_transform(cell, cc -> CASE WHEN cc > list_sum(cell) // 64 THEN 1 ELSE 0 END) AS abits,
+      |    list_transform(generate_series(0, 63), k ->
+      |      CASE WHEN dcell[(k // 8) * 9 + (k % 8) + 2] > dcell[(k // 8) * 9 + (k % 8) + 1]
+      |           THEN 1 ELSE 0 END) AS dbits
+      |  FROM dc)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_filter(generate_series(1, 64), k -> a.abits[k] != b.abits[k])) AS INTEGER) AS ham_ahash,
+      |  CAST(len(list_filter(generate_series(1, 64), k -> a.dbits[k] != b.dbits[k])) AS INTEGER) AS ham_dhash
+      |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+      |WHERE len(list_filter(generate_series(1, 64), k -> a.abits[k] != b.abits[k])) <= 3""".stripMargin
+
   // ------------------------------- temporal joins (as-of / range)
 
   /** As-of join: attribute each purchase event to the same user's most
@@ -4453,6 +4551,97 @@ object Queries {
       |  FROM q WHERE quality >= 0.3)
       |SELECT doc_id, source, quality FROM f WHERE rk <= 15""".stripMargin
 
+  /** Incremental curation flagship (#65a): [[Curate.runBatch]] ×3 —
+    * ledger dedup → quality gate → per-source token budget → corpus +
+    * ledger + ANN-index + inverted-index appends, one Manifest
+    * commitWith per batch. The gate corpus plants REAL duplicate
+    * structure over the documents table (ids >= 300 repeat an earlier
+    * text — cross-batch dups that must die against the ledger; ids
+    * with doc_id % 11 = 7 repeat their left neighbor — in-batch
+    * dups), the 0.615 floor rejects ~half on quality, and the
+    * 550-token budget cuts mid-stream in later batches (state
+    * carry-over is load-bearing). The ORACLE recomputes the whole
+    * composed chain FROM SCRATCH over the union in DuckDB — dedup
+    * keep-one, quality, budget cumsum in doc_id order — so
+    * append == rebuild is hash-gated for the composition, not just
+    * per stage; the two index flags additionally pin the probes:
+    * ANN (3 appends, probed at nprobe=cells) against in-engine brute
+    * force over the final vectors, and BM25 against a from-scratch
+    * index build over the final corpus, compared row-exactly. */
+  def curateIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 600)
+    val emb = Tables.embeddings(spark, dir)
+    val baseId = expr("CASE WHEN doc_id >= 300 THEN doc_id % 300 " +
+      "WHEN doc_id % 11 = 7 THEN doc_id - 1 ELSE doc_id END")
+    val derived = docs.select(col("doc_id"), col("source"), baseId.as("base_id"))
+      .join(docs.select(col("doc_id").as("base_id"), col("text")), "base_id")
+      .select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    val roots = Curate.tempRoots("graft-curate")
+    Seq((0L, 200L), (200L, 400L), (400L, 600L)).foreach { case (lo, hi) =>
+      Curate.runBatch(spark, roots,
+        derived.where(col("doc_id") >= lo && col("doc_id") < hi),
+        emb, qualityFloor = 0.615, budgetPerSource = 550L)
+    }
+    val corpus = Curate.readCorpus(spark, roots).localCheckpoint()
+    // ANN: the thrice-appended index probed losslessly must equal
+    // brute force over exactly the curated vectors
+    val finalVecs = emb
+      .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val queries = finalVecs.orderBy(col("vec_id")).limit(5).localCheckpoint()
+    val probed = graft.sources.AnnIndex
+      .probe(spark, roots.ann, queries, k = 5, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    val bf = Similarity.bruteForceTopK(queries, finalVecs, 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    val annOk = probed.except(bf).isEmpty && bf.except(probed).isEmpty
+    // BM25: append == rebuild, literally — a fresh index over the
+    // final corpus probed with the same terms must match row-exactly
+    val rebuildRoot = Curate.tempRoots("graft-curate-rb").inv
+    val finalDocs = derived
+      .join(corpus.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    graft.sources.InvertedIndex.build(spark, finalDocs, rebuildRoot,
+      nBuckets = 4, nFiles = 4)
+    val terms = Seq("spark", "window", "merge")
+    val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
+    val pR = graft.sources.InvertedIndex.probe(spark, rebuildRoot, terms, 10)
+    val bm25Ok = pA.except(pR).isEmpty && pR.except(pA).isEmpty
+    corpus.select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("ann_probe_ok", lit(annOk))
+      .withColumn("bm25_probe_ok", lit(bm25Ok))
+  }
+
+  private val curateIncrementalSql =
+    """WITH ids AS (SELECT doc_id, source FROM documents WHERE doc_id < 600),
+      |map AS (SELECT doc_id, source,
+      |    CASE WHEN doc_id >= 300 THEN doc_id % 300
+      |         WHEN doc_id % 11 = 7 THEN doc_id - 1
+      |         ELSE doc_id END AS base_id
+      |  FROM ids),
+      |txt AS (SELECT m.doc_id, m.source, d.text
+      |  FROM map m JOIN documents d ON d.doc_id = m.base_id),
+      |ko AS (SELECT doc_id, source, text,
+      |    MIN(doc_id) OVER (PARTITION BY
+      |      md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS keeper
+      |  FROM txt),
+      |q AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE) * 0.5
+      |    + CAST(len(regexp_extract_all(lower(text), '\b(the|of|and|to|in)\b')) AS DOUBLE)
+      |      / CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) * 0.3
+      |    + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.2 AS quality,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+      |  FROM ko WHERE doc_id = keeper),
+      |c AS (SELECT doc_id, source, quality,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      |  FROM q WHERE quality >= 0.615)
+      |SELECT doc_id, source, quality,
+      |  TRUE AS ann_probe_ok, TRUE AS bm25_probe_ok
+      |FROM c WHERE cum <= 550""".stripMargin
+
   /** Label-propagation sound gate (#52a): synchronous LPA with
     * min-label ties is fully deterministic integer work, so the
     * oracle unrolls 3 rounds exactly (the pagerank_sound discipline).
@@ -4620,6 +4809,45 @@ object Queries {
       |FROM (VALUES (1,'##es',9),(2,'##est',9),(3,'##ow',7),(4,'low',7),
       |             (5,'##ew',6),(6,'##ewest',6),(7,'newest',6),
       |             (8,'##dest',3)) AS t(rank, merged, pair_count)""".stripMargin
+
+  /** Unigram-LM trainer sound gate (#64c): SentencePiece-style
+    * Viterbi-EM ([[Unigram]]) on the same planted Sennrich-shape
+    * corpus as `bpe_train_sound` (low×5 lower×2 newest×6 widest×3),
+    * maxPieceLen=3, 8 multi-char seeds, 2 EM rounds. The expected
+    * output — substring seeding with frequency-truncation, exact
+    * rational Viterbi ("lower"→low|e|r beats lo|we|r on 7·17·2 vs
+    * 7·8·2), zero-count char retention (l,o,s,t survive at 0), unused
+    * multi-char pruning (es,st,we,lo,ow dropped), and the round-2
+    * fixed point — is recomputed by an independent exact-fraction
+    * reference and pinned as a VALUES-literal oracle (the
+    * `bpe_train_sound` pattern). */
+  def unigramTrainSound(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    Unigram.trainFrom(Seq(text).toDF("text"), "text",
+        maxPieceLen = 3, maxSeed = 8, rounds = 2)
+      .map(p => (p.piece, p.count))
+      .toDF("piece", "piece_count")
+  }
+
+  private val unigramTrainSoundSql =
+    """SELECT piece, CAST(piece_count AS BIGINT) AS piece_count
+      |FROM (VALUES ('d',3),('e',2),('est',9),('ew',6),('i',3),('l',0),
+      |             ('low',7),('n',6),('o',0),('r',2),('s',0),('t',0),
+      |             ('w',3)) AS t(piece, piece_count)""".stripMargin
+
+  /** Unigram-LM training end to end (#64c): real-corpus dictionary,
+    * 2 EM rounds, vocab capped at 400. Rows-only by the driver's
+    * lights (the oracle cannot run the iterative Viterbi-EM); the
+    * loop itself is gated exactly by `unigram_train_sound`. */
+  def unigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Unigram.trainFrom(Tables.documents(spark, dir), "text",
+        maxPieceLen = 6, maxSeed = 2000, rounds = 2, vocabSize = 400)
+      .map(p => (p.piece, p.count))
+      .toDF("piece", "piece_count")
+  }
 
   /** BPE training end to end (#64a): 40 merges over the real corpus
     * dictionary. Rows-only by the driver's lights (the oracle cannot
@@ -6489,6 +6717,7 @@ object Queries {
     "sketch_sound"             -> (sketchSound _),
     "multimodal_sound"         -> (multimodalSound _),
     "multimodal_png"           -> (multimodalPng _),
+    "multimodal_dedup"         -> (multimodalDedup _),
     "pivot_material"           -> (pivotMaterial _),
     "setops_suppliers"         -> (setOpsSuppliers _),
     "bloom_semi_join"          -> (bloomSemiJoinUrgent _),
@@ -6560,7 +6789,10 @@ object Queries {
     "sample_by_classifier"     -> (sampleByClassifier _),
     "quality_filter_approx"    -> (qualityFilterApprox _),
     "curate_pipeline"          -> (curatePipeline _),
+    "curate_incremental"       -> (curateIncremental _),
     "bpe_train"                -> (bpeTrain _),
+    "unigram_train_sound"      -> (unigramTrainSound _),
+    "unigram_train"            -> (unigramTrain _),
     "sample_per_source"        -> (samplePerSource _),
     "doc_length_histogram"     -> (docLengthHistogram _),
     "mixture_rebalance"        -> (mixtureRebalance _),
@@ -6692,6 +6924,7 @@ object Queries {
     "sketch_sound"             -> sketchSoundSql,
     "multimodal_sound"         -> multimodalSoundSql,
     "multimodal_png"           -> multimodalPngSql,
+    "multimodal_dedup"         -> multimodalDedupSql,
     "pivot_material"           -> pivotMaterialSql,
     "setops_suppliers"         -> setOpsSuppliersSql,
     "bloom_semi_join"          -> bloomSemiJoinUrgentSql,
@@ -6747,6 +6980,7 @@ object Queries {
     "stratified_split"         -> stratifiedSplitSql,
     "nfc_normalize_sound"      -> nfcNormalizeSoundSql,
     "bpe_encode_sound"         -> bpeEncodeSoundSql,
+    "unigram_train_sound"      -> unigramTrainSoundSql,
     "mixture_token_budget"     -> mixtureTokenBudgetSql,
     "perceptron_sound"         -> perceptronSoundSql,
     "perceptron_avg_sound"     -> perceptronAvgSoundSql,
@@ -6754,6 +6988,7 @@ object Queries {
     "sample_by_classifier"     -> sampleByClassifierSql,
     "quality_filter_approx"    -> qualityFilterApproxSql,
     "curate_pipeline"          -> curatePipelineSql,
+    "curate_incremental"       -> curateIncrementalSql,
     "sample_per_source"        -> samplePerSourceSql,
     "doc_length_histogram"     -> docLengthHistogramSql,
     "mixture_rebalance"        -> mixtureRebalanceSql,

@@ -367,6 +367,144 @@ object Multimodal {
       .toDF()
   }
 
+  /** Perceptual hashes over the DECODED raster — the image sibling of
+    * text MinHash/SimHash. Pure integer arithmetic end to end (floor
+    * grayscale, floor cell boundaries, floor means), which is what
+    * makes the hashes engine-exact: the same raster produces the same
+    * 64 bits on any JVM, and a raster planted from md5-cycled bytes is
+    * bit-recomputable by the DuckDB oracle without decoding a byte.
+    *
+    * - aHash: grayscale → 8×8 average-pool → bit k set iff cell k's
+    *   floor-mean exceeds the floor-mean of all 64 cells. Invariant to
+    *   container format (BMP/PPM/PNG of the same raster hash equal)
+    *   and NEAR-invariant to uniform brightness shifts (cells and the
+    *   global mean move together; only floor noise flips bits) — so
+    *   re-encoded and brightness-tweaked copies land within a small
+    *   hamming distance, the near-dup semantic perceptual hashing
+    *   exists for.
+    * - dHash: grayscale → 8-row × 9-column average-pool → bit r*8+c
+    *   set iff cell (r,c+1) > cell (r,c) (horizontal gradient signs).
+    *   Brightness shifts cancel in the difference, so dHash is the
+    *   sharper invariant of the two.
+    *
+    * Candidate generation at scale reuses the SimHash pigeonhole
+    * machinery ([[graft.operators.Dedup.simhashPairsFromSigs]]): 4
+    * 16-bit chunks, chunk-equality join, exact `bit_count` verify —
+    * banded, never all-pairs, COMPLETE at hamming <= 3. */
+  object PHash {
+    private def grayCells(d: Codec.Decoded, rows: Int, cols: Int): Array[Long] = {
+      require(d.channels == 3, s"perceptual hash needs an RGB raster, got channels=${d.channels}")
+      val w = d.width; val h = d.height; val px = d.payload
+      val cells = new Array[Long](rows * cols)
+      var cy = 0
+      while (cy < rows) {
+        val y0 = cy * h / rows; val y1 = (cy + 1) * h / rows
+        var cx = 0
+        while (cx < cols) {
+          val x0 = cx * w / cols; val x1 = (cx + 1) * w / cols
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = 3 * (y * w + x)
+              sum += ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          cells(cy * cols + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+          cx += 1
+        }
+        cy += 1
+      }
+      cells
+    }
+
+    def aHash64(d: Codec.Decoded): Long = {
+      val cells = grayCells(d, 8, 8)
+      val mean = cells.sum / 64
+      var bits = 0L
+      var k = 0
+      while (k < 64) { if (cells(k) > mean) bits |= (1L << k); k += 1 }
+      bits
+    }
+
+    def dHash64(d: Codec.Decoded): Long = {
+      val cells = grayCells(d, 8, 9)
+      var bits = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (cells(r * 9 + c + 1) > cells(r * 9 + c)) bits |= (1L << (r * 8 + c))
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+  }
+
+  /** Plant a deterministic image corpus WITH KNOWN DUPLICATE GROUPS for
+    * the perceptual-hash dedup gate: 6 docs per group share one
+    * md5-seeded raster; copies 0-2 carry the identical raster through
+    * three DIFFERENT containers (BMP / PPM / PNG — re-encoded
+    * duplicates, the classic crawl case, hamming 0 by construction),
+    * copies 3-5 bump ONE payload byte by +16 (mod 256) — a localized
+    * edit touching 1/16 of pixels, measured to spread aHash hamming
+    * right across the <=3 accept boundary (~77% accept, ~23% reject
+    * over md5-random groups), so the gate exercises both paths. A
+    * UNIFORM brightness shift would be useless here: gray shifts by
+    * exactly s, so aHash is EXACTLY invariant until a byte wraps
+    * (that invariance is itself spec-tested in MultimodalSpec). Dims
+    * and payload derive from md5 hex digits of the group key, so the
+    * DuckDB oracle recomputes every raster — and from it both hashes
+    * — without parsing a container byte, while the engine runs the
+    * REAL decode path. */
+  def attachBlobDup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr("doc_id",
+        "CAST(doc_id % 6 AS INT) AS j",
+        "md5(CAST(doc_id DIV 6 AS STRING)) AS x")
+      .selectExpr("doc_id", "j",
+        "CAST(conv(substring(x, 1, 2), 16, 10) AS INT) % 128 + 16 AS w",
+        "CAST(conv(substring(x, 3, 2), 16, 10) AS INT) % 128 + 16 AS h",
+        "unhex(x) AS p")
+      .as[(Long, Int, Int, Int, Array[Byte])]
+      .map { case (id, j, w, h, p) =>
+        val pp =
+          if (j < 3) p
+          else {
+            val q = p.clone()
+            q(j - 3) = (((q(j - 3) & 0xff) + 16) & 0xff).toByte
+            q
+          }
+        val bytes = (j % 3) match {
+          case 0 => Codec.encodeBmp(w, h, pp)
+          case 1 => Codec.encodePpm(w, h, pp)
+          case _ => Codec.encodePng(w, h, pp)
+        }
+        Blob(id, "image", bytes)
+      }
+      .toDF()
+  }
+
+  /** Decode → perceptual-hash per partition: one codec pass feeds both
+    * hashes; output is the tiny (id, ahash, dhash) signature table the
+    * banding join runs on — at 100 TB the rasters never shuffle, only
+    * 24 bytes/doc of signatures do. */
+  def withPerceptualHash(spark: SparkSession, blobs: DataFrame): DataFrame = {
+    import spark.implicits._
+    blobs.as[Blob].mapPartitions { it =>
+      it.map { b =>
+        val d = Codec.decode(b.bytes)
+        (b.doc_id, PHash.aHash64(d), PHash.dHash64(d))
+      }
+    }.toDF("id", "ahash", "dhash")
+  }
+
   /** Decode metadata per partition — codec state initialized once per
     * partition (the expensive part with an FFI codec), then streamed.
     * All fields are REAL header/sample arithmetic from [[Codec]]. */

@@ -174,4 +174,50 @@ class MultimodalSpec extends SparkSpec {
     val pngByDoc = png.toSeq.map(t => t._1 -> t).toMap
     bmp.foreach { case t @ (id, _, _, _) => assert(pngByDoc(id) === t) }
   }
+
+  // ------------------------------------------ perceptual hashes (#34b)
+
+  private def decoded(w: Int, h: Int, payload: Array[Byte]) =
+    Codec.decode(Codec.encodeBmp(w, h, payload))
+
+  test("aHash/dHash are container-invariant: same raster through BMP/PPM/PNG") {
+    val p = Array.tabulate[Byte](16)(i => ((i * 37 + 5) % 256).toByte)
+    val (w, h) = (33, 21)
+    val ds = Seq(Codec.encodeBmp(w, h, p), Codec.encodePpm(w, h, p),
+                 Codec.encodePng(w, h, p)).map(Codec.decode)
+    assert(ds.map(Multimodal.PHash.aHash64).distinct.size === 1)
+    assert(ds.map(Multimodal.PHash.dHash64).distinct.size === 1)
+  }
+
+  test("uniform brightness shift leaves both hashes EXACTLY unchanged (no wrap)") {
+    // gray shifts by exactly s (sum of 3 bytes each +s is divisible by
+    // 3 after the +3s), cells and the global mean shift together — the
+    // invariance that makes perceptual hashing robust to re-exposure
+    val p = Array.tabulate[Byte](16)(i => ((i * 13 + 20) % 180).toByte)
+    val d0 = decoded(47, 29, p)
+    val d1 = decoded(47, 29, p.map(b => ((b & 0xff) + 40).toByte)) // no wrap: max 219
+    assert(Multimodal.PHash.aHash64(d0) === Multimodal.PHash.aHash64(d1))
+    assert(Multimodal.PHash.dHash64(d0) === Multimodal.PHash.dHash64(d1))
+  }
+
+  test("single-byte perturbation moves the hash a small hamming distance") {
+    val p = Array.tabulate[Byte](16)(i => ((i * 97 + 3) % 256).toByte)
+    val q = p.clone(); q(5) = (((q(5) & 0xff) + 16) & 0xff).toByte
+    val (a0, a1) = (Multimodal.PHash.aHash64(decoded(80, 64, p)),
+                    Multimodal.PHash.aHash64(decoded(80, 64, q)))
+    val ham = java.lang.Long.bitCount(a0 ^ a1)
+    assert(ham < 32, s"1/16 of pixels changed should not flip half the bits (got $ham)")
+  }
+
+  test("attachBlobDup: copies 0-2 of a group decode to the identical raster") {
+    val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 36)
+    val sigs = Multimodal.withPerceptualHash(spark, Multimodal.attachBlobDup(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byGroup = sigs.groupBy(_._1 / 6)
+    byGroup.foreach { case (g, members) =>
+      val base = members.filter(_._1 % 6 < 3)
+      assert(base.map(_._2).distinct.size === 1, s"group $g aHash differs across containers")
+      assert(base.map(_._3).distinct.size === 1, s"group $g dHash differs across containers")
+    }
+  }
 }
