@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** 1000× probe tier (test scope — never ships): the five
+  * scale-critical families run against a 1000× derived set
+  * (`graft.ScaleN <sf0.1> /tmp/sf1000x 1000` — ~600M lineitem / 150M
+  * orders / 100M events / 5M documents in 1000-DEEP exact-dup groups /
+  * 2M embeddings) under the same 16 GiB executor-like heap as
+  * Scale100. 100× was conquered (zero spill, zero exclusions); this
+  * tier exists to find the next wall before a user does.
+  *
+  * The known-by-algebra wall this tier makes measurable: MEMBER-PAIR
+  * EXPANSION. Collapse-first keeps all join work linear in the 5k
+  * unique texts, but the member-pair OUTPUT of a d-deep dup group is
+  * d(d-1)/2 rows — ~2.5B pairs at d=1000 (vs 27M at d=100: ×90 output
+  * for ×10 data, exactly quadratic). The probe times it honestly, and
+  * times the scale-correct ROUTING next to it: consume the
+  * cluster/keeper table (pairs on uniques → CC on the group graph →
+  * ONE member-map join, output linear at 5M rows) instead of
+  * materialized member pairs.
+  *
+  * Usage: Test/runMain graft.tools.Scale1000 /tmp/sf1000x [outJson]
+  */
+object Scale1000 {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1000x")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Scale100.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.lineitem(spark, dir).limit(1000).groupBy("l_returnflag").count().collect()
+
+    val out = new StringBuilder
+    val only = sys.env.get("SCALE1000_ONLY").map(_.split(",").toSet)
+    def run(label: String)(body: => Long): Unit = {
+      if (!only.forall(_.contains(label))) return
+      Thread.sleep(1000); metrics.reset()
+      val t0 = System.nanoTime()
+      val n = try body
+              catch { case t: Throwable =>
+                System.err.println(s"SCALE FAIL $label: $t"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Blocks.freeAll(spark)
+      Thread.sleep(1000)
+      val m = metrics.snapshot
+      val line = f"""{"query":"$label","rows":$n,"sec":$sec%.2f,""" +
+        m.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}")
+      println("SCALE1000 " + line)
+      out.append(line).append('\n')
+    }
+    def runDf(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      run(label)(df.count())
+
+    // ---- headline context: the flagship over 600M lineitem rows
+    runDf("pipeline_material_demand")(
+      SparkEntry.queries("pipeline_material_demand")(spark, dir))
+    runDf("agg_groupby_sum")(SparkEntry.queries("agg_groupby_sum")(spark, dir))
+
+    // ---- family 1: exact dedup — 5M docs → 5k fingerprint groups
+    runDf("dedup_exact")(SparkEntry.queries("dedup_exact")(spark, dir))
+
+    // ---- family 2: minhash pair generation
+    // (a) the linear object: band join + verify over the 5k UNIQUES
+    //     (what collapse-first reduces every corpus to)
+    val keepers = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextFunctions.fingerprint(col("text")))
+      Tables.documents(spark, dir)
+        .withColumn("keeper", min(col("doc_id")).over(w))
+        .where(col("doc_id") === col("keeper"))
+        .select(col("doc_id"), col("text"))
+    }
+    runDf("minhash_pairs_uniques") {
+      Dedup.minhashPairs(keepers.localCheckpoint(), "doc_id", "text")
+    }
+    // (b) the quadratic object, timed honestly: full member-pair
+    //     expansion over 1000-deep groups (~2.5B output rows)
+    runDf("minhash_pairs_full_expansion") {
+      Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+    }
+
+    // ---- family 3: cluster resolution, the scale-correct route —
+    // CC (star) on the GROUP graph, then one member-map join: output
+    // 5M keeper rows, never 2.5B pairs
+    runDf("cc_star_group_graph_member_map") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(TextFunctions.fingerprint(col("text")))
+      val mem = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("gid", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("gid"))
+        .localCheckpoint()
+      val uniq = mem.where(col("doc_id") === col("gid"))
+        .join(Tables.documents(spark, dir), "doc_id")
+        .select(col("doc_id"), col("text"))
+      val groupPairs = Dedup.minhashPairs(uniq.localCheckpoint(),
+        "doc_id", "text")
+      val labels = Dedup.clustersStar(groupPairs, "doc_a", "doc_b")
+        .withColumnRenamed("doc_id", "gid")
+      // every member inherits its group keeper's cluster label; docs
+      // whose group has no near-dup edge keep gid as the label
+      mem.join(labels, Seq("gid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("gid")).as("cluster_rep"))
+    }
+
+    // ---- family 4: persisted ANN index build + probe over 2M vectors
+    run("ann_index_build_2m") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ann-1000x").toString + "/idx"
+      spark.conf.set("spark.graft.scale1000.annRoot", root)
+      graft.sources.AnnIndex.build(spark, Tables.embeddings(spark, dir),
+        root, cells = 64, nFiles = 64)
+    }
+    runDf("ann_index_probe_2m") {
+      val root = spark.conf.get("spark.graft.scale1000.annRoot")
+      graft.sources.AnnIndex.probe(spark, root,
+        Tables.embeddings(spark, dir).where(col("vec_id") < 10),
+        k = 10, nprobe = 8)
+    }
+
+    // ---- family 5: persisted inverted index build + probe over 5M docs
+    run("inv_index_build_5m") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-inv-1000x").toString + "/idx"
+      spark.conf.set("spark.graft.scale1000.invRoot", root)
+      graft.sources.InvertedIndex.build(spark, Tables.documents(spark, dir),
+        root, nBuckets = 64, nFiles = 64)
+    }
+    runDf("inv_index_probe_5m") {
+      val root = spark.conf.get("spark.graft.scale1000.invRoot")
+      graft.sources.InvertedIndex.probe(spark, root,
+        Seq("spark", "window", "merge"), k = 10)
+    }
+
+    args.lift(1).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        out.toString)
+    }
+    println("SCALE1000 done")
+    spark.stop()
+  }
+}
