@@ -79,10 +79,20 @@ object Curate {
     * order IS doc_id order — the append==rebuild precondition);
     * `embeddings` is the (vec_id, embedding) side table batch vectors
     * are pulled from. Returns the committed curation version. */
+  /** Batch note of a committed curation version (from meta/), or ""
+    * for pre-note versions. Streaming ingestion keys replay detection
+    * on it. */
+  def noteOf(spark: SparkSession, roots: Roots, v: Long): String = {
+    val df = spark.read.parquet(subDir(spark, roots.curation, v, "meta"))
+    if (df.columns.contains("batch_note"))
+      df.select(col("batch_note")).head().getString(0)
+    else ""
+  }
+
   def runBatch(spark: SparkSession, roots: Roots, batch: DataFrame,
                embeddings: DataFrame, qualityFloor: Double,
                budgetPerSource: Long, annCells: Int = 4,
-               nFiles: Int = 4): Long = {
+               nFiles: Int = 4, note: String = ""): Long = {
     val priorVs = Manifest.versions(spark, roots.curation)
     val first = priorVs.isEmpty
 
@@ -141,14 +151,28 @@ object Curate {
     val annBatch = embeddings
       .join(accepted.select(col("doc_id").as("vec_id")), "vec_id")
       .select(col("vec_id"), col("embedding"))
+    // crash-recovery idempotence for the append paths: a crash AFTER
+    // an index append but BEFORE the outer commit leaves the index one
+    // version ahead; the replayed batch finds its note on a retained
+    // version and REUSES it instead of double-appending. (A replayed
+    // FIRST batch is naturally safe: build publishes a catalog of only
+    // its own segment, so the rebuilt version supersedes the orphan.)
+    def notedVersion(root: String, note0: String,
+                     noteAt: Long => String): Option[Long] =
+      if (note0.isEmpty) None
+      else Manifest.versions(spark, root).find(v => noteAt(v) == note0)
     val annV =
       if (first)
         AnnIndex.build(spark, annBatch, roots.ann, cells = annCells,
           nFiles = nFiles)
-      else if (annBatch.isEmpty)
-        Manifest.currentVersion(spark, roots.ann).getOrElse(-1L)
-      else
-        AnnIndex.append(spark, roots.ann, annBatch, nFiles = nFiles).version
+      else notedVersion(roots.ann, note,
+          v => AnnIndex.noteOf(spark, roots.ann, Some(v))).getOrElse {
+        if (annBatch.isEmpty)
+          Manifest.currentVersion(spark, roots.ann).getOrElse(-1L)
+        else
+          AnnIndex.append(spark, roots.ann, annBatch, nFiles = nFiles,
+            note = note).version
+      }
     val invBatch = batch
       .join(accepted.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("text"))
@@ -156,10 +180,14 @@ object Curate {
       if (first)
         InvertedIndex.build(spark, invBatch, roots.inv, nBuckets = nFiles,
           nFiles = nFiles)
-      else if (invBatch.isEmpty)
-        Manifest.currentVersion(spark, roots.inv).getOrElse(-1L)
-      else
-        InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles)
+      else notedVersion(roots.inv, note,
+          v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
+        if (invBatch.isEmpty)
+          Manifest.currentVersion(spark, roots.inv).getOrElse(-1L)
+        else
+          InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles,
+            note = note)
+      }
 
     // ---- stage 5: ONE atomic publish for the batch
     Manifest.commitWith(spark, roots.curation, retain = 16) { dir =>
@@ -167,7 +195,7 @@ object Curate {
         .write.parquet(s"$dir/corpus")
       ledgerDelta.write.parquet(s"$dir/ledger")
       newState.write.parquet(s"$dir/state")
-      Seq((annV, invV)).toDF("ann_version", "inv_version")
+      Seq((annV, invV, note)).toDF("ann_version", "inv_version", "batch_note")
         .write.parquet(s"$dir/meta")
     }
   }

@@ -561,6 +561,22 @@ object Scale100 {
         "doc_id", iters = 3, damping = 0.75)
     }
 
+    // ---- round-12 additions: image perceptual-hash dedup (real
+    // decode of 600 planted containers + the pigeonhole band join —
+    // bounded gate corpus, but the decode+hash machinery is what the
+    // row measures), the incremental curation flagship (3 batches:
+    // ledger dedup + quality + budget + BOTH index appends + rebuild
+    // comparison, all against the 100× documents/embeddings tables),
+    // and unigram-LM training's corpus-scale dictionary shuffle over
+    // 500k docs (driver EM loop is vocabulary-bounded by design)
+    run("multimodal_dedup")(
+      SparkEntry.queries("multimodal_dedup")(spark, dir))
+    run("curate_incremental")(
+      SparkEntry.queries("curate_incremental")(spark, dir)
+        .groupBy(col("source"), col("ann_probe_ok"), col("bm25_probe_ok"))
+        .agg(count(lit(1))))
+    run("unigram_train")(SparkEntry.queries("unigram_train")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }
