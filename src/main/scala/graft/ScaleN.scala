@@ -20,22 +20,27 @@ object ScaleN {
     * columns by `index * step` — an N-way union of reads would scan
     * the source N times.
     *
-    * The output is repartitioned before writing: the source SF tables
-    * are single small files, so without it the exploded table writes
-    * from the source's scan tasks — one or two files, i.e. one or two
-    * parquet row groups, and every downstream scan of the derived set
-    * is then capped at that parallelism (found at 100×: the 500k-doc
-    * documents table was one row group and per-doc HOF queries ran
-    * single-core). The shuffle is the price of a derived set whose
-    * FILE LAYOUT scales with its data. */
+    * The SOURCE is repartitioned BEFORE the explode — order matters
+    * twice over. The source SF tables are single small files, so an
+    * unpartitioned explode runs in the source's one or two scan tasks
+    * (found at 100×: the 500k-doc documents table landed in one
+    * parquet row group and per-doc HOF queries ran single-core; found
+    * harder at 1000×: ONE task generating 600M lineitem rows at 135%
+    * CPU on 32 cores). And repartitioning AFTER the explode — the
+    * original fix — shuffles the N× output (~20 GB of shuffle blocks
+    * for 1000× lineitem) where pre-partitioning shuffles only the 1×
+    * source rows: an N-fold shuffle-volume reduction that turns the
+    * generator from shuffle-bound to CPU-parallel. The exploded
+    * output inherits the source tasks' parallelism, so the derived
+    * set's FILE LAYOUT scales with its data with no second exchange. */
   private def times(df: DataFrame, copies: Int,
                     shifts: Map[String, Long]): DataFrame = {
-    val copied = df.withColumn("__i",
-      explode(sequence(lit(0L), lit(copies - 1L))))
+    val copied = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__i", explode(sequence(lit(0L), lit(copies - 1L))))
     copied.select(df.columns.map(c => shifts.get(c)
       .map(step => (col(c) + col("__i") * step).as(c))
       .getOrElse(col(c))).toSeq: _*)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
   }
 
   /** Smallest power of 10 strictly above the column's max — a shift
