@@ -23,6 +23,7 @@ object GraftFunctions {
   val BpeEncodeName = "graft_bpe_encode"
   val UnicodeNormalizeName = "graft_unicode_normalize"
   val QualityStatsName = "graft_quality_stats"
+  val TermCountsName = "graft_term_counts"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -81,7 +82,11 @@ object GraftFunctions {
     (QualityStatsName, classOf[graft.functions.expressions.TextQualityStats],
       (c0: Seq[Expression]) => { val c = arity(QualityStatsName,
           "text", 1, c0)
-        graft.functions.expressions.TextQualityStats(c(0)) }))
+        graft.functions.expressions.TextQualityStats(c(0)) }),
+    (TermCountsName, classOf[graft.functions.expressions.TermCounts],
+      (c0: Seq[Expression]) => { val c = arity(TermCountsName,
+          "tokens", 1, c0)
+        graft.functions.expressions.TermCounts(c(0)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -181,6 +186,13 @@ object GraftFunctions {
   def qualityStats(text: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(QualityStatsName, text)
+  }
+
+  /** Per-row term frequencies over a token array, zero-shuffle — see
+    * [[graft.functions.expressions.TermCounts]]. */
+  def termCounts(tokens: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(TermCountsName, tokens)
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -20,8 +20,11 @@ import graft.functions.TextFunctions
   *    (segment paths + exact corpus stats: per-segment doc count and
   *    summed doc length, so n_docs/avgdl recompose EXACTLY across
   *    appends by integer addition).
-  *  - `<root>/segments/post-<tok>/` — (bucket, term, doc_id, tf, dl)
-  *    posting rows, bucket = pmod(xxhash64(term), nBuckets), clustered
+  *  - `<root>/segments/post-<tok>/` — (bucket, term, doc_id, tf, dl,
+  *    d0) posting rows (d0 flags one designated row per doc so segment
+  *    stats re-derive from the written file by a flat filtered scan;
+  *    compacted segments drop it — their stats are integer sums),
+  *    bucket = pmod(xxhash64(term), nBuckets), clustered
   *    via repartitionByRange(bucket, term) + sortWithinPartitions so a
   *    probe's bucket set prunes FILES ([[StatsIndex]] over `bucket`)
   *    and its term set prunes row groups (terms are sorted within
@@ -74,17 +77,25 @@ object InvertedIndex {
     val dict = s"$root/$SegmentsDir/dict-$token"
     val toks = docs.select(col(idCol).as("doc_id"),
       split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
-    // one explode + one partial-agg shuffle — tf per (doc, term) with
-    // the doc length riding along (denormalized into the posting row
-    // so probes never join a doc table)
+    // tf is a PER-DOCUMENT statistic — count it inside the row (one
+    // native hash-map scan of the token array, graft_term_counts)
+    // instead of explode + groupBy(doc_id, term): at the 1000× tier
+    // (5M docs) that corpus-wide re-grouping carried ~1B exploded rows
+    // into ~500M groups and spilled 53.7 GB mem / 8.3 GB disk
+    // (SCALE1000.md). Per-row counting shuffles NOTHING for tf; the
+    // only exchange left is the bucket-clustering repartition the
+    // layout requires. `d0` marks one designated row per doc (the
+    // first term entry) so corpus stats re-derive from the written
+    // postings by a flat filtered scan, never a 500M-row distinct.
     toks.select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+        posexplode(graft.functions.GraftFunctions.termCounts(col("toks"))))
+      .select(col("doc_id"), col("dl"),
+        col("col.term").as("term"), col("col.tf").as("tf"),
+        (col("pos") === 0).as("d0"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .repartitionByRange(math.max(nFiles, 1), col("bucket"), col("term"))
       .sortWithinPartitions("bucket", "term")
-      .select("bucket", "term", "doc_id", "tf", "dl")
+      .select("bucket", "term", "doc_id", "tf", "dl", "d0")
       .write.mode("errorifexists").parquet(post)
     StatsIndex.write(spark, post, Seq("bucket"))
     // dictionary + stats from the WRITTEN postings (one cheap re-agg
@@ -98,7 +109,11 @@ object InvertedIndex {
       .sortWithinPartitions("bucket", "term")
       .write.mode("errorifexists").parquet(dict)
     StatsIndex.write(spark, dict, Seq("bucket"))
-    val stats = written.select(col("doc_id"), col("dl")).distinct()
+    // exactly one d0=true row per doc (every doc has >= 1 token: split
+    // of even an empty string yields [""]), so n_docs/sum_dl come from
+    // a flat pushed-filter scan — not a (doc_id, dl) distinct, which
+    // at 5M docs re-shuffled ~500M posting rows
+    val stats = written.where(col("d0"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     Segment(post, dict, stats.getLong(0),
       if (stats.isNullAt(1)) 0L else stats.getLong(1), nBuckets)

@@ -228,4 +228,32 @@ class ExpressionSpec extends SparkSpec {
     assert(bad.getMessage.contains("left right") ||
            bad.getCause != null && bad.getCause.getMessage.contains("left right"))
   }
+
+  test("graft_term_counts equals the explode+groupBy tf formulation") {
+    // real corpus text: the expression must reproduce the exact tf the
+    // InvertedIndex build previously computed via corpus-wide grouping
+    val toks = Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"),
+        split(graft.functions.TextFunctions.normalize(col("text")), " ")
+          .as("toks"))
+    val native = toks
+      .select(col("doc_id"),
+        explode(GraftFunctions.termCounts(col("toks"))).as("e"))
+      .select(col("doc_id"), col("e.term"), col("e.tf"))
+    val grouped = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    assert(native.schema("tf").dataType === grouped.schema("tf").dataType)
+    assert(native.exceptAll(grouped).isEmpty && grouped.exceptAll(native).isEmpty)
+    // edge shapes: repeats, single empty-string token (split("") = [""])
+    val edge = Seq(Seq("a", "b", "a", "a"), Seq("")).toDF("toks")
+      .select(GraftFunctions.termCounts(col("toks")).as("tc"))
+      .as[Seq[(String, Long)]].collect()
+    assert(edge(0) === Seq(("a", 3L), ("b", 1L))) // first-occurrence order
+    assert(edge(1) === Seq(("", 1L)))
+    // SQL registration round-trip
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT graft_term_counts(array('x','y','x'))")
+      .as[Seq[(String, Long)]].head() === Seq(("x", 2L), ("y", 1L)))
+  }
 }

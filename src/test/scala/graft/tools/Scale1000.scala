@@ -135,12 +135,17 @@ object Scale1000 {
     }
 
     // ---- family 5: persisted inverted index build + probe over 5M docs
-    run("inv_index_build_5m") {
+    // nFiles sizes the clustered-write sort partitions (the build's one
+    // essential exchange) — the corpusBytes/targetFileBytes rule from
+    // the writeSegment doc; SCALE1000_INV_NFILES probes the knob
+    val invNFiles = sys.env.get("SCALE1000_INV_NFILES").map(_.toInt)
+      .getOrElse(64)
+    run(s"inv_index_build_5m") {
       val root = java.nio.file.Files
         .createTempDirectory("graft-inv-1000x").toString + "/idx"
       spark.conf.set("spark.graft.scale1000.invRoot", root)
       graft.sources.InvertedIndex.build(spark, Tables.documents(spark, dir),
-        root, nBuckets = 64, nFiles = 64)
+        root, nBuckets = 64, nFiles = invNFiles)
     }
     runDf("inv_index_probe_5m") {
       val root = spark.conf.get("spark.graft.scale1000.invRoot")
