@@ -2194,12 +2194,23 @@ object Queries {
     * division instead of engine-varying log()). The document-frequency
     * side is vocabulary-sized → broadcast. */
   def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val tf = tokens.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // tf per (doc, term) is a PER-DOCUMENT statistic — born final from
+    // one native hash-map scan of the row's token array
+    // (graft_term_counts) instead of explode + corpus-wide
+    // groupBy(doc_id, term): at the 1000× tier that re-grouping's
+    // per-partition group cardinality ≈ row count, so the hash agg
+    // falls back to sort and spills (the InvertedIndex.build wall,
+    // SCALE1000.md). Cost shape traded knowingly: tf's subtree is
+    // scanned once per consumer (dfreq + the scored join) — two cheap
+    // parallel rescans beat one corpus-sized sort-spilling exchange.
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(
+          split(col("text"), " "))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
     // document frequency falls out of tf's (already-distinct) keys —
-    // no second explode over the raw token stream
+    // no second explode over the raw token stream; term-only grouping
+    // combines map-side to vocabulary size
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // rank-1-per-doc as min_by over (-score, term), not a row_number
     // window: the agg partially combines map-side and never sorts,
@@ -2360,36 +2371,40 @@ object Queries {
     * flag boilerplate/spam for corpus filtering. */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    def grams(n: Int) = transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    def dupFrac(g: Column) =
-      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
-    // one scan: the per-row gram fractions ride along through the
-    // explode and are carried by first() — a separate branch would
-    // re-read and re-tokenize the corpus and add a join shuffle.
-    // repartition BEFORE the gram projection (same precedent as the
-    // all-pairs jaccard BNLJ): the gram transforms evaluate their
-    // lambdas interpreted, so this is the query's dominant cost, and
-    // glued to scan parallelism it runs as wide as the FILE LAYOUT —
-    // a single-file corpus (one row group) computed 500k docs on one
-    // core at the 100× derived set. One small (doc_id, text) shuffle
-    // buys compute at full cluster width regardless of layout.
+    // fully per-row, fully codegen'd: every signal here is a
+    // within-document statistic, so NOTHING shuffles after the width
+    // repartition and no interpreted lambda runs.
+    //  - token-frequency pair (max tf, Σtf): used to ride an explode
+    //    through two corpus-wide groupBys — (doc_id, tok) then
+    //    (doc_id) — the exact shape that sort-spilled
+    //    InvertedIndex.build at the 1000× tier (SCALE1000.md);
+    //    graft_term_counts computes the same integers in one hash-map
+    //    scan of the row's token array. Σtf = size(toks) by
+    //    definition; max tf / Σtf is the same long→double division.
+    //  - gram fractions: the HOF form (transform+concat_ws slices +
+    //    array_distinct, interpreted) measured 151 s wall / 4,784
+    //    task-s over 5M docs at 1000× — pure lambda CPU;
+    //    graft_repetition_stats emits both fractions from one
+    //    compiled scan, value-identical by the space-join argument in
+    //    its scaladoc.
+    // repartition BEFORE the projection (all-pairs jaccard BNLJ
+    // precedent): glued to scan parallelism this runs as wide as the
+    // FILE LAYOUT — a single-file corpus (one row group) computed
+    // 500k docs on one core at the 100× derived set. One small
+    // (doc_id, text) shuffle buys compute at full cluster width
+    // regardless of layout.
+    val tfs = transform(
+      graft.functions.GraftFunctions.termCounts(toks), e => e("tf"))
+    val rep = graft.functions.GraftFunctions.repetitionStats(toks)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
-        dupFrac(grams(2)).as("d2"), dupFrac(grams(3)).as("d3"),
-        explode(toks).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"),
-           first(col("d2")).as("d2"), first(col("d3")).as("d3"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_tokens"),
-           (max(col("cnt")).cast("double") / sum(col("cnt")).cast("double"))
-             .as("top_token_frac"),
-           first(col("d2")).as("dup_2gram_frac"),
-           first(col("d3")).as("dup_3gram_frac"))
+        size(toks).cast("long").as("n_tokens"),
+        (array_max(tfs).cast("double") / size(toks).cast("double"))
+          .as("top_token_frac"),
+        rep("dup_2gram_frac").as("dup_2gram_frac"),
+        rep("dup_3gram_frac").as("dup_3gram_frac"))
   }
 
   private val textRepetitionSql =
@@ -3446,10 +3461,17 @@ object Queries {
     * millions of probe rows). All outputs integral — exact at any
     * scale. */
   def rareTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    // per-doc (tok, cnt) born final from one native hash-map scan of
+    // the row's token array — the explode + groupBy(doc_id, tok) form
+    // this replaces is the corpus-wide re-grouping that sort-spilled
+    // at the 1000× tier (SCALE1000.md); the collapse itself (the
+    // documented ~4× join-volume cut) is unchanged, it just costs
+    // zero exchanges now
     val perDoc = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.termCounts(
+          split(col("text"), " "))).as("e"))
+      .select(col("doc_id"), col("e.term").as("tok"), col("e.tf").as("cnt"))
     val vocab = perDoc.groupBy(col("tok"))
       .agg(sum(col("cnt")).as("f"))
     perDoc.join(vocab, Seq("tok"))

@@ -24,6 +24,7 @@ object GraftFunctions {
   val UnicodeNormalizeName = "graft_unicode_normalize"
   val QualityStatsName = "graft_quality_stats"
   val TermCountsName = "graft_term_counts"
+  val RepetitionStatsName = "graft_repetition_stats"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -86,7 +87,11 @@ object GraftFunctions {
     (TermCountsName, classOf[graft.functions.expressions.TermCounts],
       (c0: Seq[Expression]) => { val c = arity(TermCountsName,
           "tokens", 1, c0)
-        graft.functions.expressions.TermCounts(c(0)) }))
+        graft.functions.expressions.TermCounts(c(0)) }),
+    (RepetitionStatsName, classOf[graft.functions.expressions.RepetitionStats],
+      (c0: Seq[Expression]) => { val c = arity(RepetitionStatsName,
+          "tokens", 1, c0)
+        graft.functions.expressions.RepetitionStats(c(0)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -193,6 +198,13 @@ object GraftFunctions {
   def termCounts(tokens: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(TermCountsName, tokens)
+  }
+
+  /** Duplicated 2-/3-gram fractions in one codegen'd scan — see
+    * [[graft.functions.expressions.RepetitionStats]]. */
+  def repetitionStats(tokens: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(RepetitionStatsName, tokens)
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -256,4 +256,28 @@ class ExpressionSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_term_counts(array('x','y','x'))")
       .as[Seq[(String, Long)]].head() === Seq(("x", 2L), ("y", 1L)))
   }
+
+  test("graft_repetition_stats equals the HOF dup-gram formulation bit-for-bit") {
+    def hofFrac(toks: org.apache.spark.sql.Column, n: Int) = {
+      val g = transform(
+        sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+    }
+    // real corpus text plus adversarial shapes: heavy repetition,
+    // single token (size < n for both grams), two tokens (size < 3)
+    val docs = Tables.documents(spark, sfDir).limit(300).select(col("text"))
+      .unionAll(Seq("a b a b a b a b", "one", "x y",
+        "r r r r r r", "a b c a b c a b").toDF("text"))
+    val toks = split(col("text"), " ")
+    val out = docs.select(
+      GraftFunctions.repetitionStats(toks).as("nat"),
+      hofFrac(toks, 2).as("h2"), hofFrac(toks, 3).as("h3"))
+      .select(col("nat.dup_2gram_frac"), col("nat.dup_3gram_frac"),
+        col("h2"), col("h3"))
+      .as[(Double, Double, Double, Double)].collect()
+    out.foreach { case (n2, n3, h2, h3) =>
+      assert(n2 === h2); assert(n3 === h3)
+    }
+  }
 }

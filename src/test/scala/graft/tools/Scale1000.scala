@@ -153,6 +153,28 @@ object Scale1000 {
         Seq("spark", "window", "merge"), k = 10)
     }
 
+    // ---- family 6: per-doc term statistics over 5M docs — the
+    // queries converted off the explode+groupBy(doc_id, term) shape
+    // after inv_index_build_5m exposed it (graft_term_counts rows).
+    // Consume EVERY output column through a hash-sum: after the
+    // conversion these are (mostly) per-row projections, and a bare
+    // count() would let ColumnPruning erase the very computation being
+    // measured (text_repetition "ran" in 1.06 s that way — the
+    // optimizer had deleted the gram lambdas and term counting).
+    def runHash(label: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      run(label) {
+        val d = df
+        // bit_xor, not sum: ANSI mode kills a long sum of 5M hashes
+        d.select(xxhash64(d.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head().getLong(0)
+      }
+    runHash("tfidf_top_term_5m")(
+      SparkEntry.queries("tfidf_top_term")(spark, dir))
+    runHash("rare_token_stats_5m")(
+      SparkEntry.queries("rare_token_stats")(spark, dir))
+    runHash("text_repetition_5m")(
+      SparkEntry.queries("text_repetition")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
