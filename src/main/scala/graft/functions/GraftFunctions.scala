@@ -25,6 +25,7 @@ object GraftFunctions {
   val QualityStatsName = "graft_quality_stats"
   val TermCountsName = "graft_term_counts"
   val RepetitionStatsName = "graft_repetition_stats"
+  val WinnowName = "graft_winnow"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -91,20 +92,29 @@ object GraftFunctions {
     (RepetitionStatsName, classOf[graft.functions.expressions.RepetitionStats],
       (c0: Seq[Expression]) => { val c = arity(RepetitionStatsName,
           "tokens", 1, c0)
-        graft.functions.expressions.RepetitionStats(c(0)) }))
+        graft.functions.expressions.RepetitionStats(c(0)) }),
+    (WinnowName, classOf[graft.functions.expressions.WinnowFingerprints],
+      (c0: Seq[Expression]) => { val c = arity(WinnowName,
+          "text, k, w", 3, c0)
+        graft.functions.expressions.WinnowFingerprints(
+          c(0), evalIntConst(WinnowName, "k", c(1)),
+          evalIntConst(WinnowName, "w", c(2))) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
     * message (a blind Literal cast threw ClassCastException on
     * `graft_minhash(a, b, 16L)`). */
-  private[graft] def evalK(e: Expression): Int = {
-    require(e.foldable, s"$MinHashName: k must be a constant, got $e")
+  private[graft] def evalK(e: Expression): Int =
+    evalIntConst(MinHashName, "k", e)
+
+  private[graft] def evalIntConst(fn: String, arg: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: $arg must be a constant, got $e")
     e.eval() match {
       case i: Int => i
       case l: Long => l.toInt
       case other =>
         throw new IllegalArgumentException(
-          s"$MinHashName: k must be an integer constant, got $other")
+          s"$fn: $arg must be an integer constant, got $other")
     }
   }
 
@@ -205,6 +215,14 @@ object GraftFunctions {
   def repetitionStats(tokens: Column): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(RepetitionStatsName, tokens)
+  }
+
+  /** Winnowing fingerprints (distinct k-gram-md5 window minima) in one
+    * codegen'd scan — see
+    * [[graft.functions.expressions.WinnowFingerprints]]. */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(WinnowName, text, lit(k), lit(w))
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -267,26 +267,27 @@ object Corpus {
     * naive formulation explodes per-position rows and runs a
     * doc-partitioned window min — that shuffles corpus×length rows at
     * 100 TB just to compare neighbors that were born adjacent. Instead
-    * the whole selection happens per-row with array HOFs (gram hashes
-    * → sliding array_min → array_distinct) and only the final
-    * fingerprint set is exploded. The repartition ahead of the HOFs
-    * decouples the O(len·w) per-doc compute from file layout (the
-    * dedupLines/textRepetition lesson: a single-row-group corpus
-    * otherwise runs the whole hash loop on one core). Hashes are md5
-    * hex strings compared lexicographically — a total order every
-    * engine agrees on bit-for-bit. Docs shorter than k+w−1 have no
-    * full window and are dropped, per the algorithm. */
+    * the whole selection happens per-row and only the final
+    * fingerprint set is exploded. r12: the per-row work moved from
+    * array HOFs (gram-hash transform → sliding array_min slices →
+    * array_distinct — O(len·w) INTERPRETED lambdas, the slowest
+    * non-graph 100× entry at 38.4 s) into the native
+    * `graft_winnow` expression: the same digests selected by an O(len)
+    * monotonic-deque window min inside WholeStageCodegen, gated
+    * value-identical against the HOF form in ExpressionSpec. The
+    * repartition ahead of the scan decouples the per-doc compute from
+    * file layout (the dedupLines/textRepetition lesson: a
+    * single-row-group corpus otherwise runs the whole hash loop on one
+    * core). Hashes are md5 hex strings compared lexicographically — a
+    * total order every engine agrees on bit-for-bit. Docs shorter than
+    * k+w−1 have no full window and are dropped, per the algorithm. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
     docs.where(length(col(textCol)) >= k + w - 1)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol),
-        expr(s"transform(sequence(1, length($textCol) - ${k - 1}), " +
-             s"i -> md5(substring($textCol, i, $k)))").as("__hs"))
-      .select(col(idCol),
-        explode(expr(
-          s"array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
-          s"j -> array_min(slice(__hs, j, $w))))")).as("fp"))
+        explode(graft.functions.GraftFunctions.winnow(
+          col(textCol), k, w)).as("fp"))
   }
 }

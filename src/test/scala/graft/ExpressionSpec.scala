@@ -257,6 +257,31 @@ class ExpressionSpec extends SparkSpec {
       .as[Seq[(String, Long)]].head() === Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("graft_winnow equals the HOF gram-md5 window-min formulation") {
+    val (k, w) = (8, 4)
+    // real corpus text + planted repetition (shared substrings must
+    // select common fingerprints) + exactly-one-window and non-ASCII
+    // shapes (substring slices CODE POINTS, md5 runs on UTF-8 bytes)
+    val docs = Tables.documents(spark, sfDir).limit(300).select(col("text"))
+      .unionAll(Seq("abcdefghijk", "aaaaaaaaaaaaaaaaaaaa",
+        "päivää maailma päivää maailma", "0123456789 0123456789 x")
+        .toDF("text"))
+      .where(length(col("text")) >= k + w - 1)
+    val hof = docs.select(col("text"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
+             s"i -> md5(substring(text, i, $k)))").as("__hs"))
+      .select(col("text"), expr(
+        s"array_sort(array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
+        s"j -> array_min(slice(__hs, j, $w)))))").as("fps"))
+    val nat = docs.select(col("text"),
+      array_sort(GraftFunctions.winnow(col("text"), k, w)).as("fps"))
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    // below one full window -> empty set (callers filter these rows)
+    assert(Seq("short").toDF("text")
+      .select(GraftFunctions.winnow(col("text"), k, w))
+      .as[Seq[String]].head().isEmpty)
+  }
+
   test("graft_repetition_stats equals the HOF dup-gram formulation bit-for-bit") {
     def hofFrac(toks: org.apache.spark.sql.Column, n: Int) = {
       val g = transform(

@@ -175,6 +175,20 @@ object Scale1000 {
     runHash("text_repetition_5m")(
       SparkEntry.queries("text_repetition")(spark, dir))
 
+    // ---- family 7: per-source quality percentile filter — exact
+    // window form vs the documented 100 TB approx swap (SURVEY 31b/
+    // 31b2), both on the native quality scan, at 5M docs
+    runHash("quality_filter_5m")(
+      SparkEntry.queries("quality_filter")(spark, dir))
+    runHash("quality_filter_approx_5m")(
+      SparkEntry.queries("quality_filter_approx")(spark, dir))
+
+    // ---- family 8: winnowing fingerprints over 5M docs — per-row
+    // native scan (graft_winnow), the r12 conversion off interpreted
+    // gram-md5 HOFs
+    runDf("winnow_fingerprint_5m")(
+      SparkEntry.queries("winnow_fingerprint")(spark, dir))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
