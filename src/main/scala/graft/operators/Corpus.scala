@@ -27,37 +27,59 @@ object Corpus {
     * document (possibly with empty `clean_text`) plus kept/dropped
     * segment counts.
     *
-    * Shape: tokenize → non-overlapping segments (posexplode) → one
-    * groupBy(seg) countDistinct for corpus frequencies → rejoin on seg
-    * → groupBy(doc) order-preserving reassembly. Three corpus-sized
-    * shuffles, all on high-cardinality keys; the rejoin is
-    * size-adaptive — Catalyst broadcasts the frequency table while it
-    * fits (test scale) and falls back to sort-merge/SHJ when it is
-    * corpus-sized, which is the correct plan at each scale and needs
-    * no hint. The repartition before the segment transform
-    * decouples the interpreted HOF lambdas from file layout (the 100×
-    * lesson — see textRepetition): compute runs at shuffle width even
-    * if the corpus arrives as one row group. Reassembly buffers one
-    * document's segments per group — bounded by max doc length, the
-    * same guarantee the pack/repetition ops rely on. */
+    * Shape (r12, collapse-first — the Dedup-family discipline applied
+    * here after the 1000× probe caught the direct form spilling
+    * 22.5 GB mem + 4.4 GB disk in the per-doc reassembly): segments
+    * derive from NORMALIZED text, so byte-identical (post-normalize)
+    * documents have identical segment grids and identical outputs —
+    * collapse to distinct texts first and every corpus-scale stage
+    * runs at unique-text cardinality. The distinct-doc frequency of a
+    * segment recomposes EXACTLY as Σ copies(t) over the unique texts
+    * t containing it (same-fp docs contribute their copy count, and a
+    * segment repeated WITHIN one doc still counts that doc once via
+    * the per-unique distinct). Reassembly — the collect_list
+    * aggregation that can only plan as sort-fallback ObjectHashAgg at
+    * corpus scale — now buffers unique texts only; members inherit
+    * their text's result through one fingerprint join (broadcast
+    * while uniques are small, size-adaptive otherwise). Dup-heavy
+    * corpora are the CHEAP case (1000-deep groups cut every stage
+    * 1000×); an all-unique corpus pays one extra fingerprint
+    * aggregation over the narrow (id, fp) projection — the standard
+    * collapse toll. The repartition before the segment transform
+    * decouples per-row compute from file layout (the 100× lesson —
+    * see textRepetition). */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  segTokens: Int = 8, maxDocs: Int = 2): DataFrame = {
     val spark = docs.sparkSession
     val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
-    val exploded = docs
-      .select(col(idCol),
-        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+    // member map: every doc -> its normalized-text fingerprint
+    val mem = docs.select(col(idCol),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    // unique texts with exact copy counts (same fp => same normalized
+    // text => same toks; min() picks a deterministic raw witness)
+    val uniq = docs
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"),
+        col(textCol))
+      .groupBy(col("__fp"))
+      .agg(min(col(textCol)).as(textCol), count(lit(1)).as("__copies"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col(idCol), posexplode(transform(
+    val exploded = uniq
+      .select(col("__fp"), col("__copies"),
+        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .select(col("__fp"), col("__copies"), posexplode(transform(
         sequence(lit(0), greatest(nSegs - 1, lit(0))),
         i => concat_ws(" ",
           slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
-      .toDF(idCol, "seg_idx", "seg")
-    val counts = exploded.groupBy(col("seg"))
-      .agg(countDistinct(col(idCol)).as("n_docs"))
-    exploded.join(counts, "seg")
+      .toDF("__fp", "__copies", "seg_idx", "seg")
+    // corpus frequency: distinct docs containing seg = sum of copy
+    // counts over the unique texts containing it (per-unique distinct
+    // first: a seg repeated inside one text counts its docs once)
+    val counts = exploded
+      .select(col("__fp"), col("__copies"), col("seg")).distinct()
+      .groupBy(col("seg")).agg(sum(col("__copies")).as("n_docs"))
+    val perText = exploded.join(counts, "seg")
       .withColumn("kept", col("n_docs") <= maxDocs)
-      .groupBy(col(idCol))
+      .groupBy(col("__fp"))
       .agg(
         concat_ws(" ", transform(
           filter(
@@ -67,6 +89,8 @@ object Corpus {
           s => s("seg"))).as("clean_text"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+    mem.join(perText, "__fp")
+      .select(col(idCol), col("clean_text"), col("n_kept"), col("n_dropped"))
   }
 
   /** Per-source boilerplate stripping (the CCNet/RefinedWeb pass that
@@ -80,36 +104,48 @@ object Corpus {
     * (`df·den < nDocs·num`) so it stays exact integer arithmetic at
     * any corpus size.
     *
-    * Shape: identical machinery to [[dedupLines]] — explode to
-    * (source, doc, seg) → one (source, seg) countDistinct → rejoin →
-    * order-preserving reassembly — plus ONE dim-bounded per-source
-    * doc-count table that always broadcasts (sources are the small
-    * axis of a 100 TB corpus by construction). Same shuffle count as
-    * dedupLines; the relative gate costs nothing extra. */
+    * Shape: identical machinery to [[dedupLines]], including its r12
+    * collapse-first rewrite — the collapse key is (source, fp) because
+    * the SAME text in two sources must count toward each source's
+    * threshold separately. Per-source segment frequencies recompose
+    * exactly as copy-count sums over the source's unique texts;
+    * reassembly buffers unique texts only; the per-source doc-count
+    * table is dim-bounded and always broadcasts (sources are the small
+    * axis of a 100 TB corpus by construction). */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, segTokens: Int = 8,
                        num: Int = 1, den: Int = 4): DataFrame = {
     require(num >= 1 && den >= num, s"bad fraction $num/$den")
     val spark = docs.sparkSession
-    val srcDocs = docs.groupBy(col(sourceCol))
+    val mem = docs.select(col(idCol), col(sourceCol),
+      TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val srcDocs = mem.groupBy(col(sourceCol))
       .agg(countDistinct(col(idCol)).as("__src_docs"))
-    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
-    val exploded = docs
-      .select(col(idCol), col(sourceCol),
-        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+    val uniq = docs
+      .select(col(sourceCol),
+        TextFunctions.fingerprint(col(textCol)).as("__fp"), col(textCol))
+      .groupBy(col(sourceCol), col("__fp"))
+      .agg(min(col(textCol)).as(textCol), count(lit(1)).as("__copies"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col(idCol), col(sourceCol), posexplode(transform(
+    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
+    val exploded = uniq
+      .select(col(sourceCol), col("__fp"), col("__copies"),
+        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
+      .select(col(sourceCol), col("__fp"), col("__copies"), posexplode(transform(
         sequence(lit(0), greatest(nSegs - 1, lit(0))),
         i => concat_ws(" ",
           slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
-      .toDF(idCol, sourceCol, "seg_idx", "seg")
-    val counts = exploded.groupBy(col(sourceCol), col("seg"))
-      .agg(countDistinct(col(idCol)).as("__seg_docs"))
-    exploded.join(counts, Seq(sourceCol, "seg"))
+      .toDF(sourceCol, "__fp", "__copies", "seg_idx", "seg")
+    val counts = exploded
+      .select(col(sourceCol), col("__fp"), col("__copies"), col("seg"))
+      .distinct()
+      .groupBy(col(sourceCol), col("seg"))
+      .agg(sum(col("__copies")).as("__seg_docs"))
+    val perText = exploded.join(counts, Seq(sourceCol, "seg"))
       .join(broadcast(srcDocs), sourceCol)
       .withColumn("kept",
         col("__seg_docs") * den < col("__src_docs") * num)
-      .groupBy(col(idCol), col(sourceCol))
+      .groupBy(col(sourceCol), col("__fp"))
       .agg(
         concat_ws(" ", transform(
           filter(
@@ -119,6 +155,9 @@ object Corpus {
           s => s("seg"))).as("clean_text"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+    mem.join(perText, Seq(sourceCol, "__fp"))
+      .select(col(idCol), col(sourceCol), col("clean_text"),
+        col("n_kept"), col("n_dropped"))
   }
 
   /** Benchmark decontamination (the n-gram-overlap pass every serious

@@ -189,6 +189,27 @@ object Scale1000 {
     runDf("winnow_fingerprint_5m")(
       SparkEntry.queries("winnow_fingerprint")(spark, dir))
 
+    // ---- family 9: segment-level corpus dedup (global boilerplate
+    // excision + per-doc reassembly) and the IVF-PQ ANN artifact at 2M
+    // vectors (the 32x-smaller ADC code path, vs family 4's plain IVF)
+    runHash("dedup_lines_5m")(
+      SparkEntry.queries("dedup_lines")(spark, dir))
+    runHash("strip_boilerplate_5m")(
+      SparkEntry.queries("strip_boilerplate")(spark, dir))
+    run("ann_pq_build_2m") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-annpq-1000x").toString + "/idx"
+      spark.conf.set("spark.graft.scale1000.annPqRoot", root)
+      graft.sources.AnnIndex.build(spark, Tables.embeddings(spark, dir),
+        root, cells = 64, nFiles = 64, pqSubspaces = 8)
+    }
+    runDf("ann_pq_probe_2m") {
+      val root = spark.conf.get("spark.graft.scale1000.annPqRoot")
+      graft.sources.AnnIndex.probePq(spark, root,
+        Tables.embeddings(spark, dir).where(col("vec_id") < 10),
+        k = 10, nprobe = 8)
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
