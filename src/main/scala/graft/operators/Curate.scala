@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
 import graft.sources.{Manifest, AnnIndex, InvertedIndex}
 import graft.functions.TextFunctions
 
@@ -14,19 +15,37 @@ import graft.functions.TextFunctions
   * pinned by ONE Manifest `commitWith` per batch, so a reader sees
   * batch boundaries atomically.
   *
-  * Scale economics (the Delta/Iceberg shape):
-  *   - corpus/ and ledger/ are per-version DELTAS — each commit writes
-  *     only the batch; the full table is the union of versions (an
-  *     append-only log read, no O(total) rewrite per batch);
-  *   - state/ (per-source cumulative token counters) is a per-version
-  *     SNAPSHOT — bounded by |sources|, trivially small;
-  *   - meta/ pins the ANN and inverted-index versions published for
-  *     this batch: the indexes keep their own Manifest roots (their
-  *     appends are zero-copy catalog re-publishes), and the outer
-  *     commit records which version belongs to this batch — if the
-  *     outer commit never lands, the pre-committed index versions are
-  *     orphaned-but-harmless (next batch re-appends from the curation
-  *     root's authoritative state).
+  * Scale economics (the Delta/Iceberg shape, and the same layout the
+  * [[graft.sources.AnnIndex]]/[[graft.sources.InvertedIndex]] artifacts
+  * use):
+  *   - corpus and ledger batches live as immutable SEGMENTS under
+  *     `<root>/_segments/` — OUTSIDE the Manifest version dirs, so
+  *     retention GC of old versions never deletes data (r12 stored
+  *     them as per-version delta dirs INSIDE the GC'd versions: from
+  *     the 17th batch on, the oldest batches silently vanished from
+  *     the corpus and the ledger forgot their fingerprints — old
+  *     duplicates were re-admitted and append == rebuild broke);
+  *   - each version's `catalog/` names the segments composing that
+  *     version's corpus and ledger: a batch commit publishes the prior
+  *     catalog plus at most two new segment entries — zero data copy,
+  *     and a reader at ANY retained version sees exactly that
+  *     version's table (time travel included). Reads are ONE
+  *     multi-path parquet scan, not an N-way union of per-version
+  *     plans;
+  *   - `state/` (per-source cumulative token counters) is a
+  *     per-version SNAPSHOT — bounded by |sources|, trivially small;
+  *   - `meta/` pins the ANN and inverted-index versions published for
+  *     this batch (−1 until the first non-empty batch creates them):
+  *     the indexes keep their own Manifest roots, and the outer commit
+  *     records which version belongs to this batch — if the outer
+  *     commit never lands, the pre-committed index versions are
+  *     orphaned-but-harmless (the replayed batch's note finds and
+  *     reuses them);
+  *   - [[compact]] is the OPTIMIZE step after many small batches: it
+  *     folds all corpus segments into one re-clustered segment (and
+  *     likewise the ledger) under a new version — same rows by
+  *     construction; [[vacuumSegments]] then GCs segments no retained
+  *     version names.
   *
   * Append == rebuild, by construction (the discipline each piece
   * already proves alone — `dedup_incremental`, `ann_index_append`,
@@ -42,6 +61,15 @@ import graft.functions.TextFunctions
   *     the global one;
   *   - indexes: batch appends are doc-disjoint (the ledger guarantees
   *     it), and both index appends recompose exact integer stats.
+  *
+  * Idempotence: every batch carries a NOTE — the caller's (streaming
+  * ingestion passes its micro-batch id) or, for batch callers that
+  * pass none, one derived from the batch's doc_id range (arrival order
+  * IS doc_id order, so a replayed batch derives the same note). A
+  * batch whose note is already on a retained curation version returns
+  * that version without recomputing anything, and the index appends
+  * check the same note so a crash BETWEEN an index append and the
+  * outer commit cannot double-append postings/vectors on replay.
   */
 object Curate {
 
@@ -54,47 +82,116 @@ object Curate {
     Roots(s"$base/cur", s"$base/ann", s"$base/inv")
   }
 
+  private val SegmentsDir = "_segments"
+  private val CorpusKind = "corpus"
+  private val LedgerKind = "ledger"
+
+  private val corpusSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("quality", DoubleType)))
+  private val ledgerSchema = StructType(Seq(StructField("fp", StringType)))
+
   private def subDir(spark: SparkSession, root: String, v: Long,
                      sub: String): String =
     s"${Manifest.resolvedDataDir(spark, root, v)}/$sub"
 
-  /** Union a per-version DELTA sub-table across all retained versions
-    * (the append-only log read). */
-  private def readDeltas(spark: SparkSession, root: String,
-                         sub: String): Option[DataFrame] = {
-    val vs = Manifest.versions(spark, root)
-    if (vs.isEmpty) None
-    else Some(vs.map(v => spark.read.parquet(subDir(spark, root, v, sub)))
-      .reduce(_.unionByName(_)))
+  /** One immutable segment under `<root>/_segments/` (uniquely named,
+    * so concurrent/crashed writers can never collide); returns the
+    * catalog entry. */
+  private def writeSegment(spark: SparkSession, root: String, kind: String,
+                           df: DataFrame): (String, String, Long) = {
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val path = s"$root/$SegmentsDir/${kind.take(1)}-$token"
+    df.write.mode("errorifexists").parquet(path)
+    val n = spark.read.parquet(path).count()
+    (kind, path, n)
   }
 
-  /** The published curated corpus: (doc_id, source, quality) union of
-    * all batch deltas. */
-  def readCorpus(spark: SparkSession, roots: Roots): DataFrame =
-    readDeltas(spark, roots.curation, "corpus").getOrElse(
-      throw new IllegalStateException(s"no curation commits at ${roots.curation}"))
+  /** The catalog of `v` (default current): (kind, segment, n_rows). */
+  private def catalogOf(spark: SparkSession, root: String,
+                        v: Option[Long] = None): Seq[(String, String, Long)] = {
+    val ver = v.orElse(Manifest.currentVersion(spark, root))
+      .getOrElse(throw new IllegalStateException(s"no curation commits at $root"))
+    spark.read.parquet(subDir(spark, root, ver, "catalog"))
+      .select("kind", "segment", "n_rows").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._2).toSeq
+  }
+
+  /** One multi-path scan of a kind's segments at version `v` (default
+    * current); schema-correct empty frame when the kind has no
+    * segments yet. */
+  private def readKind(spark: SparkSession, root: String, kind: String,
+                       schema: StructType, v: Option[Long] = None)
+      : DataFrame = {
+    val paths = catalogOf(spark, root, v).filter(_._1 == kind).map(_._2)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.parquet(paths: _*)
+  }
+
+  /** The published curated corpus: (doc_id, source, quality). Pass a
+    * version for time travel within the retention window. */
+  def readCorpus(spark: SparkSession, roots: Roots,
+                 version: Option[Long] = None): DataFrame =
+    readKind(spark, roots.curation, CorpusKind, corpusSchema, version)
+
+  /** The fingerprint ledger: every first-seen fp, accepted or not. */
+  def readLedger(spark: SparkSession, roots: Roots,
+                 version: Option[Long] = None): DataFrame =
+    readKind(spark, roots.curation, LedgerKind, ledgerSchema, version)
+
+  /** Batch note of a committed curation version, or "" for pre-note
+    * versions. Replay detection keys on it. Current commits write the
+    * note as a FILE in the version dir (one FS read, no Spark job —
+    * the check runs once per retained version per batch); the meta
+    * parquet fallback covers versions written before r13. */
+  def noteOf(spark: SparkSession, roots: Roots, v: Long): String = {
+    val np = new org.apache.hadoop.fs.Path(
+      subDir(spark, roots.curation, v, "note"))
+    val fs = np.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(np)) {
+      val in = fs.open(np)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } else {
+      val df = spark.read.parquet(subDir(spark, roots.curation, v, "meta"))
+      if (df.columns.contains("batch_note"))
+        df.select(col("batch_note")).head().getString(0)
+      else ""
+    }
+  }
 
   /** Ingest one batch. `batch` must carry (doc_id, source, text) with
     * doc_ids strictly above every previously ingested batch (arrival
     * order IS doc_id order — the append==rebuild precondition);
     * `embeddings` is the (vec_id, embedding) side table batch vectors
-    * are pulled from. Returns the committed curation version. */
-  /** Batch note of a committed curation version (from meta/), or ""
-    * for pre-note versions. Streaming ingestion keys replay detection
-    * on it. */
-  def noteOf(spark: SparkSession, roots: Roots, v: Long): String = {
-    val df = spark.read.parquet(subDir(spark, roots.curation, v, "meta"))
-    if (df.columns.contains("batch_note"))
-      df.select(col("batch_note")).head().getString(0)
-    else ""
-  }
-
+    * are pulled from. Returns the committed curation version (or the
+    * already-committed one when the batch's note is found on a
+    * retained version — the replay path). An EMPTY input batch is a
+    * no-op returning the current version (−1 before any commit). */
   def runBatch(spark: SparkSession, roots: Roots, batch: DataFrame,
                embeddings: DataFrame, qualityFloor: Double,
                budgetPerSource: Long, annCells: Int = 4,
-               nFiles: Int = 4, note: String = ""): Long = {
+               nFiles: Int = 4, note: String = "", retain: Int = 16): Long = {
     val priorVs = Manifest.versions(spark, roots.curation)
-    val first = priorVs.isEmpty
+
+    // ---- idempotence note: caller's, or derived from the batch's
+    // doc_id range (a replayed batch derives the same note — this is
+    // what makes CRASH-REPLAYED batch ingestion safe: without it, a
+    // re-run after a crash between an index append and the outer
+    // commit would double-append postings/vectors)
+    val note0 =
+      if (note.nonEmpty) note
+      else {
+        val r = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        if (r.isNullAt(0)) "" // empty batch — no-op below
+        else s"batch-${r.getLong(0)}-${r.getLong(1)}"
+      }
+    if (note0.isEmpty) // empty input batch: nothing to ingest or pin
+      return priorVs.lastOption.getOrElse(-1L)
+    val replayedAs = priorVs.find(v => noteOf(spark, roots, v) == note0)
+    if (replayedAs.isDefined) return replayedAs.get
 
     // ---- stage 1: ledger dedup (keep-one within batch, drop any fp
     // ever seen before — Dedup.incrementalExact semantics inline, the
@@ -104,10 +201,11 @@ object Curate {
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(wFp))
       .where(col("doc_id") === col("keeper"))
-    val fresh = readDeltas(spark, roots.curation, "ledger") match {
-      case Some(led) => keepOne.join(led.hint("shuffle_hash"), Seq("fp"), "left_anti")
-      case None      => keepOne
-    }
+    val fresh = (
+      if (priorVs.isEmpty) keepOne
+      else keepOne.join(readLedger(spark, roots).hint("shuffle_hash"),
+        Seq("fp"), "left_anti")
+    ).localCheckpoint()
     // every first-seen fp enters the ledger NOW — before quality and
     // budget — so later duplicates of rejected docs stay rejected
     val ledgerDelta = fresh.select(col("fp"))
@@ -146,57 +244,150 @@ object Curate {
         (coalesce(col("used_tokens"), lit(0L)) +
           coalesce(col("batch_tokens"), lit(0L))).as("used_tokens"))
 
-    // ---- stage 4: index appends (zero-copy catalog re-publishes on
-    // their own roots; versions pinned in meta/ below)
+    // ---- stage 4: corpus/ledger segments (immutable, outside the
+    // version dirs — orphaned by a crash before the commit below,
+    // collected by vacuumSegments, never half-visible)
+    val priorCatalog =
+      if (priorVs.isEmpty) Seq.empty[(String, String, Long)]
+      else catalogOf(spark, roots.curation)
+    val newEntries = Seq(
+      (CorpusKind, accepted.select(col("doc_id"), col("source"),
+        col("quality")), accepted.isEmpty),
+      (LedgerKind, ledgerDelta, fresh.isEmpty)
+    ).collect { case (kind, df, empty) if !empty =>
+      writeSegment(spark, roots.curation, kind, df)
+    }
+
+    // ---- stage 5: index appends (zero-copy catalog re-publishes on
+    // their own roots; versions pinned in meta/ below). All four paths
+    // are replay-safe: the batch's note finds a prior build/append on
+    // a retained index version and reuses it; an index that does not
+    // exist yet (every prior batch rejected everything) is created by
+    // the first batch that accepts anything, and meta records −1 until
+    // then.
+    def notedVersion(root: String, noteAt: Long => String): Option[Long] =
+      Manifest.versions(spark, root).find(v => noteAt(v) == note0)
     val annBatch = embeddings
       .join(accepted.select(col("doc_id").as("vec_id")), "vec_id")
-      .select(col("vec_id"), col("embedding"))
-    // crash-recovery idempotence for the append paths: a crash AFTER
-    // an index append but BEFORE the outer commit leaves the index one
-    // version ahead; the replayed batch finds its note on a retained
-    // version and REUSES it instead of double-appending. (A replayed
-    // FIRST batch is naturally safe: build publishes a catalog of only
-    // its own segment, so the rebuilt version supersedes the orphan.)
-    def notedVersion(root: String, note0: String,
-                     noteAt: Long => String): Option[Long] =
-      if (note0.isEmpty) None
-      else Manifest.versions(spark, root).find(v => noteAt(v) == note0)
-    val annV =
-      if (first)
-        AnnIndex.build(spark, annBatch, roots.ann, cells = annCells,
-          nFiles = nFiles)
-      else notedVersion(roots.ann, note,
-          v => AnnIndex.noteOf(spark, roots.ann, Some(v))).getOrElse {
-        if (annBatch.isEmpty)
-          Manifest.currentVersion(spark, roots.ann).getOrElse(-1L)
-        else
-          AnnIndex.append(spark, roots.ann, annBatch, nFiles = nFiles,
-            note = note).version
-      }
+    val annV = notedVersion(roots.ann,
+        v => AnnIndex.noteOf(spark, roots.ann, Some(v))).getOrElse {
+      val exists = Manifest.currentVersion(spark, roots.ann).isDefined
+      if (annBatch.isEmpty)
+        Manifest.currentVersion(spark, roots.ann).getOrElse(-1L)
+      else if (!exists)
+        AnnIndex.build(spark,
+          annBatch.select(col("vec_id"), col("embedding")),
+          roots.ann, cells = annCells, nFiles = nFiles, note = note0)
+      else
+        AnnIndex.append(spark, roots.ann,
+          annBatch.select(col("vec_id"), col("embedding")),
+          nFiles = nFiles, note = note0).version
+    }
     val invBatch = batch
       .join(accepted.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("text"))
-    val invV =
-      if (first)
+    val invV = notedVersion(roots.inv,
+        v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
+      val exists = Manifest.currentVersion(spark, roots.inv).isDefined
+      if (invBatch.isEmpty)
+        Manifest.currentVersion(spark, roots.inv).getOrElse(-1L)
+      else if (!exists)
         InvertedIndex.build(spark, invBatch, roots.inv, nBuckets = nFiles,
-          nFiles = nFiles)
-      else notedVersion(roots.inv, note,
-          v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
-        if (invBatch.isEmpty)
-          Manifest.currentVersion(spark, roots.inv).getOrElse(-1L)
-        else
-          InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles,
-            note = note)
-      }
-
-    // ---- stage 5: ONE atomic publish for the batch
-    Manifest.commitWith(spark, roots.curation, retain = 16) { dir =>
-      accepted.select(col("doc_id"), col("source"), col("quality"))
-        .write.parquet(s"$dir/corpus")
-      ledgerDelta.write.parquet(s"$dir/ledger")
-      newState.write.parquet(s"$dir/state")
-      Seq((annV, invV, note)).toDF("ann_version", "inv_version", "batch_note")
-        .write.parquet(s"$dir/meta")
+          nFiles = nFiles, note = note0)
+      else
+        InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles,
+          note = note0)
     }
+
+    // ---- stage 6: ONE atomic publish for the batch (catalog + state +
+    // meta are all metadata-sized; the data went to _segments/ above)
+    Manifest.commitWith(spark, roots.curation, retain) { dir =>
+      writeNote(spark, dir, note0)
+      (priorCatalog ++ newEntries)
+        .toDF("kind", "segment", "n_rows")
+        .coalesce(1).write.parquet(s"$dir/catalog")
+      newState.write.parquet(s"$dir/state")
+      Seq((annV, invV, note0)).toDF("ann_version", "inv_version", "batch_note")
+        .coalesce(1).write.parquet(s"$dir/meta")
+    }
+  }
+
+  /** The note lands INSIDE the staged dir, so it publishes (or
+    * vanishes) atomically with the CAS marker — same discipline as the
+    * index commit notes. */
+  private def writeNote(spark: SparkSession, dir: String,
+                        note: String): Unit = {
+    val np = new org.apache.hadoop.fs.Path(s"$dir/note")
+    val fs = np.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(np, false)
+    try o.write(note.getBytes("UTF-8")) finally o.close()
+  }
+
+  /** OPTIMIZE for the curation log: fold all corpus segments into ONE
+    * re-clustered (doc_id-range) segment and all ledger segments into
+    * one fp-range segment, published as the next version — same rows
+    * by construction (a union rewrite; no filter, no dedup), zero
+    * effect on replay guards (the compaction version carries its own
+    * note; batch notes on OLDER versions stay visible until retention
+    * drops them, exactly as without compaction). Old segments become
+    * unreferenced once retention passes the pre-compaction versions —
+    * [[vacuumSegments]] collects them. */
+  def compact(spark: SparkSession, roots: Roots, nFiles: Int = 4,
+              retain: Int = 16): Long = {
+    import spark.implicits._
+    val vs = Manifest.versions(spark, roots.curation)
+    require(vs.nonEmpty, s"no curation commits at ${roots.curation}")
+    val cur = vs.last
+    val nSegs = catalogOf(spark, roots.curation).size
+    val corpusSeg = {
+      val c = readCorpus(spark, roots)
+      if (c.isEmpty) None
+      else Some(writeSegment(spark, roots.curation, CorpusKind,
+        c.repartitionByRange(nFiles, col("doc_id"))))
+    }
+    val ledgerSeg = {
+      val l = readLedger(spark, roots)
+      if (l.isEmpty) None
+      else Some(writeSegment(spark, roots.curation, LedgerKind,
+        l.repartitionByRange(nFiles, col("fp"))))
+    }
+    // state and index pins carry forward unchanged; the note marks the
+    // version as a compaction (it can never collide with a batch note)
+    val state = spark.read.parquet(subDir(spark, roots.curation, cur, "state"))
+      .localCheckpoint()
+    val meta = spark.read.parquet(subDir(spark, roots.curation, cur, "meta"))
+      .select(col("ann_version"), col("inv_version"))
+      .withColumn("batch_note", lit(s"compaction-of-$nSegs"))
+      .localCheckpoint()
+    Manifest.commitWith(spark, roots.curation, retain) { dir =>
+      writeNote(spark, dir, s"compaction-of-$nSegs")
+      (corpusSeg.toSeq ++ ledgerSeg.toSeq)
+        .toDF("kind", "segment", "n_rows")
+        .coalesce(1).write.parquet(s"$dir/catalog")
+      state.write.parquet(s"$dir/state")
+      meta.coalesce(1).write.parquet(s"$dir/meta")
+    }
+  }
+
+  /** Delete segments referenced by NO retained version — the payload
+    * half of [[Manifest.vacuum]] for curation roots (the same contract
+    * as [[graft.sources.AnnIndex.vacuumSegments]]). Returns the
+    * removed segment paths. Run it AFTER vacuum/retention has dropped
+    * the versions naming the segments — never concurrently with an
+    * in-flight runBatch/compact (their freshly written segments are
+    * not yet referenced). */
+  def vacuumSegments(spark: SparkSession, roots: Roots): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(roots.curation)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segRoot = new org.apache.hadoop.fs.Path(
+      s"${roots.curation}/$SegmentsDir")
+    if (!fs.exists(segRoot)) return Seq.empty
+    val referenced = Manifest.versions(spark, roots.curation)
+      .flatMap(v => catalogOf(spark, roots.curation, Some(v)).map(_._2))
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+    val dead = fs.listStatus(segRoot).toSeq
+      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
+    dead.foreach(s => fs.delete(s.getPath, true))
+    dead.map(_.getPath.toString)
   }
 }

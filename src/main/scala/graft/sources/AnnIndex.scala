@@ -235,7 +235,8 @@ object AnnIndex {
             idCol: String = "vec_id", vecCol: String = "embedding",
             cells: Int = 16, nFiles: Int = 16, retain: Int = 2,
             seed: Long = 42L,
-            pqSubspaces: Int = 0, pqCodes: Int = 16): Long = {
+            pqSubspaces: Int = 0, pqCodes: Int = 16,
+            note: String = ""): Long = {
     val sample = Similarity.sampleVectors(
       corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
       math.max(math.max(cells, pqCodes) * 256, 2048))
@@ -249,7 +250,7 @@ object AnnIndex {
       else None
     val seg = writeSegment(spark, root, corpus, idCol, vecCol, centroids,
       nFiles, codebooks)
-    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain)
+    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain, note)
   }
 
   /** Assign `batch` to the EXISTING centroids (no retrain), publish a

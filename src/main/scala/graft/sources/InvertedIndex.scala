@@ -177,11 +177,12 @@ object InvertedIndex {
     * corpusBytes/targetFileBytes like every clustered write). */
   def build(spark: SparkSession, corpus: DataFrame, root: String,
             idCol: String = "doc_id", textCol: String = "text",
-            nBuckets: Int = 16, nFiles: Int = 16, retain: Int = 2): Long =
+            nBuckets: Int = 16, nFiles: Int = 16, retain: Int = 2,
+            note: String = ""): Long =
     commitMeta(spark, root,
       Seq(writeSegment(spark, root, corpus, idCol, textCol, nBuckets,
         nFiles)),
-      retain)
+      retain, note)
 
   /** Tokenize only `batch`, publish a new catalog referencing every
     * prior segment plus the new pair. Buckets inherit the existing

@@ -56,6 +56,107 @@ class CurateSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L))
   }
 
+  test("retention GC never loses batch data: segments live outside version dirs") {
+    val roots = Curate.tempRoots("curate-spec-gc")
+    // retain=2 — aggressive retention; r12's per-version delta layout
+    // would lose batch 0's corpus AND ledger by batch 2's GC
+    for (b <- 0L until 4L)
+      Curate.runBatch(spark, roots,
+        docs((b * 10 + 1, "s", s"batch$b words here")), embs(b * 10 + 1),
+        qualityFloor = 0.3, budgetPerSource = 1000L, retain = 2)
+    assert(Manifest.versions(spark, roots.curation) === Seq(2L, 3L))
+    // all four batches readable despite versions 0-1 being vacuumed
+    val got = Curate.readCorpus(spark, roots).select("doc_id")
+      .as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 11L, 21L, 31L))
+    // the ledger still remembers batch 0: its duplicate dies
+    Curate.runBatch(spark, roots,
+      docs((41L, "s", "batch0 words here")), embs(41L),
+      qualityFloor = 0.3, budgetPerSource = 1000L, retain = 2)
+    assert(Curate.readCorpus(spark, roots).count() === 4L)
+  }
+
+  test("an empty-note batch replay reuses its version (crash-recovery idempotence)") {
+    val roots = Curate.tempRoots("curate-spec-idem")
+    Curate.runBatch(spark, roots,
+      docs((1L, "s", "first batch text")), embs(1L),
+      qualityFloor = 0.3, budgetPerSource = 1000L)
+    val v1 = Curate.runBatch(spark, roots,
+      docs((11L, "s", "second batch text")), embs(11L),
+      qualityFloor = 0.3, budgetPerSource = 1000L)
+    val annV = Manifest.currentVersion(spark, roots.ann)
+    val invV = Manifest.currentVersion(spark, roots.inv)
+    // the crash-replay: same batch, still no explicit note — the
+    // derived doc_id-range note must find v1 and touch NOTHING
+    // (r12 double-appended the indexes here, skewing df/ANN contents)
+    val v1r = Curate.runBatch(spark, roots,
+      docs((11L, "s", "second batch text")), embs(11L),
+      qualityFloor = 0.3, budgetPerSource = 1000L)
+    assert(v1r === v1)
+    assert(Manifest.currentVersion(spark, roots.ann) === annV)
+    assert(Manifest.currentVersion(spark, roots.inv) === invV)
+    assert(Curate.readCorpus(spark, roots).count() === 2L)
+  }
+
+  test("a first batch that accepts nothing defers index creation") {
+    val roots = Curate.tempRoots("curate-spec-defer")
+    // floor 1.0 rejects everything — r12 called AnnIndex.build on an
+    // empty frame here and trainCentroids threw
+    Curate.runBatch(spark, roots,
+      docs((1L, "s", "all rejected")), embs(1L),
+      qualityFloor = 1.0, budgetPerSource = 1000L)
+    val meta0 = spark.read.parquet(
+      s"${Manifest.resolvedDataDir(spark, roots.curation, 0L)}/meta")
+      .select("ann_version", "inv_version").head()
+    assert(meta0.getLong(0) === -1L && meta0.getLong(1) === -1L)
+    assert(Manifest.currentVersion(spark, roots.ann).isEmpty)
+    // the first ACCEPTING batch builds both indexes
+    Curate.runBatch(spark, roots,
+      docs((11L, "s", "aaaa")), embs(11L),
+      qualityFloor = 0.5, budgetPerSource = 1000L)
+    assert(Manifest.currentVersion(spark, roots.ann) === Some(0L))
+    assert(Manifest.currentVersion(spark, roots.inv) === Some(0L))
+    assert(Curate.readCorpus(spark, roots).count() === 1L)
+  }
+
+  test("compaction folds segments bit-equal and keeps replay guards + vacuum safe") {
+    val roots = Curate.tempRoots("curate-spec-compact")
+    Curate.runBatch(spark, roots,
+      docs((1L, "s", "aaaa"), (2L, "t", "bbbb")), embs(1L, 2L),
+      qualityFloor = 0.5, budgetPerSource = 100L)
+    val v1 = Curate.runBatch(spark, roots,
+      docs((11L, "s", "cccc"), (12L, "u", "....")), embs(11L, 12L),
+      qualityFloor = 0.5, budgetPerSource = 100L)
+    val corpusBefore = Curate.readCorpus(spark, roots)
+      .as[(Long, String, Double)].collect().toSet
+    val ledgerBefore = Curate.readLedger(spark, roots)
+      .as[String].collect().toSet
+    val vC = Curate.compact(spark, roots, nFiles = 2)
+    assert(Curate.readCorpus(spark, roots)
+      .as[(Long, String, Double)].collect().toSet === corpusBefore)
+    assert(Curate.readLedger(spark, roots)
+      .as[String].collect().toSet === ledgerBefore)
+    // replay of a pre-compaction batch still detected (its note is on
+    // a retained version), and the compacted ledger still dedups
+    assert(Curate.runBatch(spark, roots,
+      docs((11L, "s", "cccc"), (12L, "u", "....")), embs(11L, 12L),
+      qualityFloor = 0.5, budgetPerSource = 100L) === v1)
+    Curate.runBatch(spark, roots,
+      docs((21L, "s", "aaaa"), (22L, "u", "...."), (23L, "v", "dddd")),
+      embs(21L, 22L, 23L), qualityFloor = 0.5, budgetPerSource = 100L)
+    assert(Curate.readCorpus(spark, roots).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 11L, 23L))
+    // vacuum: with every pre-compaction version retained, nothing is
+    // dead yet; after retention shrinks to the post-compaction tail,
+    // the folded segments go and reads still work
+    Manifest.vacuum(spark, roots.curation, retain = 2)
+    val removed = Curate.vacuumSegments(spark, roots)
+    assert(removed.nonEmpty)
+    assert(Curate.readCorpus(spark, roots).select("doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 11L, 23L))
+    assert(vC >= 0L) // compaction committed a real version
+  }
+
   test("each batch is one commit; meta pins index versions; empty batches commit") {
     val roots = Curate.tempRoots("curate-spec-ver")
     Curate.runBatch(spark, roots,
