@@ -2194,6 +2194,7 @@ object Queries {
     * division instead of engine-varying log()). The document-frequency
     * side is vocabulary-sized → broadcast. */
   def tfidfTopTerm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{doubleBits, bitsDouble}
     // tf per (doc, term) is a PER-DOCUMENT statistic — born final from
     // one native hash-map scan of the row's token array
     // (graft_term_counts) instead of explode + corpus-wide
@@ -2210,21 +2211,44 @@ object Queries {
       .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
     // document frequency falls out of tf's (already-distinct) keys —
     // no second explode over the raw token stream; term-only grouping
-    // combines map-side to vocabulary size
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // rank-1-per-doc as min_by over (-score, term), not a row_number
-    // window: the agg partially combines map-side and never sorts,
-    // where the window re-shuffles AND sorts the whole scored table
-    // just to keep one row per doc. -score is an exact IEEE sign flip,
-    // so min(-score) = max(score) with ties to the smallest term —
-    // the window's (score DESC, term) order exactly.
-    val scored = tf.join(broadcast(dfreq), "term")
+    // combines map-side to vocabulary size. term_id is the term's
+    // STRING rank (rangedDenseRank — no global window), so an integer
+    // compare on it IS the string tie-break the oracle orders by.
+    val dict = operators.Relational.rangedDenseRank(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+      "term", "term_id").localCheckpoint()
+    // rank-1-per-doc as ONE plain min over a fixed-width key. The r12
+    // form (min_by over a (-score, term) struct) could only plan as
+    // SortAggregate — a struct buffer is not UnsafeRow-mutable — and
+    // its partial sorted the full ~500M-row join output: 6.4 GB spill
+    // at 1000× (SCALE1000.md) for an agg whose result is per-doc.
+    // Key: (Long.MaxValue − bits(score)) · 2^40 + term_id as
+    // DECIMAL(38,0) — bits() is order-preserving on positive doubles
+    // (see functions.expressions.DoubleBits), so min(key) is exactly
+    // argmax(score) with ties to the smallest term string, and the
+    // all-primitive buffer keeps the agg a map-side-combining
+    // HashAggregate: zero sort, zero spill.
+    val M = 1L << 40 // term_id < 2^40; flipped·2^40 + id < 10^32 < 10^38
+    val scored = tf.join(broadcast(dict), "term")
       .withColumn("score", col("tf").cast("double") / col("df"))
-    scored.groupBy(col("doc_id"))
-      .agg(min_by(struct(col("term"), col("tf"), col("df"), col("score")),
-                  struct(-col("score"), col("term"))).as("top"))
-      .select(col("doc_id"), col("top.term").as("term"), col("top.tf").as("tf"),
-              col("top.df").as("df"), col("top.score").as("score"))
+      .withColumn("okey",
+        (lit(Long.MaxValue) - doubleBits(col("score")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(M)
+          + col("term_id"))
+    val best = scored.groupBy(col("doc_id")).agg(min(col("okey")).as("okey"))
+      .withColumn("term_id", (col("okey") % lit(M)).cast("long"))
+      .withColumn("score", bitsDouble(
+        lit(Long.MaxValue)
+          - ((col("okey") - col("okey") % lit(M)) / lit(M)).cast("long")))
+    // the winner's term string, df, and tf rejoin from the
+    // vocabulary-sized dictionary — never from the corpus. tf =
+    // round(score·df) is EXACT: tf/df·df errs by ≤ a few ulps
+    // (|err| < tf·2^-50 ≪ 0.5), so the nearest integer is tf itself.
+    best.join(broadcast(dict.select(col("term_id"), col("term"), col("df"))),
+        "term_id")
+      .select(col("doc_id"), col("term"),
+        round(col("score") * col("df")).cast("long").as("tf"),
+        col("df"), col("score"))
   }
 
   private val tfidfTopTermSql =
@@ -6128,7 +6152,8 @@ object Queries {
       |g0 AS (SELECT doc_id, text, length(text) - 7 AS ng,
       |       unnest(range(1, length(text) - 6)) AS i FROM d),
       |g AS (SELECT doc_id, i, ng,
-      |      md5(substr(text, CAST(i AS INTEGER), 8)) AS h FROM g0),
+      |      CAST('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)
+      |           AS BIGINT) AS h FROM g0),
       |m AS (SELECT doc_id, i, ng,
       |      min(h) OVER (PARTITION BY doc_id ORDER BY i
       |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp

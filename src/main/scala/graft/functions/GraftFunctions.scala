@@ -26,6 +26,8 @@ object GraftFunctions {
   val TermCountsName = "graft_term_counts"
   val RepetitionStatsName = "graft_repetition_stats"
   val WinnowName = "graft_winnow"
+  val DoubleBitsName = "graft_double_bits"
+  val BitsDoubleName = "graft_bits_double"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -98,7 +100,13 @@ object GraftFunctions {
           "text, k, w", 3, c0)
         graft.functions.expressions.WinnowFingerprints(
           c(0), evalIntConst(WinnowName, "k", c(1)),
-          evalIntConst(WinnowName, "w", c(2))) }))
+          evalIntConst(WinnowName, "w", c(2))) }),
+    (DoubleBitsName, classOf[graft.functions.expressions.DoubleBits],
+      (c0: Seq[Expression]) => { val c = arity(DoubleBitsName, "x", 1, c0)
+        graft.functions.expressions.DoubleBits(c(0)) }),
+    (BitsDoubleName, classOf[graft.functions.expressions.LongBitsDouble],
+      (c0: Seq[Expression]) => { val c = arity(BitsDoubleName, "bits", 1, c0)
+        graft.functions.expressions.LongBitsDouble(c(0)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -223,6 +231,20 @@ object GraftFunctions {
   def winnow(text: Column, k: Int, w: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(WinnowName, text, lit(k), lit(w))
+  }
+
+  /** Raw IEEE-754 bits of a double as bigint (order-preserving for
+    * positive finite values) — see
+    * [[graft.functions.expressions.DoubleBits]]. */
+  def doubleBits(x: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(DoubleBitsName, x)
+  }
+
+  /** Inverse of [[doubleBits]]: bigint bit pattern back to double. */
+  def bitsDouble(bits: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(BitsDoubleName, bits)
   }
 
   /** Cosine similarity on top of the native dot product. NULL for

@@ -8,8 +8,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprints (Schleimer et al. 2003) of a document in ONE
-  * native scan: distinct window-minima of the k-gram md5 stream,
-  * `array<string>` of lowercase hex digests.
+  * native scan: distinct window-minima of the k-gram digest stream,
+  * `array<bigint>` of 60-bit md5 prefixes.
   *
   * Why native: the composed form materializes the full hash stream as
   * an array column (`transform(sequence(...), i -> md5(substring(text,
@@ -21,30 +21,46 @@ import org.apache.spark.unsafe.types.UTF8String
   * classic O(n) monotonic deque over the digest stream inside one
   * compiled method.
   *
+  * Why LONG digests (r13; r12 emitted 32-char lowercase hex): the
+  * fingerprint is a dedup-candidate key — any consistent hash order
+  * works, and collisions only cost a verify that follows anyway. At
+  * 1000× the hex form materialized 554M × 32-byte strings (2,198
+  * task-s, the suite's largest CPU item — SCALE1000.md); an 8-byte
+  * long is 4× fewer bytes in materialization, shuffle, and compare,
+  * and the deque compares primitives instead of UTF8Strings. 60 bits
+  * (the first 15 hex chars), not 64: the value stays non-negative, so
+  * the DuckDB oracle recomputes it portably as
+  * `('0x' || substr(md5(gram), 1, 15))::BIGINT` with identical sign
+  * and order semantics. Collision math at 60 bits: P(any collision
+  * among n grams) ≈ n²/2^61 — at n = 10^9 that is ~0.4, but a
+  * collision merely selects one extra/fewer CANDIDATE pair; winnowing
+  * feeds a verify, never a verdict.
+  *
   * Exactness contract (the DuckDB oracle and CorpusSpec's driver-side
-  * reference both recompute the HOF formulation):
+  * reference both recompute this formulation):
   *   - gram i (1-based, i ≤ numChars−k+1) digests the UTF-8 bytes of
   *     the CODE-POINT substring [i, i+k) — `UTF8String.substring`, the
   *     same slicing `substring(text, i, k)` performs.
-  *   - digests are lowercase md5 hex, byte-identical to Spark's
-  *     `md5()` (commons-codec md5Hex semantics).
+  *   - the digest is the FIRST 60 BITS of the md5, i.e. bytes 0..6
+  *     then the high nibble of byte 7 — numerically equal to parsing
+  *     the first 15 lowercase-hex chars of `md5()` as a base-16
+  *     integer. Always ≥ 0.
   *   - window j (1 ≤ j ≤ grams−w+1) takes the MINIMUM digest of
-  *     positions [j, j+w) — string min = binary compare, identical to
-  *     `array_min` on ASCII hex.
+  *     positions [j, j+w) — signed long compare ≡ unsigned here, and
+  *     ≡ string-min over the 15-char hex prefixes (fixed width, same
+  *     alphabet order).
   *   - output = the distinct minima, first-occurrence order (order is
   *     irrelevant downstream: the operator explodes and the oracle
-  *     compares sorted sets; `array_distinct` also keeps first
-  *     occurrence).
+  *     compares sorted sets).
   *   - fewer than one full window (numChars < k+w−1) ⇒ empty array —
-  *     callers filter those rows out anyway, mirroring the HOF form's
-  *     precondition.
+  *     callers filter those rows out anyway.
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
   require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
   override def checkInputDataTypes()
@@ -64,20 +80,16 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
         java.security.MessageDigest.getInstance("MD5")
     }
 
-  private val HexChars = "0123456789abcdef".getBytes("US-ASCII")
-
-  private def md5Hex(bytes: Array[Byte]): UTF8String = {
+  /** First 60 bits of the md5: bytes 0..6, then the high nibble of
+    * byte 7 — exactly parseLong(hex.take(15), 16). */
+  private def md5Top60(bytes: Array[Byte]): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(bytes)
-    val hex = new Array[Byte](32)
+    var v = 0L
     var i = 0
-    while (i < 16) {
-      hex(2 * i) = HexChars((d(i) >> 4) & 0xf)
-      hex(2 * i + 1) = HexChars(d(i) & 0xf)
-      i += 1
-    }
-    UTF8String.fromBytes(hex)
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
   /** Public so generated code can call it. */
@@ -85,29 +97,29 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val nChars = u.numChars()
     val grams = nChars - k + 1
     val windows = grams - w + 1
-    if (windows < 1) return new GenericArrayData(Array.empty[Any])
-    val hs = new Array[UTF8String](grams)
+    if (windows < 1) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](grams)
     var i = 0
     while (i < grams) {
-      hs(i) = md5Hex(u.substring(i, i + k).getBytes)
+      hs(i) = md5Top60(u.substring(i, i + k).getBytes)
       i += 1
     }
     // monotonic deque of indices: front is the window minimum;
     // ties keep the EARLIER index (strict < eviction), which picks the
-    // same digest VALUE array_min picks — equal strings are equal
+    // same digest VALUE the window min picks — equal longs are equal
     val deque = new Array[Int](grams)
     var head = 0
     var tail = 0 // exclusive
-    val out = new java.util.LinkedHashSet[UTF8String]()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
     i = 0
     while (i < grams) {
-      while (tail > head && hs(deque(tail - 1)).compareTo(hs(i)) > 0) tail -= 1
+      while (tail > head && hs(deque(tail - 1)) > hs(i)) tail -= 1
       deque(tail) = i; tail += 1
       if (deque(head) <= i - w) head += 1
       if (i >= w - 1) out.add(hs(deque(head)))
       i += 1
     }
-    val arr = new Array[Any](out.size())
+    val arr = new Array[Long](out.size())
     val it = out.iterator()
     var j = 0
     while (it.hasNext) { arr(j) = it.next(); j += 1 }

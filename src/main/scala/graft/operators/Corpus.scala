@@ -317,9 +317,12 @@ object Corpus {
     * repartition ahead of the scan decouples the per-doc compute from
     * file layout (the dedupLines/textRepetition lesson: a
     * single-row-group corpus otherwise runs the whole hash loop on one
-    * core). Hashes are md5 hex strings compared lexicographically — a
-    * total order every engine agrees on bit-for-bit. Docs shorter than
-    * k+w−1 have no full window and are dropped, per the algorithm. */
+    * core). Hashes are 60-bit md5 prefixes as BIGINT (r13 — the hex
+    * form paid 4× the bytes in materialization/shuffle/compare at
+    * 554M fingerprints; see WinnowFingerprints' contract for why 60
+    * bits is both engine-portable and collision-safe for a CANDIDATE
+    * key). Docs shorter than k+w−1 have no full window and are
+    * dropped, per the algorithm. */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
              k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")

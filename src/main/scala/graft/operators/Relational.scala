@@ -51,6 +51,40 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Dense 0-based rank by an orderable (string) key WITHOUT a global
+    * window: range-partition on the key (partition index order IS key
+    * order under RangePartitioning), row_number within each partition,
+    * plus per-partition offsets — a partition-count-sized array, the
+    * legitimate driver-side plan input (the probeCells discipline).
+    * Requires distinct keys (callers rank a groupBy output); equals
+    * `row_number() OVER (ORDER BY key) - 1` bit-for-bit while every
+    * window stays partition-parallel. The sibling of
+    * [[bucketedGlobalRank]] for keys with no numeric bucket width. */
+  private[graft] def rangedDenseRank(df: org.apache.spark.sql.DataFrame,
+                                     keyCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    // localCheckpoint pins the (sampled) range bounds so the counts
+    // collect and the final projection see the SAME partition ids
+    val ranged = df.repartitionByRange(p, col(keyCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(
+      spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(keyCol))
+    ranged.join(offDf, "__pid")
+      .withColumn(idCol,
+        row_number().over(w).cast("long") - 1L + col("__off"))
+      .drop("__pid")
+  }
+
   /** l_extendedprice·(1−l_discount) with the CASTS ON THE FACTORS:
     * 2-decimal source values convert to DECIMAL tie-free, and decimal
     * multiplication is exact — so the sum is bit-identical across

@@ -190,20 +190,23 @@ class CorpusSpec extends SparkSpec {
       (2L, "a completely different sentence with the lazy dog tail here"),
       (3L, "short")).toDF("doc_id", "text")
     val got = Corpus.winnow(docs, "doc_id", "text", k, w)
-      .as[(Long, String)].collect().groupBy(_._1)
+      .as[(Long, Long)].collect().groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    // driver-side reference implementation
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5")
+    // driver-side reference implementation (60-bit md5 prefix = first
+    // 15 lowercase-hex chars as base-16, the r13 digest contract)
+    def md5p60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def ref(text: String): Set[String] = {
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def ref(text: String): Set[Long] = {
       if (text.length < k + w - 1) Set.empty
       else {
-        val hs = (0 to text.length - k).map(i => md5hex(text.substring(i, i + k)))
+        val hs = (0 to text.length - k).map(i => md5p60(text.substring(i, i + k)))
         (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
       }
     }
-    assert(got.getOrElse(3L, Set.empty) === Set.empty[String]) // too short
+    assert(got.getOrElse(3L, Set.empty) === Set.empty[Long]) // too short
     assert(got(1L) === ref("the quick brown fox jumps over the lazy dog"))
     assert(got(2L) === ref("a completely different sentence with the lazy dog tail here"))
     // the winnowing guarantee: docs 1 and 2 share "the lazy dog" plus a

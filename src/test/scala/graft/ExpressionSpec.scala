@@ -267,9 +267,13 @@ class ExpressionSpec extends SparkSpec {
         "päivää maailma päivää maailma", "0123456789 0123456789 x")
         .toDF("text"))
       .where(length(col("text")) >= k + w - 1)
+    // HOF twin truncates the SAME way (first 15 hex chars as base-16 —
+    // the r13 60-bit long digest contract; conv's unsigned parse is
+    // sign-safe at 60 bits)
     val hof = docs.select(col("text"),
         expr(s"transform(sequence(1, length(text) - ${k - 1}), " +
-             s"i -> md5(substring(text, i, $k)))").as("__hs"))
+             s"i -> CAST(conv(substr(md5(substring(text, i, $k)), 1, 15), " +
+             s"16, 10) AS BIGINT))").as("__hs"))
       .select(col("text"), expr(
         s"array_sort(array_distinct(transform(sequence(1, size(__hs) - ${w - 1}), " +
         s"j -> array_min(slice(__hs, j, $w)))))").as("fps"))
@@ -279,7 +283,7 @@ class ExpressionSpec extends SparkSpec {
     // below one full window -> empty set (callers filter these rows)
     assert(Seq("short").toDF("text")
       .select(GraftFunctions.winnow(col("text"), k, w))
-      .as[Seq[String]].head().isEmpty)
+      .as[Seq[Long]].head().isEmpty)
   }
 
   test("graft_repetition_stats equals the HOF dup-gram formulation bit-for-bit") {
