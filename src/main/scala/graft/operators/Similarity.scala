@@ -137,17 +137,40 @@ object Similarity {
       .nearestCentroid(col(vecCol), centroids, "dot_norm")
       .getField("cell"))
 
+  /** Run `body(lo, hi)` over fixed contiguous slices of [0, n) on up
+    * to `availableProcessors` plain threads. Slice boundaries depend
+    * only on (n, thread count is capped so small n stays sequential),
+    * and every parallel use below writes DISJOINT indices — results
+    * are bit-identical to the sequential loop. */
+  private def parSlices(n: Int)(body: (Int, Int) => Unit): Unit = {
+    val t = math.min(Runtime.getRuntime.availableProcessors,
+                     math.max(1, n / 4096))
+    if (t <= 1) { body(0, n); return }
+    val threads = (0 until t).map { ti =>
+      val lo = (n.toLong * ti / t).toInt
+      val hi = (n.toLong * (ti + 1) / t).toInt
+      new Thread(() => body(lo, hi))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+  }
+
   /** Seeded k-means++ init + Lloyd's iterations over an in-memory
     * sample. Training runs on the DRIVER by design: centroid quality
     * needs thousands of points, not the corpus, and once the sample is
     * bounded (`ivfTopK` collects ≤ ~1.25·max(cells·256, 2048) rows —
-    * ~1 MB at 64 dims) Lloyd's is O(|sample|·cells·dim·iters) flops,
-    * milliseconds of CPU — while a distributed trainer pays a full
-    * Spark job of scheduling overhead PER ITERATION to do the same
-    * arithmetic. Right up to cells ≈ 4096 (sample ≈ 1M rows); past
-    * that swap in a distributed trainer — nothing downstream changes.
-    * Distances are Euclidean (standard k-means); `ivfTopK` documents
-    * why probing is cosine. */
+    * ~1 MB at 64 dims) Lloyd's is O(|sample|·cells·dim·iters) flops —
+    * while a distributed trainer pays a full Spark job of scheduling
+    * overhead PER ITERATION to do the same arithmetic. The two
+    * O(n·k·dim) inner loops (seeding distance updates, Lloyd
+    * assignment) run on driver threads over fixed slices; the
+    * float-sensitive accumulations (near-sum, per-cell sums) stay in
+    * strict index order, so the result is BIT-IDENTICAL to the
+    * sequential form at any thread count (r13: production cell counts
+    * — cells ≈ √n = 1448 at 2M vectors — made the single-threaded
+    * form the build's bottleneck). Right up to cells ≈ 4096 (sample ≈
+    * 1M rows); past that swap in a distributed trainer — nothing
+    * downstream changes. Distances are Euclidean (standard k-means);
+    * `ivfTopK` documents why probing is cosine. */
   private[graft] def trainCentroids(sample: Array[Array[Float]], cells: Int,
                                     iters: Int = 8,
                                     seed: Long = 42L): Seq[(Int, Array[Float])] = {
@@ -160,33 +183,48 @@ object Similarity {
       while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // k-means++: each next center drawn ∝ squared distance to nearest
+    // k-means++: each next center drawn ∝ squared distance to nearest.
+    // near(i) updates write disjoint slots — parallel-safe, bit-equal.
     val centers = Array.ofDim[Array[Double]](k)
     centers(0) = sample(rnd.nextInt(sample.length)).map(_.toDouble)
     val near = Array.fill(sample.length)(Double.MaxValue)
     for (c <- 1 until k) {
-      var i = 0
-      while (i < sample.length) {
-        val d = d2(sample(i), centers(c - 1))
-        if (d < near(i)) near(i) = d
-        i += 1
+      parSlices(sample.length) { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          val d = d2(sample(i), centers(c - 1))
+          if (d < near(i)) near(i) = d
+          i += 1
+        }
       }
       var r = rnd.nextDouble() * near.sum
       var pick = 0
       while (pick < sample.length - 1 && r > near(pick)) { r -= near(pick); pick += 1 }
       centers(c) = sample(pick).map(_.toDouble)
     }
+    val assign = new Array[Int](sample.length)
     for (_ <- 0 until iters) {
+      // assignment (the O(n·k·dim) term) in parallel over disjoint
+      // slots; per-cell double sums in strict index order below so
+      // accumulation bits match the sequential loop exactly
+      parSlices(sample.length) { (lo, hi) =>
+        var i = lo
+        while (i < hi) {
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < k) {
+            val d = d2(sample(i), centers(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          assign(i) = best
+          i += 1
+        }
+      }
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       var i = 0
       while (i < sample.length) {
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          val d = d2(sample(i), centers(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
+        val best = assign(i)
         counts(best) += 1
         val s = sums(best); val v = sample(i)
         var j = 0

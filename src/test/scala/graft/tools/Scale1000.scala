@@ -210,6 +210,163 @@ object Scale1000 {
         k = 10, nprobe = 8)
     }
 
+    // ---- family 10 (r13): CDC — 600M change feed → 150M latest keys
+    // merged against the 150M-row target. The r12 verdict question:
+    // does latestPerKey's map-side max_by SortAggregate still hold at
+    // 6× the 100× feed, and what does the full-outer merge join spill?
+    runDf("cdc_latest_per_key")(
+      SparkEntry.queries("cdc_latest_per_key")(spark, dir))
+    runDf("cdc_merge_apply")(SparkEntry.queries("cdc_merge_apply")(spark, dir))
+    def cdcTarget1000 = Tables.orders(spark, dir).select( // = Queries.cdcTarget
+      col("o_orderkey").as("order_key"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderstatus").as("status"))
+    runDf("cdc_merge_apply_shj") {
+      val latest = Queries.cdcLatestPerKey(spark, dir).select(
+        col("order_key"), col("op"),
+        col("new_price").as("total_price"), lit("NEW").as("status"))
+      graft.operators.Cdc.mergeApply(cdcTarget1000, latest, "order_key",
+        joinHint = "shuffle_hash")
+    }
+    runDf("upsert_on_conflict")(
+      SparkEntry.queries("upsert_on_conflict")(spark, dir))
+    runDf("scd2_dimension")(SparkEntry.queries("scd2_dimension")(spark, dir))
+
+    // ---- family 11 (r13): window/sessionize — 100M events in
+    // per-user sort partitions; 150M orders under the per-customer
+    // top-k window; the day-grain streak dedup
+    runDf("events_sessionize")(
+      SparkEntry.queries("events_sessionize")(spark, dir))
+    runDf("events_hourly")(SparkEntry.queries("events_hourly")(spark, dir))
+    runDf("topk_orders_per_cust")(
+      SparkEntry.queries("topk_orders_per_cust")(spark, dir))
+    runDf("activity_streaks")(
+      SparkEntry.queries("activity_streaks")(spark, dir))
+    runDf("retention_cohorts")(
+      SparkEntry.queries("retention_cohorts")(spark, dir))
+
+    // ---- family 12 (r13): containment / substring / semantic dedup
+    // over the FULL 1000× corpus (registered gates bound their corpus
+    // for the DuckDB twin; the operators here run unbounded — the
+    // Scale100 precedent, one tier up)
+    runDf("dedup_containment_5m") {
+      Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        dfNum = 1, dfDen = 5, minNum = 1, minDen = 2, maxJoinTokens = 16)
+    }
+    runHash("dedup_substring_5m")(
+      SparkEntry.queries("dedup_substring")(spark, dir))
+    runDf("semdedup_2m")(
+      SparkEntry.queries("semdedup")(spark, dir)
+        .groupBy(col("keep")).agg(count(lit(1)).as("n")))
+
+    // ---- family 13 (r13): the graph family at 1000×. The honest
+    // corpus-scale surface is the kNN co-occurrence CONSTRUCTION over
+    // 600M lineitem rows (one collect_set shuffle + in-row pair
+    // expansion + one (u,v) partial agg + the per-node top-k window);
+    // the resulting mutual-OR kNN graph is node-bounded (~1M supplier
+    // nodes × k=20) at ANY data scale — that boundedness is exactly
+    // the scale claim, so the iterative operators then run on
+    // identical materialized input, same discipline as Scale100's
+    // pair-graph block.
+    val knnPath = s"$dir/__knn_edges"
+    run("graph_knn_build_600m") {
+      val sets = Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
+      val weighted = sets
+        .select(explode(flatten(transform(col("sups"), (x, i) =>
+          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
+            struct(x.as("u"), y.as("v")))))).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.topKEdges(weighted, 20)
+        .write.mode("overwrite").parquet(knnPath)
+      spark.read.parquet(knnPath).count()
+    }
+    def knn = spark.read.parquet(knnPath)
+    def knnDirected = knn.select(col("u").as("src"), col("v").as("dst"))
+      .union(knn.select(col("v").as("src"), col("u").as("dst")))
+    def seeds = Tables.supplier(spark, dir)
+      .where(col("s_suppkey") % 1000 === 0).select(col("s_suppkey"))
+    runDf("triangle_counts_knn")(graft.operators.Graph.triangleCounts(knn))
+    runDf("ktruss_knn")(graft.operators.Graph.ktruss(knn, k = 4, maxIters = 3))
+    runDf("kcore_knn")(graft.operators.Graph.kcore(knn, k = 8, maxIters = 4))
+    runDf("pagerank_knn")(graft.operators.Rank.pageRank(
+      knnDirected, "src", "dst", iters = 3, damping = 0.85))
+    runDf("lpa_knn")(graft.operators.Rank.labelPropagation(knn, "u", "v", 3))
+    runDf("hits_knn")(graft.operators.Rank.hits(
+      knnDirected, "src", "dst", iters = 3))
+    runDf("bfs_knn")(graft.operators.Graph.bfsDistances(
+      knnDirected, "src", "dst", seeds, "s_suppkey", maxIters = 3))
+    runDf("sssp_knn")(graft.operators.Graph.ssspDistances(
+      knnDirected.withColumn("w", col("src") % 3 + 1),
+      "src", "dst", "w", seeds, "s_suppkey", maxIters = 3))
+    runDf("ppr_knn")(graft.operators.Rank.personalizedPageRank(
+      knnDirected, "src", "dst", seeds, "s_suppkey",
+      iters = 3, damping = 0.75))
+
+    // ---- family 14 (r13): ANN recall at the PRODUCTION cell count —
+    // the cells ≈ √n sizing rule validated at 2M vectors (verdict r12
+    // #8: the 1000× index gates use cells=64; nothing measured recall
+    // at cells=1448). ScaleN copies embedding VALUES verbatim (2k
+    // distinct vectors in 1000-deep dup groups) — degenerate for a
+    // recall curve, every query's true top-10 is its own copies — so
+    // the family first materializes a deterministically JITTERED
+    // corpus (±5%-scale per-dim hash noise): 2M distinct vectors in
+    // ~2k natural clusters, the shape a real embedding corpus has.
+    val prodVecPath = s"$dir/__ann_prod_vectors"
+    runDf("ann_prod_vectors_materialize") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + ((pmod(xxhash64(col("vec_id"), i), lit(1001)) - 500)
+              .cast("double") / 10000.0)).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(prodVecPath)
+      spark.read.parquet(prodVecPath)
+    }
+    def prodVecs = spark.read.parquet(prodVecPath)
+    def prodQueries = prodVecs.where(col("vec_id") % 20000 === 7)
+    run("ann_index_build_c1448") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ann-prod-1000x").toString + "/idx"
+      spark.conf.set("spark.graft.scale1000.annProdRoot", root)
+      graft.sources.AnnIndex.build(spark, prodVecs, root,
+        cells = 1448, nFiles = 64)
+    }
+    // exact ground truth once: brute-force top-10 over the full 2M
+    // (lazy: only computed when a probe row is actually selected)
+    lazy val truth: Map[Long, Set[Long]] =
+      graft.operators.Similarity.bruteForceTopK(prodQueries, prodVecs, 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.map(_.getLong(1)).toSet }
+    val recalls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    for (np <- Seq(1, 4, 12, 38, 76)) {
+      run(s"ann_probe_c1448_np$np") {
+        val root = spark.conf.get("spark.graft.scale1000.annProdRoot")
+        val got = graft.sources.AnnIndex.probe(spark, root, prodQueries,
+            k = 10, nprobe = np)
+          .select(col("query_id"), col("neighbor_id")).collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) =>
+            q -> rs.map(_.getLong(1)).toSet }
+        val r = truth.map { case (q, t) =>
+          got.getOrElse(q, Set.empty[Long]).intersect(t).size / 10.0
+        }.sum / truth.size
+        recalls(np) = r
+        got.size.toLong
+      }
+    }
+    if (recalls.nonEmpty) {
+      val curve = recalls.map { case (np, r) =>
+        f""""np$np":$r%.4f""" }.mkString("{", ",", "}")
+      val monotone = recalls.values.toSeq.sliding(2)
+        .forall(p => p.size < 2 || p(1) >= p(0) - 1e-9)
+      val line = s"""{"query":"ann_recall_curve_c1448","curve":$curve,""" +
+        s""""monotone":$monotone}"""
+      println("SCALE1000 " + line)
+      out.append(line).append('\n')
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
