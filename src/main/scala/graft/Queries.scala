@@ -174,9 +174,33 @@ object Queries {
     """target AS (SELECT o_orderkey AS order_key, o_totalprice AS total_price,
       |  o_orderstatus AS status FROM orders)""".stripMargin
 
-  def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame =
-    Cdc.latestPerKey(changes(spark, dir), "order_key",
-      Seq("last_updated", "line_no", "new_price", "op"))
+  /** Latest change per key through the PACKED fixed-width path
+    * ([[Cdc.latestPerKeyPacked]]): the generic max_by form's struct
+    * buffer forces a SortAggregate whose partial sorts the whole feed
+    * (58.5 GB spill at the 1000× 600M-row feed — SCALE1000.md r13);
+    * packing (last_updated, line_no, new_price, op) into one
+    * DECIMAL(38,0) — µs(50 bits) · line_no(4) · IEEE-bits(63) ·
+    * op-rank(2), 119 total — keeps the same lexicographic order and
+    * plans as a zero-sort HashAggregate. Every encode is exactly
+    * invertible, so the result is bit-identical to the max_by form
+    * (CdcSpec pins it). */
+  def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{doubleBits, bitsDouble}
+    Cdc.latestPerKeyPacked(changes(spark, dir), "order_key", Seq(
+      // the feed's timestamp is NTZ (parquet); the NTZ⇄LTZ casts are
+      // exact monotone inverses under the engine's pinned DST-free
+      // UTC session (SparkEntry/Bench/Verify all set it)
+      Cdc.PackedField("last_updated", 50,
+        c => unix_micros(c.cast("timestamp")),
+        v => timestamp_micros(v).cast("timestamp_ntz")),
+      Cdc.PackedField("line_no", 4,
+        c => c.cast("long"), v => v.cast("int")),
+      Cdc.PackedField("new_price", 63, doubleBits, bitsDouble),
+      Cdc.PackedField("op", 2,
+        c => when(c === "D", 0L).when(c === "I", 1L).otherwise(2L),
+        v => element_at(array(lit("D"), lit("I"), lit("U")),
+                        (v + 1).cast("int")))))
+  }
 
   private val cdcLatestPerKeySql =
     s"WITH $latestSql SELECT * FROM latest"

@@ -65,6 +65,60 @@ object Cdc {
       }: _*)
   }
 
+  /** One fixed-width component of a packed ordering key for
+    * [[latestPerKeyPacked]]. `enc` must map the column to a
+    * NON-NEGATIVE long strictly below 2^bits, monotone in the
+    * column's order (timestamps → unix_micros, positive doubles →
+    * the order-preserving IEEE bit cast graft_double_bits,
+    * low-cardinality strings → a CASE rank in lexicographic order);
+    * `dec` inverts it exactly. */
+  final case class PackedField(name: String, bits: Int,
+                               enc: org.apache.spark.sql.Column =>
+                                 org.apache.spark.sql.Column,
+                               dec: org.apache.spark.sql.Column =>
+                                 org.apache.spark.sql.Column)
+
+  /** [[latestPerKey]] for change feeds whose ordering SPANS every
+    * payload column — which a total-value-order feed always does (the
+    * latestPerKey contract already requires every payload column in
+    * `ordering`). The scale problem with the max_by form: a struct
+    * aggregation buffer is not UnsafeRow-mutable, so the agg can only
+    * plan as SortAggregate, and when the feed is corpus-sized its
+    * partial SORTS the whole feed — 58.5 GB memory spill + 6.0 GB
+    * disk at the 1000× tier (600M-row feed → 147M keys, SCALE1000.md
+    * r13). Packing the ordering into ONE DECIMAL(38,0) — Σ enc(cᵢ)·2^
+    * offsetᵢ, fields most-significant first, ≤126 bits total — makes
+    * the buffer all-primitive: the agg plans as a map-side-combining
+    * HashAggregate (zero sort), max(packed) is exactly the
+    * lexicographic struct max, and the winner's payload decodes from
+    * the key by exact integer decimal arithmetic (the tfidf_top_term
+    * precedent, r12). Results are identical to [[latestPerKey]]
+    * (CdcSpec pins row parity and the HashAggregate plan). */
+  def latestPerKeyPacked(changes: DataFrame, key: String,
+                         fields: Seq[PackedField]): DataFrame = {
+    val payload = changes.columns.filterNot(_ == key).toSeq
+    require(fields.map(_.name).toSet == payload.toSet,
+      s"packed fields ${fields.map(_.name)} must cover exactly the " +
+        s"payload columns $payload")
+    val totalBits = fields.map(_.bits).sum
+    require(totalBits <= 126,
+      s"packed ordering needs $totalBits bits; DECIMAL(38,0) holds 126")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def p2(e: Int) = lit(new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(e))).cast(dec38)
+    // offsets: each field sits above the bits of every LATER field
+    val offs = fields.map(_.bits).scanRight(0)(_ + _).tail
+    val packed = fields.zip(offs).map { case (f, off) =>
+      f.enc(col(f.name)).cast(dec38) * p2(off)
+    }.reduce(_ + _)
+    val best = changes.groupBy(col(key)).agg(max(packed).as("__pk"))
+    val decoded = fields.zip(offs).map { case (f, off) =>
+      val rem = col("__pk") % p2(off + f.bits)
+      f.name -> f.dec(((rem - rem % p2(off)) / p2(off)).cast("long"))
+    }.toMap
+    best.select(col(key) +: payload.map(n => decoded(n).as(n)): _*)
+  }
+
   /** Apply I/U/D changes to a target. `latestChanges` must have the
     * target's schema plus an `op` column ('I'|'U'|'D') and at most one
     * row per key.

@@ -241,10 +241,14 @@ object Corpus {
       .select(col(idCol), TextFunctions.normalize(col(textCol)).as("__t"))
     // collapse identical texts: every downstream stage runs once per
     // DISTINCT text; __w carries the copy count into the df sum
+    // checkpointed: three consumers (dup-gram table, position stream,
+    // the perText join) would otherwise each re-derive the corpus
+    // scan + normalize + collapse
     val texts = normed
       .groupBy(md5(col("__t")).as("__fp"), col("__t"))
       .agg(count(lit(1)).as("__w"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint()
     val withG = texts.where(length(col("__t")) >= k)
       .select(col("__fp"), col("__w"), expr(
         s"transform(sequence(1, length(__t) - ${k - 1}), " +
@@ -288,6 +292,15 @@ object Corpus {
         col("clean_text"),
         (length(col("__t")) - length(col("clean_text")))
           .cast("long").as("n_removed"))
+      // MATERIALIZED before the member join: the rebuild expressions
+      // above are interpreted array ops (zip_with/slice/concat over
+      // the per-text start list), and project-collapse would otherwise
+      // leave them ABOVE the join — evaluated once per MEMBER row
+      // instead of once per distinct text. At the 1000× tier (5M
+      // members of 5k uniques) that was ~3.5 ms × 5M rows = 17.8k
+      // task-s, 97% of the query (SCALE1000.md r13); checkpointing the
+      // 5k-row result makes the join read computed leaves.
+      .localCheckpoint()
     normed.select(col(idCol), md5(col("__t")).as("__fp"))
       .join(perText, "__fp")
       .select(col(idCol), col("clean_text"), col("n_removed"))

@@ -1060,10 +1060,18 @@ object Dedup {
       .select(col("doc").as("ga"), col("doc").as("gb"),
               lit(1.0).as("containment"))
       .where(lit(minDen) >= lit(minNum))
+    // member expansion pinned sort-merge, NOT `hint`: the pair hint's
+    // sizing variable is the candidate-pair count, but these joins'
+    // left side is member-expanded (pairs × group depth) and `mem` is
+    // corpus-sized — at the 1000× tier (1000-deep dup groups) the
+    // forced SHJ build exceeded per-task execution memory and the job
+    // died ("can't acquire 256 MB to build hash relation",
+    // SCALE1000.md r13). Sort-merge spills instead of dying — the
+    // minhash family's standing discipline for corpus-sized sides.
     verified.union(dupGroups)
-      .hint(hint)
+      .hint("merge")
       .join(mem.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
-      .hint(hint)
+      .hint("merge")
       .join(mem.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
       .where(col("ga") =!= col("gb") || col("id_a") =!= col("id_b"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -1159,9 +1167,12 @@ object Dedup {
       .select(col("ga"), col("gb"),
         (col("shared").cast("double") / col("n_a").cast("double"))
           .as("containment"))
-      .hint(hint)
+      // member expansion pinned sort-merge (not `hint`) — the
+      // containmentPairs rationale: member-expanded left + corpus-
+      // sized member maps must never hash-build
+      .hint("merge")
       .join(memA.select(col("gid").as("ga"), col("id").as("id_a")), "ga")
-      .hint(hint)
+      .hint("merge")
       .join(memB.select(col("gid").as("gb"), col("id").as("id_b")), "gb")
       .select(col("id_a"), col("id_b"), col("containment"))
   }

@@ -26,6 +26,28 @@ class CdcSpec extends SparkSpec {
     assert(got === Set((1L, "D"), (2L, "I")))
   }
 
+  test("latestPerKeyPacked is row-identical to latestPerKey and plans a HashAggregate") {
+    // the packed path must change the PLAN (fixed-width buffer →
+    // HashAggregate; the struct max_by could only SortAggregate and
+    // its partial sorted the whole feed at 1000×), never the rows —
+    // asserted on the real sf change feed, which exercises every
+    // encode (timestamp µs, int, IEEE double bits, op rank)
+    val feed = Queries.changes(spark, sfDir)
+    val generic = Cdc.latestPerKey(feed, "order_key",
+      Seq("last_updated", "line_no", "new_price", "op"))
+    val packed = Queries.cdcLatestPerKey(spark, sfDir)
+    assert(packed.columns.toSeq === generic.columns.toSeq)
+    // names + types must match (nullability may tighten: the decoded
+    // op is provably non-null where max_by's struct field is not)
+    assert(packed.schema.map(f => (f.name, f.dataType)) ===
+           generic.schema.map(f => (f.name, f.dataType)))
+    assert(packed.exceptAll(generic).isEmpty && generic.exceptAll(packed).isEmpty)
+    packed.collect() // materialize so the executed plan is final
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"unexpected SortAggregate:\n$plan")
+  }
+
   test("mergeApply implements reference MERGE semantics (I/U/D)") {
     import spark.implicits._
     val latest = Seq(

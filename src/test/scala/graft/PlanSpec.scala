@@ -102,12 +102,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cdc latest-per-key partial-aggregates the change feed") {
-    // the max_by form must combine map-side (shuffle = one row per key
-    // per input partition, not the whole feed); struct buffers make it
-    // a SortAggregate, which is fine — the sort is local — but losing
-    // the partial phase would shuffle the entire 100 TB change feed
+    // must combine map-side (shuffle = one row per key per input
+    // partition, not the whole feed) AND stay a HashAggregate: the r12
+    // max_by form's struct buffer forced a SortAggregate whose partial
+    // sorted the whole 600M-row feed at the 1000× tier (SCALE1000.md
+    // r13); the packed DECIMAL(38,0) ordering keeps the buffer
+    // all-primitive
     val p = plan("cdc_latest_per_key")
-    assert(p.contains("partial_max_by"), s"no partial max_by\n$p")
+    assert(p.contains("partial_max"), s"no partial max\n$p")
+    assert(p.contains("HashAggregate"), s"no HashAggregate\n$p")
+    assert(!p.contains("SortAggregate"), s"unexpected SortAggregate\n$p")
   }
 
   test("dedup_clusters pair verify spreads across partitions") {

@@ -41,6 +41,13 @@ object Scale100 {
           shufWrite += m.shuffleWriteMetrics.bytesWritten
           taskMs += m.executorRunTime
           peakExec = math.max(peakExec, m.peakExecutionMemory)
+          // SCALE_STAGE_VERBOSE=1: per-stage attribution for hunting
+          // where a query's task time actually goes
+          if (sys.env.get("SCALE_STAGE_VERBOSE").contains("1"))
+            println(f"STAGE ${s.stageInfo.stageId}%5d " +
+              f"task_s=${m.executorRunTime / 1000}%7d " +
+              f"spill=${(m.memoryBytesSpilled + m.diskBytesSpilled) / (1L << 20)}%6d MB " +
+              f"tasks=${s.stageInfo.numTasks}%4d  ${s.stageInfo.name.take(120)}")
         }
       }
   }

@@ -214,35 +214,55 @@ object Scale1000 {
     // merged against the 150M-row target. The r12 verdict question:
     // does latestPerKey's map-side max_by SortAggregate still hold at
     // 6× the 100× feed, and what does the full-outer merge join spill?
-    runDf("cdc_latest_per_key")(
+    // hash-consumed (NOT runDf): count() of a groupBy prunes the
+    // aggregate functions themselves — the bare-count form measured a
+    // plain DISTINCT on the key, not latestPerKey (caught r13: the
+    // packed-agg fix changed the merge rows but left this row's bytes
+    // identical)
+    runHash("cdc_latest_per_key")(
       SparkEntry.queries("cdc_latest_per_key")(spark, dir))
-    runDf("cdc_merge_apply")(SparkEntry.queries("cdc_merge_apply")(spark, dir))
+    runHash("cdc_merge_apply")(SparkEntry.queries("cdc_merge_apply")(spark, dir))
     def cdcTarget1000 = Tables.orders(spark, dir).select( // = Queries.cdcTarget
       col("o_orderkey").as("order_key"),
       col("o_totalprice").as("total_price"),
       col("o_orderstatus").as("status"))
-    runDf("cdc_merge_apply_shj") {
-      val latest = Queries.cdcLatestPerKey(spark, dir).select(
-        col("order_key"), col("op"),
-        col("new_price").as("total_price"), lit("NEW").as("status"))
+    // the documented SHJ fast path is for BOUNDED deltas (the usual
+    // CDC shape: a day's changes vs the full table). With the
+    // corpus-sized delta above it rightly DIES ("not enough memory to
+    // build hash map", measured r13) — so the row probes the shape
+    // the hint is FOR: a 1% delta against the 150M-row target.
+    runHash("cdc_merge_apply_shj_1pct") {
+      val latest = Queries.cdcLatestPerKey(spark, dir)
+        .where(col("order_key") % 100 === 0)
+        .select(col("order_key"), col("op"),
+          col("new_price").as("total_price"), lit("NEW").as("status"))
       graft.operators.Cdc.mergeApply(cdcTarget1000, latest, "order_key",
         joinHint = "shuffle_hash")
     }
-    runDf("upsert_on_conflict")(
+    // same 1% delta through the default sort-merge plan — the A/B
+    // that shows what the hash build buys when it fits
+    runHash("cdc_merge_apply_smj_1pct") {
+      val latest = Queries.cdcLatestPerKey(spark, dir)
+        .where(col("order_key") % 100 === 0)
+        .select(col("order_key"), col("op"),
+          col("new_price").as("total_price"), lit("NEW").as("status"))
+      graft.operators.Cdc.mergeApply(cdcTarget1000, latest, "order_key")
+    }
+    runHash("upsert_on_conflict")(
       SparkEntry.queries("upsert_on_conflict")(spark, dir))
-    runDf("scd2_dimension")(SparkEntry.queries("scd2_dimension")(spark, dir))
+    runHash("scd2_dimension")(SparkEntry.queries("scd2_dimension")(spark, dir))
 
     // ---- family 11 (r13): window/sessionize — 100M events in
     // per-user sort partitions; 150M orders under the per-customer
     // top-k window; the day-grain streak dedup
     runDf("events_sessionize")(
       SparkEntry.queries("events_sessionize")(spark, dir))
-    runDf("events_hourly")(SparkEntry.queries("events_hourly")(spark, dir))
+    runHash("events_hourly")(SparkEntry.queries("events_hourly")(spark, dir))
     runDf("topk_orders_per_cust")(
       SparkEntry.queries("topk_orders_per_cust")(spark, dir))
     runDf("activity_streaks")(
       SparkEntry.queries("activity_streaks")(spark, dir))
-    runDf("retention_cohorts")(
+    runHash("retention_cohorts")(
       SparkEntry.queries("retention_cohorts")(spark, dir))
 
     // ---- family 12 (r13): containment / substring / semantic dedup
@@ -305,6 +325,65 @@ object Scale1000 {
       knnDirected, "src", "dst", seeds, "s_suppkey",
       iters = 3, damping = 0.75))
 
+    // ---- family 13b (r13): the co-occurrence build A/B. The
+    // collect_set form above spilled 82.7 + 19.8 GB at 600M rows:
+    // collect_set is ObjectHashAggregate, whose sort-based fallback
+    // (threshold 128 keys) sorts the whole fact side. The
+    // distinct + self-join form pays one more exchange but every agg
+    // stays fixed-width HashAggregate.
+    run("graph_knn_build_600m_dsj") {
+      val ps = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"),
+                col("l_suppkey").cast("long").as("s"))
+        .distinct()
+      val weighted = ps.as("a")
+        .join(ps.as("b"), col("a.o") === col("b.o"))
+        .where(col("a.s") < col("b.s"))
+        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.Graph.topKEdges(weighted, 20).count()
+    }
+
+    // ---- family 13c (r13): corpus-scale ITERATIVE graph probe. The
+    // kNN supplier graph above is node-bounded at ~1k by design
+    // (suppliers are a dim — they don't grow with data volume), so
+    // its iterative rows finish in seconds. The graph whose NODE set
+    // scales with the fact tables is customer–supplier: custkey
+    // shifts with SF (1.5M customers at 1000×), edges come from the
+    // full 600M-row fact join, ~60M distinct — node ids disjoint by
+    // a 10^8 supplier offset.
+    val bipPath = s"$dir/__cust_supp_edges"
+    run("graph_bipartite_build_600m") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"),
+                col("l_suppkey").cast("long").as("supp"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("o"), col("o_custkey").as("cust")),
+          "o")
+        .select(col("cust"), (col("supp") + lit(100000000L)).as("supp"))
+        .distinct()
+        .write.mode("overwrite").parquet(bipPath)
+      spark.read.parquet(bipPath).count()
+    }
+    def bip = spark.read.parquet(bipPath)
+    def bipDirected = bip.select(col("cust").as("src"), col("supp").as("dst"))
+      .union(bip.select(col("supp").as("src"), col("cust").as("dst")))
+    def bipSeeds = Tables.orders(spark, dir)
+      .where(col("o_custkey") % 1000 === 0)
+      .select(col("o_custkey").as("seed")).distinct()
+    runDf("pagerank_bipartite")(graft.operators.Rank.pageRank(
+      bipDirected, "src", "dst", iters = 3, damping = 0.85))
+    runDf("lpa_bipartite")(
+      graft.operators.Rank.labelPropagation(bip, "cust", "supp", 3))
+    runDf("bfs_bipartite")(graft.operators.Graph.bfsDistances(
+      bipDirected, "src", "dst", bipSeeds, "seed", maxIters = 3))
+    runDf("sssp_bipartite")(graft.operators.Graph.ssspDistances(
+      bipDirected.withColumn("w", col("src") % 3 + 1),
+      "src", "dst", "w", bipSeeds, "seed", maxIters = 3))
+    runDf("ppr_bipartite")(graft.operators.Rank.personalizedPageRank(
+      bipDirected, "src", "dst", bipSeeds, "seed",
+      iters = 3, damping = 0.75))
+
     // ---- family 14 (r13): ANN recall at the PRODUCTION cell count —
     // the cells ≈ √n sizing rule validated at 2M vectors (verdict r12
     // #8: the 1000× index gates use cells=64; nothing measured recall
@@ -325,7 +404,23 @@ object Scale1000 {
       spark.read.parquet(prodVecPath)
     }
     def prodVecs = spark.read.parquet(prodVecPath)
-    def prodQueries = prodVecs.where(col("vec_id") % 20000 === 7)
+    // query set: MIXTURE vectors (mean of jittered base-i and
+    // base-(i+7) copies) — corpus members are too easy at production
+    // cell counts (a query's true top-10 is its own cluster, which
+    // lives in its own cell: measured recall@10 = 1.0 at nprobe=1 for
+    // ALL nprobe). A between-clusters query's truth spans ≥2 clusters,
+    // so the curve actually exercises the nprobe knob.
+    def prodQueries = {
+      val a = prodVecs.where(col("vec_id") < 100)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"))
+      val b = prodVecs
+        .where(col("vec_id") >= 1000007L && col("vec_id") < 1000107L)
+        .select((col("vec_id") - 1000007L).as("query_id"),
+                col("embedding").as("eb"))
+      a.join(b, "query_id").select(col("query_id").as("vec_id"),
+        zip_with(col("ea"), col("eb"),
+          (x, y) => ((x + y) / lit(2.0f)).cast("float")).as("embedding"))
+    }
     run("ann_index_build_c1448") {
       val root = java.nio.file.Files
         .createTempDirectory("graft-ann-prod-1000x").toString + "/idx"
@@ -333,13 +428,18 @@ object Scale1000 {
       graft.sources.AnnIndex.build(spark, prodVecs, root,
         cells = 1448, nFiles = 64)
     }
-    // exact ground truth once: brute-force top-10 over the full 2M
-    // (lazy: only computed when a probe row is actually selected)
-    lazy val truth: Map[Long, Set[Long]] =
-      graft.operators.Similarity.bruteForceTopK(prodQueries, prodVecs, 10)
+    // exact ground truth, timed as its own row (r13 lesson: computing
+    // it lazily inside the first probe block mis-attributed 178 s of
+    // brute force to nprobe=1)
+    var truth: Map[Long, Set[Long]] = Map.empty
+    run("ann_truth_bruteforce_2m") {
+      truth = graft.operators.Similarity
+        .bruteForceTopK(prodQueries.localCheckpoint(), prodVecs, 10)
         .select(col("query_id"), col("neighbor_id")).collect()
         .groupBy(_.getLong(0)).map { case (q, rs) =>
           q -> rs.map(_.getLong(1)).toSet }
+      truth.size.toLong
+    }
     val recalls = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
     for (np <- Seq(1, 4, 12, 38, 76)) {
       run(s"ann_probe_c1448_np$np") {
@@ -351,7 +451,7 @@ object Scale1000 {
             q -> rs.map(_.getLong(1)).toSet }
         val r = truth.map { case (q, t) =>
           got.getOrElse(q, Set.empty[Long]).intersect(t).size / 10.0
-        }.sum / truth.size
+        }.sum / math.max(truth.size, 1)
         recalls(np) = r
         got.size.toLong
       }
