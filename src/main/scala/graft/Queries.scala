@@ -5921,32 +5921,22 @@ object Queries {
     * the kNN graph stays nodes·k edges at any volume. Degree-oriented
     * wedge counting — see [[Graph]] for the hub-proofness argument. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    // co-occurrence build as per-order supplier SET + in-row pair
-    // expansion: the former distinct + self-join + groupBy formulation
-    // paid three corpus-sized shuffles, and its sort-merge buffers
-    // were the suite's largest 100× memory peak (10.2 GiB + 4.2 GB
-    // spill on a 16 GiB heap, r8 verdict #4). collect_set ships each
-    // (order, supplier) row once through ONE partial-agg shuffle; the
-    // per-order k² pairs then expand inside codegen with the (u, v)
-    // count's partial agg absorbing them map-side — per-key work is
-    // Σ(suppliers-per-order)², bounded per order, linear in orders.
     // bounded gate corpus (the wordpiece/containment rule): ScaleN
     // shifts orderkeys in 1M strides, so < 1M covers the ENTIRE table
     // at every driver SF (sf0.01 max 14999, sf0.1 max 149999) and
     // selects the first full copy at the 100x derived set — where the
     // DuckDB twin's co-occurrence self-join previously spilled ~70 GB
     // and died unbounded. The unbounded engine path stays probed by
-    // Scale100 (20.3 s / 2.1 GB peak at 100x).
-    val sets = Tables.lineitem(spark, dir)
-      .where(col("l_orderkey") < 1000000)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
-    val weighted = sets
-      .select(explode(flatten(transform(col("sups"), (x, i) =>
-        transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
-          struct(x.as("u"), y.as("v")))))).as("p"))
-      .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-      .agg(count(lit(1)).as("w"))
+    // Scale100/Scale1000.
+    // co-occurrence via Graph.coOccurrencePairs (r13): the r8-r12
+    // collect_set + in-row expansion planned as ObjectHashAggregate,
+    // whose sort fallback (128-key threshold) sorts the whole fact
+    // side once group cardinality is corpus-scale — 355 s / 82+20 GB
+    // spill vs 126 s for the distinct+self-join shape at the 1000×
+    // tier (see the operator's scaladoc for the measured A/B)
+    val weighted = Graph.coOccurrencePairs(
+      Tables.lineitem(spark, dir).where(col("l_orderkey") < 1000000),
+      "l_orderkey", "l_suppkey")
     Graph.triangleCounts(Graph.topKEdges(weighted, 20))
   }
 

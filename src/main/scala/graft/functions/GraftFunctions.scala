@@ -233,6 +233,30 @@ object GraftFunctions {
     call_function(WinnowName, text, lit(k), lit(w))
   }
 
+  /** Let-binding for Column trees: evaluates `c` ONCE per row and
+    * hands the result to `body` as a bound lambda VARIABLE.
+    *
+    * Why it exists: interpreted (non-codegen) expression evaluation
+    * re-evaluates a subtree at every REFERENCE — subexpression
+    * elimination is a codegen-only optimization, and nested
+    * higher-order functions are CodegenFallback, so any HOF pipeline
+    * that references its input k times costs k full child evaluations
+    * per element. Measured r13: the streaming minhash signature's
+    * shingle loop re-evaluated split+normalize(text) at every
+    * element_at/size reference — ~7 references × ~50 shingles × a
+    * regex normalize per document; StreamBench's 62.5k-doc micro-batch
+    * ran 20+ minutes. A HOF's INPUT child, by contrast, is evaluated
+    * exactly once per row — so wrapping the shared tree in a 1-element
+    * array transform is a zero-cost let.
+    *
+    * Use only on trees that are already interpretation-bound (inside
+    * HOF pipelines): ArrayTransform is CodegenFallback, so wrapping a
+    * codegen-able scalar tree would FORCE it interpreted. */
+  def once(c: Column)(body: Column => Column): Column =
+    org.apache.spark.sql.functions.element_at(
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.array(c), body), 1)
+
   /** Raw IEEE-754 bits of a double as bigint (order-preserving for
     * positive finite values) — see
     * [[graft.functions.expressions.DoubleBits]]. */

@@ -69,11 +69,20 @@ object Dedup {
     * window contributes rotl(tokenHash, f(j)) into an XOR mix, so
     * "a b c" ≠ "c b a". Tail windows clamp to the last token. */
   def shingleHashes(tokHashes: Column, n: Int): Column =
-    transform(sequence(lit(0), greatest(size(tokHashes) - n, lit(0))), i =>
-      (0 until n).map { j =>
-        val h = element_at(tokHashes, least(i + lit(j + 1), size(tokHashes)))
-        rotl(h, (n - j) * 17 % 63 + 1)
-      }.reduce(_ bitwiseXOR _))
+    // tokHashes is LET-BOUND (GraftFunctions.once): this HOF is
+    // interpreted, and interpreted eval re-evaluates a subtree per
+    // REFERENCE — the loop below references it ~2n+1 times per
+    // shingle, which turned the caller's split+normalize into an
+    // O(shingles × len) regex storm per row (the r13 StreamBench
+    // finding: a 62.5k-doc micro-batch ran 20+ min). Bound, the
+    // child evaluates once per row; values are identical.
+    graft.functions.GraftFunctions.once(tokHashes) { th =>
+      transform(sequence(lit(0), greatest(size(th) - n, lit(0))), i =>
+        (0 until n).map { j =>
+          val h = element_at(th, least(i + lit(j + 1), size(th)))
+          rotl(h, (n - j) * 17 % 63 + 1)
+        }.reduce(_ bitwiseXOR _))
+    }
 
   /** k-permutation MinHash signature via double hashing: only TWO
     * string hashes per shingle; permutation j is h1 ^ rotl(h2, j) —

@@ -78,12 +78,19 @@ object DocsStream extends Serializable {
       Dedup.shingleHashes(transform(toks, t => xxhash64(t)), n),
       Dedup.shingleHashes(transform(toks, t => xxhash64(lit(1), t)), n),
       numHashes)
+    // sig is let-bound (GraftFunctions.once): CollapseProject inlines
+    // a column alias into every reference, and this projection
+    // references the signature 1 + bands times (the sig column + each
+    // band slice) — unbound, the whole interpreted signature pipeline
+    // evaluated 5× per document (part of the r13 StreamBench finding)
     val banded = docs
       .withWatermark("ts", s"$horizonMinutes minutes")
-      .select(col("doc_id"), col("ts"), sig.as("sig"))
-      .select(col("doc_id"), col("ts"), col("sig"),
-        posexplode(Dedup.bandHashes(col("sig"), bands, rows))
-          .as(Seq("band_idx", "band_hash")))
+      .select(col("doc_id"), col("ts"),
+        graft.functions.GraftFunctions.once(sig)(s =>
+          struct(s.as("sig"),
+                 Dedup.bandHashes(s, bands, rows).as("bh"))).as("x"))
+      .select(col("doc_id"), col("ts"), col("x.sig").as("sig"),
+        posexplode(col("x.bh")).as(Seq("band_idx", "band_hash")))
       .as[BandedDoc]
 
     def fn(key: (Int, Long), it: Iterator[BandedDoc],

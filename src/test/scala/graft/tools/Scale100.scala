@@ -414,15 +414,8 @@ object Scale100 {
     // over the full embedding table (pure scan, plan-literal matrix);
     // modal-value profiling (one partial-agg shuffle)
     run("ktruss_knn_graph") {
-      val sets = Tables.lineitem(spark, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
-      val weighted = sets
-        .select(explode(flatten(transform(col("sups"), (x, i) =>
-          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
-            struct(x.as("u"), y.as("v")))))).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
+      val weighted = graft.operators.Graph.coOccurrencePairs(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey")
       graft.operators.Graph.ktruss(
         graft.operators.Graph.topKEdges(weighted, 20), k = 4, maxIters = 3)
     }
@@ -476,15 +469,8 @@ object Scale100 {
     // bits — the kNN cap (deg ≤ ~2k) keeps 3 rounds ≤ ~4e9, the
     // documented contract
     run("hits_knn_graph") {
-      val sets = Tables.lineitem(spark, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
-      val weighted = sets
-        .select(explode(flatten(transform(col("sups"), (x, i) =>
-          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
-            struct(x.as("u"), y.as("v")))))).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
+      val weighted = graft.operators.Graph.coOccurrencePairs(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey")
       val knn = graft.operators.Graph.topKEdges(weighted, 20)
       graft.operators.Rank.hits(
         knn.select(col("u").as("src"), col("v").as("dst"))

@@ -290,19 +290,21 @@ object Scale1000 {
     // pair-graph block.
     val knnPath = s"$dir/__knn_edges"
     run("graph_knn_build_600m") {
-      val sets = Tables.lineitem(spark, dir)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("sups"))
-      val weighted = sets
-        .select(explode(flatten(transform(col("sups"), (x, i) =>
-          transform(slice(col("sups"), i + 2, size(col("sups"))), y =>
-            struct(x.as("u"), y.as("v")))))).as("p"))
-        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
-        .agg(count(lit(1)).as("w"))
+      // the adopted operator shape (distinct + self-join; see
+      // Graph.coOccurrencePairs scaladoc for the r13 A/B: 126 s vs
+      // the collect_set form's 355 s / 82+20 GB spill at this tier)
+      val weighted = graft.operators.Graph.coOccurrencePairs(
+        Tables.lineitem(spark, dir), "l_orderkey", "l_suppkey")
       graft.operators.Graph.topKEdges(weighted, 20)
         .write.mode("overwrite").parquet(knnPath)
       spark.read.parquet(knnPath).count()
     }
+    // (the rejected collect_set/ObjectHashAggregate form was measured
+    // here for the A/B — 355 s / 82.7+19.8 GB spill, and under
+    // residual block-manager pressure it died outright with
+    // UNABLE_TO_ACQUIRE_MEMORY — recorded in SCALE1000.md and the
+    // Graph.coOccurrencePairs scaladoc, then removed so artifact runs
+    // stay green)
     def knn = spark.read.parquet(knnPath)
     def knnDirected = knn.select(col("u").as("src"), col("v").as("dst"))
       .union(knn.select(col("v").as("src"), col("u").as("dst")))
@@ -324,25 +326,6 @@ object Scale1000 {
     runDf("ppr_knn")(graft.operators.Rank.personalizedPageRank(
       knnDirected, "src", "dst", seeds, "s_suppkey",
       iters = 3, damping = 0.75))
-
-    // ---- family 13b (r13): the co-occurrence build A/B. The
-    // collect_set form above spilled 82.7 + 19.8 GB at 600M rows:
-    // collect_set is ObjectHashAggregate, whose sort-based fallback
-    // (threshold 128 keys) sorts the whole fact side. The
-    // distinct + self-join form pays one more exchange but every agg
-    // stays fixed-width HashAggregate.
-    run("graph_knn_build_600m_dsj") {
-      val ps = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"),
-                col("l_suppkey").cast("long").as("s"))
-        .distinct()
-      val weighted = ps.as("a")
-        .join(ps.as("b"), col("a.o") === col("b.o"))
-        .where(col("a.s") < col("b.s"))
-        .groupBy(col("a.s").as("u"), col("b.s").as("v"))
-        .agg(count(lit(1)).as("w"))
-      graft.operators.Graph.topKEdges(weighted, 20).count()
-    }
 
     // ---- family 13c (r13): corpus-scale ITERATIVE graph probe. The
     // kNN supplier graph above is node-bounded at ~1k by design
@@ -373,8 +356,20 @@ object Scale1000 {
       .select(col("o_custkey").as("seed")).distinct()
     runDf("pagerank_bipartite")(graft.operators.Rank.pageRank(
       bipDirected, "src", "dst", iters = 3, damping = 0.85))
-    runDf("lpa_bipartite")(
-      graft.operators.Rank.labelPropagation(bip, "cust", "supp", 3))
+    // LPA on the UNCAPPED bipartite graph dies by algebra, not by
+    // plan: round 1's (dst, label) count table is edge-sized when a
+    // high-degree node's neighbor labels are all distinct (a 600k-
+    // degree supplier sees ~600k distinct customer labels), measured
+    // AGGREGATE_OUT_OF_MEMORY at 1.17B directed edges. The routing —
+    // as for every similarity-graph operator — is degree-cap first:
+    // LPA's production home is bounded-degree near-dup graphs.
+    runDf("lpa_bipartite_capped") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cust")).orderBy(col("supp"))
+      val capped = bip.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 20).drop("rk")
+      graft.operators.Rank.labelPropagation(capped, "cust", "supp", 3)
+    }
     runDf("bfs_bipartite")(graft.operators.Graph.bfsDistances(
       bipDirected, "src", "dst", bipSeeds, "seed", maxIters = 3))
     runDf("sssp_bipartite")(graft.operators.Graph.ssspDistances(

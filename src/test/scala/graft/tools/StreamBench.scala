@@ -78,9 +78,10 @@ object StreamBench {
       Blocks.freeAll(spark)
     }
 
-    def noopRun(label: String)(build: DataFrame => DataFrame): Unit =
+    def noopRun(label: String, outputMode: String = "append")
+               (build: DataFrame => DataFrame): Unit =
       bench(label) { ckpt =>
-        build(null).writeStream.format("noop")
+        build(null).writeStream.format("noop").outputMode(outputMode)
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
       }
@@ -203,13 +204,13 @@ object StreamBench {
     }
     noopRun("stream_ingest_prepare")(_ =>
       IngestStream.prepare(docsFeed, "doc_id", "text", "source", vocab))
-    noopRun("stream_token_budget")(_ =>
+    noopRun("stream_token_budget", outputMode = "update")(_ =>
       TokenBudgetStream.gate(
         docsFeed.select(col("source"), col("doc_id").as("id"),
             size(split(col("text"), " ")).cast("long").as("tokens"))
           .as[TokenBudgetStream.Doc],
         budget = 1000000L))
-    noopRun("stream_priority_sample")(_ =>
+    noopRun("stream_priority_sample", outputMode = "update")(_ =>
       PriorityStream.sample(
         docsFeed.select(col("source").as("group"), col("doc_id").as("id"),
             size(split(col("text"), " ")).cast("long").as("w"))
@@ -218,7 +219,9 @@ object StreamBench {
 
     // ---------------------------------------------- embeddings (200k)
     noopRun("stream_embed_neardup")(_ =>
-      EmbedStream.nearDupPairs(spark, vecsFeed, horizonMinutes = 25).toDF())
+      EmbedStream.nearDupPairs(spark,
+        vecsFeed.withColumnRenamed("embedding", "vec"),
+        horizonMinutes = 25).toDF())
 
     // ------------------------------- persisted-index ingestion streams
     // seed each index from the 1× base slice, then stream the 100×
