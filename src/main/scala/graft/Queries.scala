@@ -179,18 +179,20 @@ object Queries {
     * buffer forces a SortAggregate whose partial sorts the whole feed
     * (58.5 GB spill at the 1000× 600M-row feed — SCALE1000.md r13);
     * packing (last_updated, line_no, new_price, op) into one
-    * DECIMAL(38,0) — µs(50 bits) · line_no(4) · IEEE-bits(63) ·
-    * op-rank(2), 119 total — keeps the same lexicographic order and
-    * plans as a zero-sort HashAggregate. Every encode is exactly
-    * invertible, so the result is bit-identical to the max_by form
-    * (CdcSpec pins it). */
+    * DECIMAL(38,0) — µs(57 bits: unix_micros to year ~6532, vs the
+    * r13 50-bit budget that silently capped at 2005) · line_no(4) ·
+    * IEEE-bits(63) · op-rank(2), 126 total — keeps the same
+    * lexicographic order and plans as a zero-sort HashAggregate.
+    * Every encode is exactly invertible, so the result is
+    * bit-identical to the max_by form (CdcSpec pins it); out-of-range
+    * or null encodes now raise at runtime (r14 guard). */
   def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GraftFunctions.{doubleBits, bitsDouble}
     Cdc.latestPerKeyPacked(changes(spark, dir), "order_key", Seq(
       // the feed's timestamp is NTZ (parquet); the NTZ⇄LTZ casts are
       // exact monotone inverses under the engine's pinned DST-free
       // UTC session (SparkEntry/Bench/Verify all set it)
-      Cdc.PackedField("last_updated", 50,
+      Cdc.PackedField("last_updated", 57,
         c => unix_micros(c.cast("timestamp")),
         v => timestamp_micros(v).cast("timestamp_ntz")),
       Cdc.PackedField("line_no", 4,

@@ -71,7 +71,13 @@ object Cdc {
     * column's order (timestamps → unix_micros, positive doubles →
     * the order-preserving IEEE bit cast graft_double_bits,
     * low-cardinality strings → a CASE rank in lexicographic order);
-    * `dec` inverts it exactly. */
+    * `dec` inverts it exactly. The range contract is enforced at
+    * runtime: [[latestPerKeyPacked]] wraps every enc output in a
+    * codegen'd bounds check and raises on the first out-of-range
+    * value — a too-narrow bit budget (e.g. a timestamp past the
+    * field's 2^bits µs horizon) or a negative encode (pre-1970
+    * timestamp, negative doubleBits) fails loudly instead of
+    * silently corrupting the lexicographic order. */
   final case class PackedField(name: String, bits: Int,
                                enc: org.apache.spark.sql.Column =>
                                  org.apache.spark.sql.Column,
@@ -93,7 +99,13 @@ object Cdc {
     * lexicographic struct max, and the winner's payload decodes from
     * the key by exact integer decimal arithmetic (the tfidf_top_term
     * precedent, r12). Results are identical to [[latestPerKey]]
-    * (CdcSpec pins row parity and the HashAggregate plan). */
+    * (CdcSpec pins row parity and the HashAggregate plan), with one
+    * documented exception: payload columns must be NON-NULL. A null
+    * payload value would make the whole packed key null and drop the
+    * row from max() — where latestPerKey's struct max still ranks it
+    * — so nulls fail the runtime range guard instead of silently
+    * diverging. Route nullable payloads through [[latestPerKey]] or
+    * coalesce them to an in-range sentinel first. */
   def latestPerKeyPacked(changes: DataFrame, key: String,
                          fields: Seq[PackedField]): DataFrame = {
     val payload = changes.columns.filterNot(_ == key).toSeq
@@ -109,7 +121,16 @@ object Cdc {
     // offsets: each field sits above the bits of every LATER field
     val offs = fields.map(_.bits).scanRight(0)(_ + _).tail
     val packed = fields.zip(offs).map { case (f, off) =>
-      f.enc(col(f.name)).cast(dec38) * p2(off)
+      val e = f.enc(col(f.name)).cast(dec38)
+      // Range guard (PackedField contract): 0 ≤ enc < 2^bits, non-null.
+      // A decimal compare pair per field, codegen'd; the error branch
+      // only evaluates on violation. Null enc (null payload) fails the
+      // `when` condition and raises too — see the contract note above.
+      val guarded = when(e >= lit(0) && e < p2(f.bits), e).otherwise(
+        raise_error(concat(
+          lit(s"latestPerKeyPacked: enc(${f.name}) out of [0, 2^${f.bits}) or null: "),
+          coalesce(e.cast("string"), lit("null")))))
+      guarded * p2(off)
     }.reduce(_ + _)
     val best = changes.groupBy(col(key)).agg(max(packed).as("__pk"))
     val decoded = fields.zip(offs).map { case (f, off) =>

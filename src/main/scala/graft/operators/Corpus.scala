@@ -232,7 +232,18 @@ object Corpus {
     * Chars, not tokens, define the grams (k chars ≈ the 50-token
     * threshold scaled to this corpus's short docs); df counts
     * distinct DOCS, so a phrase repeated inside one document is NOT
-    * excised (that is text_repetition's signal, row 41). */
+    * excised (that is text_repetition's signal, row 41).
+    *
+    * RESOURCE CONTRACT (the Dedup/Graph checkpoint convention): the
+    * plan embeds two `localCheckpoint` materializations (the collapsed
+    * text table and the per-text rebuild results) whose block-manager
+    * blocks outlive the query — long-lived sessions calling this
+    * repeatedly must free them between queries via
+    * [[graft.Blocks.freeAll]] (or unpersist the returned frame's
+    * checkpointed lineage) once the result is materialized.
+    * `localCheckpoint` also makes this operator batch-only: it cannot
+    * appear inside a streaming query plan — route streaming corpora
+    * through the batch path on a foreachBatch boundary instead. */
   def exciseDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 20): DataFrame = {
     require(k >= 4, s"gram too short to mean anything: k=$k")

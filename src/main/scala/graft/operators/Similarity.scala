@@ -146,12 +146,19 @@ object Similarity {
     val t = math.min(Runtime.getRuntime.availableProcessors,
                      math.max(1, n / 4096))
     if (t <= 1) { body(0, n); return }
+    // A worker failure (OOM, bad sample row) must FAIL the train, not
+    // leave its slice's outputs stale while join() returns normally:
+    // capture the first Throwable and rethrow after all joins.
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val threads = (0 until t).map { ti =>
       val lo = (n.toLong * ti / t).toInt
       val hi = (n.toLong * (ti + 1) / t).toInt
-      new Thread(() => body(lo, hi))
+      new Thread(() =>
+        try body(lo, hi)
+        catch { case e: Throwable => failure.compareAndSet(null, e) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    if (failure.get != null) throw failure.get
   }
 
   /** Seeded k-means++ init + Lloyd's iterations over an in-memory

@@ -48,6 +48,33 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), s"unexpected SortAggregate:\n$plan")
   }
 
+  test("latestPerKeyPacked range guard: out-of-range, negative, and null encodes raise") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, java.lang.Long)], bits: Int): Unit =
+      Cdc.latestPerKeyPacked(
+        rows.toDF("k", "v"), "k",
+        Seq(Cdc.PackedField("v", bits, c => c, v => v))
+      ).collect()
+    // the raise may be wrapped in SparkException layers — search the chain
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => s"${e.getMessage}").mkString(" | ")
+    // in-range: fine
+    run(Seq((1L, 3L), (1L, 5L)), 3)
+    // overflow 2^bits: the r13 path silently truncated modulo 2^bits;
+    // now it must fail loudly
+    val over = intercept[Exception] { run(Seq((1L, 8L)), 3) }
+    assert(msgs(over).contains("out of [0, 2^3)"), s"wrong error: ${msgs(over)}")
+    // negative encode breaks lexicographic packing — must fail
+    val neg = intercept[Exception] { run(Seq((1L, -1L)), 3) }
+    assert(msgs(neg).contains("out of"), s"wrong error: ${msgs(neg)}")
+    // null payload: latestPerKey would still rank the row; the packed
+    // path's documented contract is to raise instead of silently drop
+    val nul = intercept[Exception] {
+      run(Seq((1L, null.asInstanceOf[java.lang.Long])), 3)
+    }
+    assert(msgs(nul).contains("or null"), s"wrong error: ${msgs(nul)}")
+  }
+
   test("mergeApply implements reference MERGE semantics (I/U/D)") {
     import spark.implicits._
     val latest = Seq(

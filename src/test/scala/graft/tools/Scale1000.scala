@@ -30,10 +30,17 @@ object Scale1000 {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1000x")
+    // SPARK_GRAFT_SHUFFLE decouples partition COUNT from thread count:
+    // the r13 verdict's partition-sizing spill claim (per-partition
+    // hash-map/sort pressure at 32 partitions, not plan shape) is
+    // proven by rerunning the heavy rows at 128/256 partitions on the
+    // same 32 threads — a production cluster's thousands of reduce
+    // partitions, emulated on one box.
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
-              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+              sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+                sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -54,12 +54,19 @@ object StreamBench {
       System.gc(); Thread.sleep(500)
       val ckpt = s"$work/ckpt-$label"
       val t0 = System.nanoTime()
-      val q = start(ckpt)
-      try q.awaitTermination(3600000)
+      // start() inside the try: an analysis error / bad seed build must
+      // not abort the whole run and skip the remaining benchmarks. Any
+      // caught failure lands in the emitted row as "err" so a partial
+      // run can't masquerade as a clean one in STREAMBENCH.json.
+      var q: StreamingQuery = null
+      var err: Option[String] = None
+      try { q = start(ckpt); q.awaitTermination(3600000) }
       catch { case t: Throwable =>
+        err = Some(t.toString.replaceAll("[\"\\\\\n\r]", " ").take(300))
         System.err.println(s"STREAM FAIL $label: $t") }
       val wall = (System.nanoTime() - t0) / 1e9
-      val ps = q.recentProgress.filter(_.numInputRows > 0)
+      val ps = if (q == null) Array.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+               else q.recentProgress.filter(_.numInputRows > 0)
       val rows = ps.map(_.numInputRows).sum
       val trigMs = ps.map(_.durationMs.getOrDefault("triggerExecution", 0L)
         .longValue()).toSeq
@@ -72,7 +79,8 @@ object StreamBench {
         f""""batch_ms_max":${if (trigMs.isEmpty) 0L else trigMs.max},""" +
         f""""batch_ms_mean":${if (trigMs.isEmpty) 0L else trigMs.sum / trigMs.length},""" +
         f""""state_rows_max":${if (stateRows.isEmpty) 0L else stateRows.max},""" +
-        f""""state_bytes_max":${if (stateBytes.isEmpty) 0L else stateBytes.max}}"""
+        f""""state_bytes_max":${if (stateBytes.isEmpty) 0L else stateBytes.max}""" +
+        err.map(e => s""","err":"$e"""").getOrElse("") + "}"
       println("STREAMBENCH " + line)
       out.append(line).append('\n')
       Blocks.freeAll(spark)
