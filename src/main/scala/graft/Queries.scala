@@ -187,7 +187,6 @@ object Queries {
     * bit-identical to the max_by form (CdcSpec pins it); out-of-range
     * or null encodes now raise at runtime (r14 guard). */
   def cdcLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.GraftFunctions.{doubleBits, bitsDouble}
     Cdc.latestPerKeyPacked(changes(spark, dir), "order_key", Seq(
       // the feed's timestamp is NTZ (parquet); the NTZ⇄LTZ casts are
       // exact monotone inverses under the engine's pinned DST-free
@@ -197,7 +196,7 @@ object Queries {
         v => timestamp_micros(v).cast("timestamp_ntz")),
       Cdc.PackedField("line_no", 4,
         c => c.cast("long"), v => v.cast("int")),
-      Cdc.PackedField("new_price", 63, doubleBits, bitsDouble),
+      Cdc.doubleField("new_price"), // NaN-loud; see PackedEncodingSpec
       Cdc.PackedField("op", 2,
         c => when(c === "D", 0L).when(c === "I", 1L).otherwise(2L),
         v => element_at(array(lit("D"), lit("I"), lit("U")),
@@ -6176,6 +6175,49 @@ object Queries {
       |      FROM g)
       |SELECT DISTINCT doc_id, fp FROM m WHERE i <= ng - 3""".stripMargin
 
+  /** Winnow with the PRODUCTION xxhash64 digest (#55): same grams,
+    * same deque, digest swapped off the md5 wall (~2B MessageDigest
+    * calls at 1000× — SCALE1000.md r13). Rows-gated; its deque core is
+    * hash-gated through `winnow_fingerprint` (md5 twin) and
+    * `winnow_xx_sound` (planted digest stream). */
+  def winnowXxFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Corpus.winnowXx(Tables.documents(spark, dir), "doc_id", "text", k = 8, w = 4)
+
+  /** Planted-stream winnow sound twin (#55, the simhash pattern): a
+    * digest stream computable in BOTH engines — hᵢ = (doc_id·37 +
+    * i·101) mod 1000 over i ∈ [1, 16 + doc_id mod 9] — runs through
+    * the ENGINE's deque ([[graft.functions.GraftFunctions
+    * .winnowFromHashes]], the exact core `winnow_xx` shares) while
+    * DuckDB recomputes window minima + DISTINCT in SQL: hash-exact on
+    * everything but the digest function itself, which is Spark's own
+    * XXH64. Stream length varies per doc so the boundary windows
+    * (first/last, short-tail) are exercised, and the mod-1000 range
+    * forces duplicate minima across docs AND windows — the DISTINCT
+    * path is load-bearing, not incidental. */
+  def winnowXxSound(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).where(col("doc_id") < 500)
+      .select(col("doc_id"),
+        (lit(16) + col("doc_id") % 9).cast("int").as("n"))
+    d.select(col("doc_id"),
+        graft.functions.GraftFunctions.winnowFromHashes(
+          transform(sequence(lit(1), col("n")),
+            i => (col("doc_id") * 37 + i.cast("long") * 101) % 1000),
+          4).as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+  }
+
+  private val winnowXxSoundSql =
+    """WITH d AS (SELECT doc_id, 16 + doc_id % 9 AS n
+      |           FROM documents WHERE doc_id < 500),
+      |g AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i FROM d),
+      |h AS (SELECT doc_id, n, i,
+      |      (doc_id * 37 + i * 101) % 1000 AS h FROM g),
+      |m AS (SELECT doc_id, n, i,
+      |      min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |      FROM h)
+      |SELECT DISTINCT doc_id, fp FROM m WHERE i <= n - 3""".stripMargin
+
   /** Containment dedup (#24b): asymmetric doc-inside-doc pairs over
     * the df-capped vocabulary — see [[Dedup.containmentPairs]]. The
     * oracle mirrors the k-rarest probe-token candidate generation
@@ -6928,6 +6970,8 @@ object Queries {
     "ewma_daily_demand"        -> (ewmaDailyDemand _),
     "ewma_daily_demand_tuned"  -> (ewmaDailyDemandTuned _),
     "winnow_fingerprint"       -> (winnowFingerprint _),
+    "winnow_xx"                -> (winnowXxFingerprint _),
+    "winnow_xx_sound"          -> (winnowXxSound _),
     "dedup_containment"        -> (dedupContainment _),
     "dedup_containment_cross"  -> (dedupContainmentCross _)
   )
@@ -7121,6 +7165,7 @@ object Queries {
     "ewma_daily_demand"        -> ewmaDailyDemandSql,
     "ewma_daily_demand_tuned"  -> ewmaDailyDemandTunedSql,
     "winnow_fingerprint"       -> winnowFingerprintSql,
+    "winnow_xx_sound"          -> winnowXxSoundSql,
     "dedup_containment"        -> dedupContainmentSql,
     "dedup_containment_cross"  -> dedupContainmentCrossSql
     // The production-tuned LSH/sketch/multimodal variants

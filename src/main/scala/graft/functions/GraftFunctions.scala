@@ -26,6 +26,8 @@ object GraftFunctions {
   val TermCountsName = "graft_term_counts"
   val RepetitionStatsName = "graft_repetition_stats"
   val WinnowName = "graft_winnow"
+  val WinnowXxName = "graft_winnow_xx"
+  val WinnowFromHashesName = "graft_winnow_from_hashes"
   val DoubleBitsName = "graft_double_bits"
   val BitsDoubleName = "graft_bits_double"
 
@@ -101,6 +103,18 @@ object GraftFunctions {
         graft.functions.expressions.WinnowFingerprints(
           c(0), evalIntConst(WinnowName, "k", c(1)),
           evalIntConst(WinnowName, "w", c(2))) }),
+    (WinnowXxName, classOf[graft.functions.expressions.WinnowXxFingerprints],
+      (c0: Seq[Expression]) => { val c = arity(WinnowXxName,
+          "text, k, w", 3, c0)
+        graft.functions.expressions.WinnowXxFingerprints(
+          c(0), evalIntConst(WinnowXxName, "k", c(1)),
+          evalIntConst(WinnowXxName, "w", c(2))) }),
+    (WinnowFromHashesName,
+      classOf[graft.functions.expressions.WinnowFromHashes],
+      (c0: Seq[Expression]) => { val c = arity(WinnowFromHashesName,
+          "hashes, w", 2, c0)
+        graft.functions.expressions.WinnowFromHashes(
+          c(0), evalIntConst(WinnowFromHashesName, "w", c(1))) }),
     (DoubleBitsName, classOf[graft.functions.expressions.DoubleBits],
       (c0: Seq[Expression]) => { val c = arity(DoubleBitsName, "x", 1, c0)
         graft.functions.expressions.DoubleBits(c(0)) }),
@@ -231,6 +245,22 @@ object GraftFunctions {
   def winnow(text: Column, k: Int, w: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(WinnowName, text, lit(k), lit(w))
+  }
+
+  /** Winnowing fingerprints with the PRODUCTION xxhash64 digest — see
+    * [[graft.functions.expressions.WinnowXxFingerprints]] for the
+    * md5-vs-xx split (md5 = oracle-recomputable gate, xx = the cheap
+    * digest the md5 wall at 1000× motivates). */
+  def winnowXx(text: Column, k: Int, w: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(WinnowXxName, text, lit(k), lit(w))
+  }
+
+  /** Winnow a caller-provided digest stream (planted-parameter sound
+    * twin) — see [[graft.functions.expressions.WinnowFromHashes]]. */
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(WinnowFromHashesName, hashes, lit(w))
   }
 
   /** Let-binding for Column trees: evaluates `c` ONCE per row and

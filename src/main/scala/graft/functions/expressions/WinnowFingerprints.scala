@@ -96,22 +96,50 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   def doWinnow(u: UTF8String): ArrayData = {
     val nChars = u.numChars()
     val grams = nChars - k + 1
-    val windows = grams - w + 1
-    if (windows < 1) return new GenericArrayData(Array.empty[Long])
+    if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
     val hs = new Array[Long](grams)
     var i = 0
     while (i < grams) {
       hs(i) = md5Top60(u.substring(i, i + k).getBytes)
       i += 1
     }
-    // monotonic deque of indices: front is the window minimum;
-    // ties keep the EARLIER index (strict < eviction), which picks the
-    // same digest VALUE the window min picks — equal longs are equal
+    WinnowFingerprints.winnowStream(hs, w)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doWinnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wn", this, classOf[WinnowFingerprints].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $self.doWinnow(${childGen.value});
+         |}
+       """
+    ev.copy(code = code)
+  }
+}
+
+object WinnowFingerprints {
+  /** Winnow a pre-computed digest stream: distinct window minima via
+    * the O(n) monotonic deque — the shared core of all three entry
+    * points (md5, xxhash64, planted hashes). The deque's front is the
+    * window minimum; ties keep the EARLIER index (strict > eviction),
+    * which picks the same digest VALUE the window min picks — equal
+    * longs are equal. */
+  def winnowStream(hs: Array[Long], w: Int): ArrayData = {
+    val grams = hs.length
+    if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
     val deque = new Array[Int](grams)
     var head = 0
     var tail = 0 // exclusive
     val out = new java.util.LinkedHashSet[java.lang.Long]()
-    i = 0
+    var i = 0
     while (i < grams) {
       while (tail > head && hs(deque(tail - 1)) > hs(i)) tail -= 1
       deque(tail) = i; tail += 1
@@ -125,12 +153,128 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     while (it.hasNext) { arr(j) = it.next(); j += 1 }
     new GenericArrayData(arr)
   }
+}
+
+/** [[WinnowFingerprints]] with the PRODUCTION digest: xxhash64 of the
+  * gram's UTF-8 bytes (seed 42, Spark's own `xxhash64` constant)
+  * instead of an md5 prefix. The md5 form exists because DuckDB can
+  * recompute it — the hash-exact oracle — but md5 EVALUATION is the
+  * winnow wall at scale (~2B JCA digest calls, 2,204 task-s at 1000×,
+  * SCALE1000.md r13: the representational long-vs-hex change moved
+  * nothing because the digest dominates). xxhash64 is a few dozen
+  * arithmetic ops per gram, no MessageDigest machinery. A fingerprint
+  * is a dedup-CANDIDATE key — any consistent hash works; collisions
+  * only cost a verify that follows anyway — so the digest swap is
+  * semantics-preserving for the operator's contract. Correctness
+  * split: the deque/distinct core is hash-exactly gated through the
+  * md5 twin (`winnow_fingerprint`) and the planted-stream twin
+  * ([[WinnowFromHashes]], `winnow_xx_sound`); xxhash64 itself is
+  * Spark's tested primitive (XXH64). */
+case class WinnowXxFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_xx expects a string column, got ${child.dataType.simpleString}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowXxFingerprints =
+    copy(child = newChild)
+
+  /** Public so generated code can call it. */
+  def doWinnow(u: UTF8String): ArrayData = {
+    val nChars = u.numChars()
+    val grams = nChars - k + 1
+    if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](grams)
+    var i = 0
+    while (i < grams) {
+      // same gram semantics as the md5 form: UTF-8 bytes of the
+      // CODE-POINT substring [i, i+k) — only the digest differs
+      val s = u.substring(i, i + k)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    WinnowFingerprints.winnowStream(hs, w)
+  }
 
   override def nullSafeEval(input: Any): Any =
     doWinnow(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val self = ctx.addReferenceObj("wn", this, classOf[WinnowFingerprints].getName)
+    val self = ctx.addReferenceObj("wnx", this, classOf[WinnowXxFingerprints].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $self.doWinnow(${childGen.value});
+         |}
+       """
+    ev.copy(code = code)
+  }
+}
+
+/** Winnow a CALLER-PROVIDED digest stream (`array<bigint>` → distinct
+  * window minima): the planted-parameter sound-twin entry point (the
+  * simhash pattern). The engine-specific digest is bypassed, so a
+  * DuckDB oracle can recompute the window-min + distinct semantics
+  * over the same planted stream exactly — this is what hash-gates the
+  * deque core that [[WinnowXxFingerprints]] shares. */
+case class WinnowFromHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  require(w >= 1, s"bad winnow param w=$w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_winnow_from_hashes expects array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFromHashes =
+    copy(child = newChild)
+
+  /** Public so generated code can call it. Null digests are the
+    * caller's contract violation — raise rather than guess an order. */
+  def doWinnow(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_winnow_from_hashes: null digest at position $i")
+      hs(i) = a.getLong(i)
+      i += 1
+    }
+    WinnowFingerprints.winnowStream(hs, w)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doWinnow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("wnh", this, classOf[WinnowFromHashes].getName)
     val childGen = child.genCode(ctx)
     val code =
       code"""

@@ -84,6 +84,22 @@ object Cdc {
                                dec: org.apache.spark.sql.Column =>
                                  org.apache.spark.sql.Column)
 
+  /** [[PackedField]] for a POSITIVE-finite double payload (price,
+    * score): the IEEE bit pattern rides the key order-preserved (see
+    * [[graft.functions.expressions.DoubleBits]]). Negative values and
+    * −0.0 set the sign bit — a negative long encode the range guard
+    * already catches — but NaN's pattern (0x7ff8…) is POSITIVE and
+    * in-range, and would silently rank ABOVE +Infinity; the encode
+    * therefore maps NaN to −1 so the guard raises on it like every
+    * other out-of-domain value (the r14 loud-failure discipline —
+    * PackedEncodingSpec pins negative, −0.0 and NaN). */
+  def doubleField(name: String): PackedField = {
+    import graft.functions.GraftFunctions.{doubleBits, bitsDouble}
+    PackedField(name, 63,
+      c => when(isnan(c), lit(-1L)).otherwise(doubleBits(c)),
+      bitsDouble)
+  }
+
   /** [[latestPerKey]] for change feeds whose ordering SPANS every
     * payload column — which a total-value-order feed always does (the
     * latestPerKey contract already requires every payload column in

@@ -356,4 +356,24 @@ object Corpus {
         explode(graft.functions.GraftFunctions.winnow(
           col(textCol), k, w)).as("fp"))
   }
+
+  /** [[winnow]] with the production xxhash64 digest — the md5 digest
+    * is the winnow CPU wall at 1000× (~2B MessageDigest calls, 2,204
+    * task-s; SCALE1000.md r13 measured the digest, not the
+    * representation, as the cost). Same gram walk, same deque, same
+    * output shape; only the per-gram hash differs, and a winnow
+    * fingerprint is a dedup-candidate key where any consistent hash
+    * serves. Gating: the deque core is hash-exact through the md5
+    * query's DuckDB oracle AND the planted-stream twin
+    * (`winnow_xx_sound` — GraftFunctions.winnowFromHashes); this
+    * production form is rows-gated against those twins. */
+  def winnowXx(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"bad winnow params k=$k w=$w")
+    docs.where(length(col(textCol)) >= k + w - 1)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions.winnowXx(
+          col(textCol), k, w)).as("fp"))
+  }
 }

@@ -102,8 +102,13 @@ object Curate {
                            df: DataFrame): (String, String, Long) = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val path = s"$root/$SegmentsDir/${kind.take(1)}-$token"
-    df.write.mode("errorifexists").parquet(path)
-    val n = spark.read.parquet(path).count()
+    // count via observe on the WRITE's own execution — the r14 form
+    // re-read the just-written segment for the catalog row count, one
+    // extra metadata+data pass per batch segment (verdict r14 item 9)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("errorifexists").parquet(path)
+    val n = obs.get("n").asInstanceOf[Long]
     (kind, path, n)
   }
 

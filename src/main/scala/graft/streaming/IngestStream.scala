@@ -26,21 +26,40 @@ object IngestStream {
 
   /** Prepared schema: id, source, quality, tokens, n_tokens, n_unk.
     * Documents below `minQuality` or with an [UNK] fraction above
-    * `maxUnkFrac` are dropped — the ingest gate. */
+    * `maxUnkFrac` are dropped — the ingest gate.
+    *
+    * Evaluation shape (r14 STREAMBENCH finding 2): the r14 form let
+    * predicate pushdown inline the MaxMatch tokenizer into the gate's
+    * n_tokens and n_unk predicates — the most expensive expression in
+    * the stream evaluated ~3× per row. The fused form computes ONE
+    * (quality, tokens, n_tokens, n_unk) struct per row behind a
+    * Generate barrier — `explode(array(struct))` materializes the
+    * struct before the gate, and neither CollapseProject nor predicate
+    * pushdown rewrites across a generator — with the tokenizer
+    * let-bound inside ([[graft.functions.GraftFunctions.once]], the
+    * DocsStream precedent) so size/unk-count reuse the bound value.
+    * The gate and the output projection then read struct FIELDS of the
+    * materialized row: the tokenizer runs exactly once per document. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
               sourceCol: String, vocab: Seq[String],
               minQuality: Double = 0.3,
               maxUnkFrac: Double = 0.5): DataFrame = {
-    val toks = Wordpiece.tokenizeNative(col(textCol), vocab)
-    val q = TextFunctions.qualityScore(col(textCol))
-    docs.select(col(idCol), col(sourceCol), q.as("quality"),
-                toks.as("tokens"))
-      .withColumn("n_tokens", size(col("tokens")).cast("long"))
-      .withColumn("n_unk",
-        size(filter(col("tokens"), t => t === "[UNK]")).cast("long"))
-      .where(col("quality") >= minQuality &&
-             col("n_tokens") > 0 &&
-             col("n_unk").cast("double") <=
-               col("n_tokens").cast("double") * maxUnkFrac)
+    val prep = graft.functions.GraftFunctions.once(
+      Wordpiece.tokenizeNative(col(textCol), vocab)) { t =>
+      struct(
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        t.as("tokens"),
+        size(t).cast("long").as("n_tokens"),
+        size(filter(t, x => x === "[UNK]")).cast("long").as("n_unk"))
+    }
+    docs.select(col(idCol), col(sourceCol), explode(array(prep)).as("p"))
+      .where(col("p.quality") >= minQuality &&
+             col("p.n_tokens") > 0 &&
+             col("p.n_unk").cast("double") <=
+               col("p.n_tokens").cast("double") * maxUnkFrac)
+      .select(col(idCol), col(sourceCol), col("p.quality").as("quality"),
+              col("p.tokens").as("tokens"),
+              col("p.n_tokens").as("n_tokens"),
+              col("p.n_unk").as("n_unk"))
   }
 }

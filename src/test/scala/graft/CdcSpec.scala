@@ -60,8 +60,10 @@ class CdcSpec extends SparkSpec {
       .takeWhile(_ != null).map(e => s"${e.getMessage}").mkString(" | ")
     // in-range: fine
     run(Seq((1L, 3L), (1L, 5L)), 3)
-    // overflow 2^bits: the r13 path silently truncated modulo 2^bits;
-    // now it must fail loudly
+    // overflow 2^bits: the r13 path let the oversized encode bleed into
+    // HIGHER fields' bit positions, silently corrupting the
+    // lexicographic order (not a clean modulo wrap); now it must fail
+    // loudly
     val over = intercept[Exception] { run(Seq((1L, 8L)), 3) }
     assert(msgs(over).contains("out of [0, 2^3)"), s"wrong error: ${msgs(over)}")
     // negative encode breaks lexicographic packing — must fail

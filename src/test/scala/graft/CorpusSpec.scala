@@ -214,4 +214,59 @@ class CorpusSpec extends SparkSpec {
     // selected fingerprint
     assert(got(1L).intersect(got(2L)).nonEmpty)
   }
+
+  test("winnowXx matches a driver-side xxhash64 reference and keeps the " +
+       "shared-substring guarantee") {
+    val k = 8; val w = 4
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with the lazy dog tail here"),
+      (3L, "short")).toDF("doc_id", "text")
+    val got = Corpus.winnowXx(docs, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // driver-side reference: xxhash64(gram UTF-8 bytes, seed 42) — the
+    // same primitive Spark's xxhash64 function uses
+    def xx(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    }
+    def ref(text: String): Set[Long] = {
+      if (text.length < k + w - 1) Set.empty
+      else {
+        val hs = (0 to text.length - k).map(i => xx(text.substring(i, i + k)))
+        (0 to hs.length - w).map(j => hs.slice(j, j + w).min).toSet
+      }
+    }
+    assert(got.getOrElse(3L, Set.empty) === Set.empty[Long])
+    assert(got(1L) === ref("the quick brown fox jumps over the lazy dog"))
+    assert(got(2L) === ref("a completely different sentence with the lazy dog tail here"))
+    assert(got(1L).intersect(got(2L)).nonEmpty)
+  }
+
+  test("winnowFromHashes: planted streams, boundary windows, null digest") {
+    import graft.functions.GraftFunctions.winnowFromHashes
+    // exactly one window; duplicates collapse; ties pick the value
+    val rows = Seq(
+      (1L, Seq(5L, 3L, 9L, 3L)),        // one window of 4 -> min 3
+      (2L, Seq(7L, 7L, 7L, 7L, 7L)),    // two windows, same min -> {7}
+      (3L, Seq(9L, 8L, 7L)),            // shorter than w -> empty
+      (4L, Seq(4L, 1L, 6L, 2L, 8L)))    // mins: [4,1,6,2]=1, [1,6,2,8]=1 -> {1}
+      .toDF("id", "hs")
+      .select(col("id"), winnowFromHashes(col("hs"), 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L) == Seq(3L))
+    assert(rows(2L) == Seq(7L))
+    assert(rows(3L) == Seq.empty)
+    assert(rows(4L) == Seq(1L))
+    // null digest: contract violation raises (not a silent drop)
+    val e = intercept[Exception] {
+      Seq((1L, Seq[java.lang.Long](1L, null, 3L, 4L))).toDF("id", "hs")
+        .select(winnowFromHashes(col("hs"), 4)).collect()
+    }
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs(e).contains("null digest"), s"got: ${msgs(e)}")
+  }
 }

@@ -570,6 +570,86 @@ object Scale100 {
         .agg(count(lit(1))))
     run("unigram_train")(SparkEntry.queries("unigram_train")(spark, dir))
 
+    // ---- r15 (verdict item 7): Curate.compact + vacuumSegments
+    // economics. 12 micro-batches land 12 corpus + 12 ledger segments
+    // (the steady-state streaming-ingest shape); compact folds them to
+    // 1+1 and vacuumSegments reclaims the orphans. Recorded: ingest
+    // wall, segment count/bytes before/after, a fixed probe's wall
+    // before/after (the read-amplification a consumer actually pays),
+    // probe PARITY (xxhash fold must be identical), vacuum reclaim.
+    if (only.forall(_.contains("curate_compact_economics"))) {
+      def emit(line: String): Unit = {
+        println("SCALE100 " + line); out.append(line).append('\n')
+      }
+      val roots = graft.operators.Curate.tempRoots("graft-compact-100x")
+      val docs100 = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val embs100 = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val nBatches = 12
+      val span = 40000L
+      val tIn0 = System.nanoTime()
+      for (b <- 0 until nBatches) {
+        val lo = b * span
+        graft.operators.Curate.runBatch(spark, roots,
+          docs100.where(col("doc_id") >= lo && col("doc_id") < lo + span),
+          embs100.where(col("vec_id") >= lo && col("vec_id") < lo + span),
+          qualityFloor = 0.3, budgetPerSource = 1000000L)
+      }
+      val ingestSec = (System.nanoTime() - tIn0) / 1e9
+      val hconf = spark.sessionState.newHadoopConf()
+      def segStats(): (Long, Long) = { // (#files, bytes) in _segments
+        val p = new org.apache.hadoop.fs.Path(s"${roots.curation}/_segments")
+        val fs = p.getFileSystem(hconf)
+        val it = fs.listFiles(p, true)
+        var files = 0L; var bytes = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+            files += 1; bytes += st.getLen
+          }
+        }
+        (files, bytes)
+      }
+      def nSegments(): Long = {
+        val v = graft.sources.Manifest.versions(spark, roots.curation).last
+        spark.read.parquet(graft.sources.Manifest
+          .resolvedDataDir(spark, roots.curation, v) + "/catalog").count()
+      }
+      def probe(): (Double, Long, Long) = { // (sec, rows, fold)
+        val t0 = System.nanoTime()
+        val d = graft.operators.Curate.readCorpus(spark, roots)
+        val r = d.select(xxhash64(d.columns.map(col): _*).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)")).head()
+        ((System.nanoTime() - t0) / 1e9, r.getLong(0), r.getLong(1))
+      }
+      val (f0, b0) = segStats()
+      val s0 = nSegments()
+      val (p0sec, p0n, p0h) = probe()
+      val tC0 = System.nanoTime()
+      // retain=1: the compaction commit is the only live version, so
+      // vacuumSegments below can show the reclaim
+      graft.operators.Curate.compact(spark, roots, nFiles = 4, retain = 1)
+      val compactSec = (System.nanoTime() - tC0) / 1e9
+      val s1 = nSegments()
+      val (p1sec, p1n, p1h) = probe()
+      val tV0 = System.nanoTime()
+      val removed = graft.operators.Curate.vacuumSegments(spark, roots)
+      val vacuumSec = (System.nanoTime() - tV0) / 1e9
+      val (f2, b2) = segStats()
+      val (p2sec, p2n, p2h) = probe()
+      emit(f"""{"query":"curate_compact_economics","batches":$nBatches,""" +
+        f""""ingest_sec":$ingestSec%.2f,"compact_sec":$compactSec%.2f,""" +
+        f""""vacuum_sec":$vacuumSec%.2f,"segments_before":$s0,""" +
+        f""""segments_after":$s1,"files_before":$f0,"bytes_before":$b0,""" +
+        f""""files_after_vacuum":$f2,"bytes_after_vacuum":$b2,""" +
+        f""""removed_segments":${removed.size},""" +
+        f""""probe_before_sec":$p0sec%.2f,"probe_after_sec":$p1sec%.2f,""" +
+        f""""probe_after_vacuum_sec":$p2sec%.2f,""" +
+        f""""parity":${p0n == p1n && p1n == p2n && p0h == p1h && p1h == p2h},""" +
+        f""""rows":$p0n}""")
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), out.toString)
     }

@@ -195,6 +195,11 @@ object Scale1000 {
     // gram-md5 HOFs
     runDf("winnow_fingerprint_5m")(
       SparkEntry.queries("winnow_fingerprint")(spark, dir))
+    // the production xxhash64 digest next to the md5 oracle form — the
+    // r14 verdict item 6 A/B (md5 EVALUATION is the winnow wall:
+    // ~2B digest calls, 2,204 task-s at this tier)
+    runDf("winnow_xx_5m")(
+      SparkEntry.queries("winnow_xx")(spark, dir))
 
     // ---- family 9: segment-level corpus dedup (global boilerplate
     // excision + per-doc reassembly) and the IVF-PQ ANN artifact at 2M

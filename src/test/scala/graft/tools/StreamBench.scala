@@ -62,7 +62,10 @@ object StreamBench {
       var err: Option[String] = None
       try { q = start(ckpt); q.awaitTermination(3600000) }
       catch { case t: Throwable =>
-        err = Some(t.toString.replaceAll("[\"\\\\\n\r]", " ").take(300))
+        // strip ALL control chars (tab, NUL, ... — Spark messages can
+        // carry them), not just CR/LF: one unescaped control char makes
+        // the emitted row invalid JSON
+        err = Some(t.toString.replaceAll("[\\p{Cntrl}\"\\\\]", " ").take(300))
         System.err.println(s"STREAM FAIL $label: $t") }
       val wall = (System.nanoTime() - t0) / 1e9
       val ps = if (q == null) Array.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
@@ -199,6 +202,15 @@ object StreamBench {
     noopRun("stream_docs_neardup")(_ =>
       DocsStream.nearDupPairs(spark, docsFeed.drop("source"),
         horizonMinutes = 25).toDF())
+    // r15 (verdict item 8): the LONG-horizon regime. 360 event-minutes
+    // exceeds the feed's whole span, so NOTHING expires — every doc's
+    // signature stays resident and state_rows/bytes_max measure the
+    // worst-case growth a 6-hour dedup horizon implies. The measured
+    // bytes/doc feeds the batch-ledger crossover rule in the
+    // DocsStream scaladoc.
+    noopRun("stream_docs_neardup_6h")(_ =>
+      DocsStream.nearDupPairs(spark, docsFeed.drop("source"),
+        horizonMinutes = 360).toDF())
     lazy val needleTbl = ContainStream.needleTable(
       Tables.documents(spark, dir).where(col("doc_id") < 200)
         .select(col("doc_id"), col("text")),
