@@ -189,19 +189,41 @@ case class WinnowXxFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowXxFingerprints =
     copy(child = newChild)
 
-  /** Public so generated code can call it. */
+  /** Public so generated code can call it.
+    *
+    * Gram semantics are identical to the md5 form — the UTF-8 bytes of
+    * the CODE-POINT substring [i, i+k) — but computed WITHOUT the
+    * per-gram `UTF8String.substring` the md5 path pays: the first
+    * xx cut measured only 1.24× (1,937 → 1,560 task-s at 1000×)
+    * because each substring call re-walks code points from the string
+    * head and allocates, and THAT — not the digest — had become the
+    * wall. One boundary-offset pass per string (the same
+    * numBytesForFirstByte walk numChars/substring use, so the byte
+    * ranges are identical by construction) lets every gram hash
+    * straight off the base buffer, zero-copy. */
   def doWinnow(u: UTF8String): ArrayData = {
     val nChars = u.numChars()
     val grams = nChars - k + 1
     if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
+    val base = u.getBaseObject
+    val start = u.getBaseOffset
+    val nBytes = u.numBytes()
+    // byte offset of each code-point boundary, one linear pass
+    val offs = new Array[Int](nChars + 1)
+    var b = 0
+    var c = 0
+    while (b < nBytes && c < nChars) {
+      offs(c) = b
+      b += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, start + b))
+      c += 1
+    }
+    offs(c) = nBytes
     val hs = new Array[Long](grams)
     var i = 0
     while (i < grams) {
-      // same gram semantics as the md5 form: UTF-8 bytes of the
-      // CODE-POINT substring [i, i+k) — only the digest differs
-      val s = u.substring(i, i + k)
-      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        base, start + offs(i), offs(i + k) - offs(i), 42L)
       i += 1
     }
     WinnowFingerprints.winnowStream(hs, w)

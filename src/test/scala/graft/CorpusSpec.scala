@@ -243,6 +243,16 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L) === ref("the quick brown fox jumps over the lazy dog"))
     assert(got(2L) === ref("a completely different sentence with the lazy dog tail here"))
     assert(got(1L).intersect(got(2L)).nonEmpty)
+    // multi-byte code points: the zero-copy boundary-offset walk must
+    // slice the same UTF-8 byte ranges substring() would (grams are
+    // CODE-POINT windows; é=2 bytes, 日=3, 🦊=4-byte surrogate pair...
+    // which String.substring splits differently — use BMP chars only
+    // so the driver-side reference's substring(i, i+k) stays aligned)
+    val uni = "héllo wörld 日本語のテキスト abc"
+    val gotU = Corpus.winnowXx(Seq((9L, uni)).toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(gotU === ref(uni), "multi-byte gram slicing diverged")
   }
 
   test("winnowFromHashes: planted streams, boundary windows, null digest") {
