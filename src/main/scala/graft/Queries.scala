@@ -653,7 +653,7 @@ object Queries {
   def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dense = Similarity.bruteForceTopK(
-        emb.where(col("vec_id") === 0), emb, 20)
+        emb.where(col("vec_id") === 0).limit(1), emb, 20)
       .select(col("neighbor_id").as("doc_id"), col("rk"))
     val lexical = bm25Search(spark, dir).select(col("doc_id"), col("rk"))
     Similarity.rrfFuse(Seq(lexical, dense), "doc_id", "rk",
@@ -969,7 +969,7 @@ object Queries {
 
   def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, 5)
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -989,7 +989,7 @@ object Queries {
     * items per anchor — see [[Similarity.hardNegatives]]. */
   def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.hardNegatives(emb.where(col("vec_id") < 10), emb,
+    Similarity.hardNegatives(emb.where(col("vec_id") < 10).limit(10), emb,
                              "label", k = 8)
   }
 
@@ -1006,12 +1006,12 @@ object Queries {
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5)
+    Similarity.lshTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5)
   }
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10), emb, 5)
+    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5)
   }
 
   // -------------------------- LSH-family driver gates (soundness+completeness)
@@ -1133,7 +1133,7 @@ object Queries {
     * same exhaustive ranking as ann_bruteforce_topk. */
   def annIvfFull(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10), emb, 5,
+    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5,
       cells = 16, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1152,7 +1152,7 @@ object Queries {
     * centroid ranking would score: 0.25 and 0.60. */
   def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.where(col("vec_id") < 20)
+    val queries = emb.where(col("vec_id") < 20).limit(20)
     val k = 10
     val bf = Similarity.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1188,7 +1188,7 @@ object Queries {
     * Oracle = the same exhaustive ranking as ann_bruteforce_topk. */
   def annPqFull(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.pqTopK(spark, emb.where(col("vec_id") < 10), emb, 5,
+    Similarity.pqTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5,
       cells = 16, nprobe = 16, rerank = Int.MaxValue)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1207,7 +1207,7 @@ object Queries {
     * score: 0.15 and 0.30. */
   def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.where(col("vec_id") < 20)
+    val queries = emb.where(col("vec_id") < 20).limit(20)
     val k = 10
     val bf = Similarity.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1244,7 +1244,7 @@ object Queries {
       .createTempDirectory("graft-ann-index").toString + "/idx"
     graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16)
     graft.sources.AnnIndex
-      .probe(spark, root, emb.where(col("vec_id") < 10), k = 5, nprobe = 16)
+      .probe(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -1263,7 +1263,7 @@ object Queries {
     graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16,
       pqSubspaces = 8, pqCodes = 16)
     graft.sources.AnnIndex
-      .probePq(spark, root, emb.where(col("vec_id") < 10), k = 5,
+      .probePq(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5,
         nprobe = 16, rerank = Int.MaxValue)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1286,7 +1286,7 @@ object Queries {
     graft.sources.AnnIndex.append(spark, root,
       emb.where(col("vec_id") % 2 === 1))
     graft.sources.AnnIndex
-      .probe(spark, root, emb.where(col("vec_id") < 10), k = 5, nprobe = 16)
+      .probe(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -1334,7 +1334,7 @@ object Queries {
     * bucketed search must return the exact brute-force top-k here. */
   def annLshSound(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb.where(col("vec_id") < 10), emb, 5,
+    Similarity.lshTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5,
       bands = 32, rows = 2)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1512,7 +1512,7 @@ object Queries {
     * word SETS (not hashes) are computable in both engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .where(col("doc_id") < 50)
+      .where(col("doc_id") < 50).limit(50) // declared in-plan bound
       .select(col("doc_id"),
         array_distinct(split(TextFunctions.normalize(col("text")), " ")).as("toks"))
     toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -1535,7 +1535,12 @@ object Queries {
   /** Pivot long→wide — the inverse of the reference's melt (README
     * L229): material rows back to one column per material. */
   def pivotMaterial(spark: SparkSession, dir: String): DataFrame =
-    pipelineMaterialDemand(spark, dir)
+    // unsorted pipeline: the pivot re-aggregates, so the flagship's
+    // output ORDER BY would be a full range exchange thrown away by
+    // the next hash exchange — wasted work at any scale
+    MaterialDemand.productToMaterial(productDemand(spark, dir),
+        sorted = false)
+      .withColumn("demand_kg", col("demand_kg").cast("double"))
       .groupBy(col("date"), col("shop_id"))
       .pivot("raw_material",
         Seq("local_arabica", "foreign_arabica", "robusta"))
@@ -2989,6 +2994,7 @@ object Queries {
     val days = spark.sql(
       """SELECT explode(sequence(DATE'1996-01-01', DATE'1996-01-31',
         |                        INTERVAL 1 DAY)) AS day""".stripMargin)
+      .limit(31) // 31 literal dates - declared so the cross join classifies bounded
     // shops from the (column-pruned) filtered scan, not from the
     // aggregated frame — the latter would run the groupBy twice
     val grid = filtered.select(col("l_suppkey").as("shop_id")).distinct()
@@ -3028,7 +3034,7 @@ object Queries {
     * exactly like the minhash→jaccard verify split. */
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.supplier(spark, dir)
-      .where(col("s_suppkey") < 100)
+      .where(col("s_suppkey") < 100).limit(100) // declared in-plan bound
       .select(col("s_suppkey"), col("s_name"))
     s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
       .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
@@ -4790,17 +4796,20 @@ object Queries {
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Seq(4, 8, 16)
     val counts = Bpe.wordCounts(Tables.documents(spark, dir), "text")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("word"))
-    val ranked = counts
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum", sum(col("n")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)))
+    // rank by (n DESC, word) without a one-task global window: the
+    // vocabulary is corpus-sized (billions of grams at 100 TB), so the
+    // cumsum goes through the bucketed machinery. Counts are
+    // heavy-tailed — a LOG bucket (-floor(log2 n)) is monotone in the
+    // rank order and ≤ 64 distinct values for ANY long count, so the
+    // declared bucket bound holds by type, not by data.
+    val ranked = Relational.bucketedGlobalCumsum(
+      counts.withColumn("negn", -col("n")),
+      valueCol = "negn", tieCol = "word", sumCol = "n",
+      bucketCol = -floor(log2(col("n"))), maxBuckets = 128)
     val total = counts.agg(sum(col("n")).as("total"))
-    ranked.where(col("rk").isin(sizes.map(Integer.valueOf): _*))
+    ranked.where(col("r").isin(sizes.map(Integer.valueOf): _*))
       .crossJoin(broadcast(total))
-      .select(col("rk").as("vocab_size"),
+      .select(col("r").cast("int").as("vocab_size"),
         col("cum").as("mass_covered"), col("total").as("mass_total"),
         (col("cum").cast("double") / col("total").cast("double"))
           .as("coverage"))
@@ -5055,7 +5064,11 @@ object Queries {
       .agg(hll_sketch_agg(col("word")).as("sk"))
     val d = raw.distinct()
     val nd = d.groupBy(col("source")).agg(count(lit(1)).as("nd"))
-    val per = sk.join(nd, "source").localCheckpoint(true) // sources-sized
+    // sources-sized, but the checkpoint hides that from the plan: the
+    // declared bound makes the all-pairs grid classify bounded and
+    // raises loudly if a corpus ever carries > 1024 sources
+    val per = graft.plans.Bounds.declare(
+      sk.join(nd, "source").localCheckpoint(true), 1024, "source grid")
     val shared = d.as("x").join(d.as("y"),
         col("x.word") === col("y.word") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))

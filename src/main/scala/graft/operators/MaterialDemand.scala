@@ -42,9 +42,15 @@ object MaterialDemand {
   /** product-demand rows (date, shop_id, product_name, demand) →
     * long-format material demand (date, shop_id, raw_material,
     * demand_kg), sorted like the reference's ORDER BY.
+    *
+    * `sorted = false` skips the output ORDER BY — for callers that
+    * AGGREGATE the result further (e.g. the pivot inverse), where a
+    * sort between two shuffles is pure wasted work at any scale (the
+    * range exchange's ordering dies at the next hash exchange).
     */
   def productToMaterial(productDemand: DataFrame,
-                        recipe: Map[String, Map[String, Int]] = defaultRecipe)
+                        recipe: Map[String, Map[String, Int]] = defaultRecipe,
+                        sorted: Boolean = true)
       : DataFrame = {
     val materials = recipe.keys.toSeq.sorted
     val derived = productDemand.select(
@@ -58,12 +64,13 @@ object MaterialDemand {
     val agged = derived
       .groupBy(col("date"), col("shop_id"))
       .agg(aggs.head, aggs.tail: _*)
-    agged
+    val long = agged
       .unpivot(Array(col("date"), col("shop_id")),
                materials.map(col).toArray, "raw_material", "demand_g")
       .withColumn("demand_kg",
         (col("demand_g") / 1000).cast("decimal(24,8)"))
       .drop("demand_g")
-      .orderBy(col("date"), col("shop_id"), col("raw_material"))
+    if (sorted) long.orderBy(col("date"), col("shop_id"), col("raw_material"))
+    else long
   }
 }

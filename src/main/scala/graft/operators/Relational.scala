@@ -31,14 +31,22 @@ object Relational {
     * naive global window bit-for-bit (RelationalSpec proves it on the
     * Gini path) while every window stays bucket-parallel. Appends
     * column `r` (1-based rank). `bucketWidth` only balances
-    * parallelism — correctness never depends on it. */
+    * parallelism — correctness never depends on it, but
+    * `range / bucketWidth` must stay ≤ `maxBuckets` (the offset
+    * cumsum's declared bound, [[graft.plans.Bounds.declare]]): the
+    * bucket table is value-RANGE-sized, not data-sized, so the bound
+    * is a domain contract — violating it raises loudly with this
+    * message rather than queuing range/width one-task rows. */
   private[graft] def bucketedGlobalRank(df: org.apache.spark.sql.DataFrame,
                                         valueCol: String, tieCol: String,
-                                        bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+                                        bucketWidth: Long,
+                                        maxBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = df.withColumn("__bkt",
       floor(col(valueCol) / bucketWidth).cast("long"))
-    val offs = b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"))
+    val offs = graft.plans.Bounds.declare(
+        b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c")),
+        maxBuckets, s"bucketedGlobalRank($valueCol) bucket table - raise bucketWidth")
       .withColumn("__off",
         coalesce(sum(col("__c")).over(
           Window.orderBy(col("__bkt"))
@@ -49,6 +57,53 @@ object Relational {
         row_number().over(Window.partitionBy(col("__bkt"))
           .orderBy(col(valueCol), col(tieCol))) + col("__off"))
       .drop("__bkt")
+  }
+
+  /** [[bucketedGlobalRank]] plus an exact global RUNNING SUM of
+    * `sumCol` in the same (value, tie) order — rank machinery reused:
+    * per-bucket counts AND sums fold into broadcast offsets, the
+    * within-bucket window carries both row_number and a running sum.
+    * Appends `r` (1-based global rank) and `cum` (inclusive running
+    * sum of `sumCol` — exact when `sumCol` is integral or decimal).
+    * The one-task pattern this replaces (a naked
+    * `sum over (ORDER BY ... ROWS UNBOUNDED PRECEDING)`) queues the
+    * ENTIRE input on one task; here every window is bucket-parallel
+    * and only the bucket-table cumsum is single-task.
+    *
+    * `bucketCol` must be a MONOTONE NON-DECREASING function of the
+    * (valueCol, tieCol) order with ≤ maxBuckets distinct values —
+    * fixed-width `floor(value/width)` for range-bounded values, a
+    * log-scale `-floor(log2(n))` for heavy-tailed counts (≤ 64 buckets
+    * for ANY long, so the bound holds by TYPE, not by data). Equality
+    * with the naive one-task window is pinned in RelationalSpec. */
+  private[graft] def bucketedGlobalCumsum(df: org.apache.spark.sql.DataFrame,
+                                          valueCol: String, tieCol: String,
+                                          sumCol: String,
+                                          bucketCol: org.apache.spark.sql.Column,
+                                          maxBuckets: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("__bkt", bucketCol.cast("long"))
+    val offs = graft.plans.Bounds.declare(
+        b.groupBy(col("__bkt")).agg(count(lit(1)).as("__c"),
+                                    sum(col(sumCol)).as("__s")),
+        maxBuckets, s"bucketedGlobalCumsum($valueCol) bucket table - raise bucketWidth")
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__soff",
+        coalesce(sum(col("__s")).over(
+          Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bkt"), col("__off"), col("__soff"))
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col(valueCol), col(tieCol))
+    b.join(broadcast(offs), "__bkt")
+      .withColumn("r", row_number().over(w) + col("__off"))
+      .withColumn("cum",
+        sum(col(sumCol)).over(w.rowsBetween(Window.unboundedPreceding, 0)) +
+          col("__soff"))
+      .drop("__bkt", "__off", "__soff")
   }
 
   /** Dense 0-based rank by an orderable (string) key WITHOUT a global

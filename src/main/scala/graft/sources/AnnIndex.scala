@@ -294,11 +294,16 @@ object AnnIndex {
   private def rankProbes(spark: SparkSession, dataDir: String,
                          queries: DataFrame, idCol: String, vecCol: String,
                          nprobe: Int): (DataFrame, Seq[Long]) = {
-    val centroidDf = broadcast(spark.read.parquet(centroidsPath(dataDir)))
+    // broadcast the QUERY side of the centroid ranking, not the
+    // centroid scan: the probe set is the contractually-small side
+    // (callers declare its bound in-plan), while cells ≈ √n can reach
+    // tens of thousands on a production index — streaming centroids
+    // against a broadcast probe set is the shape that survives that
+    val centroidDf = spark.read.parquet(centroidsPath(dataDir))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("centroid_cos").desc, col("cell"))
     val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")))
         .crossJoin(centroidDf)
         .withColumn("centroid_cos", Dedup.cosine(col("qvec"), col("centroid")))
         .withColumn("prk", row_number().over(probeW))

@@ -11,33 +11,72 @@ class PlanLintSpec extends SparkSpec {
   private def kinds(df: org.apache.spark.sql.DataFrame): Set[String] =
     PlanLint.lint(df).map(_.kind).toSet
 
-  test("flags a cartesian product (and the broadcast-NL form of a small cross)") {
+  test("flags a cartesian product; a provably-tiny cross is classified bounded") {
     val a = (1 to 10).toDF("x")
     val b = (1 to 10).toDF("y")
-    // small cross joins plan as broadcast nested loop — also flagged
-    assert((kinds(a.crossJoin(b)) intersect
-      Set("cartesian_product", "nested_loop_join")).nonEmpty)
-    // the true shuffle-replicate cartesian
+    // a 10x10 literal cross joins as broadcast nested loop with a
+    // provable 10-row build side — informational, not a scale finding
+    val crossed = kinds(a.crossJoin(b))
+    assert(crossed.contains("nested_loop_join_bounded"))
+    assert(!crossed.contains("nested_loop_join"))
+    // the true shuffle-replicate cartesian is always flagged
     val cart = a.hint("shuffle_replicate_nl").crossJoin(b)
     assert(kinds(cart).contains("cartesian_product"))
   }
 
-  test("flags a broadcast nested loop join (non-equi condition)") {
-    val a = (1 to 100).toDF("x")
-    val b = (1 to 100).toDF("y")
-    val theta = a.join(broadcast(b), col("x") < col("y"))
-    assert(kinds(theta).contains("nested_loop_join"))
+  test("flags a broadcast nested loop join only when the build side is unprovable/big") {
+    // literal build side ABOVE BoundedRows: structure proves 5000 rows,
+    // which is past the threshold - flagged
+    val big = spark.range(100000).toDF("x")
+    val over = (1 to 5000).toDF("y")
+    assert(kinds(big.join(broadcast(over), col("x") < col("y")))
+      .contains("nested_loop_join"))
+    // scalar build side (grouping-free aggregate = provably 1 row):
+    // the idiomatic attach-a-global-total pattern - bounded
+    val scalar = big.agg(max(col("x")).as("mx"))
+    val attached = kinds(big.crossJoin(broadcast(scalar)))
+    assert(attached.contains("nested_loop_join_bounded"))
+    assert(!attached.contains("nested_loop_join"))
+    // file-scan build side: row count unprovable from structure - flagged
+    val scan = Tables.nation(spark, sfDir)
+    assert(kinds(big.join(broadcast(scan), col("x") < col("n_nationkey")))
+      .contains("nested_loop_join"))
   }
 
-  test("flags a global window, accepts a partitioned one") {
+  test("flags a global window, accepts partitioned and provably-bounded ones") {
     import org.apache.spark.sql.expressions.Window
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "g")
-    val global = df.withColumn("rn",
-      row_number().over(Window.orderBy(col("id"))))
+    // UNPROVABLE input size (file scan): global window flagged
+    val scan = Tables.orders(spark, sfDir)
+    val global = scan.withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey"))))
     assert(kinds(global).contains("global_window"))
-    val partitioned = df.withColumn("rn",
-      row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))))
+    val partitioned = scan.withColumn("rn",
+      row_number().over(Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))))
     assert(!kinds(partitioned).contains("global_window"))
+    // provably bounded input (explicit limit): single-task is free
+    val boundedK = kinds(scan.limit(100).withColumn("rn",
+      row_number().over(Window.orderBy(col("o_orderkey")))))
+    assert(boundedK.contains("global_window_bounded"))
+    assert(!boundedK.contains("global_window"))
+  }
+
+  test("global sort: flagged mid-plan, classified as output contract at root") {
+    val li = Tables.lineitem(spark, sfDir)
+    // ORDER BY as the LAST op = presentation contract (range sort)
+    val atRoot = kinds(li.select(col("l_orderkey"), col("l_quantity"))
+      .orderBy(col("l_quantity")))
+    assert(atRoot.contains("global_sort_output") &&
+           !atRoot.contains("global_sort"))
+    // the same sort feeding MORE computation is wasted work - flagged.
+    // (sort -> groupBy would be optimized away; a sort under a later
+    // JOIN survives into the plan)
+    val mid = li.orderBy(col("l_quantity"))
+      .withColumn("rn", monotonically_increasing_id())
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+    val midK = kinds(mid)
+    assert(midK.contains("global_sort"), s"expected mid-plan flag, got $midK")
   }
 
   test("counts shuffles; an aggregation costs exactly one exchange") {
@@ -49,13 +88,17 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("requireClean throws on dirty plans, passes clean ones") {
-    val a = (1 to 5).toDF("x")
+    // unprovable-size sides (file scans) cross-joined: genuinely dirty
     val e = intercept[IllegalStateException](
-      PlanLint.requireClean(a.crossJoin((1 to 5).toDF("y"))))
+      PlanLint.requireClean(Tables.orders(spark, sfDir)
+        .crossJoin(broadcast(Tables.nation(spark, sfDir)))))
     assert(e.getMessage.contains("cartesian_product") ||
            e.getMessage.contains("nested_loop_join"))
     PlanLint.requireClean( // must not throw
       Tables.orders(spark, sfDir).groupBy("o_orderstatus").count())
+    PlanLint.requireClean( // bounded scalar attach must not throw either
+      Tables.orders(spark, sfDir).crossJoin(
+        Tables.orders(spark, sfDir).agg(max("o_totalprice").as("mx"))))
   }
 
   test("the engine's own flagship passes the hard gate") {

@@ -233,4 +233,29 @@ class RelationalSpec extends SparkSpec {
     assert(top10 > 0.1 && top10 < 1.0) // top decile holds > its pro-rata
     assert(bot50 < 0.5 && bot50 > 0.0)
   }
+
+  test("bucketedGlobalCumsum matches the one-task window, incl. log buckets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // heavy-tailed counts with ties — the vocab_coverage shape
+    val counts = (1 to 400).map(i =>
+      (s"w$i", math.max(1L, (100000.0 / i / i).toLong))).toDF("word", "n")
+    val got = graft.operators.Relational.bucketedGlobalCumsum(
+        counts.withColumn("negn", -col("n")),
+        valueCol = "negn", tieCol = "word", sumCol = "n",
+        bucketCol = -floor(log2(col("n"))), maxBuckets = 128)
+      .select(col("word"), col("r"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("r"),
+                           r.getAs[Long]("cum"))).sortBy(_._1)
+    val w = Window.orderBy(col("n").desc, col("word"))
+    val ref = counts
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("word"), col("r"), col("cum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === ref.toSeq)
+  }
 }

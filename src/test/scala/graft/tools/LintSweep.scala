@@ -33,16 +33,25 @@ object LintSweep {
     val bad = Set("cartesian_product", "nested_loop_join", "global_window",
                   "global_sort")
     val interesting = if (executed) bad + "skew_join_split" else bad
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // LINTSWEEP_ONLY=a,b narrows re-runs while triaging findings
+    val onlyQ = sys.env.get("LINTSWEEP_ONLY").map(_.split(",").toSet)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => onlyQ.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
-        val df = fn(spark, sfDir)
-        val fs = (if (executed) graft.plans.PlanLint.lintExecuted(df)
-                  else graft.plans.PlanLint.lint(df))
+        // --executed reconciles BOTH plans (PlanLint.lintFull): the
+        // INITIAL plan is authoritative for structural boundedness
+        // (AQE's stats-based EliminateLimits erases declared bounds
+        // from the final plan), the FINAL plan contributes what
+        // runtime re-planning introduced (skew splits, strategy
+        // conversions into kinds the initial plan never carried).
+        val fs = (if (executed)
+                    graft.plans.PlanLint.lintFull(fn(spark, sfDir))
+                  else graft.plans.PlanLint.lint(fn(spark, sfDir)))
           .filter(f => interesting(f.kind))
         if (fs.nonEmpty)
           println(s"LINT $name: " +
-            fs.map(f => f.kind).groupBy(identity)
-              .map { case (k, v) => s"$k x${v.size}" }.mkString(", "))
+            fs.map(f => s"${f.kind} [${f.detail}]").mkString(", "))
       } catch { case t: Throwable => println(s"LINT $name: ERROR $t") }
       graft.Blocks.freeAll(spark)
     }
