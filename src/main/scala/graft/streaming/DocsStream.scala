@@ -42,6 +42,22 @@ import graft.operators.Dedup
   * stays resident while the flood continues. The copy's pairs to the
   * keeper's other near-dup partners are not emitted — cluster
   * resolution recovers them transitively, see EmbedStream's scaladoc.
+  *
+  * LONG-HORIZON SIZING / batch-ledger crossover (measured, r15
+  * STREAMBENCH at 100×): state holds one row per UNIQUE resident doc
+  * per band — dup arrivals refresh keepers and never join state — at
+  * ~750 B/row, i.e. ~2.9 KB per unique doc at the default 4 bands
+  * (19,108 rows / 14.3 MB over 5k uniques; a 6-hour horizon that
+  * expired NOTHING peaked at exactly the same state as a 25-minute
+  * one on the same uniques, and sustained 11.0k docs/s vs 10.5k).
+  * Rule: resident state ≈ horizon × unique-arrival-rate × 2.9 KB.
+  * At 10k unique docs/s that is ~105 GB per 6-hour horizon — far past
+  * a healthy per-executor state store even sharded 1000 ways at RocksDB
+  * grain. Size the horizon so
+  * `horizon_s × unique_rate × 2.9 KB ≲ executors × 1 GB`; past that
+  * (multi-hour horizons at full-crawl rates), route to the
+  * incremental batch ledger (graft.operators.Dedup #23d), which keeps
+  * the dedup set on disk and the per-batch working set delta-sized.
   */
 object DocsStream extends Serializable {
 

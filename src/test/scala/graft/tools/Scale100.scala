@@ -582,19 +582,31 @@ object Scale100 {
         println("SCALE100 " + line); out.append(line).append('\n')
       }
       val roots = graft.operators.Curate.tempRoots("graft-compact-100x")
+      // ScaleN copies document VALUES verbatim, so undoctored batches
+      // past the first are exact dups the ledger correctly drops to
+      // zero-row segments - salt per doc_id so every batch lands real
+      // corpus+ledger segments and compact has 12+12 to fold
       val docs100 = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" "), col("doc_id")).as("text"))
       val embs100 = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val nBatches = 12
-      val span = 40000L
+      // ScaleN strides each corpus copy by 1e6 ids (copy c holds
+      // [c*1e6, c*1e6+5000) at this tier) - a 4e6 span gives every
+      // batch four copies (~20k salted-unique docs), 240k docs total
+      val span = 4000000L
       val tIn0 = System.nanoTime()
       for (b <- 0 until nBatches) {
         val lo = b * span
         graft.operators.Curate.runBatch(spark, roots,
           docs100.where(col("doc_id") >= lo && col("doc_id") < lo + span),
           embs100.where(col("vec_id") >= lo && col("vec_id") < lo + span),
-          qualityFloor = 0.3, budgetPerSource = 1000000L)
+          // wide-open gates: the POINT is segment-count economics
+          // (12 batches must land 12+12 segments for compact to have
+          // work) - a tight budget exhausts at batch 1 and leaves a
+          // degenerate 2-segment catalog
+          qualityFloor = 0.0, budgetPerSource = 1000000000L)
       }
       val ingestSec = (System.nanoTime() - tIn0) / 1e9
       val hconf = spark.sessionState.newHadoopConf()
