@@ -34,12 +34,20 @@ object Bounds {
       s"declared bound $n outside [1, ${PlanLint.BoundedRows}] - " +
         "bounds above PlanLint.BoundedRows cannot classify as bounded")
     // limit(n+1) keeps one witness row past the bound alive so the
-    // guard can see it; monotonically_increasing_id is evaluated on
-    // the limit's single output partition, so ids are 0..k-1 and
-    // "id >= n" is exactly "this is row n+1". The nondeterministic id
-    // also pins the filter AT this position (Catalyst will not push
-    // or fold it).
-    df.limit(n + 1).where(
+    // guard can see it; the guard needs monotonically_increasing_id
+    // to be 0..k-1, i.e. a SINGLE-partition input. GlobalLimit's
+    // output is single-partition — but the optimizer's
+    // EliminateLimits DELETES limit(n+1) whenever the input's maxRows
+    // is statically provable ≤ n+1 (Range, literal relations), and
+    // then the id is evaluated over the input's natural layout where
+    // every row in partition ≥ 1 carries id ≥ 2^33 > n and the guard
+    // would fire on a HELD declaration. coalesce(1) makes the guard
+    // independent of the limit surviving: a no-op above a surviving
+    // GlobalLimit (already one partition), and it restores contiguous
+    // ids when the limit was elided. The nondeterministic id also
+    // pins the filter AT this position (Catalyst will not push or
+    // fold it past the coalesce).
+    df.limit(n + 1).coalesce(1).where(
       when(monotonically_increasing_id() < n, lit(true))
         .otherwise(raise_error(lit(
           s"declared bound violated: '$what' exceeds $n rows"))))

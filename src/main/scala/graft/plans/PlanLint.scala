@@ -92,11 +92,23 @@ object PlanLint {
     * finding whose kind the initial plan fully classified as bounded
     * is dropped as a stats-elision artifact. Call on a FRESH
     * DataFrame — an already-executed one has lost its initial plan. */
-  def lintFull(df: DataFrame): Seq[Finding] = {
-    val initial = lint(df) // pre-execution: walks AQE's initial plan
-    val executed = lintExecuted(df)
-    // kinds (flagged or informational variants) present in the initial
-    // plan, folded to their base kind
+  def lintFull(df: DataFrame): Seq[Finding] =
+    reconcile(lint(df), lintExecuted(df))
+
+  /** The two-plan merge, exposed for direct spec coverage. An executed
+    * finding is a stats-elision ARTIFACT (drop it) only when the
+    * initial plan actually classified that kind harmless: the finding
+    * is itself an informational variant, the exact flagged kind
+    * already appears initially (no double-report), or the initial
+    * plan proved the base kind BOUNDED and AQE's EliminateLimits
+    * merely erased the proof. `global_sort_output` is NOT a
+    * boundedness proof — it certifies the sort's POSITION (output
+    * contract), which an AQE re-plan can change — so a flagged
+    * executed global_sort is KEPT when the initial plan carried only
+    * the output-contract variant (r15 ADVICE: the old base-kind fold
+    * suppressed those as artifacts). */
+  private[graft] def reconcile(initial: Seq[Finding],
+                               executed: Seq[Finding]): Seq[Finding] = {
     def base(k: String): String = k match {
       case "nested_loop_join_bounded" => "nested_loop_join"
       case "global_window_bounded" => "global_window"
@@ -104,9 +116,19 @@ object PlanLint {
            "global_sort_output" => "global_sort"
       case other => other
     }
-    val inInitial = initial.map(f => base(f.kind)).toSet
+    val informational = Set("nested_loop_join_bounded",
+      "global_window_bounded", "global_sort_bounded", "global_sort_topk",
+      "global_sort_output", "shuffle_count", "broadcast_count")
+    val initialKinds = initial.map(_.kind).toSet
+    val provedBoundedBases = initial.collect {
+      case f if informational.contains(f.kind) &&
+                f.kind != "global_sort_output" => base(f.kind)
+    }.toSet
     initial ++ executed.filter(f =>
-      f.kind == "skew_join_split" || !inInitial.contains(base(f.kind)))
+      f.kind == "skew_join_split" ||
+        (!informational.contains(f.kind) &&
+         !initialKinds.contains(f.kind) &&
+         !provedBoundedBases.contains(base(f.kind))))
   }
 
   /** Hard gate: throw if any finding of the given kinds is present
@@ -166,6 +188,29 @@ object PlanLint {
     def mul(a: Long, b: Long): Long =
       if (a == 0 || b == 0) 0
       else if (a > Long.MaxValue / b) Long.MaxValue else a * b
+    def add(a: Long, b: Long): Long =
+      if (a > Long.MaxValue - b) Long.MaxValue else a + b
+    // Join bounds are joinType-shaped: l*r holds only for inner/cross.
+    // An outer join emits its preserved side's rows even against a
+    // 0-row other side (mul would misprove 0 and let a real
+    // global_window/nested_loop finding downgrade past requireClean);
+    // semi/anti/existence emit ≤ one row per STREAMED-side row, so the
+    // left bound alone suffices — even when the right is unprovable.
+    def joinBound(jt: org.apache.spark.sql.catalyst.plans.JoinType,
+                  left: SparkPlan, right: SparkPlan): Option[Long] = {
+      import org.apache.spark.sql.catalyst.plans._
+      lazy val l = maxRowsOf(left)
+      lazy val r = maxRowsOf(right)
+      jt match {
+        case LeftSemi | LeftAnti | _: ExistenceJoin => l
+        case Inner | Cross => for (a <- l; b <- r) yield mul(a, b)
+        case LeftOuter => for (a <- l; b <- r) yield add(mul(a, b), a)
+        case RightOuter => for (a <- l; b <- r) yield add(mul(a, b), b)
+        case FullOuter =>
+          for (a <- l; b <- r) yield add(add(mul(a, b), a), b)
+        case _ => None // Using/Natural joins never reach physical plans
+      }
+    }
     p match {
       case a: AdaptiveSparkPlanExec => maxRowsOf(a.executedPlan)
       case s: QueryStageExec =>
@@ -195,16 +240,12 @@ object PlanLint {
       case a: HashAggregateExec if a.groupingExpressions.isEmpty => Some(1L)
       case a: SortAggregateExec if a.groupingExpressions.isEmpty => Some(1L)
       case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => Some(1L)
-      case j: BroadcastNestedLoopJoinExec =>
+      case j: BroadcastNestedLoopJoinExec => joinBound(j.joinType, j.left, j.right)
+      case j: CartesianProductExec => // inner-only by construction
         for (l <- maxRowsOf(j.left); r <- maxRowsOf(j.right)) yield mul(l, r)
-      case j: CartesianProductExec =>
-        for (l <- maxRowsOf(j.left); r <- maxRowsOf(j.right)) yield mul(l, r)
-      case j: BroadcastHashJoinExec =>
-        for (l <- maxRowsOf(j.left); r <- maxRowsOf(j.right)) yield mul(l, r)
-      case j: SortMergeJoinExec =>
-        for (l <- maxRowsOf(j.left); r <- maxRowsOf(j.right)) yield mul(l, r)
-      case j: ShuffledHashJoinExec =>
-        for (l <- maxRowsOf(j.left); r <- maxRowsOf(j.right)) yield mul(l, r)
+      case j: BroadcastHashJoinExec => joinBound(j.joinType, j.left, j.right)
+      case j: SortMergeJoinExec => joinBound(j.joinType, j.left, j.right)
+      case j: ShuffledHashJoinExec => joinBound(j.joinType, j.left, j.right)
       case u: UnionExec =>
         val bs = u.children.map(maxRowsOf)
         if (bs.forall(_.isDefined)) Some(bs.flatten.foldLeft(0L)((a, b) =>

@@ -17,6 +17,23 @@ class BoundsSpec extends SparkSpec {
     assert(Bounds.declare(df, 1000, "roomy").count() === 10)
   }
 
+  test("declare holds when EliminateLimits elides the limit (multi-partition range)") {
+    // r15 ADVICE repro: Range's maxRows is statically provable, so the
+    // optimizer DELETES declare's limit(n+1) before physical planning;
+    // without the coalesce(1) the id guard then saw partition-offset
+    // ids (partition >= 1 starts at 2^33 > n) and raised on a HELD
+    // declaration. The guard must be independent of the limit
+    // surviving optimization.
+    val df = spark.range(0, 40, 1, 4).toDF("x")
+    assert(Bounds.declare(df, 64, "forty rows, four partitions")
+      .count() === 40)
+    // the optimized plan really has no GlobalLimit (the repro premise)
+    val declared = Bounds.declare(df, 64, "forty rows, four partitions")
+    assert(!declared.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("globallimit"),
+      "premise: EliminateLimits removes the declared limit here")
+  }
+
   test("declare raises loudly when the declaration lies") {
     val df = (1 to 50).toDF("x")
     val e = intercept[Exception] {

@@ -24,6 +24,58 @@ class PlanLintSpec extends SparkSpec {
     assert(kinds(cart).contains("cartesian_product"))
   }
 
+  test("lintFull reconciliation keeps AQE-introduced flagged kinds behind informational variants") {
+    import graft.plans.PlanLint.{Finding, reconcile}
+    def ks(fs: Seq[Finding]) = fs.map(_.kind)
+    val sortOut = Finding("global_sort_output", "output contract")
+    val sortFlag = Finding("global_sort", "mid-plan sort")
+    val sortBounded = Finding("global_sort_bounded", "tiny input")
+    val skew = Finding("skew_join_split", "runtime split")
+    // initial had only the OUTPUT-CONTRACT variant: a flagged executed
+    // global_sort is genuinely new (AQE re-plan moved it mid-plan) — keep
+    assert(ks(reconcile(Seq(sortOut), Seq(sortFlag)))
+      === Seq("global_sort_output", "global_sort"))
+    // initial PROVED the kind bounded: the executed flag is the
+    // stats-elision artifact (EliminateLimits ate the proof) — drop
+    assert(ks(reconcile(Seq(sortBounded), Seq(sortFlag)))
+      === Seq("global_sort_bounded"))
+    // exact flagged kind already reported initially — no double-report
+    assert(ks(reconcile(Seq(sortFlag), Seq(sortFlag))) === Seq("global_sort"))
+    // skew splits only exist at runtime — always kept
+    assert(ks(reconcile(Seq(sortBounded), Seq(skew)))
+      === Seq("global_sort_bounded", "skew_join_split"))
+    // executed informationals never duplicate (initial is authoritative)
+    assert(ks(reconcile(Seq(Finding("shuffle_count", "3")),
+      Seq(Finding("shuffle_count", "5"), sortBounded)))
+      === Seq("shuffle_count"))
+  }
+
+  test("maxRowsOf join bounds are joinType-shaped (r15 ADVICE)") {
+    def bound(df: org.apache.spark.sql.DataFrame): Option[Long] =
+      PlanLint.maxRowsOf(df.queryExecution.executedPlan)
+    // full outer of two 1-row sides can emit 2 rows — the old
+    // unconditional l*r misproved 1 and could downgrade a real
+    // finding past requireClean's hard gate
+    val one = Seq(1).toDF("a")
+    val other = Seq(2).toDF("b")
+    val full = one.join(other, col("a") === col("b"), "full")
+    assert(full.count() === 2L)
+    val fb = bound(full)
+    assert(fb.forall(_ >= 2L), s"full-outer bound $fb underestimates 2 rows")
+    // left outer against a provably tiny side still emits EVERY left
+    // row: the bound must not collapse below the left side's scale
+    val big = spark.range(5000).toDF("a")
+    val lo = big.join(broadcast(other), col("a") === col("b"), "left")
+    assert(bound(lo).forall(_ >= 5000L))
+    // semi/anti are bounded by the STREAMED side alone, even when the
+    // other side is structurally unprovable (a parquet scan)
+    val scan = Tables.orders(spark, sfDir).select(col("o_orderkey").as("b"))
+    val semi = spark.range(10).toDF("a")
+      .join(scan, col("a") === col("b"), "left_semi")
+    assert(bound(semi).exists(_ <= 10L),
+      s"semi bound ${bound(semi)} should be provable from the left side")
+  }
+
   test("flags a broadcast nested loop join only when the build side is unprovable/big") {
     // literal build side ABOVE BoundedRows: structure proves 5000 rows,
     // which is past the threshold - flagged
