@@ -30,6 +30,9 @@ object GraftFunctions {
   val WinnowFromHashesName = "graft_winnow_from_hashes"
   val DoubleBitsName = "graft_double_bits"
   val BitsDoubleName = "graft_bits_double"
+  val CharGramHashesName = "graft_char_gram_hashes"
+  val WordGramHashesName = "graft_word_gram_hashes"
+  val TokenSegmentsName = "graft_token_segments"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -120,7 +123,22 @@ object GraftFunctions {
         graft.functions.expressions.DoubleBits(c(0)) }),
     (BitsDoubleName, classOf[graft.functions.expressions.LongBitsDouble],
       (c0: Seq[Expression]) => { val c = arity(BitsDoubleName, "bits", 1, c0)
-        graft.functions.expressions.LongBitsDouble(c(0)) }))
+        graft.functions.expressions.LongBitsDouble(c(0)) }),
+    (CharGramHashesName, classOf[graft.functions.expressions.CharGramHashes],
+      (c0: Seq[Expression]) => { val c = arity(CharGramHashesName,
+          "text, k", 2, c0)
+        graft.functions.expressions.CharGramHashes(
+          c(0), evalIntConst(CharGramHashesName, "k", c(1))) }),
+    (WordGramHashesName, classOf[graft.functions.expressions.WordGramHashes],
+      (c0: Seq[Expression]) => { val c = arity(WordGramHashesName,
+          "text, n", 2, c0)
+        graft.functions.expressions.WordGramHashes(
+          c(0), evalIntConst(WordGramHashesName, "n", c(1))) }),
+    (TokenSegmentsName, classOf[graft.functions.expressions.TokenSegments],
+      (c0: Seq[Expression]) => { val c = arity(TokenSegmentsName,
+          "text, segTokens", 2, c0)
+        graft.functions.expressions.TokenSegments(
+          c(0), evalIntConst(TokenSegmentsName, "segTokens", c(1))) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -261,6 +279,31 @@ object GraftFunctions {
   def winnowFromHashes(hashes: Column, w: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(WinnowFromHashesName, hashes, lit(w))
+  }
+
+  /** Every k-code-point gram's xxhash64 (seed 42), zero-copy — the
+    * production digest stream for dup-substring excision; see
+    * [[graft.functions.expressions.CharGramHashes]]. */
+  def charGramHashes(text: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(CharGramHashesName, text, lit(k))
+  }
+
+  /** Every word n-gram's xxhash64 (seed 42), zero-copy via the
+    * contiguous-byte-range identity — the production key stream for
+    * decontamination joins; see
+    * [[graft.functions.expressions.WordGramHashes]]. */
+  def wordGramHashes(text: Column, n: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(WordGramHashesName, text, lit(n))
+  }
+
+  /** Non-overlapping segTokens-token segment grid, one boundary pass —
+    * value-identical to the dedupLines HOF grid; see
+    * [[graft.functions.expressions.TokenSegments]]. */
+  def tokenSegments(text: Column, segTokens: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(TokenSegmentsName, text, lit(segTokens))
   }
 
   /** Let-binding for Column trees: evaluates `c` ONCE per row and

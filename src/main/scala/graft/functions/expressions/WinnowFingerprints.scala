@@ -207,18 +207,9 @@ case class WinnowXxFingerprints(child: Expression, k: Int, w: Int)
     if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
     val base = u.getBaseObject
     val start = u.getBaseOffset
-    val nBytes = u.numBytes()
     // byte offset of each code-point boundary, one linear pass
-    val offs = new Array[Int](nChars + 1)
-    var b = 0
-    var c = 0
-    while (b < nBytes && c < nChars) {
-      offs(c) = b
-      b += UTF8String.numBytesForFirstByte(
-        org.apache.spark.unsafe.Platform.getByte(base, start + b))
-      c += 1
-    }
-    offs(c) = nBytes
+    // (shared with CharGramHashes/WordGramHashes — see Grams)
+    val offs = Grams.charBoundaryOffsets(u, nChars)
     val hs = new Array[Long](grams)
     var i = 0
     while (i < grams) {

@@ -51,7 +51,6 @@ object Corpus {
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  segTokens: Int = 8, maxDocs: Int = 2): DataFrame = {
     val spark = docs.sparkSession
-    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
     // member map: every doc -> its normalized-text fingerprint
     val mem = docs.select(col(idCol),
       TextFunctions.fingerprint(col(textCol)).as("__fp"))
@@ -63,13 +62,14 @@ object Corpus {
       .groupBy(col("__fp"))
       .agg(min(col(textCol)).as(textCol), count(lit(1)).as("__copies"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
+    // segment grid: native one-boundary-pass TokenSegments (r16 — the
+    // zero-copy gram discipline; value-identical to the interpreted
+    // split → transform → slice → concat_ws grid it replaces, pinned
+    // in ExpressionSpec, so the existing DuckDB oracle still gates it)
     val exploded = uniq
       .select(col("__fp"), col("__copies"),
-        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
-      .select(col("__fp"), col("__copies"), posexplode(transform(
-        sequence(lit(0), greatest(nSegs - 1, lit(0))),
-        i => concat_ws(" ",
-          slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
+        posexplode(graft.functions.GraftFunctions.tokenSegments(
+          TextFunctions.normalize(col(textCol)), segTokens)))
       .toDF("__fp", "__copies", "seg_idx", "seg")
     // corpus frequency: distinct docs containing seg = sum of copy
     // counts over the unique texts containing it (per-unique distinct
@@ -127,14 +127,11 @@ object Corpus {
       .groupBy(col(sourceCol), col("__fp"))
       .agg(min(col(textCol)).as(textCol), count(lit(1)).as("__copies"))
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val nSegs = expr(s"(size(toks) + ${segTokens - 1}) div $segTokens")
+    // native segment grid — see dedupLines (value-identical swap)
     val exploded = uniq
       .select(col(sourceCol), col("__fp"), col("__copies"),
-        split(TextFunctions.normalize(col(textCol)), " ").as("toks"))
-      .select(col(sourceCol), col("__fp"), col("__copies"), posexplode(transform(
-        sequence(lit(0), greatest(nSegs - 1, lit(0))),
-        i => concat_ws(" ",
-          slice(col("toks"), i * segTokens + lit(1), lit(segTokens))))))
+        posexplode(graft.functions.GraftFunctions.tokenSegments(
+          TextFunctions.normalize(col(textCol)), segTokens)))
       .toDF(sourceCol, "__fp", "__copies", "seg_idx", "seg")
     val counts = exploded
       .select(col(sourceCol), col("__fp"), col("__copies"), col("seg"))
@@ -175,12 +172,36 @@ object Corpus {
     * [[Dedup.shingles]] — distinct sliding n-grams over normalized
     * text, docs shorter than n shingling to their whole text. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
+                    textCol: String, n: Int = 8): DataFrame =
+    decontaminateImpl(train, eval, idCol, textCol,
+      t => Dedup.shingles(t, n))
+
+  /** [[decontaminate]] with the PRODUCTION gram key: xxhash64 word
+    * n-grams computed zero-copy ([[graft.functions.expressions.WordGramHashes]]
+    * — one boundary pass per document) instead of shingle STRINGS
+    * built by interpreted slice+concat_ws lambdas and shuffled/
+    * broadcast at full text width. The overlap count is hash-equality
+    * either way; a collision adds one spurious hit to one document's
+    * count — a contamination gate is a KEEP/DROP screen where that
+    * costs one over-dropped doc, never silent contamination (misses
+    * require a PREIMAGE collision). Output carries no gram values, so
+    * the SAME DuckDB oracle as [[decontaminate]] hash-gates this form
+    * end-to-end at the driver (`decontaminate_xx`). */
+  def decontaminateXx(train: DataFrame, eval: DataFrame, idCol: String,
+                      textCol: String, n: Int = 8): DataFrame =
+    decontaminateImpl(train, eval, idCol, textCol,
+      t => array_distinct(graft.functions.GraftFunctions.wordGramHashes(
+        TextFunctions.normalize(t), n)))
+
+  private def decontaminateImpl(train: DataFrame, eval: DataFrame,
+                                idCol: String, textCol: String,
+                                grams: org.apache.spark.sql.Column =>
+                                  org.apache.spark.sql.Column): DataFrame = {
     val evalGrams = eval
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(explode(grams(col(textCol))).as("gram"))
       .distinct()
     val hits = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), explode(grams(col(textCol))).as("gram"))
       .join(broadcast(evalGrams), "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
     train.select(col(idCol))
@@ -245,7 +266,33 @@ object Corpus {
     * appear inside a streaming query plan — route streaming corpora
     * through the batch path on a foreachBatch boundary instead. */
   def exciseDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 20): DataFrame = {
+                          k: Int = 20): DataFrame =
+    exciseImpl(docs, idCol, textCol, k, t => expr(
+      s"transform(sequence(1, length(${t}) - ${k - 1}), " +
+      s"i -> md5(substring(${t}, i, $k)))"))
+
+  /** [[exciseDupSubstrings]] with the PRODUCTION gram digest: zero-copy
+    * xxhash64 char-grams ([[graft.functions.expressions.CharGramHashes]])
+    * instead of `md5(substring(__t, i, k))` per position — the exact
+    * O(len²) substring-walk + MessageDigest wall the r15 winnow A/B
+    * measured at 15.7× task-time (SCALE1000_r15_winnow.json). The
+    * digest only keys the dup-gram table (equal grams ⇔ equal hashes
+    * barring collisions); positions, interval merging, and the rebuilt
+    * text are digest-independent, and the output carries no hash — so
+    * the SAME DuckDB oracle as the md5 form hash-gates this variant
+    * end-to-end at the driver (`dedup_substring_xx`). A collision
+    * would excise one non-duplicated k-char span corpus-wide; at 60+
+    * effective bits over corpus gram counts that risk is the same
+    * class the minhash/winnow candidate keys already accept. */
+  def exciseDupSubstringsXx(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 20): DataFrame =
+    exciseImpl(docs, idCol, textCol, k,
+      t => graft.functions.GraftFunctions.charGramHashes(col(t), k))
+
+  private def exciseImpl(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int,
+                         grams: String => org.apache.spark.sql.Column)
+      : DataFrame = {
     require(k >= 4, s"gram too short to mean anything: k=$k")
     val spark = docs.sparkSession
     val normed = docs
@@ -261,9 +308,7 @@ object Corpus {
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
     val withG = texts.where(length(col("__t")) >= k)
-      .select(col("__fp"), col("__w"), expr(
-        s"transform(sequence(1, length(__t) - ${k - 1}), " +
-        s"i -> md5(substring(__t, i, $k)))").as("__gs"))
+      .select(col("__fp"), col("__w"), grams("__t").as("__gs"))
     val dup = withG
       .select(col("__w"), explode(array_distinct(col("__gs"))).as("__g"))
       .groupBy(col("__g")).agg(sum(col("__w")).as("__c"))

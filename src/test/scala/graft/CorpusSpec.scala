@@ -123,6 +123,24 @@ class CorpusSpec extends SparkSpec {
     assert(out === Array((1L, 1L, true), (2L, 0L, false)))
   }
 
+  test("production xx variants equal the md5 forms on real corpus text") {
+    // the digest only keys gram-equality; outputs carry no hash, so
+    // the xx forms must match the md5 forms row-for-row (collisions
+    // aside — none at this scale). This is the spec-level half of the
+    // shared-oracle gate (decontaminate_xx/dedup_substring_xx reuse
+    // their md5 twins' DuckDB SQL at the driver).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val ev = docs.where(col("doc_id") % 10 === 0)
+    val md5De = Corpus.decontaminate(train, ev, "doc_id", "text", n = 8)
+    val xxDe = Corpus.decontaminateXx(train, ev, "doc_id", "text", n = 8)
+    assert(xxDe.exceptAll(md5De).isEmpty && md5De.exceptAll(xxDe).isEmpty)
+    val md5Ex = Corpus.exciseDupSubstrings(docs, "doc_id", "text", k = 20)
+    val xxEx = Corpus.exciseDupSubstringsXx(docs, "doc_id", "text", k = 20)
+    assert(xxEx.exceptAll(md5Ex).isEmpty && md5Ex.exceptAll(xxEx).isEmpty)
+    graft.Blocks.freeAll(spark)
+  }
+
   test("exciseDupSubstrings cuts cross-doc passages, keeps within-doc repeats") {
     // k=10; the shared passage is 26 chars → every char of it in both
     // docs is covered by some shared 10-gram and must go; the unique

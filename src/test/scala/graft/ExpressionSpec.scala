@@ -309,4 +309,69 @@ class ExpressionSpec extends SparkSpec {
       assert(n2 === h2); assert(n3 === h3)
     }
   }
+
+  // shared edge-case corpus for the r16 zero-copy gram expressions:
+  // real text ∪ multibyte (code-point vs byte boundaries), empty
+  // tokens from leading/trailing/double spaces (split(s, " ")
+  // semantics), single-token and empty-string degenerates
+  private def gramEdgeDocs = Tables.documents(spark, sfDir)
+    .limit(300).select(col("text"))
+    .unionAll(Seq(
+      "päivää maailma päivää maailma kahvia ja pullaa",
+      " leading space here and enough padding to gram",
+      "trailing space with enough padding to gram ",
+      "double  space  tokens  with  enough  padding",
+      "onetoken", "a b", "", "exactly twenty chars!",
+      "ÅÄÖ åäö ÅÄÖ åäö ÅÄÖ åäö ÅÄÖ åäö").toDF("text"))
+
+  test("graft_char_gram_hashes equals xxhash64 over substring grams") {
+    val k = 20
+    val docs = gramEdgeDocs.where(length(col("text")) >= k)
+    val hof = docs.select(col("text"), expr(
+      s"transform(sequence(1, length(text) - ${k - 1}), " +
+      s"i -> xxhash64(substring(text, i, $k)))").as("hs"))
+    val nat = docs.select(col("text"),
+      GraftFunctions.charGramHashes(col("text"), k).as("hs"))
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    // fewer than one gram -> empty array
+    assert(Seq("short").toDF("text")
+      .select(GraftFunctions.charGramHashes(col("text"), k))
+      .as[Seq[Long]].head().isEmpty)
+  }
+
+  test("graft_word_gram_hashes equals xxhash64 over concat_ws/slice shingle windows") {
+    val n = 8
+    def windows(nn: Int) = gramEdgeDocs.select(col("text"),
+      expr(s"transform(sequence(0, greatest(size(split(text, ' ')) - $nn, 0)), " +
+           s"i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, $nn))))")
+        .as("hs"))
+    val nat = gramEdgeDocs.select(col("text"),
+      GraftFunctions.wordGramHashes(col("text"), n).as("hs"))
+    val hof = windows(n)
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    // the contiguous-byte-range identity also holds at n=1 (per-token)
+    val nat1 = gramEdgeDocs.select(col("text"),
+      GraftFunctions.wordGramHashes(col("text"), 1).as("hs"))
+    val hof1 = windows(1)
+    assert(nat1.exceptAll(hof1).isEmpty && hof1.exceptAll(nat1).isEmpty)
+  }
+
+  test("graft_token_segments equals the concat_ws/slice segment grid") {
+    val st = 8
+    val hof = gramEdgeDocs
+      .select(col("text"), split(col("text"), " ").as("toks"))
+      .select(col("text"), expr(
+        s"transform(sequence(0, greatest((size(toks) + ${st - 1}) div $st - 1, 0)), " +
+        s"i -> concat_ws(' ', slice(toks, i * $st + 1, $st)))").as("segs"))
+    val nat = gramEdgeDocs.select(col("text"),
+      GraftFunctions.tokenSegments(col("text"), st).as("segs"))
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    // single-segment degenerates: whole string back, exactly once
+    assert(Seq("a b c").toDF("text")
+      .select(GraftFunctions.tokenSegments(col("text"), st))
+      .as[Seq[String]].head() === Seq("a b c"))
+    assert(Seq("").toDF("text")
+      .select(GraftFunctions.tokenSegments(col("text"), st))
+      .as[Seq[String]].head() === Seq(""))
+  }
 }
