@@ -653,7 +653,8 @@ object Queries {
   def hybridSearchRrf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dense = Similarity.bruteForceTopK(
-        emb.where(col("vec_id") === 0).limit(1), emb, 20)
+        graft.plans.Bounds.declare(
+          emb.where(col("vec_id") === 0), 1, "rrf dense query: vec_id=0 unique"), emb, 20)
       .select(col("neighbor_id").as("doc_id"), col("rk"))
     val lexical = bm25Search(spark, dir).select(col("doc_id"), col("rk"))
     Similarity.rrfFuse(Seq(lexical, dense), "doc_id", "rk",
@@ -967,9 +968,20 @@ object Queries {
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding")
 
+  /** The ANN queries' declared in-plan bound (r15 ADVICE): the
+    * key-range filter assumes one row per vec_id, so `vec_id < n`
+    * yields ≤ n rows. The former raw `.limit(n)` would silently (and
+    * nondeterministically) truncate if that uniqueness ever broke — a
+    * silent divergence from the DuckDB oracles, which carry no limit.
+    * [[graft.plans.Bounds.declare]] keeps the bound readable by
+    * PlanLint's classifier AND raises loudly on a broken assumption. */
+  private def annQueries(emb: DataFrame, n: Int): DataFrame =
+    graft.plans.Bounds.declare(emb.where(col("vec_id") < n), n,
+      s"ann query set: vec_id < $n assumed unique")
+
   def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5)
+    Similarity.bruteForceTopK(annQueries(emb, 10), emb, 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -989,7 +1001,7 @@ object Queries {
     * items per anchor — see [[Similarity.hardNegatives]]. */
   def annHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.hardNegatives(emb.where(col("vec_id") < 10).limit(10), emb,
+    Similarity.hardNegatives(annQueries(emb, 10), emb,
                              "label", k = 8)
   }
 
@@ -1006,12 +1018,12 @@ object Queries {
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5)
+    Similarity.lshTopK(annQueries(emb, 10), emb, 5)
   }
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5)
+    Similarity.ivfTopK(spark, annQueries(emb, 10), emb, 5)
   }
 
   // -------------------------- LSH-family driver gates (soundness+completeness)
@@ -1133,7 +1145,7 @@ object Queries {
     * same exhaustive ranking as ann_bruteforce_topk. */
   def annIvfFull(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5,
+    Similarity.ivfTopK(spark, annQueries(emb, 10), emb, 5,
       cells = 16, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1152,7 +1164,7 @@ object Queries {
     * centroid ranking would score: 0.25 and 0.60. */
   def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.where(col("vec_id") < 20).limit(20)
+    val queries = annQueries(emb, 20)
     val k = 10
     val bf = Similarity.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1188,7 +1200,7 @@ object Queries {
     * Oracle = the same exhaustive ranking as ann_bruteforce_topk. */
   def annPqFull(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.pqTopK(spark, emb.where(col("vec_id") < 10).limit(10), emb, 5,
+    Similarity.pqTopK(spark, annQueries(emb, 10), emb, 5,
       cells = 16, nprobe = 16, rerank = Int.MaxValue)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1207,7 +1219,7 @@ object Queries {
     * score: 0.15 and 0.30. */
   def annPqRecall(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val queries = emb.where(col("vec_id") < 20).limit(20)
+    val queries = annQueries(emb, 20)
     val k = 10
     val bf = Similarity.bruteForceTopK(queries, emb, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -1244,7 +1256,7 @@ object Queries {
       .createTempDirectory("graft-ann-index").toString + "/idx"
     graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16)
     graft.sources.AnnIndex
-      .probe(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5, nprobe = 16)
+      .probe(spark, root, annQueries(emb, 10), k = 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -1263,7 +1275,7 @@ object Queries {
     graft.sources.AnnIndex.build(spark, emb, root, cells = 16, nFiles = 16,
       pqSubspaces = 8, pqCodes = 16)
     graft.sources.AnnIndex
-      .probePq(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5,
+      .probePq(spark, root, annQueries(emb, 10), k = 5,
         nprobe = 16, rerank = Int.MaxValue)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1286,7 +1298,7 @@ object Queries {
     graft.sources.AnnIndex.append(spark, root,
       emb.where(col("vec_id") % 2 === 1))
     graft.sources.AnnIndex
-      .probe(spark, root, emb.where(col("vec_id") < 10).limit(10), k = 5, nprobe = 16)
+      .probe(spark, root, annQueries(emb, 10), k = 5, nprobe = 16)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
 
@@ -1334,7 +1346,7 @@ object Queries {
     * bucketed search must return the exact brute-force top-k here. */
   def annLshSound(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.lshTopK(emb.where(col("vec_id") < 10).limit(10), emb, 5,
+    Similarity.lshTopK(annQueries(emb, 10), emb, 5,
       bands = 32, rows = 2)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
   }
@@ -1511,8 +1523,9 @@ object Queries {
     * n-gram-Jaccard verifier (#26) standalone, oracle-checkable since
     * word SETS (not hashes) are computable in both engines. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .where(col("doc_id") < 50).limit(50) // declared in-plan bound
+    val toks = graft.plans.Bounds.declare(
+        Tables.documents(spark, dir).where(col("doc_id") < 50),
+        50, "jaccard candidate set: doc_id < 50 assumed unique")
       .select(col("doc_id"),
         array_distinct(split(TextFunctions.normalize(col("text")), " ")).as("toks"))
     toks.as("a").join(toks.as("b"), col("a.doc_id") < col("b.doc_id"))
@@ -2761,6 +2774,19 @@ object Queries {
       "doc_id", "text", n = 8)
   }
 
+  /** [[decontaminate]] on the PRODUCTION xxhash64 gram-key path
+    * (#23b production twin, Corpus.decontaminateXx — zero-copy word
+    * grams instead of interpreted shingle strings). Hit counts are
+    * hash-equality either way and the output carries no gram values,
+    * so the SAME oracle SQL hash-gates this form end-to-end. */
+  def decontaminateXx(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Corpus.decontaminateXx(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", n = 8)
+  }
+
   private val decontaminateSql =
     """WITH t AS (SELECT doc_id,
       |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
@@ -3033,8 +3059,9 @@ object Queries {
     * q-gram / LSH buckets) and run levenshtein only inside blocks,
     * exactly like the minhash→jaccard verify split. */
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
-    val s = Tables.supplier(spark, dir)
-      .where(col("s_suppkey") < 100).limit(100) // declared in-plan bound
+    val s = graft.plans.Bounds.declare(
+        Tables.supplier(spark, dir).where(col("s_suppkey") < 100),
+        100, "fuzzy candidate set: s_suppkey < 100 assumed unique")
       .select(col("s_suppkey"), col("s_name"))
     s.as("a").join(s.as("b"), col("a.s_suppkey") < col("b.s_suppkey"))
       .select(col("a.s_suppkey").as("key_a"), col("b.s_suppkey").as("key_b"),
@@ -5732,6 +5759,15 @@ object Queries {
     Corpus.exciseDupSubstrings(Tables.documents(spark, dir),
                                "doc_id", "text", k = 20)
 
+  /** [[dedupSubstring]] on the PRODUCTION zero-copy xxhash64 gram
+    * digest (#58 production twin, Corpus.exciseDupSubstringsXx). The
+    * digest only keys the dup-gram table; the excised text is
+    * digest-independent, so the SAME oracle SQL hash-gates this form
+    * end-to-end. */
+  def dedupSubstringXx(spark: SparkSession, dir: String): DataFrame =
+    Corpus.exciseDupSubstringsXx(Tables.documents(spark, dir),
+                                 "doc_id", "text", k = 20)
+
   private val dedupSubstringSql =
     """WITH d AS (SELECT doc_id,
       |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
@@ -6916,6 +6952,7 @@ object Queries {
     "mixture_rebalance"        -> (mixtureRebalance _),
     "dedup_lines"              -> (dedupLines _),
     "decontaminate"            -> (decontaminate _),
+    "decontaminate_xx"         -> (decontaminateXx _),
     "profile_columns_approx"   -> (profileColumnsApprox _),
     "dedup_clusters"           -> (dedupClusters _),
     "profile_columns"          -> (profileColumns _),
@@ -6974,6 +7011,7 @@ object Queries {
     "anomaly_mad"              -> (anomalyMad _),
     "strip_boilerplate"        -> (stripBoilerplate _),
     "dedup_substring"          -> (dedupSubstring _),
+    "dedup_substring_xx"       -> (dedupSubstringXx _),
     "pca_sound"                -> (pcaSound _),
     "pca_project"              -> (pcaProject _),
     "q12_late_by_class"        -> (q12LateByClass _),
@@ -7114,6 +7152,7 @@ object Queries {
     "mixture_rebalance"        -> mixtureRebalanceSql,
     "dedup_lines"              -> dedupLinesSql,
     "decontaminate"            -> decontaminateSql,
+    "decontaminate_xx"         -> decontaminateSql,
     "profile_columns_approx"   -> profileColumnsApproxSql,
     "dedup_clusters"           -> dedupClustersSql,
     "profile_columns"          -> profileColumnsSql,
@@ -7170,6 +7209,7 @@ object Queries {
     "anomaly_mad"              -> anomalyMadSql,
     "strip_boilerplate"        -> stripBoilerplateSql,
     "dedup_substring"          -> dedupSubstringSql,
+    "dedup_substring_xx"       -> dedupSubstringSql,
     "pca_sound"                -> pcaSoundSql,
     "q12_late_by_class"        -> q12LateByClassSql,
     "q17_small_qty_revenue"    -> q17SmallQtyRevenueSql,
