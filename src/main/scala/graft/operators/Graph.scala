@@ -249,10 +249,16 @@ object Graph {
                     wCol: String, seeds: DataFrame, seedCol: String,
                     maxIters: Int = 3): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"),
-                         col(wCol).cast("long").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dense-graph auto-route (r16, the Rank.pageRank rule): capped
+    // edges make relaxed distances UPPER BOUNDS of the true ones — a
+    // dropped edge can only lengthen a path; see GraphRoute for the
+    // contract and the loud opt-out. BFS inherits through this path.
+    val e = GraphRoute.routeDense(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"),
+                   col(wCol).cast("long").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "ssspDistances")
     val negatives = e.where(col("w") < 0).limit(1).count()
     require(negatives == 0, "ssspDistances requires non-negative weights")
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()

@@ -45,9 +45,18 @@ object Rank {
                maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dense-graph auto-route (r16): a hub/dense edge table is degree-
+    // capped before the iteration — the r15 sweep proved the uncapped
+    // per-round working set is pool-bound (357 GB spill at ANY
+    // partition count on the 1.17B-edge bipartite graph); see
+    // GraphRoute for the detection rule, the approximation contract
+    // (scores become exact scores OF the capped subgraph), and the
+    // loud opt-out (spark.graft.graph.denseRoute=direct)
+    val e = GraphRoute.routeDense(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "pageRank")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
@@ -112,9 +121,11 @@ object Rank {
                            maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0.0 && damping < 1.0, s"damping out of (0,1): $damping")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = GraphRoute.routeDense(  // see pageRank's routing note
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "personalizedPageRank")
     val s = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     // the spine carries the indicator for the whole loop: seed
     // membership is consulted every round (restart term), so resolve
@@ -178,9 +189,11 @@ object Rank {
            iters: Int = 3,
            maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-                         col(dstCol).cast("long").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = GraphRoute.routeDense(  // see pageRank's routing note
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      "hits")
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()

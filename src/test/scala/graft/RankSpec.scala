@@ -131,6 +131,58 @@ class RankSpec extends SparkSpec {
     assert(a.count(_._2 === 0L) > 0, "zero-indegree nodes keep auth 0")
   }
 
+  test("dense-bipartite inputs auto-route to the degree-capped subgraph (r16)") {
+    import graft.operators.{Graph, GraphRoute}
+    // dense bipartite: 200 left × 70 right complete — mean out-degree
+    // (200·70·2)/(270) ≈ 104 > the 64 cutoff; both directions present
+    // (the Scale1000 bipDirected shape)
+    val bip = spark.range(200).select(col("id").as("a"))
+      .crossJoin(spark.range(70).select((col("id") + 1000L).as("b")))
+    val dir2 = bip.select(col("a").as("s"), col("b").as("d"))
+      .union(bip.select(col("b").as("s"), col("a").as("d")))
+    val cap = GraphRoute.DefaultCap
+    val routed = ranksOf(Rank.pageRank(dir2, "s", "d", iters = 2, damping = 0.5))
+    assert(spark.conf.get("spark.graft.graph.lastRoute") === s"capped($cap)")
+    // routed scores = EXACT scores of the capped subgraph (the
+    // deterministic cap: each node's `cap` smallest neighbors)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col("d"))
+    val cappedEdges = dir2.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap).drop("rk")
+    spark.conf.set("spark.graft.graph.denseRoute", "direct")
+    try {
+      val expected = ranksOf(Rank.pageRank(cappedEdges, "s", "d",
+                                           iters = 2, damping = 0.5))
+      // the capped subgraph is itself sparse (mean degree = cap < 64)
+      assert(spark.conf.get("spark.graft.graph.lastRoute") === "direct")
+      assert(routed === expected)
+      // the loud opt-out really runs uncapped — hub mass spreads over
+      // all 200 in-neighbors, so scores differ from the capped run
+      val direct = ranksOf(Rank.pageRank(dir2, "s", "d",
+                                         iters = 2, damping = 0.5))
+      assert(spark.conf.get("spark.graft.graph.lastRoute") === "direct-forced")
+      assert(direct !== routed)
+    } finally spark.conf.set("spark.graft.graph.denseRoute", "cap")
+    // sparse graphs (every kNN/planted gate) route through untouched
+    ranksOf(Rank.pageRank(tri, "s", "d", iters = 1, damping = 0.5))
+    assert(spark.conf.get("spark.graft.graph.lastRoute") === "direct")
+    // BFS inherits the route through ssspDistances; capped distances
+    // are upper bounds — every emitted distance is >= the true one
+    // and reached nodes are a subset
+    val seeds = Seq(0L).toDF("seed")
+    val dTrue = {
+      spark.conf.set("spark.graft.graph.denseRoute", "direct")
+      try Graph.bfsDistances(dir2, "s", "d", seeds, "seed", maxIters = 3)
+        .as[(Long, Long)].collect().toMap
+      finally spark.conf.set("spark.graft.graph.denseRoute", "cap")
+    }
+    val dCap = Graph.bfsDistances(dir2, "s", "d", seeds, "seed", maxIters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(spark.conf.get("spark.graft.graph.lastRoute") === s"capped($cap)")
+    dCap.foreach { case (n, dist) => assert(dist >= dTrue(n), s"node $n") }
+    graft.Blocks.freeAll(spark)
+  }
+
   test("label propagation: disconnected cliques converge to distinct labels") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
