@@ -162,4 +162,85 @@ class PackedEncodingSpec extends SparkSpec {
       nFiles = 2, bits = 8, quantile = true)
     assert(spark.read.parquet(s"$tmp/zq").count() == 4)
   }
+
+  test("JL sign-matrix derivation: driver md5 == engine md5 over the " +
+       "whole matrix domain, unbiased, and the fold flips signs exactly") {
+    // independent re-derivation of Queries.jlSign (md5("k|j") first hex
+    // char <= '7' -> +1): the driver-side MessageDigest+format path
+    // must agree with the ENGINE's md5 for every (k, j) the matrix
+    // reads — a divergence would ship a different matrix to the two
+    // sides of the oracle compare without ever failing it (the SQL
+    // twin is GENERATED from the driver signs, so the gate cannot see
+    // this class; only a cross-derivation pin can).
+    def driverSign(k: Int, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$k|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) <= '7') 1 else -1
+    }
+    val cells = for (k <- 0 until 8; j <- 1 to 64) yield (k, j)
+    val engine = cells.toDF("k", "j")
+      .select(col("k"), col("j"),
+        when(substring(md5(concat_ws("|", col("k"), col("j"))), 1, 1) <= "7",
+          1).otherwise(-1).as("s"))
+      .as[(Int, Int, Int)].collect()
+      .map { case (k, j, s) => (k, j) -> s }.toMap
+    cells.foreach { case (k, j) =>
+      assert(engine((k, j)) === driverSign(k, j), s"cell ($k,$j)")
+    }
+    // unbiasedness sanity: a broken derivation that collapses to a
+    // constant sign would silently turn the projection into a plain
+    // sum — the matrix must carry both signs in quantity
+    val plus = cells.count { case (k, j) => driverSign(k, j) > 0 }
+    assert(plus > 150 && plus < 360, s"suspicious sign balance: +$plus/512")
+    // the ±fold is an exact IEEE sign flip even at the float edges the
+    // corpus never reaches: -0.0 and ±Infinity survive negation with
+    // value semantics (NaN float inputs are excluded by the embedding
+    // domain; a NaN would propagate, not misorder — nothing is packed)
+    val edge = Seq((Seq(-0.0f, Float.PositiveInfinity),
+                    Seq(1.0f, Float.NegativeInfinity))).toDF("a", "b")
+      .select((element_at(col("a"), 1).cast("double") -
+               element_at(col("b"), 1).cast("double")).as("p0"),
+              (element_at(col("a"), 2).cast("double") -
+               element_at(col("b"), 2).cast("double")).as("p1"))
+      .as[(Double, Double)].head()
+    assert(edge._1 === -1.0 && edge._2 === Double.PositiveInfinity)
+  }
+
+  test("winnow 60-bit md5-prefix truncation equals the hex-parse " +
+       "formulation on adversarial byte patterns and stays non-negative") {
+    // md5Top60 folds bytes 0..6 then the HIGH NIBBLE of byte 7 — the
+    // two sign traps are an unmasked negative byte (sign-extends into
+    // the accumulator) and byte 7's arithmetic right shift (>>4 on a
+    // negative byte drags ones without the &0xf). A 500-string sweep
+    // makes every byte position hit negative values many times over;
+    // the engine-portable formulation conv(substr(md5, 1, 15), 16, 10)
+    // is the contract both DuckDB and the spec recompute. Single-gram
+    // single-window calls (k = len, w = 1) expose the raw digest.
+    val docs = ((0 until 500).map(i => s"adversarial-digest-$i") ++
+      Seq("päivää", "ÅÄÖ åäö", "世界 abc", "a b  c", " x ")).toDF("text")
+      .where(length(col("text")) >= 2)
+    val rows = docs.select(
+        element_at(graft.functions.GraftFunctions.winnow(
+          col("text"), 2, 1), 1).as("native_first"),
+        expr("CAST(conv(substr(md5(substring(text, 1, 2)), 1, 15), 16, 10) AS BIGINT)")
+          .as("hex_first"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (n, h) =>
+      assert(n === h)
+      assert(n >= 0L, s"60-bit digest went negative: $n")
+    }
+    // and through the full deque: fingerprints of a long string equal
+    // the HOF min-of-window over the same hex-parsed stream
+    val t = "the quick brown fox jumps over the lazy dog päivää maailma"
+    val nat = Seq(t).toDF("text")
+      .select(array_sort(graft.functions.GraftFunctions.winnow(col("text"), 8, 4)))
+      .as[Seq[Long]].head()
+    val hof = Seq(t).toDF("text").select(expr(
+      "array_sort(array_distinct(transform(sequence(1, length(text) - 7 - 3), " +
+      "j -> array_min(transform(sequence(j, j + 3), " +
+      "i -> CAST(conv(substr(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT))))))"))
+      .as[Seq[Long]].head()
+    assert(nat === hof)
+  }
 }
