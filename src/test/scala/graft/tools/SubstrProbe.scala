@@ -21,10 +21,16 @@ object SubstrProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Scale100.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
     def t(label: String)(body: => Long): Unit = {
+      Thread.sleep(500); metrics.reset()
       val t0 = System.nanoTime()
       val n = body
-      println(f"PROBE $label%-28s rows=$n%12d sec=${(System.nanoTime() - t0) / 1e9}%8.2f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val m = metrics.snapshot.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      println(f"PROBE $label%-28s rows=$n%12d sec=$sec%8.2f $m")
     }
     val k = 20
     val docs = Tables.documents(spark, dir)
@@ -59,6 +65,40 @@ object SubstrProbe {
       val out = graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k)
       out.select(xxhash64(out.columns.map(col): _*).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).head().getLong(0)
+    }
+    // ---- r16 A/B: the zero-copy xxhash64 gram stage vs the md5 HOF
+    // (the winnow 15.7x lesson ported — same gram walk, CharGramHashes
+    // hashes straight off the base buffer instead of one
+    // UTF8String.substring + MessageDigest per position). NOTE: no
+    // freeAll before this point — withGx still reads textsC's blocks.
+    val withGx = textsC.where(length(col("__t")) >= k)
+      .select(col("__fp"), col("__w"),
+        graft.functions.GraftFunctions.charGramHashes(col("__t"), k).as("__gs"))
+    t("grams_per_unique_xx")(withGx.select(explode(col("__gs"))).count())
+    // grams-stage A/B repeats (warm-cache B/B2 pairs so the one-shot
+    // JIT/codegen constants don't decide a small-absolute row)
+    t("grams_per_unique_md5_2")(withG.select(explode(col("__gs"))).count())
+    t("grams_per_unique_xx_2")(withGx.select(explode(col("__gs"))).count())
+    graft.Blocks.freeAll(spark)
+    t("full_query_xx") {
+      val out = graft.operators.Corpus.exciseDupSubstringsXx(docs, "doc_id", "text", k)
+      out.select(xxhash64(out.columns.map(col): _*).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head().getLong(0)
+    }
+    graft.Blocks.freeAll(spark)
+    // result-identity at 1000x: the two forms must excise the same
+    // spans (hash-collision-free at this corpus size) - compare the
+    // per-corpus fold of (doc_id, clean_text, n_removed)
+    t("xx_equals_md5") {
+      val a = graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k)
+        .select(xxhash64(col("doc_id"), col("clean_text"), col("n_removed")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      graft.Blocks.freeAll(spark)
+      val b = graft.operators.Corpus.exciseDupSubstringsXx(docs, "doc_id", "text", k)
+        .select(xxhash64(col("doc_id"), col("clean_text"), col("n_removed")).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      println(s"PROBE fold_md5=$a fold_xx=$b identical=${a == b}")
+      if (a == b) 1L else 0L
     }
     spark.stop()
   }

@@ -35,6 +35,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # 1000x-tier runs cap DuckDB memory and spill to disk (the r15
+    # monolithic dedup_substring oracle was OOM-killed at 130 GB RSS);
+    # unset for the sf0.01 driver-replica path.
+    lim = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if lim:
+        con.execute(f"SET memory_limit='{lim}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table = directory of parts
