@@ -2537,8 +2537,11 @@ object Queries {
   def sampleByQuality(spark: SparkSession, dir: String): DataFrame = {
     val q = least(greatest(TextFunctions.qualityScore(col("text")), lit(0.0)),
       lit(1.0))
+    // Generate barrier: see curatePipeline — without it the filter's
+    // pushed-down copy re-ran the full stats pass per row
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), q.as("quality"))
+      .select(col("doc_id"), col("source"),
+        explode(array(q)).as("quality"))
       .where(Sampling.bucket65536(col("doc_id")) <
              floor(col("quality") * 65536).cast("long"))
   }
@@ -4625,7 +4628,15 @@ object Queries {
     Tables.documents(spark, dir)
       .withColumn("keeper", min(col("doc_id")).over(w))
       .where(col("doc_id") === col("keeper"))
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      // Generate barrier (the IngestStream r14 fuse, applied to the
+      // batch gate in r16): a plain withColumn+where lets predicate
+      // pushdown inline the quality expression into the Filter WHILE
+      // the Project keeps its own copy — the full stats pass ran
+      // twice per surviving row (PlanSpec pins the single eval now).
+      // explode(array(...)) materializes the value once; nothing
+      // rewrites across a generator.
+      .select(col("doc_id"), col("source"),
+        explode(array(TextFunctions.qualityScore(col("text")))).as("quality"))
       .where(col("quality") >= 0.3)
       .withColumn("rk", row_number().over(capW))
       .where(col("rk") <= 15)

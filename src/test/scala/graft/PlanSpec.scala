@@ -9,6 +9,27 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     Queries.all(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("batch quality gates evaluate the stats pass ONCE per row (Generate barrier)") {
+    // the r14 IngestStream finding applied to the batch paths (r16,
+    // verdict item 6): withColumn+where lets predicate pushdown
+    // inline the quality expression into the Filter while the Project
+    // keeps its own copy — the full stats pass ran twice per
+    // surviving row until the explode(array(...)) barrier pinned one
+    // evaluation. Counted on the executed-plan string so a future
+    // optimizer rewrite that re-splits the expression fails loudly.
+    for (q <- Seq("curate_pipeline", "sample_by_quality")) {
+      val n = "textqualitystats\\(".r.findAllIn(plan(q)).size
+      assert(n === 1, s"$q evaluates the quality stats pass $n times")
+    }
+    // the percentile/window gates were already single-eval by shape
+    // (quality feeds a window/checkpoint, not a pushed-down filter) —
+    // pinned so they stay that way
+    for (q <- Seq("quality_filter", "dedup_keep_best")) {
+      val n = "textqualitystats\\(".r.findAllIn(plan(q)).size
+      assert(n === 1, s"$q evaluates the quality stats pass $n times")
+    }
+  }
+
   test("scan_incremental pushes the date range down to the parquet scan") {
     val p = plan("scan_incremental")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
