@@ -1312,6 +1312,32 @@ object Queries {
     * the segment write, the bucket prune, or the df re-sum breaks
     * the gate; InvertedIndexSpec separately proves the probe reads
     * only the query terms' bucket files. */
+  /** Literal-pattern corpus grep through the persisted trigram index
+    * (#39d, [[graft.sources.GrepIndex]]): build once, probe a bounded
+    * literal sweep (benchmark needles, leaked-string/PII literals,
+    * license boilerplate), trigram candidates verified by exact
+    * `contains` — LOSSLESS by construction, so the oracle is simply
+    * DuckDB's contains() over the raw corpus. Pattern 3 never occurs
+    * (the empty-result leg); the others hit at every SF. */
+  def grepIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-grep-index").toString + "/idx"
+    graft.sources.GrepIndex.build(spark, Tables.documents(spark, dir),
+      "doc_id", "text", root, nFiles = 8)
+    graft.sources.GrepIndex.probe(spark, root, Seq(
+      (0L, "merge part window"), (1L, "batch batch batch"),
+      (2L, "customer line"), (3L, "zzzz never present")))
+  }
+
+  private val grepIndexProbeSql =
+    """WITH p(pattern_id, pattern) AS (VALUES
+      |  (CAST(0 AS BIGINT), 'merge part window'),
+      |  (CAST(1 AS BIGINT), 'batch batch batch'),
+      |  (CAST(2 AS BIGINT), 'customer line'),
+      |  (CAST(3 AS BIGINT), 'zzzz never present'))
+      |SELECT p.pattern_id, d.doc_id
+      |FROM documents d JOIN p ON contains(d.text, p.pattern)""".stripMargin
+
   def bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-inv-index").toString + "/idx"
@@ -6877,6 +6903,7 @@ object Queries {
     "ann_index_append"         -> (annIndexAppend _),
     "ann_index_pq"             -> (annIndexPq _),
     "bm25_index_probe"         -> (bm25IndexProbe _),
+    "grep_index_probe"         -> (grepIndexProbe _),
     "bm25_index_incremental"   -> (bm25IndexIncremental _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
@@ -7088,6 +7115,7 @@ object Queries {
     "ann_index_append"         -> annBruteforceTopkSql,
     "ann_index_pq"             -> annBruteforceTopkSql,
     "bm25_index_probe"         -> bm25SearchSql,
+    "grep_index_probe"         -> grepIndexProbeSql,
     "bm25_index_incremental"   -> bm25SearchSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,

@@ -463,4 +463,44 @@ class SourcesSpec extends SparkSpec {
     assert(back.agg(sum("demand_kg")).first().getDouble(0) === 4.0)
     back.unpersist()
   }
+
+  test("GrepIndex: probe equals a contains() scan, prunes files, rejects short patterns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("grep-index").toString + "/idx"
+    val docs = (Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        unionAll Seq(
+          (900001L, "päivää maailma terve ja kiitos"), // multibyte grams
+          (900002L, "overlap overlap overlap exact"),
+          (900003L, "abc")).toDF("doc_id", "text"))
+    graft.sources.GrepIndex.build(spark, docs, "doc_id", "text", root,
+      nFiles = 8)
+    val pats = Seq((0L, "merge part"), (1L, "päivää maailma"),
+                   (2L, "overlap overlap overlap"), (3L, "never-present-zzz"),
+                   (4L, "abc"))
+    val got = graft.sources.GrepIndex.probe(spark, root, pats)
+      .as[(Long, Long)].collect().toSet
+    val want = pats.flatMap { case (pid, p) =>
+      docs.where(col("text").contains(p)).select(col("doc_id"))
+        .as[Long].collect().map(d => (pid, d))
+    }.toSet
+    assert(got === want)
+    assert(want.exists(_._1 == 1L) && want.exists(_._1 == 2L) &&
+           !want.exists(_._1 == 3L) && want.contains((4L, 900003L)))
+    // the postings file prune actually engaged (recorded kept/total)
+    val pruned = spark.conf.get("spark.graft.grep.lastPruned")
+    assert(pruned.matches("\\d+/\\d+"), pruned)
+    // sub-trigram patterns are loudly rejected, not silently empty
+    intercept[IllegalArgumentException] {
+      graft.sources.GrepIndex.probe(spark, root, Seq((9L, "ab")))
+    }
+    // a selective single-trigram probe keeps strictly fewer postings
+    // files than the fleet (the index's reason to exist): one 3-char
+    // pattern = one hash = the one range-clustered file covering it
+    val one = graft.sources.GrepIndex.probe(spark, root, Seq((0L, "zzz")))
+    assert(one.count() === 0L)
+    val Array(k, t) = spark.conf.get("spark.graft.grep.lastPruned")
+      .split("/").map(_.toInt)
+    assert(k < t, s"no file pruning: $k/$t")
+  }
 }
