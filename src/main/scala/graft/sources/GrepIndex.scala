@@ -55,7 +55,10 @@ import graft.functions.GraftFunctions
   * no index can help. */
 object GrepIndex {
 
-  /** Build the index at `root` from (idCol, textCol) documents. */
+  /** Build the index at `root` from (idCol, textCol) documents. The
+    * per-trigram document frequencies (`stats`) are part of the index:
+    * probes use them to pick each pattern's RAREST trigrams and to
+    * decide index-vs-scan (see [[probe]]). */
   def build(spark: SparkSession, docs: DataFrame, idCol: String,
             textCol: String, root: String, nFiles: Int = 16): Unit = {
     val postings = docs.select(
@@ -65,6 +68,11 @@ object GrepIndex {
       .select(col("h"), col("doc_id"))
     Lake.writeSorted(postings, s"$root/postings", "h", nFiles)
     StatsIndex.write(spark, s"$root/postings", Seq("h"))
+    spark.read.parquet(s"$root/postings")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+    docs.select(count(lit(1)).cast("long").as("n_docs"))
+      .write.mode("overwrite").parquet(s"$root/meta")
     Lake.writeSorted(
       docs.select(col(idCol).cast("long").as("doc_id"),
                   col(textCol).as("text")),
@@ -73,27 +81,78 @@ object GrepIndex {
   }
 
   /** Verified matches (pattern_id, doc_id) for a bounded literal
-    * pattern set. Records the postings file-prune ratio in session
-    * conf `spark.graft.grep.lastPruned` ("kept/total"). */
+    * pattern set.
+    *
+    * Selectivity discipline (the ContainStream rarest-token rule):
+    * only each pattern's `maxProbeGrams` RAREST trigrams (by indexed
+    * df) probe the posting lists — requiring a SUBSET of trigrams
+    * keeps the candidate set a superset of true matches, and the
+    * rarest subset carries all the selectivity a pattern has. A
+    * pattern with a trigram absent from the index matches nothing and
+    * is settled without touching a posting.
+    *
+    * Auto-route (the GraphRoute lesson applied to probes): when the
+    * selected posting mass still rivals the corpus — the degenerate
+    * regime of a tiny-vocabulary corpus where every trigram is
+    * near-universal, measured at 1000×: index probe 70 s vs 20 s for
+    * the plain scan — the probe routes to the exact `contains()` scan
+    * over the doc-clustered table instead (estimated rows >
+    * `scanFraction` × corpus docs). Both routes return the same exact
+    * result; the choice lands in `spark.graft.grep.lastRoute`
+    * ("index" | "scan") and the postings file-prune ratio (index
+    * route) in `spark.graft.grep.lastPruned`. */
   def probe(spark: SparkSession, root: String,
-            patterns: Seq[(Long, String)]): DataFrame = {
+            patterns: Seq[(Long, String)],
+            maxProbeGrams: Int = 8,
+            scanFraction: Double = 0.25): DataFrame = {
     require(patterns.nonEmpty, "no patterns to probe")
     require(patterns.forall(_._2.length >= 3),
       "patterns shorter than 3 code points carry no trigram - " +
         "run those through a plain filtered scan")
+    require(maxProbeGrams >= 1, s"bad maxProbeGrams $maxProbeGrams")
     import spark.implicits._
     val pat = patterns.toDF("pattern_id", "pattern")
     // probe-gram table, evaluated by the SAME expression the build
-    // used — tiny (bounded probe set), collected once for the scan
-    // pushdown and broadcast for the count match
+    // used — tiny (bounded probe set), collected once
     val pg = pat.select(col("pattern_id"),
         explode(array_distinct(
           GraftFunctions.charGramHashes(col("pattern"), 3))).as("h"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val hs = pg.map(_._2).distinct.toSeq
-    val need = pg.groupBy(_._1).map { case (pid, rs) =>
+    val allHs = pg.map(_._2).distinct.toSeq
+    // df of each probe trigram (missing ⇒ 0: no doc holds it)
+    val dfOf = spark.read.parquet(s"$root/stats")
+      .where(col("h").isin(allHs: _*))
+      .as[(Long, Long)].collect().toMap
+    // per pattern: rarest ≤ maxProbeGrams trigrams (df asc, h
+    // tie-break — deterministic); any df-0 trigram settles the
+    // pattern as matchless
+    val selected = pg.groupBy(_._1).toSeq.flatMap { case (pid, rs) =>
+      val ranked = rs.map(_._2).distinct.toSeq
+        .map(h => (h, dfOf.getOrElse(h, 0L))).sortBy(t => (t._2, t._1))
+      if (ranked.headOption.exists(_._2 == 0L)) Seq.empty[(Long, Long)]
+      else ranked.take(maxProbeGrams).map { case (h, _) => (pid, h) }
+    }
+    if (selected.isEmpty) {
+      spark.conf.set("spark.graft.grep.lastRoute", "index")
+      spark.conf.set("spark.graft.grep.lastPruned", "0/0")
+      return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+    }
+    val nDocs = spark.read.parquet(s"$root/meta")
+      .head().getLong(0)
+    val postingMass = selected.map(_._2).distinct.map(dfOf(_)).sum
+    if (postingMass > scanFraction * nDocs) {
+      // degenerate selectivity: the exact scan IS the cheaper plan
+      spark.conf.set("spark.graft.grep.lastRoute", "scan")
+      return spark.read.parquet(s"$root/docs")
+        .crossJoin(broadcast(pat))
+        .where(col("text").contains(col("pattern")))
+        .select(col("pattern_id"), col("doc_id"))
+    }
+    spark.conf.set("spark.graft.grep.lastRoute", "index")
+    val hs = selected.map(_._2).distinct
+    val need = selected.groupBy(_._1).map { case (pid, rs) =>
       (pid, rs.length.toLong) }.toSeq.toDF("pattern_id", "need")
-    val pgDf = pg.toSeq.toDF("pattern_id", "h")
+    val pgDf = selected.toDF("pattern_id", "h")
     val (kept, all) = StatsIndex.prunedFilesIn(
       spark, s"$root/postings", "h", hs)
     spark.conf.set("spark.graft.grep.lastPruned", s"${kept.size}/${all.size}")

@@ -464,7 +464,7 @@ class SourcesSpec extends SparkSpec {
     back.unpersist()
   }
 
-  test("GrepIndex: probe equals a contains() scan, prunes files, rejects short patterns") {
+  test("GrepIndex: both routes equal a contains() scan; rarest-gram prune engages; short patterns rejected") {
     import spark.implicits._
     val root = Files.createTempDirectory("grep-index").toString + "/idx"
     val docs = (Tables.documents(spark, sfDir)
@@ -478,29 +478,47 @@ class SourcesSpec extends SparkSpec {
     val pats = Seq((0L, "merge part"), (1L, "päivää maailma"),
                    (2L, "overlap overlap overlap"), (3L, "never-present-zzz"),
                    (4L, "abc"))
-    val got = graft.sources.GrepIndex.probe(spark, root, pats)
-      .as[(Long, Long)].collect().toSet
     val want = pats.flatMap { case (pid, p) =>
       docs.where(col("text").contains(p)).select(col("doc_id"))
         .as[Long].collect().map(d => (pid, d))
     }.toSet
-    assert(got === want)
     assert(want.exists(_._1 == 1L) && want.exists(_._1 == 2L) &&
            !want.exists(_._1 == 3L) && want.contains((4L, 900003L)))
-    // the postings file prune actually engaged (recorded kept/total)
-    val pruned = spark.conf.get("spark.graft.grep.lastPruned")
-    assert(pruned.matches("\\d+/\\d+"), pruned)
+    // forced INDEX route: posting-list candidates + exact verify
+    val gotIdx = graft.sources.GrepIndex.probe(spark, root, pats,
+        scanFraction = Double.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.grep.lastRoute") === "index")
+    assert(gotIdx === want)
+    assert(spark.conf.get("spark.graft.grep.lastPruned").matches("\\d+/\\d+"))
+    // forced SCAN route (the degenerate-selectivity fallback): same
+    // exact result by construction
+    val gotScan = graft.sources.GrepIndex.probe(spark, root, pats,
+        scanFraction = -1.0)
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.grep.lastRoute") === "scan")
+    assert(gotScan === want)
+    // default auto-route picks one of the two and stays exact
+    val gotAuto = graft.sources.GrepIndex.probe(spark, root, pats)
+      .as[(Long, Long)].collect().toSet
+    assert(gotAuto === want)
+    // a pattern with an absent trigram settles matchless WITHOUT
+    // touching a posting list (df-0 short circuit)
+    val none = graft.sources.GrepIndex.probe(spark, root, Seq((9L, "zzz")))
+    assert(none.count() === 0L)
+    assert(spark.conf.get("spark.graft.grep.lastPruned") === "0/0")
+    // rarest-gram selectivity: a present single-trigram probe forced
+    // through the index keeps strictly fewer postings files than the
+    // fleet (one hash = the one range-clustered file covering it)
+    val one = graft.sources.GrepIndex.probe(spark, root, Seq((4L, "abc")),
+      maxProbeGrams = 1, scanFraction = Double.MaxValue)
+    assert(one.as[(Long, Long)].collect().toSet === Set((4L, 900003L)))
+    val Array(k, t) = spark.conf.get("spark.graft.grep.lastPruned")
+      .split("/").map(_.toInt)
+    assert(k < t, s"no file pruning: $k/$t")
     // sub-trigram patterns are loudly rejected, not silently empty
     intercept[IllegalArgumentException] {
       graft.sources.GrepIndex.probe(spark, root, Seq((9L, "ab")))
     }
-    // a selective single-trigram probe keeps strictly fewer postings
-    // files than the fleet (the index's reason to exist): one 3-char
-    // pattern = one hash = the one range-clustered file covering it
-    val one = graft.sources.GrepIndex.probe(spark, root, Seq((0L, "zzz")))
-    assert(one.count() === 0L)
-    val Array(k, t) = spark.conf.get("spark.graft.grep.lastPruned")
-      .split("/").map(_.toInt)
-    assert(k < t, s"no file pruning: $k/$t")
   }
 }

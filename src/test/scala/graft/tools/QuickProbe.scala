@@ -22,6 +22,18 @@ object QuickProbe {
         case "nfc_agg" =>
           Queries.all("nfc_normalize_sound")(spark, dir)
             .agg(sum(col("n_composed")).as("tc"), sum(length(col("norm_text"))).as("tl"))
+        case "grep_scan_baseline" =>
+          // the full-scan contains() form the trigram index competes
+          // with (4-pattern sweep, one pass)
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text"))
+            .select(col("doc_id"), explode(array(
+              Seq(("0", "merge part window"), ("1", "batch batch batch"),
+                  ("2", "customer line"), ("3", "zzzz never present")).map {
+                case (pid, p) => when(col("text").contains(p), lit(pid))
+              }: _*)).as("pid"))
+            .where(col("pid").isNotNull)
+            .groupBy(col("pid")).agg(count(lit(1)).as("n"))
         case other => Queries.all(other)(spark, dir)
       }
       val t0 = System.nanoTime()

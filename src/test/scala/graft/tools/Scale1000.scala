@@ -474,6 +474,25 @@ object Scale1000 {
       out.append(line).append('\n')
     }
 
+    // ---- family 15 (r16): persisted trigram grep index — build over
+    // 5M docs (postings are doc-count-linear: distinct trigrams per
+    // doc), then a bounded literal sweep whose cost tracks the
+    // patterns' posting lists, not the corpus
+    val grepRoot = s"$dir/__grep_index"
+    run("grep_index_build_5m") {
+      graft.sources.GrepIndex.build(spark, Tables.documents(spark, dir),
+        "doc_id", "text", grepRoot, nFiles = 32)
+      spark.read.parquet(s"$grepRoot/postings").count()
+    }
+    runDf("grep_index_probe_5m")(graft.sources.GrepIndex.probe(spark,
+      grepRoot, Seq((0L, "merge part window"), (1L, "batch batch batch"),
+        (2L, "customer line"), (3L, "zzzz never present"))))
+    if (!only.exists(o => !o.contains("grep_index_probe_5m")))
+      println("SCALE1000_NOTE grep route " +
+        spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
+        " postings file prune " +
+        spark.conf.get("spark.graft.grep.lastPruned", "n/a"))
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
