@@ -215,13 +215,9 @@ object Curate {
     // budget — so later duplicates of rejected docs stay rejected
     val ledgerDelta = fresh.select(col("fp"))
 
-    // ---- stage 2: quality gate. Generate barrier (the IngestStream
-    // fuse, r16): withColumn+where let pushdown inline the stats pass
-    // into the Filter while the Project kept its own copy — two full
-    // evaluations per surviving row; explode(array(...)) pins one.
+    // ---- stage 2: quality gate
     val scored = fresh
-      .select(col("*"),
-        explode(array(TextFunctions.qualityScore(col("text")))).as("quality"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .where(col("quality") >= qualityFloor)
 
     // ---- stage 3: per-source token budget, doc_id order, resuming the
