@@ -65,6 +65,14 @@ object GraphRoute {
     * cached table its iteration should consume. */
   def routeDense(e0: DataFrame, what: String): DataFrame = {
     val sess = e0.sparkSession
+    // `off` skips even the profile job — for callers iterating many
+    // SMALL graphs where the one partial-agg pass per call is the
+    // dominant cost (~0.3 s of job overhead on a planted 512-edge
+    // gate; amortized to noise at any real edge count)
+    if (sess.conf.get("spark.graft.graph.denseRoute", "cap") == "off") {
+      sess.conf.set("spark.graft.graph.lastRoute", "off")
+      return e0
+    }
     val prof = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .agg(coalesce(max(col("d")), lit(0L)).as("mx"),
            coalesce(avg(col("d")), lit(0.0)).as("mean")).head

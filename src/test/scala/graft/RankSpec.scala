@@ -166,6 +166,13 @@ class RankSpec extends SparkSpec {
     // sparse graphs (every kNN/planted gate) route through untouched
     ranksOf(Rank.pageRank(tri, "s", "d", iters = 1, damping = 0.5))
     assert(spark.conf.get("spark.graft.graph.lastRoute") === "direct")
+    // `off` skips the profile job entirely and still computes exactly
+    spark.conf.set("spark.graft.graph.denseRoute", "off")
+    try {
+      val r = ranksOf(Rank.pageRank(tri, "s", "d", iters = 1, damping = 0.5))
+      assert(spark.conf.get("spark.graft.graph.lastRoute") === "off")
+      assert(r === Map(1L -> 0.5, 2L -> 0.75, 3L -> 1.25))
+    } finally spark.conf.set("spark.graft.graph.denseRoute", "cap")
     // BFS inherits the route through ssspDistances; capped distances
     // are upper bounds — every emitted distance is >= the true one
     // and reached nodes are a subset
