@@ -206,19 +206,27 @@ object Curate {
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withColumn("keeper", min(col("doc_id")).over(wFp))
       .where(col("doc_id") === col("keeper"))
+    // quality is computed INTO the checkpoint projection: the
+    // materialization is a hard barrier, so the stats pass runs
+    // exactly once per first-seen row — the r16 fuse done with
+    // structure the path already pays for (one extra double per
+    // checkpointed row), instead of the Generate barrier the first
+    // attempt used (same-machine sampling could not separate the
+    // Generate form from the plain one under this box's ±35% noise —
+    // BENCHNOTES_r16.md — so the zero-new-structure form wins by
+    // construction, not by a contested measurement)
     val fresh = (
       if (priorVs.isEmpty) keepOne
       else keepOne.join(readLedger(spark, roots).hint("shuffle_hash"),
         Seq("fp"), "left_anti")
-    ).localCheckpoint()
+    ).withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .localCheckpoint()
     // every first-seen fp enters the ledger NOW — before quality and
     // budget — so later duplicates of rejected docs stay rejected
     val ledgerDelta = fresh.select(col("fp"))
 
-    // ---- stage 2: quality gate
-    val scored = fresh
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .where(col("quality") >= qualityFloor)
+    // ---- stage 2: quality gate (reads the materialized column)
+    val scored = fresh.where(col("quality") >= qualityFloor)
 
     // ---- stage 3: per-source token budget, doc_id order, resuming the
     // prior cumsum. NOTE the order is doc_id, not the md5 order of
