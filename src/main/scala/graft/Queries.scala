@@ -1338,6 +1338,25 @@ object Queries {
       |SELECT p.pattern_id, d.doc_id
       |FROM documents d JOIN p ON contains(d.text, p.pattern)""".stripMargin
 
+  /** Trigram-index incremental gate (#39d2): build on the even half,
+    * [[graft.sources.GrepIndex.append]] the odd half (trigrams ONLY
+    * the batch), probe the appended index — posting membership, df
+    * stats and the route decision all recompose exactly (integer
+    * sums), so the appended index must answer the sweep identically
+    * to a from-scratch build: same oracle as `grep_index_probe`. */
+  def grepIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-grep-append").toString + "/idx"
+    graft.sources.GrepIndex.build(spark, docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", root, nFiles = 8)
+    graft.sources.GrepIndex.append(spark, root,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    graft.sources.GrepIndex.probe(spark, root, Seq(
+      (0L, "merge part window"), (1L, "batch batch batch"),
+      (2L, "customer line"), (3L, "zzzz never present")))
+  }
+
   def bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-inv-index").toString + "/idx"
@@ -6904,6 +6923,7 @@ object Queries {
     "ann_index_pq"             -> (annIndexPq _),
     "bm25_index_probe"         -> (bm25IndexProbe _),
     "grep_index_probe"         -> (grepIndexProbe _),
+    "grep_index_append"        -> (grepIndexAppend _),
     "bm25_index_incremental"   -> (bm25IndexIncremental _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
@@ -7116,6 +7136,7 @@ object Queries {
     "ann_index_pq"             -> annBruteforceTopkSql,
     "bm25_index_probe"         -> bm25SearchSql,
     "grep_index_probe"         -> grepIndexProbeSql,
+    "grep_index_append"        -> grepIndexProbeSql,
     "bm25_index_incremental"   -> bm25SearchSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,

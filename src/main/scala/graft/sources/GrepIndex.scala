@@ -80,6 +80,54 @@ object GrepIndex {
     StatsIndex.write(spark, s"$root/docs", Seq("doc_id"))
   }
 
+  /** Append a document batch to an existing index — the lifecycle leg
+    * every persisted index here carries (the AnnIndex/InvertedIndex
+    * discipline): only the BATCH is trigram'd; nothing re-reads prior
+    * postings or documents. Postings and docs land as additional
+    * range-clustered files (per-file clustering holds, fleet-level
+    * ranges now overlap — StatsIndex pruning degrades gracefully, it
+    * never breaks); the df stats fold EXACTLY (integer sums over a
+    * full-outer merge, materialized before the overwrite so the read
+    * never races its own rewrite), so append == rebuild for every
+    * probe by construction — including the route decision, which
+    * reads only (df, n_docs). Single-writer maintenance op (the
+    * StatsIndex convention); publish through Manifest versions for
+    * atomic cutover. */
+  def append(spark: SparkSession, root: String, docs: DataFrame,
+             idCol: String, textCol: String, nFiles: Int = 4): Unit = {
+    val postings = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(
+          GraftFunctions.charGramHashes(col(textCol), 3))).as("h"))
+      .select(col("h"), col("doc_id"))
+      .repartitionByRange(math.max(nFiles, 1), col("h"))
+      .sortWithinPartitions("h")
+      .localCheckpoint() // two consumers: the write and the stats fold
+    postings.write.mode("append").parquet(s"$root/postings")
+    StatsIndex.update(spark, s"$root/postings")
+    val merged = spark.read.parquet(s"$root/stats")
+      .join(postings.groupBy(col("h")).agg(count(lit(1)).as("bdf")),
+            Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
+          .as("df"))
+      .localCheckpoint() // materialize BEFORE overwriting the input dir
+    merged.write.mode("overwrite").parquet(s"$root/stats")
+    val n0 = spark.read.parquet(s"$root/meta").head().getLong(0)
+    val nb = docs.count()
+    import spark.implicits._
+    Seq(n0 + nb).toDF("n_docs")
+      .write.mode("overwrite").parquet(s"$root/meta")
+    docs.select(col(idCol).cast("long").as("doc_id"),
+                col(textCol).as("text"))
+      .repartitionByRange(math.max(nFiles, 1), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("append").parquet(s"$root/docs")
+    StatsIndex.update(spark, s"$root/docs")
+    graft.Blocks.freeCheckpoint(postings)
+    graft.Blocks.freeCheckpoint(merged)
+  }
+
   /** Verified matches (pattern_id, doc_id) for a bounded literal
     * pattern set.
     *

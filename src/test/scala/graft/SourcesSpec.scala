@@ -520,5 +520,21 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.sources.GrepIndex.probe(spark, root, Seq((9L, "ab")))
     }
+    // append == rebuild: index half, append half — every probe (both
+    // routes) answers identically to the full build above, and the
+    // folded df stats keep the route decision identical too
+    val root2 = Files.createTempDirectory("grep-append").toString + "/idx"
+    graft.sources.GrepIndex.build(spark,
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", root2,
+      nFiles = 8)
+    graft.sources.GrepIndex.append(spark, root2,
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+    for (sf <- Seq(Double.MaxValue, -1.0)) {
+      val g = graft.sources.GrepIndex.probe(spark, root2, pats,
+          scanFraction = sf)
+        .as[(Long, Long)].collect().toSet
+      assert(g === want, s"appended index diverges at scanFraction=$sf")
+    }
+    graft.Blocks.freeAll(spark)
   }
 }
