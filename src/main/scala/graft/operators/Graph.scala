@@ -222,12 +222,23 @@ object Graph {
     * fixed-round oracle equals the engine whether convergence came
     * early or not, and rounds beyond the diameter are no-ops.
     *
-    * Scale shape: the peel/LPA round discipline — edges cached bare
-    * (one hash-partition, never re-shuffled at broadcast scale), the
-    * node-sized distance table does the moving: one edge⋈dist join +
-    * one min-agg + one outer combine per round; superseded rounds
-    * freed eagerly. Returns (node, dist) for REACHED nodes only —
-    * at 100 TB the unreachable set is the corpus, not a result. */
+    * Scale shape: FRONTIER-DELTA relaxation (r17, verdict item 2) —
+    * edges cached bare, but each round joins only the nodes whose
+    * distance IMPROVED last round, not the whole distance table.
+    * Exact by monotonicity (a node's distance can only improve when
+    * an in-neighbor improved the round before, so relaxing only
+    * improved sources loses nothing — the classic frontier/delta
+    * argument), and round-for-round identical to full synchronous
+    * relaxation, so the fixed-round oracle is unchanged. This is
+    * also the reach family's DENSE mitigation: the rank family's
+    * degree cap ([[GraphRoute]]) is the wrong tool here — capping
+    * reach answers a different question (r16 measured 15,616 of
+    * 15.0M truly reachable under the cap), while the frontier bound
+    * keeps total edge work ≤ one relaxation per edge per improvement
+    * of its source (exactly once for unit weights) instead of
+    * edges×rounds, with zero approximation. Returns (node, dist) for
+    * REACHED nodes only — at 100 TB the unreachable set is the
+    * corpus, not a result. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
                    maxIters: Int = 3): DataFrame =
@@ -247,33 +258,53 @@ object Graph {
     * they would break the ≤k-hop optimality invariant silently. */
   def ssspDistances(edges: DataFrame, srcCol: String, dstCol: String,
                     wCol: String, seeds: DataFrame, seedCol: String,
-                    maxIters: Int = 3): DataFrame = {
+                    maxIters: Int = 3,
+                    maxBroadcastNodes: Long = 4000000L): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
-    // dense-graph auto-route (r16, the Rank.pageRank rule): capped
-    // edges make relaxed distances UPPER BOUNDS of the true ones — a
-    // dropped edge can only lengthen a path; see GraphRoute for the
-    // contract and the loud opt-out. BFS inherits through this path.
-    val e = GraphRoute.routeDense(
-      edges.select(col(srcCol).cast("long").as("src"),
-                   col(dstCol).cast("long").as("dst"),
-                   col(wCol).cast("long").as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      "ssspDistances")
+    val sess = edges.sparkSession
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+                         col(dstCol).cast("long").as("dst"),
+                         col(wCol).cast("long").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // precondition BEFORE any other job touches the input (r16
+    // advice: the old order ran the dense-route profile first, so a
+    // capped run could drop the offending edges and pass the check)
     val negatives = e.where(col("w") < 0).limit(1).count()
     require(negatives == 0, "ssspDistances requires non-negative weights")
-    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
-    for (_ <- 0 until maxIters) {
-      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+    // reach family routes as "frontier" always — no degree cap (see
+    // the scaladoc above and GraphRoute's per-family note)
+    sess.conf.set("spark.graft.graph.lastRoute", "frontier")
+    var current = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"), lit(true).as("imp"))
+      .localCheckpoint(true)
+    var dist = current.select(col("node"), col("dist"))
+    // the improving frontier: node-sized at worst, seed-sized at
+    // first — broadcast into the cached-edge join while it fits so
+    // the edge table is never re-shuffled (the pageRank contribution
+    // lesson); its count is known from the previous round's action
+    var fCount = current.count()
+    var it = 0
+    while (it < maxIters && fCount > 0) {
+      val f0 = current.where(col("imp"))
+        .select(col("node").as("src"), col("dist"))
+      val f = if (maxBroadcastNodes > 0 && fCount <= maxBroadcastNodes)
+        broadcast(f0) else f0
+      val relaxed = e.join(f, "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + col("w")).as("nd"))
       val next = dist.join(relaxed, Seq("node"), "full")
         .select(col("node"),
-                least(coalesce(col("dist"), lit(Long.MaxValue)),
-                      coalesce(col("nd"), lit(Long.MaxValue))).as("dist"))
+                coalesce(col("dist"), lit(Long.MaxValue)).as("od"),
+                coalesce(col("nd"), lit(Long.MaxValue)).as("nv"))
+        .select(col("node"),
+                least(col("od"), col("nv")).as("dist"),
+                (col("nv") < col("od")).as("imp"))
         .localCheckpoint(true)
-      graft.Blocks.freeCheckpoint(dist)
-      dist = next
+      fCount = next.where(col("imp")).count() // reads the checkpoint
+      graft.Blocks.freeCheckpoint(current)
+      current = next
+      dist = current.select(col("node"), col("dist"))
+      it += 1
     }
     e.unpersist(false)
     dist

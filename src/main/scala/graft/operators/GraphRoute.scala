@@ -3,9 +3,20 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Dense-graph routing for the iterative graph family ([[Rank]]
-  * pageRank/PPR/HITS, [[Graph]] BFS/SSSP) — the r15 partition sweep's
-  * lesson made ENGINE BEHAVIOR instead of scaladoc.
+/** Dense-graph routing for the RANK family ([[Rank]] pageRank/PPR/
+  * HITS) — the r15 partition sweep's lesson made ENGINE BEHAVIOR
+  * instead of scaladoc. Routing is PER-FAMILY since r17: the reach
+  * family ([[Graph]] BFS/SSSP) no longer routes through here at all —
+  * capping a reach query doesn't approximate scores, it silently
+  * answers a different question (the r16 bipartite measurement:
+  * 15,616 of 15.0M truly reachable nodes under the cap), so
+  * [[Graph.ssspDistances]] keeps dense graphs tractable by
+  * frontier-delta relaxation instead — exact by monotonicity, with
+  * per-round edge work bounded by the improving frontier's out-edges
+  * rather than the full edge mass. Rank scores, by contrast, degrade
+  * gracefully under the cap (a 600k-degree hub's per-edge
+  * contribution was rank/600k ≈ 0), which is why the cap stays the
+  * rank-family default.
   *
   * What the sweep measured (SCALE1000.md r15): the bipartite
   * customer–supplier graph's per-round working set (1.17B directed
@@ -59,7 +70,8 @@ object GraphRoute {
   val DefaultCap = 20
 
   /** Route a PREPARED directed edge table (must carry a `src` column;
-    * any other columns ride along). `e0` must already be persisted —
+    * any other columns ride along — all columns LongType, the shape
+    * every [[Rank]] caller builds). `e0` must already be persisted —
     * on the cap path the capped subgraph is persisted, materialized,
     * and `e0` released, so the caller always gets back the one live
     * cached table its iteration should consume. */
@@ -94,12 +106,32 @@ object GraphRoute {
                               DefaultCap.toString).toInt
       require(cap >= 1, s"spark.graft.graph.denseCap must be >= 1: $cap")
       // deterministic kept set: the cap smallest (dst, rest) tuples
-      // per src — value-total order so reruns and engines agree
-      val ord = e0.columns.filter(_ != "src").map(col).toSeq
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")).orderBy(ord: _*)
-      val capped = e0.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") <= cap).drop("__rk")
+      // per src — value-total order so reruns and engines agree. r17
+      // (verdict item 1): computed by the bounded map-side
+      // [[graft.functions.Aggregators.SmallestKAgg]] instead of a
+      // row_number window — the window form exchanged and sorted the
+      // FULL edge mass (measured: ~84 GB spill on the 1.17B-edge
+      // bipartite graph, nearly all the routed rows' remaining cost);
+      // the algebraic form ships at most cap tuples per src out of
+      // each map task, so the one exchange is O(nodes·cap). Kept set
+      // identical by the same total order (duplicate tuples are
+      // indistinguishable; SmallestKAgg retains multiplicity).
+      require(e0.schema.fields.forall(_.dataType ==
+          org.apache.spark.sql.types.LongType),
+        s"routeDense caps long-typed edge tables only: ${e0.schema}")
+      import sess.implicits._
+      val rest = e0.columns.filter(_ != "src").toSeq
+      val keptRows = e0
+        .select(col("src"), array(rest.map(col): _*).as("rest"))
+        .as[(Long, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.Aggregators.smallestK(cap).toColumn)
+        .toDF("src", "kept")
+        .select(col("src"), explode(col("kept")).as("rest"))
+      val capped = keptRows
+        .select(e0.columns.toSeq.map(c =>
+          if (c == "src") col("src")
+          else col("rest")(rest.indexOf(c)).as(c)): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       capped.count() // materialize from the old cache before dropping it
       e0.unpersist(false)

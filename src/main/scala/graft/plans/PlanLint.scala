@@ -120,12 +120,20 @@ object PlanLint {
       "global_window_bounded", "global_sort_bounded", "global_sort_topk",
       "global_sort_output", "shuffle_count", "broadcast_count")
     val initialKinds = initial.map(_.kind).toSet
+    val initialBases = initial.map(f => base(f.kind)).toSet
     val provedBoundedBases = initial.collect {
       case f if informational.contains(f.kind) &&
                 f.kind != "global_sort_output" => base(f.kind)
     }.toSet
     initial ++ executed.filter(f =>
       f.kind == "skew_join_split" ||
+        // runtime-INTRODUCED structure stays observable: an executed
+        // informational finding whose base kind never appeared in the
+        // initial plan (e.g. an AQE-only global_sort_topk) is new
+        // information, not a stats-elision artifact (r16 advice — the
+        // old filter dropped every informational executed kind)
+        (informational.contains(f.kind) &&
+         !initialBases.contains(base(f.kind))) ||
         (!informational.contains(f.kind) &&
          !initialKinds.contains(f.kind) &&
          !provedBoundedBases.contains(base(f.kind))))

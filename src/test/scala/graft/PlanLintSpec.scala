@@ -44,10 +44,20 @@ class PlanLintSpec extends SparkSpec {
     // skew splits only exist at runtime — always kept
     assert(ks(reconcile(Seq(sortBounded), Seq(skew)))
       === Seq("global_sort_bounded", "skew_join_split"))
-    // executed informationals never duplicate (initial is authoritative)
+    // executed informationals never duplicate an initially-present
+    // base kind (initial is authoritative for those) — but a
+    // runtime-INTRODUCED informational whose base kind the initial
+    // plan never saw (here the AQE-only global_sort_bounded) is new
+    // structure and stays observable (r16 ADVICE: the old filter
+    // dropped every informational executed kind unconditionally)
     assert(ks(reconcile(Seq(Finding("shuffle_count", "3")),
       Seq(Finding("shuffle_count", "5"), sortBounded)))
-      === Seq("shuffle_count"))
+      === Seq("shuffle_count", "global_sort_bounded"))
+    // ...and when the initial plan carried ANY variant of the base
+    // kind, the executed informational still folds away
+    assert(ks(reconcile(Seq(sortOut),
+      Seq(Finding("global_sort_topk", "runtime topk"))))
+      === Seq("global_sort_output"))
   }
 
   test("maxRowsOf join bounds are joinType-shaped (r15 ADVICE)") {

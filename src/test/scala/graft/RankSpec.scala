@@ -173,20 +173,47 @@ class RankSpec extends SparkSpec {
       assert(spark.conf.get("spark.graft.graph.lastRoute") === "off")
       assert(r === Map(1L -> 0.5, 2L -> 0.75, 3L -> 1.25))
     } finally spark.conf.set("spark.graft.graph.denseRoute", "cap")
-    // BFS inherits the route through ssspDistances; capped distances
-    // are upper bounds — every emitted distance is >= the true one
-    // and reached nodes are a subset
+    // r17 (verdict item 2): routing is PER-FAMILY — the reach family
+    // does NOT cap. Capped BFS answered a different question (15,616
+    // of 15.0M truly reachable at 1000×); dense graphs now run exact
+    // frontier-delta relaxation and the route records "frontier".
     val seeds = Seq(0L).toDF("seed")
-    val dTrue = {
-      spark.conf.set("spark.graft.graph.denseRoute", "direct")
-      try Graph.bfsDistances(dir2, "s", "d", seeds, "seed", maxIters = 3)
-        .as[(Long, Long)].collect().toMap
-      finally spark.conf.set("spark.graft.graph.denseRoute", "cap")
-    }
-    val dCap = Graph.bfsDistances(dir2, "s", "d", seeds, "seed", maxIters = 3)
+    val dDense = Graph.bfsDistances(dir2, "s", "d", seeds, "seed", maxIters = 3)
       .as[(Long, Long)].collect().toMap
+    assert(spark.conf.get("spark.graft.graph.lastRoute") === "frontier")
+    // exact reach on the dense bipartite graph: the seed reaches all
+    // 70 right nodes in 1 hop and the other 199 left nodes in 2
+    assert(dDense.size === 270)
+    assert(dDense(0L) === 0L)
+    assert((1000L until 1070L).forall(b => dDense(b) === 1L))
+    assert((1L until 200L).forall(a => dDense(a) === 2L))
+    graft.Blocks.freeAll(spark)
+  }
+
+  test("routeDense cap: bounded-agg kept set equals the window form (r17)") {
+    import graft.operators.GraphRoute
+    // hub src 7: 500 edges over 40 dsts × 11 weights (duplicates
+    // included); src 8 adds duplicate and tie rows. Mean degree
+    // 503/2 >> 64 → dense → capped.
+    val e = spark.range(500)
+      .select(lit(7L).as("src"), (col("id") % 40).as("dst"),
+              (col("id") % 11).as("w"))
+      .union(Seq((8L, 1L, 5L), (8L, 1L, 5L), (8L, 2L, 0L))
+        .toDF("src", "dst", "w"))
+    val cap = GraphRoute.DefaultCap
+    val got = GraphRoute.routeDense(
+        e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        "spec")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(spark.conf.get("spark.graft.graph.lastRoute") === s"capped($cap)")
-    dCap.foreach { case (n, dist) => assert(dist >= dTrue(n), s"node $n") }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"), col("w"))
+    val expected = e.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap).drop("rk")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === expected)
+    // column order and names survive the cap round-trip
+    assert(got.count(_._1 === 8L) === 3) // sub-cap src keeps everything
     graft.Blocks.freeAll(spark)
   }
 
