@@ -99,6 +99,25 @@ object Bench {
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val loadAfter = loadavg()
+    // Machine self-calibration (r16 verdict item 5: the r16 bench
+    // story needed a hand-derived 1.35× control band; this makes it
+    // structural). The five control rows are queries whose code has
+    // been untouched for many rounds; their reference times are the
+    // committed r15 QUIET bench (bench_results.json at e96ca7a,
+    // total 143.58 s, loadavg ~1.4). machine_factor = median of
+    // current/reference over the five — every BENCH artifact now
+    // self-normalizes: like-for-like total ≈ value / machine_factor,
+    // and a quiet-vs-contended capture is visible in the factor
+    // itself rather than needing forensic reconstruction.
+    val calibrationRefs = Seq(
+      "running_total" -> 0.0852, "q1_pricing_summary" -> 0.2754,
+      "events_hourly" -> 0.2117, "tfidf_top_term" -> 0.6774,
+      "late_shippers" -> 1.2978)
+    val calCurrent = calibrationRefs.flatMap { case (n, ref) =>
+      results.find(r => r._1 == n && r._2 > 0).map(r => (n, ref, r._2)) }
+    val calRatios = calCurrent.map { case (_, ref, cur) => cur / ref }.sorted
+    val machineFactor =
+      if (calRatios.isEmpty) -1.0 else calRatios(calRatios.size / 2)
     // 4 decimals (0.1 ms) — full double repr bloated the line past the
     // driver's stdout tail buffer, truncating the recorded artifact
     // mid-JSON (r7 advice); sub-0.1ms digits are noise anyway
@@ -113,14 +132,20 @@ object Bench {
     // records parsed:null (r6/r7/r8 advice). The stdout line is a
     // COMPACT digest sized to survive the tail window whole: total,
     // the slowest 20 queries, any failures, and a pointer to the file.
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    val calJson = {
+      val rows = calCurrent.map { case (n, ref, cur) =>
+        s"""\"$n\":{"ref":${fmt(ref)},"cur":${fmt(cur)},"ratio":${fmt(cur / ref)}}"""
+      }.mkString("{", ",", "}")
+      s""""calibration":{"reference":"r15 quiet bench_results.json @ e96ca7a","controls":$rows,"machine_factor":${fmt(machineFactor)}}"""
+    }
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",$calJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"machine_factor":${fmt(machineFactor)},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(line)
     spark.stop()
   }

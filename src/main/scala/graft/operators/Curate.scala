@@ -181,18 +181,35 @@ object Curate {
                nFiles: Int = 4, note: String = "", retain: Int = 16): Long = {
     val priorVs = Manifest.versions(spark, roots.curation)
 
+    // opt-in stage attribution (r16 verdict item 8: three rounds of
+    // bench notes attributed this query's wobble to "commit/AQE
+    // constants" without a decomposition): every stage below ends at
+    // a real barrier (localCheckpoint / write / commit), so wall
+    // between barriers attributes honestly. Zero plan change; prints
+    // only under spark.graft.curate.profile=true.
+    val profile = spark.conf.get("spark.graft.curate.profile", "false") == "true"
+    def prof[T](label: String)(body: => T): T =
+      if (!profile) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"CURATE_PROF $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+        r
+      }
+
     // ---- idempotence note: caller's, or derived from the batch's
     // doc_id range (a replayed batch derives the same note — this is
     // what makes CRASH-REPLAYED batch ingestion safe: without it, a
     // re-run after a crash between an index append and the outer
     // commit would double-append postings/vectors)
-    val note0 =
+    val note0 = prof("note-derive") {
       if (note.nonEmpty) note
       else {
         val r = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
         if (r.isNullAt(0)) "" // empty batch — no-op below
         else s"batch-${r.getLong(0)}-${r.getLong(1)}"
       }
+    }
     if (note0.isEmpty) // empty input batch: nothing to ingest or pin
       return priorVs.lastOption.getOrElse(-1L)
     val replayedAs = priorVs.find(v => noteOf(spark, roots, v) == note0)
@@ -215,12 +232,12 @@ object Curate {
     // Generate form from the plain one under this box's ±35% noise —
     // BENCHNOTES_r16.md — so the zero-new-structure form wins by
     // construction, not by a contested measurement)
-    val fresh = (
+    val fresh = prof("dedup-quality-ckpt") { (
       if (priorVs.isEmpty) keepOne
       else keepOne.join(readLedger(spark, roots).hint("shuffle_hash"),
         Seq("fp"), "left_anti")
     ).withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .localCheckpoint()
+      .localCheckpoint() }
     // every first-seen fp enters the ledger NOW — before quality and
     // budget — so later duplicates of rejected docs stay rejected
     val ledgerDelta = fresh.select(col("fp"))
@@ -237,15 +254,15 @@ object Curate {
       .map(v => spark.read.parquet(subDir(spark, roots.curation, v, "state")))
       .getOrElse(Seq.empty[(String, Long)].toDF("source", "used_tokens"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val budgeted = scored
+    val budgeted = prof("budget-ckpt") { scored
       .withColumn("n_tokens", TextFunctions.bpeTokenCount(col("text")).cast("long"))
       .join(broadcast(priorState), Seq("source"), "left")
       .withColumn("cum",
         sum(col("n_tokens")).over(wCum) + coalesce(col("used_tokens"), lit(0L)))
-      .localCheckpoint()
-    val accepted = budgeted.where(col("cum") <= budgetPerSource)
+      .localCheckpoint() }
+    val accepted = prof("accept-ckpt") { budgeted.where(col("cum") <= budgetPerSource)
       .select(col("doc_id"), col("source"), col("quality"), col("fp"))
-      .localCheckpoint()
+      .localCheckpoint() }
 
     // new state: prior counters carried forward, batch's FULL
     // quality-passed token mass added (see object doc — rejected rows
@@ -263,13 +280,13 @@ object Curate {
     val priorCatalog =
       if (priorVs.isEmpty) Seq.empty[(String, String, Long)]
       else catalogOf(spark, roots.curation)
-    val newEntries = Seq(
+    val newEntries = prof("segments") { Seq(
       (CorpusKind, accepted.select(col("doc_id"), col("source"),
         col("quality")), accepted.isEmpty),
       (LedgerKind, ledgerDelta, fresh.isEmpty)
     ).collect { case (kind, df, empty) if !empty =>
       writeSegment(spark, roots.curation, kind, df)
-    }
+    } }
 
     // ---- stage 5: index appends (zero-copy catalog re-publishes on
     // their own roots; versions pinned in meta/ below). All four paths
@@ -282,7 +299,7 @@ object Curate {
       Manifest.versions(spark, root).find(v => noteAt(v) == note0)
     val annBatch = embeddings
       .join(accepted.select(col("doc_id").as("vec_id")), "vec_id")
-    val annV = notedVersion(roots.ann,
+    val annV = prof("ann-append") { notedVersion(roots.ann,
         v => AnnIndex.noteOf(spark, roots.ann, Some(v))).getOrElse {
       val exists = Manifest.currentVersion(spark, roots.ann).isDefined
       if (annBatch.isEmpty)
@@ -295,11 +312,11 @@ object Curate {
         AnnIndex.append(spark, roots.ann,
           annBatch.select(col("vec_id"), col("embedding")),
           nFiles = nFiles, note = note0).version
-    }
+    } }
     val invBatch = batch
       .join(accepted.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("text"))
-    val invV = notedVersion(roots.inv,
+    val invV = prof("inv-append") { notedVersion(roots.inv,
         v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
       val exists = Manifest.currentVersion(spark, roots.inv).isDefined
       if (invBatch.isEmpty)
@@ -310,11 +327,11 @@ object Curate {
       else
         InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles,
           note = note0)
-    }
+    } }
 
     // ---- stage 6: ONE atomic publish for the batch (catalog + state +
     // meta are all metadata-sized; the data went to _segments/ above)
-    Manifest.commitWith(spark, roots.curation, retain) { dir =>
+    prof("commit") { Manifest.commitWith(spark, roots.curation, retain) { dir =>
       writeNote(spark, dir, note0)
       (priorCatalog ++ newEntries)
         .toDF("kind", "segment", "n_rows")
@@ -322,7 +339,7 @@ object Curate {
       newState.write.parquet(s"$dir/state")
       Seq((annV, invV, note0)).toDF("ann_version", "inv_version", "batch_note")
         .coalesce(1).write.parquet(s"$dir/meta")
-    }
+    } }
   }
 
   /** The note lands INSIDE the staged dir, so it publishes (or

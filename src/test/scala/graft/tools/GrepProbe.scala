@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** r17 grep-index 1000× probe (verdict item 3): measure the index
+  * route WINNING. Every r16 grep number showed the scan route,
+  * because ScaleN's ~60-word vocabulary makes every trigram
+  * near-universal — the selectivity premise is structurally violated
+  * there, and the router correctly names that regime. This probe
+  * derives a TRIGRAM-DIVERSE corpus from the same 5M docs (each doc
+  * salted with 8 deterministic base-36 tokens of its own doc_id —
+  * ~7 chars over [0-9A-Z], so the corpus carries the tens of
+  * thousands of distinct trigrams a real mixed corpus has) and
+  * plants a rare needle (`zq9xv7_kwq3jp`) in 1-in-50k docs — the
+  * decontamination-sweep shape the operator exists for. Probing the
+  * needle + one harvested salt token + one absent literal must
+  * route `index`, and the same sweep forced through the scan is the
+  * honest denominator; result sets must be identical (lossless
+  * contract at tier).
+  *
+  * Usage: Test/runMain graft.tools.GrepProbe /tmp/sf1000x [outJson]
+  */
+object GrepProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1000x")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val metrics = new Scale100.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val out = new StringBuilder
+    val only = sys.env.get("GREPPROBE_ONLY").map(_.split(",").toSet)
+    def run(label: String)(body: => Long): Unit = {
+      if (!only.forall(_.contains(label))) return
+      Thread.sleep(1000); metrics.reset()
+      val t0 = System.nanoTime()
+      val n = try body
+              catch { case t: Throwable =>
+                System.err.println(s"GREPPROBE FAIL $label: $t"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      graft.Blocks.freeAll(spark)
+      Thread.sleep(1000)
+      val m = metrics.snapshot
+      val line = f"""{"query":"$label","rows":$n,"sec":$sec%.2f,""" +
+        m.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "}")
+      println("GREPPROBE " + line)
+      out.append(line).append('\n')
+    }
+
+    val saltedPath = s"$dir/__docs_salted"
+    val root = s"$dir/__grep_salted_index"
+    run("grep_salted_materialize") {
+      val salts = concat_ws(" ", (0 until 8).map(i =>
+        conv(pmod(xxhash64(col("doc_id"), lit(i)), lit(9999999999L)),
+             10, 36)): _*)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "), salts,
+            when(col("doc_id") % 50000 === 7, lit(" zq9xv7_kwq3jp"))
+              .otherwise(lit(""))).as("text"))
+        .write.mode("overwrite").parquet(saltedPath)
+      spark.read.parquet(saltedPath).count()
+    }
+    def salted = spark.read.parquet(saltedPath)
+
+    run("grep_salted_index_build_5m") {
+      graft.sources.GrepIndex.build(spark, salted, "doc_id", "text",
+        root, nFiles = 32)
+      graft.sources.GrepIndex.catalogOf(spark, root).map(_.nDocs).sum
+    }
+
+    // harvest one real salt token (rare by construction: each token
+    // is derived from its doc's id) — the "leaked literal" pattern
+    val tok = salted.where(col("doc_id") === 1234567L)
+      .select(col("text")).head.getString(0).split(" ").last
+    val pats = Seq((0L, "zq9xv7_kwq3jp"), (1L, tok),
+                   (2L, "zzqqxx never anywhere"))
+    println(s"GREPPROBE_NOTE patterns: $pats")
+
+    var gotIdx: Set[(Long, Long)] = null
+    var gotScan: Set[(Long, Long)] = null
+    run("grep_salted_probe_auto") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root, pats)
+        .as[(Long, Long)].collect().toSet
+      gotIdx = g
+      println("GREPPROBE_NOTE auto route " +
+        spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
+        " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a"))
+      g.size.toLong
+    }
+    run("grep_salted_probe_scan_forced") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root, pats,
+          scanFraction = -1.0)
+        .as[(Long, Long)].collect().toSet
+      gotScan = g
+      g.size.toLong
+    }
+    if (gotIdx != null && gotScan != null) {
+      val line = s"""{"query":"grep_salted_route_equality","index_rows":${gotIdx.size},""" +
+        s""""scan_rows":${gotScan.size},"identical":${gotIdx == gotScan}}"""
+      println("GREPPROBE " + line)
+      out.append(line).append('\n')
+    }
+
+    args.lift(1).foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        out.toString)
+    }
+    println("GREPPROBE done")
+    spark.stop()
+  }
+}

@@ -482,7 +482,8 @@ object Scale1000 {
     run("grep_index_build_5m") {
       graft.sources.GrepIndex.build(spark, Tables.documents(spark, dir),
         "doc_id", "text", grepRoot, nFiles = 32)
-      spark.read.parquet(s"$grepRoot/postings").count()
+      val segs = graft.sources.GrepIndex.catalogOf(spark, grepRoot)
+      spark.read.parquet(segs.map(_.postings): _*).count()
     }
     runDf("grep_index_probe_5m")(graft.sources.GrepIndex.probe(spark,
       grepRoot, Seq((0L, "merge part window"), (1L, "batch batch batch"),
