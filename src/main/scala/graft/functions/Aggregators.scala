@@ -37,38 +37,6 @@ object Aggregators {
 
   def topK(k: Int): TopKAgg = new TopKAgg(k)
 
-  /** Bounded smallest-k TUPLES per group, lexicographic over the long
-    * vector — the [[TopKAgg]] shape specialized for [[
-    * graft.operators.GraphRoute]]'s degree cap (r16 verdict item 1).
-    * The window form (`row_number().over(partitionBy(src).orderBy(
-    * rest))`) exchanges and sorts the FULL edge mass to keep k rows
-    * per node — measured ~84 GB of spill on the 1.17B-edge bipartite
-    * graph, all of it the one-time cap stage. This algebraic form
-    * carries at most k tuples per src out of each map task, so the
-    * exchange is O(nodes·k) no matter how many edges a hub has; the
-    * kept SET is identical by construction (same value-total order,
-    * duplicates retained — equal tuples are indistinguishable, so
-    * which copies survive is unobservable). */
-  class SmallestKAgg(k: Int)
-      extends Aggregator[Seq[Long], Seq[Seq[Long]], Seq[Seq[Long]]] {
-    require(k > 0, "k must be positive")
-    private val ord: Ordering[Seq[Long]] =
-      Ordering.Implicits.seqOrdering[Seq, Long]
-    private def small(xs: Seq[Seq[Long]]): Seq[Seq[Long]] =
-      xs.sorted(ord).take(k)
-    override def zero: Seq[Seq[Long]] = Nil
-    override def reduce(b: Seq[Seq[Long]], a: Seq[Long]): Seq[Seq[Long]] =
-      if (b.size < k || ord.lt(a, b.last)) small(b :+ a) else b
-    override def merge(x: Seq[Seq[Long]], y: Seq[Seq[Long]]): Seq[Seq[Long]] =
-      small(x ++ y)
-    override def finish(r: Seq[Seq[Long]]): Seq[Seq[Long]] = r
-    override def bufferEncoder: Encoder[Seq[Seq[Long]]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
-    override def outputEncoder: Encoder[Seq[Seq[Long]]] = bufferEncoder
-  }
-
-  def smallestK(k: Int): SmallestKAgg = new SmallestKAgg(k)
-
   case class TokenCount(token: String, est: Long)
 
   /** Misra-Gries heavy hitters — a MERGEABLE one-pass frequency

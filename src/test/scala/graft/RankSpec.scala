@@ -190,11 +190,14 @@ class RankSpec extends SparkSpec {
     graft.Blocks.freeAll(spark)
   }
 
-  test("routeDense cap: bounded-agg kept set equals the window form (r17)") {
+  test("routeDense cap: kept set is the value-total-order smallest per src (r17)") {
     import graft.operators.GraphRoute
-    // hub src 7: 500 edges over 40 dsts × 11 weights (duplicates
-    // included); src 8 adds duplicate and tie rows. Mean degree
-    // 503/2 >> 64 → dense → capped.
+    // pins the kept-set CONTRACT independent of implementation (the
+    // r17 A/B swapped the cap stage to a typed bounded agg and back —
+    // SCALE1000_r17_bip.json holds the refutation; this test is what
+    // makes any future swap safe). Hub src 7: 500 edges over 40 dsts
+    // × 11 weights (duplicates included); src 8 adds duplicate and
+    // tie rows. Mean degree 503/2 >> 64 → dense → capped.
     val e = spark.range(500)
       .select(lit(7L).as("src"), (col("id") % 40).as("dst"),
               (col("id") % 11).as("w"))

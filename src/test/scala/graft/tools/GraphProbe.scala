@@ -5,17 +5,46 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** r17 graph-family 1000× probe (verdict items 1 + 2): A/B the
-  * GraphRoute cap stage (row_number window vs the bounded map-side
-  * SmallestKAgg) over the 1.17B-directed-edge bipartite graph, with
-  * kept-set checksums proving the two forms keep the IDENTICAL edge
-  * multiset; then the reach family (BFS/SSSP) under the r17
-  * frontier-delta rewrite — exact reach (no cap), spill recorded.
+  * GraphRoute cap stage — the shipped row_number window vs the
+  * verdict-named bounded map-side smallest-k typed Aggregator
+  * (REFUTED and kept here, test scope, for reproducibility: kept set
+  * identical by 295.3M-row checksum, but 366 s / 188 GB spill vs the
+  * window's 319 s / 60 GB — partial aggregation cannot emit fewer
+  * than one row per (src, partition), and this graph's mean degree
+  * ~78 over 32 partitions leaves ~2.4 edges per src per partition,
+  * so the O(nodes·k) exchange premise buys nothing while the
+  * object-buffer aggregation pays for 15M keys per partition); then
+  * the reach family (BFS/SSSP) under the r17 frontier-delta rewrite
+  * — exact reach (no cap), spill recorded.
   *
   * Usage: Test/runMain graft.tools.GraphProbe /tmp/sf1000x [outJson]
   * Pre-req: /tmp/sf1000x/__cust_supp_edges (Scale1000's
   * graph_bipartite_build_600m row writes it).
   */
 object GraphProbe {
+
+  /** The REFUTED cap-stage alternative (see object doc): bounded
+    * smallest-k tuples per group, lexicographic, duplicates
+    * retained — kept-set-identical to the window form by the same
+    * value-total order. */
+  final class SmallestKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Seq[Seq[Long]], Seq[Seq[Long]]] {
+    private val ord: Ordering[Seq[Long]] =
+      Ordering.Implicits.seqOrdering[Seq, Long]
+    private def small(xs: Seq[Seq[Long]]): Seq[Seq[Long]] =
+      xs.sorted(ord).take(k)
+    override def zero: Seq[Seq[Long]] = Nil
+    override def reduce(b: Seq[Seq[Long]], a: Seq[Long]): Seq[Seq[Long]] =
+      if (b.size < k || ord.lt(a, b.last)) small(b :+ a) else b
+    override def merge(x: Seq[Seq[Long]], y: Seq[Seq[Long]]): Seq[Seq[Long]] =
+      small(x ++ y)
+    override def finish(r: Seq[Seq[Long]]): Seq[Seq[Long]] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Seq[Long]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Long]]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Seq[Long]]] =
+      bufferEncoder
+  }
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1000x")
@@ -67,7 +96,10 @@ object GraphProbe {
       (r.getLong(0), BigDecimal(r.getDecimal(1)))
     }
 
-    // ---- item 1 A/B: the cap stage ALONE, both forms, 1.17B edges
+    // ---- item 1 A/B: the cap stage ALONE, both forms, 1.17B edges.
+    // The window row replicates the SHIPPED routeDense cap; the topk
+    // row is the refuted typed-agg alternative, inlined here so the
+    // A/B reruns against exactly what was measured.
     var sumWindow: (Long, BigDecimal) = null
     var sumTopk: (Long, BigDecimal) = null
     run("cap_stage_window_1170m") {
@@ -79,11 +111,16 @@ object GraphProbe {
       sumWindow._1
     }
     run("cap_stage_topk_1170m") {
-      val e0 = bipDirected
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val capped = graft.operators.GraphRoute.routeDense(e0, "probe")
+      import spark.implicits._
+      val capped = bipDirected
+        .select(col("src"), array(col("dst")).as("rest"))
+        .as[(Long, Seq[Long])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new SmallestKAgg(20).toColumn)
+        .toDF("src", "kept")
+        .select(col("src"), explode(col("kept")).as("rest"))
+        .select(col("src"), col("rest")(0).as("dst"))
       sumTopk = checksum(capped)
-      capped.unpersist(false)
       sumTopk._1
     }
     if (sumWindow != null && sumTopk != null) {
