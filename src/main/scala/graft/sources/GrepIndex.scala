@@ -68,7 +68,17 @@ import graft.functions.GraftFunctions
   *     collisions (the minhash→jaccard verify split, applied to grep).
   *
   * Scale: probe cost ∝ the probe trigrams' posting lists + candidate
-  * fetch, independent of corpus size once clustered. Patterns are a
+  * fetch, independent of corpus size once clustered. MEASURED at
+  * 1000× on a trigram-diverse 5M-doc/24 GB corpus with a batch-local
+  * planted needle (SCALE1000_r17_grep.json): index route 2.96 s /
+  * 18.3 task-s (postings 12/32 files, docs fetch 3/32 files, 387 KB
+  * shuffle) vs 9.87 s / 235 task-s for the same sweep forced through
+  * the scan — 3.3× wall, 12.8× CPU, identical 5001-row results. The
+  * honest boundary is in the same artifact: a UNIFORMLY-scattered
+  * 1-in-50k needle loses the wall race on a page-cached 6 GB corpus
+  * (5.17 vs 2.86 s) even though task-time still favors the index
+  * 2.4× — point-fetch needs locality or small match counts, and
+  * `lastDocsPruned` records which regime a sweep saw. Patterns are a
   * bounded probe set by contract (a sweep carries tens to thousands of
   * literals, not a corpus) — they ride the plan as literals/broadcast.
   * Patterns shorter than 3 code points carry no trigram and are
@@ -77,6 +87,11 @@ import graft.functions.GraftFunctions
 object GrepIndex {
 
   private val SegmentsDir = "segments"
+
+  /** Max candidate docs fetched via the pruned point-lookup path; a
+    * sweep matching more than this per call is range-scan-shaped and
+    * uses the plain join instead (no driver collect). */
+  val FetchPruneMax = 100000
 
   /** One immutable posting+stats+docs segment triple with its exact
     * doc-count contribution. */
@@ -133,7 +148,18 @@ object GrepIndex {
         explode(array_distinct(
           GraftFunctions.charGramHashes(col(textCol), 3))).as("h"))
       .select(col("h"), col("doc_id"))
-    Lake.writeSorted(postings, post, "h", nFiles)
+    // SMALL row groups (4 MB vs the 128 MB scan default): an index
+    // segment is read by POINT probes, and parquet's min/max skipping
+    // works at row-group grain — at 128 MB a 32-file 1.4B-posting
+    // fleet has ~1-4 groups per file, so a 16-hash probe decompressed
+    // ~500M rows (r17 measured: the probe lost to the scan on IO it
+    // never needed); at 4 MB the same probe touches ~16 groups of
+    // ~400k rows. Bulk writers keep the big default; index segments
+    // are the one layout whose reader is always selective.
+    postings.repartitionByRange(math.max(nFiles, 1), col("h"))
+      .sortWithinPartitions("h")
+      .write.option("parquet.block.size", 4 * 1024 * 1024)
+      .mode("overwrite").parquet(post)
     StatsIndex.write(spark, post, Seq("h"))
     // df from the WRITTEN postings (one cheap re-agg of persisted
     // data, never a recompute of the gram pass): postings carry one
@@ -143,10 +169,16 @@ object GrepIndex {
       .repartitionByRange(math.max(nFiles, 1), col("h"))
       .sortWithinPartitions("h")
       .write.mode("errorifexists").parquet(stat)
-    Lake.writeSorted(
-      docs.select(col(idCol).cast("long").as("doc_id"),
-                  col(textCol).as("text")),
-      dcs, "doc_id", nFiles)
+    // docs get 8 MB groups for the same reason: the verify fetch
+    // reads candidate RANGES (file prune + pushed range), and a
+    // smaller group bounds how much non-candidate text decompresses
+    // around each hit
+    docs.select(col(idCol).cast("long").as("doc_id"),
+                col(textCol).as("text"))
+      .repartitionByRange(math.max(nFiles, 1), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.option("parquet.block.size", 8 * 1024 * 1024)
+      .mode("overwrite").parquet(dcs)
     StatsIndex.write(spark, dcs, Seq("doc_id"))
     Segment(post, stat, dcs, spark.read.parquet(dcs).count())
   }
@@ -219,16 +251,22 @@ object GrepIndex {
     val post = s"$root/$SegmentsDir/post-$token"
     val stat = s"$root/$SegmentsDir/stats-$token"
     val dcs = s"$root/$SegmentsDir/docs-$token"
-    Lake.writeSorted(spark.read.parquet(catalog.map(_.postings): _*),
-      post, "h", nFiles)
+    spark.read.parquet(catalog.map(_.postings): _*)
+      .repartitionByRange(math.max(nFiles, 1), col("h"))
+      .sortWithinPartitions("h")
+      .write.option("parquet.block.size", 4 * 1024 * 1024)
+      .mode("overwrite").parquet(post)
     StatsIndex.write(spark, post, Seq("h"))
     spark.read.parquet(catalog.map(_.stats): _*)
       .groupBy(col("h")).agg(sum(col("df")).as("df"))
       .repartitionByRange(math.max(nFiles, 1), col("h"))
       .sortWithinPartitions("h")
       .write.mode("errorifexists").parquet(stat)
-    Lake.writeSorted(spark.read.parquet(catalog.map(_.docs): _*),
-      dcs, "doc_id", nFiles)
+    spark.read.parquet(catalog.map(_.docs): _*)
+      .repartitionByRange(math.max(nFiles, 1), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.option("parquet.block.size", 8 * 1024 * 1024)
+      .mode("overwrite").parquet(dcs)
     StatsIndex.write(spark, dcs, Seq("doc_id"))
     commitMeta(spark, root,
       Seq(Segment(post, stat, dcs, catalog.map(_.nDocs).sum)),
@@ -272,8 +310,11 @@ object GrepIndex {
     * over the doc-clustered table instead (estimated rows >
     * `scanFraction` × corpus docs). Both routes return the same exact
     * result; the choice lands in `spark.graft.grep.lastRoute`
-    * ("index" | "scan") and the postings file-prune ratio (index
-    * route) in `spark.graft.grep.lastPruned`. */
+    * ("index" | "scan"), the postings file-prune ratio (index route)
+    * in `spark.graft.grep.lastPruned`, and the candidate-fetch docs
+    * file-prune ratio in `spark.graft.grep.lastDocsPruned` ("all"
+    * when the sweep matched more than [[FetchPruneMax]] docs and the
+    * fetch fell back to the plain join). */
   def probe(spark: SparkSession, root: String,
             patterns: Seq[(Long, String)],
             maxProbeGrams: Int = 8,
@@ -341,7 +382,7 @@ object GrepIndex {
     spark.conf.set("spark.graft.grep.lastPruned", s"${kept.size}/$total")
     if (kept.isEmpty)
       return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
-    val candidates = spark.read.parquet(kept: _*)
+    val candPlan = spark.read.parquet(kept: _*)
       .where(col("h").isin(hs: _*)) // row-group skipping inside survivors
       .join(broadcast(pgDf), "h")
       .groupBy(col("doc_id"), col("pattern_id"))
@@ -349,11 +390,46 @@ object GrepIndex {
       .join(broadcast(need), "pattern_id")
       .where(col("got") === col("need"))
       .select(col("doc_id"), col("pattern_id"))
-    // exact verify against the doc-clustered table: AQE broadcasts the
-    // candidate side when the sweep is selective; collisions and
-    // trigram-subset coincidences die here, so the output is exact
-    docsAll
-      .join(candidates, "doc_id")
+    // exact verify with a PRUNED candidate fetch (r17: the previous
+    // plain join shuffled the whole doc table — 1.16 GB measured at
+    // 1000× — and read every text row group; a grep probe must read
+    // candidate RANGES, not the corpus). One bounded job collects up
+    // to FetchPruneMax+1 candidates (wall matters for a probe: the
+    // first r17 form spent more on checkpoint+count+collect job
+    // latency than on work). In the point-fetch regime (≤ max) the
+    // candidate ids prune docs files through StatsIndex and the
+    // pushed predicate prunes row groups inside survivors (Spark
+    // converts a large IN to a range push — exactly right for the
+    // batch-local contamination shape), and the candidate side joins
+    // as a broadcast local relation so the doc side never exchanges.
+    // Beyond the bound the sweep is range-scan-shaped: fall back to
+    // the plain join (AQE picks the strategy; nothing collected).
+    // Collisions and trigram-subset coincidences die in contains(),
+    // so the output stays exact either way. Fetch ratio recorded in
+    // `spark.graft.grep.lastDocsPruned`.
+    val candLocal = candPlan.limit(FetchPruneMax + 1).collect()
+    if (candLocal.isEmpty)
+      return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+    val docsSide =
+      if (candLocal.length <= FetchPruneMax) {
+        val candSeq = candLocal.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val ids = candSeq.map(_._1).distinct.sorted
+        val prunedD = segs.map(s =>
+          StatsIndex.prunedFilesIn(spark, s.docs, "doc_id", ids))
+        val keptD = prunedD.flatMap(_._1)
+        spark.conf.set("spark.graft.grep.lastDocsPruned",
+          s"${keptD.size}/${prunedD.map(_._2.size).sum}")
+        if (keptD.isEmpty)
+          return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+        spark.read.parquet(keptD: _*)
+          .where(col("doc_id").isInCollection(ids))
+          .join(broadcast(candSeq.toDF("doc_id", "pattern_id")), "doc_id")
+      } else {
+        // over the bound: recompute the candidate plan distributed
+        spark.conf.set("spark.graft.grep.lastDocsPruned", "all")
+        docsAll.join(candPlan, "doc_id")
+      }
+    docsSide
       .join(broadcast(pat), "pattern_id")
       .where(col("text").contains(col("pattern")))
       .select(col("pattern_id"), col("doc_id"))

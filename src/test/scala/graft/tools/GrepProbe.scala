@@ -9,16 +9,28 @@ import graft.Tables
   * because ScaleN's ~60-word vocabulary makes every trigram
   * near-universal — the selectivity premise is structurally violated
   * there, and the router correctly names that regime. This probe
-  * derives a TRIGRAM-DIVERSE corpus from the same 5M docs (each doc
-  * salted with 8 deterministic base-36 tokens of its own doc_id —
-  * ~7 chars over [0-9A-Z], so the corpus carries the tens of
-  * thousands of distinct trigrams a real mixed corpus has) and
-  * plants a rare needle (`zq9xv7_kwq3jp`) in 1-in-50k docs — the
-  * decontamination-sweep shape the operator exists for. Probing the
-  * needle + one harvested salt token + one absent literal must
-  * route `index`, and the same sweep forced through the scan is the
-  * honest denominator; result sets must be identical (lossless
-  * contract at tier).
+  * derives a corpus with BOTH properties a real sweep target has and
+  * the derived tables lack:
+  *  - TRIGRAM DIVERSITY: each doc salted with 8 deterministic
+  *    base-36 tokens of its own doc_id (~7 chars over [0-9A-Z]), so
+  *    the corpus carries the tens of thousands of distinct trigrams
+  *    a mixed corpus has (the salt also makes per-doc rare literals
+  *    exist to probe for — the "leaked key" shape);
+  *  - a corpus whose TEXT MASS dwarfs a probe's working set: text
+  *    repeated ×4 (~6 GB of text; repetition adds no distinct grams,
+  *    so the posting index does NOT grow with it — exactly the
+  *    asymmetry a 100 TB corpus has).
+  * The needle (`zq9xv7_kwq3jp`) is planted BATCH-LOCAL — all 5,000
+  * docs of one ScaleN replica (one contiguous doc_id range), the
+  * production contamination shape: a leaked benchmark/doc set lands
+  * in one crawl segment, not uniformly over the corpus. A uniform
+  * 1-in-50k plant was measured first and is the honest negative: no
+  * index can fetch 1,001 uniformly-scattered docs without touching
+  * every clustered range, and the r17 fetch-prune probe rightly only
+  * wins when matches have locality or are few. Probing the needle +
+  * one harvested salt token + one absent literal must route `index`;
+  * the same sweep forced through the scan is the denominator; result
+  * sets must be identical (lossless contract at tier).
   *
   * Usage: Test/runMain graft.tools.GrepProbe /tmp/sf1000x [outJson]
   */
@@ -67,9 +79,9 @@ object GrepProbe {
              10, 36)): _*)
       Tables.documents(spark, dir)
         .select(col("doc_id"),
-          concat(col("text"), lit(" "), salts,
-            when(col("doc_id") % 50000 === 7, lit(" zq9xv7_kwq3jp"))
-              .otherwise(lit(""))).as("text"))
+          concat(repeat(concat(col("text"), lit(" ")), 16), salts,
+            when(col("doc_id") >= 777000000L && col("doc_id") < 777005000L,
+              lit(" zq9xv7_kwq3jp")).otherwise(lit(""))).as("text"))
         .write.mode("overwrite").parquet(saltedPath)
       spark.read.parquet(saltedPath).count()
     }
@@ -82,8 +94,12 @@ object GrepProbe {
     }
 
     // harvest one real salt token (rare by construction: each token
-    // is derived from its doc's id) — the "leaked literal" pattern
-    val tok = salted.where(col("doc_id") === 1234567L)
+    // is derived from its doc's id) — the "leaked literal" pattern.
+    // doc_ids are SPARSE at 1000× (per-replica offsets), so pick the
+    // smallest id above a fixed point — deterministic on any tier.
+    val tokDoc = salted.where(col("doc_id") >= 123456789L)
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val tok = salted.where(col("doc_id") === tokDoc)
       .select(col("text")).head.getString(0).split(" ").last
     val pats = Seq((0L, "zq9xv7_kwq3jp"), (1L, tok),
                    (2L, "zzqqxx never anywhere"))
@@ -98,7 +114,9 @@ object GrepProbe {
       gotIdx = g
       println("GREPPROBE_NOTE auto route " +
         spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
-        " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a"))
+        " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a") +
+        " docsPrune " +
+        spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a"))
       g.size.toLong
     }
     run("grep_salted_probe_scan_forced") {
