@@ -299,7 +299,19 @@ object Curate {
       Manifest.versions(spark, root).find(v => noteAt(v) == note0)
     val annBatch = embeddings
       .join(accepted.select(col("doc_id").as("vec_id")), "vec_id")
-    val annV = prof("ann-append") { notedVersion(roots.ann,
+    // the two index appends are INDEPENDENT (separate Manifest roots,
+    // separate replay notes, inputs derived from the already-
+    // checkpointed `accepted`) and each is a sequence of small
+    // driver-serial jobs — the r17 CurateProbe decomposition measured
+    // them at ~5.6 s/batch together, ~40% of the whole gate query,
+    // dwarfing the curation commit itself (0.76 s/batch). Submitting
+    // them from two driver threads overlaps those job latencies;
+    // Spark job submission is thread-safe and the scheduler
+    // interleaves the small stages.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val annF = Future { prof("ann-append") { notedVersion(roots.ann,
         v => AnnIndex.noteOf(spark, roots.ann, Some(v))).getOrElse {
       val exists = Manifest.currentVersion(spark, roots.ann).isDefined
       if (annBatch.isEmpty)
@@ -312,11 +324,11 @@ object Curate {
         AnnIndex.append(spark, roots.ann,
           annBatch.select(col("vec_id"), col("embedding")),
           nFiles = nFiles, note = note0).version
-    } }
+    } } }
     val invBatch = batch
       .join(accepted.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("text"))
-    val invV = prof("inv-append") { notedVersion(roots.inv,
+    val invF = Future { prof("inv-append") { notedVersion(roots.inv,
         v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
       val exists = Manifest.currentVersion(spark, roots.inv).isDefined
       if (invBatch.isEmpty)
@@ -327,7 +339,9 @@ object Curate {
       else
         InvertedIndex.append(spark, roots.inv, invBatch, nFiles = nFiles,
           note = note0)
-    } }
+    } } }
+    val annV = Await.result(annF, Duration.Inf)
+    val invV = Await.result(invF, Duration.Inf)
 
     // ---- stage 6: ONE atomic publish for the batch (catalog + state +
     // meta are all metadata-sized; the data went to _segments/ above)
