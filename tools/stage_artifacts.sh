@@ -59,6 +59,14 @@ staged=0
 for p in "${patterns[@]}"; do
   for f in $p; do
     [[ -e "$f" ]] || continue
+    # a gitignored artifact (e.g. COPYCHECK.json) must not abort the
+    # whole staging run: git add exits 1 on ignored paths and set -e
+    # killed the r17 staging before the commit (and before LINTSWEEP
+    # was staged) — skip those explicitly
+    if git check-ignore -q "$f"; then
+      echo "skipped (gitignored): $f"
+      continue
+    fi
     if ! git diff --quiet -- "$f" 2>/dev/null \
        || ! git ls-files --error-unmatch "$f" >/dev/null 2>&1; then
       git add "$f"
