@@ -1357,6 +1357,37 @@ object Queries {
       (2L, "customer line"), (3L, "zzzz never present")))
   }
 
+  /** Regex corpus grep through the same trigram index (#39e,
+    * [[graft.sources.GrepIndex.probeRegex]]): the Code-Search
+    * trigram-query design — required literal runs per
+    * alternation-free branch become trigram candidate constraints,
+    * `regexp_like` decides exactly, and patterns the analysis cannot
+    * constrain run through the exact scan PER PATTERN (here pattern
+    * 2, whose longest literal runs are single chars). Analysis is
+    * superset-safe by construction, so the oracle is simply DuckDB's
+    * regexp over the raw corpus — the four patterns use only syntax
+    * whose semantics Java regex and RE2 share (literals, classes,
+    * `?`/`+`, alternation). Pattern 3's branches carry absent
+    * trigrams (the matchless-settle leg). */
+  def grepRegexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-grep-regex").toString + "/idx"
+    graft.sources.GrepIndex.build(spark, Tables.documents(spark, dir),
+      "doc_id", "text", root, nFiles = 8)
+    graft.sources.GrepIndex.probeRegex(spark, root, Seq(
+      (0L, "merge (part|batch) window"), (1L, "custom[a-z]+ line"),
+      (2L, "w[io]n?d[oe]w"), (3L, "zz(qq|xx) never present")))
+  }
+
+  private val grepRegexProbeSql =
+    """WITH p(pattern_id, pattern) AS (VALUES
+      |  (CAST(0 AS BIGINT), 'merge (part|batch) window'),
+      |  (CAST(1 AS BIGINT), 'custom[a-z]+ line'),
+      |  (CAST(2 AS BIGINT), 'w[io]n?d[oe]w'),
+      |  (CAST(3 AS BIGINT), 'zz(qq|xx) never present'))
+      |SELECT p.pattern_id, d.doc_id
+      |FROM documents d JOIN p ON regexp_matches(d.text, p.pattern)""".stripMargin
+
   def bm25IndexProbe(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-inv-index").toString + "/idx"
@@ -6924,6 +6955,7 @@ object Queries {
     "bm25_index_probe"         -> (bm25IndexProbe _),
     "grep_index_probe"         -> (grepIndexProbe _),
     "grep_index_append"        -> (grepIndexAppend _),
+    "grep_regex_probe"         -> (grepRegexProbe _),
     "bm25_index_incremental"   -> (bm25IndexIncremental _),
     "ann_lsh_sound"            -> (annLshSound _),
     "sketch_sound"             -> (sketchSound _),
@@ -7137,6 +7169,7 @@ object Queries {
     "bm25_index_probe"         -> bm25SearchSql,
     "grep_index_probe"         -> grepIndexProbeSql,
     "grep_index_append"        -> grepIndexProbeSql,
+    "grep_regex_probe"         -> grepRegexProbeSql,
     "bm25_index_incremental"   -> bm25SearchSql,
     "ann_lsh_sound"            -> annBruteforceTopkSql,
     "sketch_sound"             -> sketchSoundSql,

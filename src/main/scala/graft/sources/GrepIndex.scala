@@ -390,26 +390,36 @@ object GrepIndex {
       .join(broadcast(need), "pattern_id")
       .where(col("got") === col("need"))
       .select(col("doc_id"), col("pattern_id"))
-    // exact verify with a PRUNED candidate fetch (r17: the previous
-    // plain join shuffled the whole doc table — 1.16 GB measured at
-    // 1000× — and read every text row group; a grep probe must read
-    // candidate RANGES, not the corpus). One bounded job collects up
-    // to FetchPruneMax+1 candidates (wall matters for a probe: the
-    // first r17 form spent more on checkpoint+count+collect job
-    // latency than on work). In the point-fetch regime (≤ max) the
-    // candidate ids prune docs files through StatsIndex and the
-    // pushed predicate prunes row groups inside survivors (Spark
-    // converts a large IN to a range push — exactly right for the
-    // batch-local contamination shape), and the candidate side joins
-    // as a broadcast local relation so the doc side never exchanges.
-    // Beyond the bound the sweep is range-scan-shaped: fall back to
-    // the plain join (AQE picks the strategy; nothing collected).
-    // Collisions and trigram-subset coincidences die in contains(),
-    // so the output stays exact either way. Fetch ratio recorded in
-    // `spark.graft.grep.lastDocsPruned`.
+    verifyFetch(spark, segs, candPlan, pat,
+      col("text").contains(col("pattern")))
+  }
+
+  /** Exact verify with a PRUNED candidate fetch (r17: a plain
+    * candidates⋈docs join shuffled the whole doc table — 1.16 GB
+    * measured at 1000× — and read every text row group; a grep probe
+    * must read candidate RANGES, not the corpus). One bounded job
+    * collects up to [[FetchPruneMax]]+1 candidates (wall matters for
+    * a probe: an earlier form spent more on checkpoint+count+collect
+    * job latency than on work). In the point-fetch regime (≤ max)
+    * the candidate ids prune docs files through StatsIndex and the
+    * pushed predicate prunes row groups inside survivors (Spark
+    * converts a large IN to a range push — exactly right for the
+    * batch-local contamination shape), and the candidate side joins
+    * as a broadcast local relation so the doc side never exchanges.
+    * Beyond the bound the sweep is range-scan-shaped: fall back to
+    * the plain join (AQE picks the strategy; nothing collected).
+    * Collisions and under-constrained candidates die under `pred`
+    * (contains / regexp_like against the pattern column), so the
+    * output stays exact either way. Fetch ratio recorded in
+    * `spark.graft.grep.lastDocsPruned`. */
+  private def verifyFetch(spark: SparkSession, segs: Seq[Segment],
+                          candPlan: DataFrame, pat: DataFrame,
+                          pred: org.apache.spark.sql.Column): DataFrame = {
+    import spark.implicits._
+    def emptyResult =
+      pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
     val candLocal = candPlan.limit(FetchPruneMax + 1).collect()
-    if (candLocal.isEmpty)
-      return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+    if (candLocal.isEmpty) return emptyResult
     val docsSide =
       if (candLocal.length <= FetchPruneMax) {
         val candSeq = candLocal.map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -419,19 +429,135 @@ object GrepIndex {
         val keptD = prunedD.flatMap(_._1)
         spark.conf.set("spark.graft.grep.lastDocsPruned",
           s"${keptD.size}/${prunedD.map(_._2.size).sum}")
-        if (keptD.isEmpty)
-          return pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+        if (keptD.isEmpty) return emptyResult
         spark.read.parquet(keptD: _*)
           .where(col("doc_id").isInCollection(ids))
           .join(broadcast(candSeq.toDF("doc_id", "pattern_id")), "doc_id")
       } else {
         // over the bound: recompute the candidate plan distributed
         spark.conf.set("spark.graft.grep.lastDocsPruned", "all")
-        docsAll.join(candPlan, "doc_id")
+        spark.read.parquet(segs.map(_.docs): _*).join(candPlan, "doc_id")
       }
     docsSide
       .join(broadcast(pat), "pattern_id")
-      .where(col("text").contains(col("pattern")))
+      .where(pred)
       .select(col("pattern_id"), col("doc_id"))
+  }
+
+  /** Regex corpus grep through the same trigram index — the
+    * Code-Search trigram-query design (R. Cox 2012, public essay)
+    * restricted to [[RegexGrams]]' conservative fragment: each
+    * pattern's required literal runs per alternation-free branch
+    * yield trigram constraints; a doc is a candidate for a pattern
+    * when, for SOME branch, it holds all of the branch's (rarest ≤
+    * `maxProbeGrams`) trigrams; `regexp_like` over the fetched
+    * candidates decides exactly. Analysis is superset-safe by
+    * construction (anything not understood contributes no
+    * constraint), so the result equals the full scan's.
+    *
+    * Patterns the analysis cannot constrain (no ≥3-code-point
+    * literal run in some branch, exotic syntax, branch blow-up) run
+    * through the exact `regexp_like` scan instead — per PATTERN, so
+    * one opaque regex does not force the whole sweep to scan. The
+    * split lands in `spark.graft.grep.lastRegexSplit`
+    * ("index=N scan=M"); route/prune confs behave as in [[probe]].
+    * Pattern ids must be non-negative (branch keys pack id×128+ix).
+    * Every pattern must compile as a Java regex — rejected loudly
+    * otherwise, and callers should mind engine dialects when the
+    * oracle is not Java. */
+  def probeRegex(spark: SparkSession, root: String,
+                 patterns: Seq[(Long, String)],
+                 maxProbeGrams: Int = 8,
+                 scanFraction: Double = 0.25,
+                 maxBranches: Int = 64): DataFrame = {
+    require(patterns.nonEmpty, "no patterns to probe")
+    require(maxProbeGrams >= 1, s"bad maxProbeGrams $maxProbeGrams")
+    require(maxBranches >= 1 && maxBranches <= 128,
+      s"maxBranches out of [1,128]: $maxBranches")
+    require(patterns.forall(p => p._1 >= 0 && p._1 <= (Long.MaxValue >> 7)),
+      "pattern ids must be non-negative (branch keys pack id*128+branch)")
+    patterns.foreach(p => java.util.regex.Pattern.compile(p._2)) // loud
+    import spark.implicits._
+    val segs = catalogOf(spark, root)
+    require(segs.nonEmpty, s"no grep index at $root")
+    val pat = patterns.toDF("pattern_id", "pattern")
+    def docsAll = spark.read.parquet(segs.map(_.docs): _*)
+    def emptyResult =
+      pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+    def scanLeg(ps: Seq[(Long, String)]): DataFrame =
+      if (ps.isEmpty) emptyResult
+      else docsAll
+        .crossJoin(broadcast(ps.toDF("pattern_id", "pattern")))
+        .where(expr("regexp_like(text, pattern)"))
+        .select(col("pattern_id"), col("doc_id"))
+    val analyzed = patterns.map { case (pid, re) =>
+      (pid, re, RegexGrams.requiredLiterals(re, 3, maxBranches)) }
+    val scanPats = analyzed.collect { case (pid, re, None) => (pid, re) }
+    val idxPats = analyzed.collect { case (pid, re, Some(bs)) => (pid, re, bs) }
+    spark.conf.set("spark.graft.grep.lastRegexSplit",
+      s"index=${idxPats.size} scan=${scanPats.size}")
+    if (idxPats.isEmpty) {
+      spark.conf.set("spark.graft.grep.lastRoute", "scan")
+      return scanLeg(scanPats)
+    }
+    // branch-literal grams, evaluated by the BUILD's own expression
+    // over a local relation (hash identity by construction)
+    val bg = idxPats.flatMap { case (pid, _, bs) =>
+        bs.zipWithIndex.flatMap { case (lits, bix) =>
+          lits.map(l => (pid * 128L + bix, l)) } }
+      .toDF("bkey", "lit")
+      .select(col("bkey"), explode(array_distinct(
+        GraftFunctions.charGramHashes(col("lit"), 3))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val allHs = bg.map(_._2).distinct.toSeq
+    val dfOf = spark.read.parquet(segs.map(_.stats): _*)
+      .where(col("h").isin(allHs: _*))
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      .as[(Long, Long)].collect().toMap
+    // a branch holding an absent trigram matches nothing (dead); a
+    // pattern is settled matchless only when ALL branches die
+    val live = bg.groupBy(_._1).toSeq.flatMap { case (bkey, rs) =>
+      val ranked = rs.map(_._2).distinct.toSeq
+        .map(h => (h, dfOf.getOrElse(h, 0L))).sortBy(t => (t._2, t._1))
+      if (ranked.headOption.exists(_._2 == 0L)) Seq.empty[(Long, Long)]
+      else ranked.take(maxProbeGrams).map { case (h, _) => (bkey, h) }
+    }
+    if (live.isEmpty) {
+      spark.conf.set("spark.graft.grep.lastRoute", "index")
+      spark.conf.set("spark.graft.grep.lastPruned", "0/0")
+      return scanLeg(scanPats)
+    }
+    val nDocs = segs.map(_.nDocs).sum
+    val postingMass = live.map(_._2).distinct.map(dfOf(_)).sum
+    if (postingMass > scanFraction * nDocs) {
+      spark.conf.set("spark.graft.grep.lastRoute", "scan")
+      return scanLeg(scanPats ++ idxPats.map(p => (p._1, p._2)))
+    }
+    spark.conf.set("spark.graft.grep.lastRoute", "index")
+    val hs = live.map(_._2).distinct
+    val need = live.groupBy(_._1).map { case (bk, rs) =>
+      (bk, rs.length.toLong) }.toSeq.toDF("bkey", "need")
+    val bgDf = live.toDF("bkey", "h")
+    val bmap = live.map(_._1).distinct
+      .map(bk => (bk, bk >> 7)).toDF("bkey", "pattern_id")
+    val pruned = segs.map(s =>
+      StatsIndex.prunedFilesIn(spark, s.postings, "h", hs))
+    val kept = pruned.flatMap(_._1)
+    spark.conf.set("spark.graft.grep.lastPruned",
+      s"${kept.size}/${pruned.map(_._2.size).sum}")
+    if (kept.isEmpty) return scanLeg(scanPats)
+    val candPlan = spark.read.parquet(kept: _*)
+      .where(col("h").isin(hs: _*))
+      .join(broadcast(bgDf), "h")
+      .groupBy(col("doc_id"), col("bkey"))
+      .agg(count(lit(1)).as("got"))
+      .join(broadcast(need), "bkey")
+      .where(col("got") === col("need"))
+      .join(broadcast(bmap), "bkey")
+      .select(col("doc_id"), col("pattern_id"))
+      .distinct() // OR across a pattern's branches
+    verifyFetch(spark, segs, candPlan, pat,
+      expr("regexp_like(text, pattern)"))
+      .union(scanLeg(scanPats))
   }
 }
