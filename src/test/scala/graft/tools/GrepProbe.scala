@@ -134,6 +134,34 @@ object GrepProbe {
       out.append(line).append('\n')
     }
 
+    // regex sweep over the same index (#39e): the needle templated as
+    // a pattern — branch literal runs "zq9xv7_k" / "3jp" constrain
+    // candidates, regexp_like verifies; vs the forced regex scan
+    val rpats = Seq((0L, "zq9xv7_k[a-z]+3jp"), (1L, "zz(qq|xx) never"))
+    var gotRx: Set[(Long, Long)] = null
+    run("grep_salted_regex_auto") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probeRegex(spark, root, rpats)
+        .as[(Long, Long)].collect().toSet
+      gotRx = g
+      println("GREPPROBE_NOTE regex route " +
+        spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
+        " split " + spark.conf.get("spark.graft.grep.lastRegexSplit", "n/a") +
+        " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a") +
+        " docsPrune " +
+        spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a"))
+      g.size.toLong
+    }
+    run("grep_salted_regex_scan_forced") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probeRegex(spark, root, rpats,
+          scanFraction = -1.0)
+        .as[(Long, Long)].collect().toSet
+      val same = gotRx != null && g == gotRx
+      println(s"GREPPROBE_NOTE regex route equality: $same")
+      g.size.toLong
+    }
+
     args.lift(1).foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         out.toString)
