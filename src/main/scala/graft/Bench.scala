@@ -7,6 +7,40 @@ import org.apache.spark.sql.SparkSession
   * query in a fresh JVM otherwise pays ~5s of classloading + codegen
   * that has nothing to do with the query being measured. */
 object Bench {
+
+  /** Sums executor task run time (ms) across all tasks — the
+    * cross-round comparator that survives ambient-load drift (r17
+    * verdict item 7: same-day quiet-load wall factors moved
+    * 1.37→1.82→1.58 on unchanged code, while the 1000× tier's
+    * task_ms moved 13.3× when wall moved 2.1× — CPU time is the
+    * signal, wall is a band). */
+  private final class TaskClock extends org.apache.spark.scheduler.SparkListener {
+    val ms = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) ms.addAndGet(m.executorRunTime)
+    }
+  }
+
+  /** Drain the async listener bus so task-end events land in the
+    * query window that ran them (reflection: waitUntilEmpty is
+    * private[spark]; fall back to a short sleep). */
+  private def drainListeners(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val busM = sc.getClass.getMethods.find(_.getName == "listenerBus").get
+      val bus = busM.invoke(sc)
+      val wait0 = bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+      wait0 match {
+        case Some(w) => w.invoke(bus)
+        case None => bus.getClass.getMethods
+          .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 1)
+          .foreach(_.invoke(bus, java.lang.Long.valueOf(30000L)))
+      }
+    } catch { case _: Throwable => Thread.sleep(50) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,8 +113,12 @@ object Bench {
     val loadBefore = loadavg()
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val suiteRuns: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+    val clock = new TaskClock
+    spark.sparkContext.addSparkListener(clock)
+    drainListeners(spark) // flush warmup task events before pass 1
+    val suiteRuns: Seq[Seq[(String, Double, Long)]] = (1 to passes).map { _ =>
       named.map { case (name, fn) =>
+        val tm0 = clock.ms.get()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case t: Throwable =>
@@ -90,13 +128,21 @@ object Bench {
         // alone left every dedup query's member-table checkpoint resident
         // for the JVM lifetime, making later queries' times depend on
         // suite position (r4 regression)
-        name -> (if (ok) dt else -1.0) // -1 marks a failed query
+        drainListeners(spark) // attribute task-end events to THIS query
+        val taskMs = clock.ms.get() - tm0
+        (name, if (ok) dt else -1.0, taskMs) // -1 marks a failed query
       }
     }
-    // any failed run fails the query; otherwise best (min) across runs
-    val results = named.map { case (name, _) =>
-      val times = suiteRuns.map(_.find(_._1 == name).get._2)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+    // any failed run fails the query; otherwise best (min) across runs;
+    // task_ms pairs with the pass that produced the winning wall time
+    val runsOf = named.map { case (name, _) =>
+      name -> suiteRuns.map(_.find(_._1 == name).get) }
+    val results = runsOf.map { case (name, runs) =>
+      name -> (if (runs.exists(_._2 < 0)) -1.0 else runs.map(_._2).min)
+    }
+    val taskMsOf = runsOf.map { case (name, runs) =>
+      name -> (if (runs.exists(_._2 < 0)) -1L
+               else runs.minBy(_._2)._3)
     }
     val loadAfter = loadavg()
     // Machine self-calibration (r16 verdict item 5: the r16 bench
@@ -138,14 +184,19 @@ object Bench {
       }.mkString("{", ",", "}")
       s""""calibration":{"reference":"r15 quiet bench_results.json @ e96ca7a","controls":$rows,"machine_factor":${fmt(machineFactor)}}"""
     }
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qsJson(results)},"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",$calJson}"""
+    // per-query executor task time: the PRIMARY cross-round comparator
+    // (wall stays for the controls/driver digest; see TaskClock doc)
+    val taskJson = taskMsOf
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val taskTotalSec = taskMsOf.map(_._2).filter(_ >= 0).sum / 1e3
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_total_sec":${fmt(taskTotalSec)},"queries":${qsJson(results)},"task_ms":$taskJson,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",$calJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"machine_factor":${fmt(machineFactor)},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_total_sec":${fmt(taskTotalSec)},"n_queries":${results.size},"n_failed":${failed.size},"machine_factor":${fmt(machineFactor)},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(line)
     spark.stop()
   }

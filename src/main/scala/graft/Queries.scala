@@ -566,10 +566,17 @@ object Queries {
     * last ulp, rational arithmetic does not, and the ranking is
     * preserved (the surrogate is a monotone transform of Robertson
     * idf). Only docs containing ≥1 term reach the final top-k window. */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "window", "merge")
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25DirectTopK(Tables.documents(spark, dir),
+      Seq("spark", "window", "merge"), 10)
+
+  /** Direct (index-free) BM25 top-k over (doc_id, text) rows — the
+    * computation [[bm25Search]] registers, reusable as the
+    * independent recompute other gates verify index probes against. */
+  private[graft] def bm25DirectTopK(docsText: DataFrame, terms: Seq[String],
+                                    k: Int): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+    val docs = docsText.select(col("doc_id"),
       split(TextFunctions.normalize(col("text")), " ").as("toks"))
     // avgdl as exact-integer sum / count, NOT avg(): an engine's AVG
     // may accumulate incrementally and land one ulp off sum/count;
@@ -608,8 +615,8 @@ object Queries {
     // 10 survivors. Total order (score DESC, doc_id) → identical rows.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(10)
-      .withColumn("rk", row_number().over(w)).where(col("rk") <= 10)
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
   private val bm25SearchSql =
@@ -4757,8 +4764,9 @@ object Queries {
     * append == rebuild is hash-gated for the composition, not just
     * per stage; the two index flags additionally pin the probes:
     * ANN (3 appends, probed at nprobe=cells) against in-engine brute
-    * force over the final vectors, and BM25 against a from-scratch
-    * index build over the final corpus, compared row-exactly. */
+    * force over the final vectors, and BM25 against the direct
+    * index-free recompute over the final corpus ([[bm25DirectTopK]],
+    * the bm25_search computation), compared row-exactly. */
   def curateIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).where(col("doc_id") < 600)
     val emb = Tables.embeddings(spark, dir)
@@ -4787,18 +4795,20 @@ object Queries {
     val bf = Similarity.bruteForceTopK(queries, finalVecs, 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
     val annOk = probed.except(bf).isEmpty && bf.except(probed).isEmpty
-    // BM25: append == rebuild, literally — a fresh index over the
-    // final corpus probed with the same terms must match row-exactly
-    val rebuildRoot = Curate.tempRoots("graft-curate-rb").inv
+    // BM25: the thrice-appended index probed must row-exactly match
+    // the DIRECT (index-free) recompute over the final corpus — the
+    // bm25_search computation, itself oracle-gated. r17 verdict item
+    // 4: the previous from-scratch InvertedIndex.build-and-probe
+    // verify spent ~17% of this gate on second-index writes; the
+    // probe-vs-independent-recompute is the same append==rebuild
+    // strength (stronger on tokenization identity) with zero writes.
     val finalDocs = derived
       .join(corpus.select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("text"))
-    graft.sources.InvertedIndex.build(spark, finalDocs, rebuildRoot,
-      nBuckets = 4, nFiles = 4)
     val terms = Seq("spark", "window", "merge")
     val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
-    val pR = graft.sources.InvertedIndex.probe(spark, rebuildRoot, terms, 10)
-    val bm25Ok = pA.except(pR).isEmpty && pR.except(pA).isEmpty
+    val pD = bm25DirectTopK(finalDocs, terms, 10)
+    val bm25Ok = pA.except(pD).isEmpty && pD.except(pA).isEmpty
     corpus.select(col("doc_id"), col("source"), col("quality"))
       .withColumn("ann_probe_ok", lit(annOk))
       .withColumn("bm25_probe_ok", lit(bm25Ok))

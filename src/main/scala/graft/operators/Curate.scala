@@ -193,7 +193,11 @@ object Curate {
       else {
         val t0 = System.nanoTime()
         val r = body
-        println(f"CURATE_PROF $label ${(System.nanoTime() - t0) / 1e9}%.3f")
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"CURATE_PROF $label $sec%.3f")
+        // probes read the last batch's stage walls from here (r18:
+        // the tier probe records them into its artifact rows)
+        spark.conf.set(s"spark.graft.curate.prof.$label", f"$sec%.3f")
         r
       }
 
@@ -417,21 +421,16 @@ object Curate {
     * half of [[Manifest.vacuum]] for curation roots (the same contract
     * as [[graft.sources.AnnIndex.vacuumSegments]]). Returns the
     * removed segment paths. Run it AFTER vacuum/retention has dropped
-    * the versions naming the segments — never concurrently with an
-    * in-flight runBatch/compact (their freshly written segments are
-    * not yet referenced). */
-  def vacuumSegments(spark: SparkSession, roots: Roots): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(roots.curation)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segRoot = new org.apache.hadoop.fs.Path(
-      s"${roots.curation}/$SegmentsDir")
-    if (!fs.exists(segRoot)) return Seq.empty
+    * the versions naming the segments; `minAgeMs` keeps an in-flight
+    * runBatch/compact's freshly staged (not-yet-referenced) segments
+    * safe from a racing vacuum ([[Manifest.vacuumUnreferenced]]). */
+  def vacuumSegments(spark: SparkSession, roots: Roots,
+                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs)
+      : Seq[String] = {
     val referenced = Manifest.versions(spark, roots.curation)
       .flatMap(v => catalogOf(spark, roots.curation, Some(v)).map(_._2))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
-    val dead = fs.listStatus(segRoot).toSeq
-      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
-    dead.foreach(s => fs.delete(s.getPath, true))
-    dead.map(_.getPath.toString)
+    Manifest.vacuumUnreferenced(spark, s"${roots.curation}/$SegmentsDir",
+      referenced, minAgeMs)
   }
 }

@@ -242,8 +242,11 @@ object Graph {
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, seedCol: String,
                    maxIters: Int = 3): DataFrame =
-    ssspDistances(edges.withColumn("__w", lit(1L)), srcCol, dstCol, "__w",
-                  seeds, seedCol, maxIters)
+    // select (src, dst) FIRST: withColumn on the raw frame would
+    // silently REPLACE a caller column named __w (r17 advice)
+    ssspDistances(edges.select(col(srcCol), col(dstCol))
+                    .withColumn("__w", lit(1L)),
+                  srcCol, dstCol, "__w", seeds, seedCol, maxIters)
 
   /** Weighted single/multi-source shortest paths by synchronous
     * Bellman-Ford relaxation: dist(v) ← min(dist(v), min over

@@ -435,19 +435,16 @@ object AnnIndex {
 
   /** Delete segments referenced by NO retained version — the payload
     * half of [[Manifest.vacuum]] (which only GCs metadata dirs).
-    * Returns the removed segment paths. */
-  def vacuumSegments(spark: SparkSession, root: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segRoot = new org.apache.hadoop.fs.Path(s"$root/$SegmentsDir")
-    if (!fs.exists(segRoot)) return Seq.empty
+    * `minAgeMs` guards the live race documented at
+    * [[Manifest.vacuumUnreferenced]]. Returns the removed paths. */
+  def vacuumSegments(spark: SparkSession, root: String,
+                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs)
+      : Seq[String] = {
     val referenced = Manifest.versions(spark, root)
       .flatMap(v => catalogOf(spark, root, Some(v))
         .flatMap(g => Seq(g.path, g.codesPath).filter(_.nonEmpty)))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
-    val dead = fs.listStatus(segRoot).toSeq
-      .filter(s => s.isDirectory && !referenced.contains(s.getPath.getName))
-    dead.foreach(s => fs.delete(s.getPath, true))
-    dead.map(_.getPath.toString)
+    Manifest.vacuumUnreferenced(spark, s"$root/$SegmentsDir",
+      referenced, minAgeMs)
   }
 }

@@ -249,6 +249,41 @@ object Manifest {
     dropped
   }
 
+  /** Default minimum age for [[vacuumUnreferenced]] — long enough
+    * that any in-flight build/append/compact staged before it has
+    * either CAS-published (now referenced) or died. */
+  val DefaultVacuumAgeMs: Long = 20L * 60 * 1000
+
+  /** Delete subdirectories of `segRoot` that are in NO retained
+    * catalog (`referenced` = live dir names) AND at least `minAgeMs`
+    * old — the payload half of segment-catalog vacuum, shared by the
+    * persisted indexes (grep/inverted/ANN/curation).
+    *
+    * The age guard closes a LIVE race, not just crashed writers (r17
+    * advice): a concurrent build/append/compactSegments stages its
+    * segment dirs BEFORE the CAS publish, so they are unreferenced
+    * at that instant — a zero-age vacuum racing the writer deletes
+    * them and the writer then commits a catalog pointing at deleted
+    * directories, corrupting the new version permanently. The
+    * threshold (the Delta VACUUM retention design) makes in-flight
+    * staging unreclaimable; pass `minAgeMs = 0` only under
+    * single-writer exclusivity (tests, maintenance windows). Returns
+    * deleted paths. */
+  private[graft] def vacuumUnreferenced(spark: SparkSession,
+      segRoot: String, referenced: Set[String],
+      minAgeMs: Long): Seq[String] = {
+    require(minAgeMs >= 0, s"minAgeMs must be >= 0, got $minAgeMs")
+    val p = new Path(segRoot)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val dead = fs.listStatus(p).toSeq.filter(s =>
+      s.isDirectory && !referenced.contains(s.getPath.getName) &&
+        s.getModificationTime <= cutoff)
+    dead.foreach(s => fs.delete(s.getPath, true))
+    dead.map(_.getPath.toString)
+  }
+
   /** Drop data dirs and markers older than `keepFrom` (the previous
     * version stays readable for in-flight readers). */
   private def gc(fs: FileSystem, root: String, keepFrom: Long): Unit = {

@@ -93,8 +93,16 @@ object RegexGrams {
     case '^' | '$' => (Zero, i + 1)
     case '\\' => parseEscape(s, i)
     case '*' | '+' | '?' | '{' => throw new UnsupportedSyntax // dangling
-    case c if Character.isHighSurrogate(c) && i + 1 < s.length =>
-      (Lit(s.codePointAt(i)), i + 2)
+    case c if Character.isHighSurrogate(c) =>
+      // only a WELL-FORMED pair is a supplementary literal; an
+      // unpaired surrogate must reject loudly — the old two-char
+      // consume silently DROPPED the following real character from
+      // the run, the one spot where the analysis could
+      // over-constrain and miss true matches (r17 advice/verdict)
+      if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)))
+        (Lit(s.codePointAt(i)), i + 2)
+      else throw new UnsupportedSyntax
+    case c if Character.isLowSurrogate(c) => throw new UnsupportedSyntax
     case c => (Lit(c.toInt), i + 1)
   }
 
@@ -107,9 +115,19 @@ object RegexGrams {
       case 'n' => (Lit('\n'.toInt), i + 2)
       case 't' => (Lit('\t'.toInt), i + 2)
       case 'r' => (Lit('\r'.toInt), i + 2)
+      case 'f' => (Lit('\f'.toInt), i + 2)
+      case 'a' => (Lit(0x07), i + 2) // bell
+      case 'e' => (Lit(0x1b), i + 2) // escape
       case 'Q' | 'E' | 'p' | 'P' | 'k' | 'x' | 'u' | '0' =>
         throw new UnsupportedSyntax // quoting blocks, properties, refs
       case c if c >= '1' && c <= '9' => throw new UnsupportedSyntax // backref
+      // any OTHER letter/digit escape (\c, \R, \X, \N{...}, future
+      // Java additions) compiles as a regex but is NOT an escaped
+      // literal — treating it as one fabricated required runs true
+      // matches don't contain (r17 advice: "page\fbreak" used to
+      // require "pagefbreak"). Reject loudly → exact scan route;
+      // only non-alphanumerics pass through as escaped punctuation.
+      case c if Character.isLetterOrDigit(c) => throw new UnsupportedSyntax
       case c => (Lit(c.toInt), i + 2) // escaped punctuation
     }
   }
@@ -146,8 +164,14 @@ object RegexGrams {
     if (i < s.length && s.charAt(i) == '^') i += 1
     if (i < s.length && s.charAt(i) == ']') i += 1 // literal ] first
     while (i < s.length && s.charAt(i) != ']') {
-      if (s.charAt(i) == '\\') i += 1
-      i += 1
+      s.charAt(i) match {
+        case '\\' => i += 2
+        // Java classes NEST ([a[b]c], [a-z&&[aeiou]]): terminating at
+        // the first ']' parsed the tail as required literals true
+        // matches don't contain (r17 advice). Recurse per nesting.
+        case '[' => i = skipClass(s, i)
+        case _ => i += 1
+      }
     }
     if (i >= s.length) throw new UnsupportedSyntax
     i + 1

@@ -179,7 +179,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.catalogOf(spark, root).head.nRows === 50L)
     // old segments fall to vacuum once retention drops their versions
     Manifest.vacuum(spark, root, retain = 1)
-    assert(AnnIndex.vacuumSegments(spark, root).size === 4)
+    assert(AnnIndex.vacuumSegments(spark, root, minAgeMs = 0L).size === 4)
     assert(AnnIndex.probe(spark, root, q, k = 5, nprobe = 8)
       .count() === before.size)
   }
@@ -192,12 +192,16 @@ class AnnIndexSpec extends SparkSpec {
       .select(col("vec_id") + 1000, col("embedding"))
       .toDF("vec_id", "embedding"))
     // both versions retained → both segments referenced → no-op
-    assert(AnnIndex.vacuumSegments(spark, root) === Seq.empty)
+    assert(AnnIndex.vacuumSegments(spark, root, minAgeMs = 0L) === Seq.empty)
     // rebuild from scratch at v2 (fresh segment), then vacuum metadata
     // down to v2 only: the v0/v1 segments become unreferenced
     AnnIndex.build(spark, emb, root, cells = 4, nFiles = 2)
     Manifest.vacuum(spark, root, retain = 1)
-    val dead = AnnIndex.vacuumSegments(spark, root)
+    // the default min-age guard keeps YOUNG unreferenced dirs (an
+    // in-flight writer's staged segments look exactly like these
+    // until its CAS lands — the r17 advice live race)
+    assert(AnnIndex.vacuumSegments(spark, root) === Seq.empty)
+    val dead = AnnIndex.vacuumSegments(spark, root, minAgeMs = 0L)
     assert(dead.size === 2, s"expected 2 dead segments, got $dead")
     // the surviving index still answers
     assert(AnnIndex.probe(spark, root,

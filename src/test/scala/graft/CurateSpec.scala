@@ -150,7 +150,7 @@ class CurateSpec extends SparkSpec {
     // dead yet; after retention shrinks to the post-compaction tail,
     // the folded segments go and reads still work
     Manifest.vacuum(spark, roots.curation, retain = 2)
-    val removed = Curate.vacuumSegments(spark, roots)
+    val removed = Curate.vacuumSegments(spark, roots, minAgeMs = 0L)
     assert(removed.nonEmpty)
     assert(Curate.readCorpus(spark, roots).select("doc_id")
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 11L, 23L))

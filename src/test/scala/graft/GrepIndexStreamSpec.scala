@@ -69,7 +69,7 @@ class GrepIndexStreamSpec extends SparkSpec {
     // once retention passes them; with the default retain they are
     // still referenced by retained versions, so nothing dangerous
     // is deleted
-    val removed = GrepIndex.vacuumSegments(spark, root)
+    val removed = GrepIndex.vacuumSegments(spark, root, minAgeMs = 0L)
     assert(probed(root, Double.MaxValue) === wantIdx,
       s"vacuum broke the live index (removed: $removed)")
   }

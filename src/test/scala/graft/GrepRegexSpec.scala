@@ -40,6 +40,24 @@ class GrepRegexSpec extends SparkSpec {
     // backrefs / property classes / quoting blocks bail out
     assert(requiredLiterals("(a)\\1bcd") === None)
     assert(requiredLiterals("\\p{L}abc") === None)
+    // unmodeled alphabetic escapes bail out rather than fabricating
+    // a literal: "page\fbreak" must NOT require "pagefbreak" (r17
+    // advice — the over-constrain direction is the forbidden one);
+    // \f itself is modeled as the form-feed literal
+    assert(requiredLiterals("page\\cMbreak") === None)
+    assert(requiredLiterals("page\\Rbreak") === None)
+    assert(requiredLiterals("page\\fbreak") ===
+      Some(Seq(Seq("page\fbreak"))))
+    assert(requiredLiterals("abc\\.def") === Some(Seq(Seq("abc.def"))))
+    // nested classes ([a[b]c], intersection) skip as ONE class — the
+    // tail must not leak into required literals (r17 advice)
+    assert(requiredLiterals("[a[b]c]merge part") ===
+      Some(Seq(Seq("merge part"))))
+    assert(requiredLiterals("[a-z&&[aeiou]]merge part") ===
+      Some(Seq(Seq("merge part"))))
+    // an unpaired surrogate rejects loudly instead of silently
+    // dropping the character after it from the run (r17 advice)
+    assert(requiredLiterals("abc\uD83Ddef") === None)
     // alternation-branch blow-up past the cap bails out
     val wide = (1 to 8).map(_ => "(abc|def)").mkString
     assert(requiredLiterals(wide, maxBranches = 64) === None)
@@ -90,6 +108,22 @@ class GrepRegexSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(gotScan === want.filter(_._1 == 2L))
     assert(spark.conf.get("spark.graft.grep.lastRoute") === "scan")
+    // a lone-high-surrogate pattern compiles as a Java regex but is
+    // rejected by the literal analysis (over-constrain risk, r17
+    // advice) — it must route to the exact scan and match what the
+    // scan matches
+    val surr = Seq((6L, "window\uD83D?"))
+    val wantSurr = docs.crossJoin(surr.toDF("pattern_id", "pattern"))
+      .where(expr("regexp_like(text, pattern)"))
+      .select(col("pattern_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(wantSurr.nonEmpty) // "the window is wide open" matches
+    val gotSurr = GrepIndex.probeRegex(spark, root, surr,
+        scanFraction = Double.MaxValue)
+      .as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.grep.lastRegexSplit") ===
+      "index=0 scan=1")
+    assert(gotSurr === wantSurr)
     // invalid regex rejected loudly, not silently empty
     intercept[java.util.regex.PatternSyntaxException] {
       GrepIndex.probeRegex(spark, root, Seq((9L, "(unclosed")))

@@ -84,7 +84,10 @@ class InvertedIndexSpec extends SparkSpec {
     // pair; retain=1 drops version 0 at the commit
     InvertedIndex.build(spark, docs, root, nBuckets = 4, nFiles = 4,
       retain = 1)
-    val dead = InvertedIndex.vacuumSegments(spark, root)
+    // default min-age first: young unreferenced dirs survive (an
+    // in-flight writer's staged segments look exactly like these)
+    assert(InvertedIndex.vacuumSegments(spark, root) === Seq.empty)
+    val dead = InvertedIndex.vacuumSegments(spark, root, minAgeMs = 0L)
     assert(dead.map(p => p.split("/").last).toSet ===
       Set(before.head.postings, before.head.dictionary)
         .map(p => p.split("/").last))

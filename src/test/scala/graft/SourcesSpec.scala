@@ -537,4 +537,45 @@ class SourcesSpec extends SparkSpec {
     }
     graft.Blocks.freeAll(spark)
   }
+
+  test("GrepIndex: per-pattern split routing - a common literal scans, rare needles keep the index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("grep-split").toString + "/idx"
+    // 200 docs share a boilerplate literal (its trigram mass rivals
+    // the corpus); exactly one doc holds each rare needle — the mixed
+    // decontamination sweep the r17 sweep-global routing got wrong
+    val docs = ((0L until 200L)
+        .map(i => (i, s"common boilerplate segment number $i"))
+      :+ (900L, "rare zebra needle xq hides here")
+      :+ (901L, "qwxyz unique marker doc")).toDF("doc_id", "text")
+    graft.sources.GrepIndex.build(spark, docs, "doc_id", "text", root,
+      nFiles = 4)
+    val pats = Seq((0L, "common boilerplate"), (1L, "zebra needle"),
+                   (2L, "qwxyz unique"))
+    val want = pats.flatMap { case (pid, p) =>
+      docs.where(col("text").contains(p)).select(col("doc_id"))
+        .as[Long].collect().map(d => (pid, d))
+    }.toSet
+    // threshold 0.5x201 docs: pattern 0's mass (~8 grams x df 200)
+    // exceeds it, the needles' (~df 1) do not
+    val got = graft.sources.GrepIndex.probe(spark, root, pats,
+        scanFraction = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(spark.conf.get("spark.graft.grep.lastRoute") === "split")
+    assert(spark.conf.get("spark.graft.grep.lastSplit") ===
+      "index=2 scan=1")
+    // the index leg really ran pruned (not the old all-scan route)
+    assert(spark.conf.get("spark.graft.grep.lastPruned").matches("\\d+/\\d+"))
+    // conf hygiene: an early-exit probe (df-0 settle) reports n/a for
+    // stages it never ran instead of leaking the previous probe's
+    // values (r17 staleness finding)
+    val none = graft.sources.GrepIndex.probe(spark, root,
+      Seq((9L, "zzzqqq-absent")))
+    assert(none.count() === 0L)
+    assert(spark.conf.get("spark.graft.grep.lastRoute") === "index")
+    assert(spark.conf.get("spark.graft.grep.lastPruned") === "0/0")
+    assert(spark.conf.get("spark.graft.grep.lastDocsPruned") === "n/a")
+    graft.Blocks.freeAll(spark)
+  }
 }

@@ -16,11 +16,28 @@ import graft.operators.{Curate, Similarity}
   * Output: TOTAL per step + CURATE_PROF stage lines → the
   * BENCHNOTES_r17 attribution table.
   *
+  * r18 adds the TIER mode (r17 verdict item 1): the flagship
+  * composition was the one family with no 1000× row. Three batches of
+  * ~1.67M docs each run through the REAL [[Curate.runBatch]] against
+  * /tmp/sf1000x. Texts are salted with a doc_id-derived token first:
+  * ScaleN replicas share text verbatim, so unsalted batches 2-3 would
+  * ledger-dedup to nothing and the probe would measure an empty
+  * pipeline instead of the production first-seen-heavy flow. The
+  * budget (6M tokens/source) is sized to cut mid-stream in batch 3 so
+  * the carried state is load-bearing, like the sf-gate. Per-batch
+  * rows carry wall + task_ms + shuffle/spill (StageMetrics) + the
+  * per-stage walls runBatch records in `spark.graft.curate.prof.*`.
+  *
   * Usage: Test/runMain graft.tools.CurateProbe /root/testdata/sf0.1
+  *        Test/runMain graft.tools.CurateProbe tier /tmp/sf1000x [outJson]
   */
 object CurateProbe {
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("tier")) {
+      tierMain(args.lift(1).getOrElse("/tmp/sf1000x"), args.lift(2))
+      return
+    }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -81,18 +98,29 @@ object CurateProbe {
         .select(col("query_id"), col("neighbor_id"), col("rk"))
       probed.except(bf).isEmpty && bf.except(probed).isEmpty
     }
-    val bm25Ok = t("bm25-rebuild-verify") {
+    // r18 A/B (verdict item 4): the registered query now verifies the
+    // appended index against the DIRECT index-free recompute; the old
+    // from-scratch second-index build is kept here as the refuted
+    // form so the delta is measured, not asserted
+    val finalDocs = derived
+      .join(corpus.select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val terms = Seq("spark", "window", "merge")
+    val bm25Ok = t("bm25-direct-verify") {
+      val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
+      val pD = graft.Queries.bm25DirectTopK(finalDocs, terms, 10)
+      pA.except(pD).isEmpty && pD.except(pA).isEmpty
+    }
+    val bm25OkOld = t("bm25-rebuild-verify-OLD") {
       val rebuildRoot = Curate.tempRoots("graft-curate-probe-rb").inv
-      val finalDocs = derived
-        .join(corpus.select(col("doc_id")), "doc_id")
-        .select(col("doc_id"), col("text"))
       graft.sources.InvertedIndex.build(spark, finalDocs, rebuildRoot,
         nBuckets = 4, nFiles = 4)
-      val terms = Seq("spark", "window", "merge")
       val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
       val pR = graft.sources.InvertedIndex.probe(spark, rebuildRoot, terms, 10)
       pA.except(pR).isEmpty && pR.except(pA).isEmpty
     }
+    assert(bm25Ok == bm25OkOld,
+      s"direct-vs-rebuild verdicts diverge: $bm25Ok vs $bm25OkOld")
     val n = t("final-count") {
       corpus.select(col("doc_id"), col("source"), col("quality"))
         .withColumn("ann_probe_ok", lit(annOk))
@@ -101,6 +129,109 @@ object CurateProbe {
     }
     println(f"CURATE_STEP TOTAL ${(System.nanoTime() - whole0) / 1e9}%.3f rows=$n")
     Blocks.freeAll(spark)
+    spark.stop()
+  }
+
+  /** Stage labels [[Curate.runBatch]] profiles, in pipeline order. */
+  private val StageLabels = Seq("note-derive", "dedup-quality-ckpt",
+    "budget-ckpt", "accept-ckpt", "segments", "ann-append", "inv-append",
+    "commit")
+
+  private def tierMain(dir: String, outPath: Option[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.graft.curate.profile", "true")
+    val metrics = new Scale100.StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val out = new StringBuilder
+    val only = sys.env.get("CURATEPROBE_ONLY").map(_.split(",").toSet)
+    def run(label: String, extra: => String = "")(body: => Long): Unit = {
+      if (!only.forall(_.contains(label))) return
+      Thread.sleep(1000); metrics.reset()
+      val t0 = System.nanoTime()
+      val n = try body
+              catch { case t: Throwable =>
+                System.err.println(s"CURATEPROBE FAIL $label: $t"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Blocks.freeAll(spark)
+      Thread.sleep(1000)
+      val m = metrics.snapshot
+      val ex = extra
+      val line = f"""{"query":"$label","rows":$n,"sec":$sec%.2f,""" +
+        m.map { case (k, v) => s""""$k":$v""" }.mkString("", ",", "") +
+        (if (ex.isEmpty) "}" else s",$ex}")
+      println("CURATEPROBE " + line)
+      out.append(line).append('\n')
+    }
+    def stageJson: String = StageLabels.flatMap { l =>
+      val v = spark.conf.get(s"spark.graft.curate.prof.$l", "")
+      if (v.isEmpty) None else Some(s""""stage_${l.replace('-', '_')}_sec":$v""")
+    }.mkString(",")
+
+    // salt texts unique (see scaladoc), materialized once so every
+    // batch read is real IO, not a recompute of the salt expression
+    val saltedPath = s"$dir/__docs_curate_salted"
+    run("curate_tier_materialize") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" "),
+            conv(pmod(xxhash64(col("doc_id")), lit(9999999999L)), 10, 36))
+            .as("text"))
+        .write.mode("overwrite").parquet(saltedPath)
+      spark.read.parquet(saltedPath).count()
+    }
+    def salted = spark.read.parquet(saltedPath)
+    // embeddings aligned to doc ids where they exist (the gate shape)
+    def emb = Tables.embeddings(spark, dir)
+
+    // ~equal-count batch boundaries over the sparse tier doc_ids
+    val bounds = salted.agg(
+      expr("percentile_approx(doc_id, array(0.3333, 0.6667), 100000)"))
+      .head.getSeq[Long](0)
+    val cuts = Seq(Long.MinValue, bounds(0), bounds(1), Long.MaxValue)
+    println(s"CURATEPROBE_NOTE batch bounds: $bounds")
+
+    val roots = Curate.tempRoots("graft-curate-tier")
+    (0 until 3).foreach { i =>
+      run(s"curate_tier_batch$i", stageJson) {
+        Curate.runBatch(spark, roots,
+          salted.where(col("doc_id") > cuts(i) &&
+                       col("doc_id") <= cuts(i + 1)),
+          emb, qualityFloor = 0.615, budgetPerSource = 6000000L)
+      }
+    }
+    run("curate_tier_read_corpus") {
+      Curate.readCorpus(spark, roots).count()
+    }
+    // the curated indexes answer (cost of a post-ingest probe at tier)
+    run("curate_tier_bm25_probe") {
+      graft.sources.InvertedIndex.probe(spark, roots.inv,
+        Seq("spark", "window", "merge"), 10).count()
+    }
+    run("curate_tier_ann_probe") {
+      val corpus = Curate.readCorpus(spark, roots)
+      val queries = emb
+        .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+        .orderBy(col("vec_id")).limit(5)
+      graft.sources.AnnIndex.probe(spark, roots.ann, queries,
+        k = 5, nprobe = 4).count()
+    }
+
+    outPath.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        out.toString)
+    }
+    println("CURATEPROBE done")
     spark.stop()
   }
 }

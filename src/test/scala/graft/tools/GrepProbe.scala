@@ -112,6 +112,15 @@ object GrepProbe {
       val g = graft.sources.GrepIndex.probe(spark, root, pats)
         .as[(Long, Long)].collect().toSet
       gotIdx = g
+      // r18: the observability confs must describe THE ROUTE TAKEN
+      // (r17 verdict #5 — early exits used to leak the previous
+      // probe's values)
+      assert(spark.conf.get("spark.graft.grep.lastRoute") == "index",
+        "rare-needle sweep must route index")
+      assert(spark.conf.get("spark.graft.grep.lastPruned")
+        .matches("\\d+/\\d+"), "index route must record postings prune")
+      assert(spark.conf.get("spark.graft.grep.lastDocsPruned") != "n/a",
+        "index route fetch must record docs prune")
       println("GREPPROBE_NOTE auto route " +
         spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
         " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a") +
@@ -125,6 +134,11 @@ object GrepProbe {
           scanFraction = -1.0)
         .as[(Long, Long)].collect().toSet
       gotScan = g
+      assert(spark.conf.get("spark.graft.grep.lastRoute") == "scan")
+      assert(spark.conf.get("spark.graft.grep.lastPruned") == "n/a",
+        "scan route runs no postings prune - conf must say so")
+      assert(spark.conf.get("spark.graft.grep.lastDocsPruned") == "n/a",
+        "scan route runs no candidate fetch - conf must say so")
       g.size.toLong
     }
     if (gotIdx != null && gotScan != null) {
@@ -132,6 +146,53 @@ object GrepProbe {
         s""""scan_rows":${gotScan.size},"identical":${gotIdx == gotScan}}"""
       println("GREPPROBE " + line)
       out.append(line).append('\n')
+    }
+
+    // r18 (r17 verdict #2): the MIXED sweep — one corpus-common
+    // boilerplate literal + the rare needles, the real decontam
+    // shape. Per-pattern routing must send ONLY the common literal
+    // through the shared scan leg; r17's sweep-global mass sum sent
+    // everything. A/B against both forced extremes.
+    val common = salted.limit(2000)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 4)
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .head.getString(0)
+    val mixed = pats :+ (3L, common)
+    println(s"GREPPROBE_NOTE mixed common literal: '$common'")
+    var gotMixed: Set[(Long, Long)] = null
+    run("grep_mixed_probe_split") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root, mixed)
+        .as[(Long, Long)].collect().toSet
+      gotMixed = g
+      val route = spark.conf.get("spark.graft.grep.lastRoute")
+      val split = spark.conf.get("spark.graft.grep.lastSplit")
+      println(s"GREPPROBE_NOTE mixed route $route split $split")
+      assert(route == "split", s"mixed sweep must split, got $route")
+      assert(split == "index=3 scan=1",
+        s"only the common literal scans, got $split")
+      g.size.toLong
+    }
+    run("grep_mixed_scan_forced") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root, mixed,
+          scanFraction = -1.0)
+        .as[(Long, Long)].collect().toSet
+      val same = gotMixed != null && g == gotMixed
+      println(s"GREPPROBE_NOTE mixed scan equality: $same")
+      assert(same, "mixed split result must equal the forced scan")
+      g.size.toLong
+    }
+    run("grep_mixed_index_forced") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root, mixed,
+          scanFraction = Double.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      val same = gotMixed != null && g == gotMixed
+      println(s"GREPPROBE_NOTE mixed index equality: $same")
+      assert(same, "mixed split result must equal the forced index")
+      g.size.toLong
     }
 
     // regex sweep over the same index (#39e): the needle templated as

@@ -646,7 +646,8 @@ object Scale100 {
       val s1 = nSegments()
       val (p1sec, p1n, p1h) = probe()
       val tV0 = System.nanoTime()
-      val removed = graft.operators.Curate.vacuumSegments(spark, roots)
+      val removed = graft.operators.Curate.vacuumSegments(spark, roots,
+        minAgeMs = 0L)
       val vacuumSec = (System.nanoTime() - tV0) / 1e9
       val (f2, b2) = segStats()
       val (p2sec, p2n, p2h) = probe()
