@@ -301,8 +301,19 @@ object Curate {
     // then.
     def notedVersion(root: String, noteAt: Long => String): Option[Long] =
       Manifest.versions(spark, root).find(v => noteAt(v) == note0)
-    val annBatch = embeddings
-      .join(accepted.select(col("doc_id").as("vec_id")), "vec_id")
+    // embeddings are corpus-aligned, not batch-carried, so this join
+    // is unavoidable; `spark.graft.curate.annBloomPrune=true` swaps
+    // in the bloom-pruned exact semi join (Prune.bloomSemiJoin) so
+    // the embedding scan drops non-accepted rows BEFORE the shuffle —
+    // a tier A/B lever (r18), default off until measured to win
+    val annIds = accepted.select(col("doc_id").as("vec_id"))
+    val annBatch =
+      if (spark.conf.get("spark.graft.curate.annBloomPrune",
+                         "false") == "true")
+        graft.operators.Prune.bloomSemiJoin(
+          embeddings.select(col("vec_id"), col("embedding")),
+          "vec_id", annIds, "vec_id")
+      else embeddings.join(annIds, "vec_id")
     // the two index appends are INDEPENDENT (separate Manifest roots,
     // separate replay notes, inputs derived from the already-
     // checkpointed `accepted`) and each is a sequence of small
@@ -329,8 +340,13 @@ object Curate {
           annBatch.select(col("vec_id"), col("embedding")),
           nFiles = nFiles, note = note0).version
     } } }
-    val invBatch = batch
-      .join(accepted.select(col("doc_id")), "doc_id")
+    // accepted texts come off the budgeted CHECKPOINT, not a re-join
+    // of the raw batch: the old batch⋈accepted form shuffled the
+    // batch's full text column every time (r18 tier probe: ~1 GB
+    // shuffle per 1.67M-doc batch inside the dominant inv-append
+    // stage); re-filtering the materialized frame is join-free and
+    // also immune to duplicate doc_ids in the caller's batch
+    val invBatch = budgeted.where(col("cum") <= budgetPerSource)
       .select(col("doc_id"), col("text"))
     val invF = Future { prof("inv-append") { notedVersion(roots.inv,
         v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {

@@ -149,6 +149,10 @@ object CurateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.curate.profile", "true")
+    // CURATEPROBE_ANNBLOOM=1 flips the runBatch ann-side bloom-pruned
+    // semi join on for the A/B leg
+    if (sys.env.get("CURATEPROBE_ANNBLOOM").contains("1"))
+      spark.conf.set("spark.graft.curate.annBloomPrune", "true")
     val metrics = new Scale100.StageMetrics
     spark.sparkContext.addSparkListener(metrics)
     spark.range(1000000).selectExpr("sum(id)").collect()
