@@ -433,6 +433,20 @@ object AnnIndex {
       note = s"compaction-of-${catalog.size}")
   }
 
+  /** Compact only when the live catalog exceeds `maxSegments` (r18
+    * segment-count economics, SCALE1000.md: lossless probe 3.4 →
+    * 8.8 s from 1 → 32 segments; compaction cost 4.6 s at the
+    * 2M-vector tier — cells re-cluster against the FROZEN centroids,
+    * no retrain — so it pays for itself within a probe or two).
+    * Returns Some(version) when compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxSegments: Int = 8, nFiles: Int = 16,
+                      retain: Int = 2): Option[Long] = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (catalogOf(spark, root).size <= maxSegments) None
+    else Some(compactSegments(spark, root, nFiles, retain))
+  }
+
   /** Delete segments referenced by NO retained version — the payload
     * half of [[Manifest.vacuum]] (which only GCs metadata dirs).
     * `minAgeMs` guards the live race documented at

@@ -273,6 +273,23 @@ object GrepIndex {
       retain, "")
   }
 
+  /** Compact only when the live catalog exceeds `maxSegments` — the
+    * policy the r18 segment-count economics justify (SCALE1000.md:
+    * probe wall grew 3.0 → 14.9 s from 1 → 32 segments as StatsIndex
+    * pruning degraded to keeping every file; compaction restored
+    * 1.2 s). Grep compaction is the expensive one of the three
+    * indexes (a global re-sort of the posting mass — 167 s at the
+    * 5M-doc tier), so size `maxSegments` to amortize over the probe
+    * rate rather than compacting eagerly; it pays for itself in ~12
+    * probes there. Returns Some(version) when compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxSegments: Int = 8, nFiles: Int = 16,
+                      retain: Int = 4): Option[Long] = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (catalogOf(spark, root).size <= maxSegments) None
+    else Some(compactSegments(spark, root, nFiles, retain))
+  }
+
   /** Delete segments referenced by NO retained version — the payload
     * half of [[Manifest.vacuum]] (also reclaims segments orphaned by
     * a crashed build/append). `minAgeMs` guards the live race

@@ -325,6 +325,20 @@ object InvertedIndex {
     commitMeta(spark, root, Seq(seg), retain)
   }
 
+  /** Compact only when the live catalog exceeds `maxSegments` (r18
+    * segment-count economics, SCALE1000.md: probe 7.4 → 13.7 s from
+    * 1 → 32 segments; compaction cost 14.5 s at the 5M-doc tier —
+    * postings fold by bucket without a global re-sort — so it pays
+    * for itself within ~2 probes). Returns Some(version) when
+    * compaction ran. */
+  def compactIfNeeded(spark: SparkSession, root: String,
+                      maxSegments: Int = 8, nFiles: Int = 16,
+                      retain: Int = 2): Option[Long] = {
+    require(maxSegments >= 1, s"maxSegments must be >= 1, got $maxSegments")
+    if (catalogOf(spark, root).size <= maxSegments) None
+    else Some(compactSegments(spark, root, nFiles, retain))
+  }
+
   /** Delete segments referenced by NO retained version — the payload
     * half of [[Manifest.vacuum]]. `minAgeMs` guards the live race
     * documented at [[Manifest.vacuumUnreferenced]]. Returns removed

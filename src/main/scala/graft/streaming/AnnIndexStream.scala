@@ -33,7 +33,8 @@ object AnnIndexStream {
   def appendBatch(root: String, batch: DataFrame, batchId: Long,
                   idCol: String = "vec_id", vecCol: String = "embedding",
                   nFiles: Int = 16, driftTolerance: Double = 0.05,
-                  retain: Int = 4): Option[AnnIndex.AppendResult] = {
+                  retain: Int = 4,
+                  maxSegments: Int = 0): Option[AnnIndex.AppendResult] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
     // Two-layer replay dedup — see [[StreamMarkers]]: notes cover the
@@ -47,6 +48,12 @@ object AnnIndexStream {
       val r = AnnIndex.append(spark, root, batch, idCol, vecCol,
         nFiles, driftTolerance, retain, note)
       StreamMarkers.record(spark, root, batchId)
+      // opt-in inline auto-compaction (cheap: cells re-cluster against
+      // the frozen centroids, no retrain — 4.6 s at the 2M-vector
+      // tier, paying for itself within a probe or two; SCALE1000 r18)
+      if (maxSegments > 0)
+        AnnIndex.compactIfNeeded(spark, root, maxSegments,
+          nFiles = 16, retain = retain)
       Some(r)
     }
   }
@@ -60,12 +67,13 @@ object AnnIndexStream {
                idCol: String = "vec_id", vecCol: String = "embedding",
                nFiles: Int = 16, driftTolerance: Double = 0.05,
                retain: Int = 4,
+               maxSegments: Int = 0,
                onBatch: (Long, AnnIndex.AppendResult) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         appendBatch(root, batch, batchId, idCol, vecCol, nFiles,
-          driftTolerance, retain)
+          driftTolerance, retain, maxSegments)
           .foreach(r => onBatch(batchId, r))
     }
 }

@@ -29,10 +29,20 @@ object GrepIndexStream {
 
   /** Append one micro-batch idempotently. Returns the committed
     * version, or None when `batchId` already committed (replay) or
-    * the batch is empty. */
+    * the batch is empty. `maxSegments > 0` opts into inline
+    * auto-compaction after the append
+    * ([[graft.sources.GrepIndex.compactIfNeeded]]) — mind that grep
+    * compaction is a global posting re-sort (167 s at the 5M-doc
+    * tier, SCALE1000.md r18), so an inline compact stalls the stream
+    * for that long; probe-latency-sensitive deployments with heavy
+    * corpora should prefer an out-of-band maintenance job. Replay
+    * dedup is unaffected: compaction versions carry no batch note,
+    * and the durable [[StreamMarkers]] high-water record covers
+    * replays arriving after retention GC'd a noted version. */
   def appendBatch(root: String, batch: DataFrame, batchId: Long,
                   idCol: String = "doc_id", textCol: String = "text",
-                  nFiles: Int = 4, retain: Int = 4): Option[Long] = {
+                  nFiles: Int = 4, retain: Int = 4,
+                  maxSegments: Int = 0): Option[Long] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
     val replayed = StreamMarkers.seen(spark, root, batchId) ||
@@ -43,6 +53,9 @@ object GrepIndexStream {
       val v = GrepIndex.append(spark, root, batch, idCol, textCol,
         nFiles, retain, note)
       StreamMarkers.record(spark, root, batchId)
+      if (maxSegments > 0)
+        GrepIndex.compactIfNeeded(spark, root, maxSegments,
+          nFiles = 16, retain = retain)
       Some(v)
     }
   }
@@ -54,11 +67,13 @@ object GrepIndexStream {
   def appendTo(root: String, docs: DataFrame,
                idCol: String = "doc_id", textCol: String = "text",
                nFiles: Int = 4, retain: Int = 4,
+               maxSegments: Int = 0,
                onBatch: (Long, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        appendBatch(root, batch, batchId, idCol, textCol, nFiles, retain)
+        appendBatch(root, batch, batchId, idCol, textCol, nFiles, retain,
+          maxSegments)
           .foreach(v => onBatch(batchId, v))
     }
 }

@@ -29,7 +29,8 @@ object InvertedIndexStream {
     * the batch is empty. */
   def appendBatch(root: String, batch: DataFrame, batchId: Long,
                   idCol: String = "doc_id", textCol: String = "text",
-                  nFiles: Int = 16, retain: Int = 4): Option[Long] = {
+                  nFiles: Int = 16, retain: Int = 4,
+                  maxSegments: Int = 0): Option[Long] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
     // Two-layer replay dedup: the retained-version notes catch the
@@ -46,6 +47,12 @@ object InvertedIndexStream {
       val v = InvertedIndex.append(spark, root, batch, idCol, textCol,
         nFiles, retain, note)
       StreamMarkers.record(spark, root, batchId)
+      // opt-in inline auto-compaction (cheap for this index: bucket
+      // fold, no global re-sort — 14.5 s at the 5M-doc tier, paying
+      // for itself within ~2 probes; SCALE1000.md r18)
+      if (maxSegments > 0)
+        InvertedIndex.compactIfNeeded(spark, root, maxSegments,
+          nFiles = 16, retain = retain)
       Some(v)
     }
   }
@@ -57,11 +64,13 @@ object InvertedIndexStream {
   def appendTo(root: String, docs: DataFrame,
                idCol: String = "doc_id", textCol: String = "text",
                nFiles: Int = 16, retain: Int = 4,
+               maxSegments: Int = 0,
                onBatch: (Long, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        appendBatch(root, batch, batchId, idCol, textCol, nFiles, retain)
+        appendBatch(root, batch, batchId, idCol, textCol, nFiles, retain,
+          maxSegments)
           .foreach(v => onBatch(batchId, v))
     }
 }

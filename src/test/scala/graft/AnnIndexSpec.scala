@@ -184,6 +184,30 @@ class AnnIndexSpec extends SparkSpec {
       .count() === before.size)
   }
 
+  test("compactIfNeeded fires only past maxSegments and preserves probes") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 60)
+    val root = freshRoot("annidx-autocompact")
+    AnnIndex.build(spark, emb.where(col("vec_id") < 20), root,
+      cells = 4, nFiles = 2)
+    AnnIndex.append(spark, root,
+      emb.where(col("vec_id") >= 20 && col("vec_id") < 40))
+    // at/below the threshold: no-op
+    assert(AnnIndex.compactIfNeeded(spark, root, maxSegments = 2) === None)
+    assert(AnnIndex.catalogOf(spark, root).size === 2)
+    AnnIndex.append(spark, root, emb.where(col("vec_id") >= 40))
+    val q = emb.where(col("vec_id") < 3)
+    val pre = AnnIndex.probe(spark, root, q, k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    // past the threshold: folds to one segment, probes unchanged
+    assert(AnnIndex.compactIfNeeded(spark, root, maxSegments = 2).isDefined)
+    assert(AnnIndex.catalogOf(spark, root).size === 1)
+    val post = AnnIndex.probe(spark, root, q, k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(post === pre)
+  }
+
   test("vacuumSegments removes only unreferenced segments") {
     val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
     val root = freshRoot("annidx-vacuum")

@@ -74,6 +74,28 @@ class GrepIndexStreamSpec extends SparkSpec {
       s"vacuum broke the live index (removed: $removed)")
   }
 
+  test("appendBatch auto-compacts past maxSegments; probes unchanged") {
+    val tmp = Files.createTempDirectory("grepidx-autocompact").toString
+    val root = s"$tmp/idx"
+    val full = s"$tmp/full"
+    val docs = Tables.documents(spark, sfDir)
+    GrepIndex.build(spark, docs, "doc_id", "text", full, nFiles = 4)
+    val want = probed(full, Double.MaxValue)
+    GrepIndex.build(spark, docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", root, nFiles = 4)
+    // maxSegments=1: every append pushes the catalog to 2, so the
+    // inline policy folds it right back — the stream never accretes
+    // the probe-latency tax the r18 segment economics measured
+    GrepIndexStream.appendBatch(root,
+      docs.where(col("doc_id") % 3 === 1), batchId = 0L, maxSegments = 1)
+    assert(GrepIndex.catalogOf(spark, root).size === 1)
+    GrepIndexStream.appendBatch(root,
+      docs.where(col("doc_id") % 3 === 2), batchId = 1L, maxSegments = 1)
+    assert(GrepIndex.catalogOf(spark, root).size === 1)
+    assert(probed(root, Double.MaxValue) === want)
+    assert(probed(root, -1.0) === want)
+  }
+
   test("a replayed micro-batch is skipped: batch-id notes dedupe appends") {
     val tmp = Files.createTempDirectory("grepidx-replay").toString
     val root = s"$tmp/idx"

@@ -74,6 +74,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(v0.forall(_._1 % 2 == 0))
   }
 
+  test("compactIfNeeded fires only past maxSegments and preserves probes") {
+    // the r18 segment-count economics encoded as policy (SCALE1000.md)
+    val rootC = freshRoot("invidx-autocompact")
+    val all = Tables.documents(spark, sfDir)
+    InvertedIndex.build(spark, all.where(col("doc_id") % 3 === 0), rootC,
+      nBuckets = 4, nFiles = 4)
+    InvertedIndex.append(spark, rootC, all.where(col("doc_id") % 3 === 1))
+    assert(InvertedIndex.compactIfNeeded(spark, rootC, maxSegments = 2)
+      === None)
+    InvertedIndex.append(spark, rootC, all.where(col("doc_id") % 3 === 2))
+    val pre = asRows(InvertedIndex.probe(spark, rootC, terms, k = 10))
+    assert(InvertedIndex.compactIfNeeded(spark, rootC, maxSegments = 2)
+      .isDefined)
+    assert(InvertedIndex.catalogOf(spark, rootC).size === 1)
+    assert(asRows(InvertedIndex.probe(spark, rootC, terms, k = 10)) === pre)
+  }
+
   test("vacuum GCs segments no retained version references") {
     val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 100)
     val root = freshRoot("invidx-vacuum")
