@@ -109,6 +109,12 @@ object Curate {
     df.observe(obs, count(lit(1)).as("n"))
       .write.mode("errorifexists").parquet(path)
     val n = obs.get("n").asInstanceOf[Long]
+    // staging sentinel: the segment is unreferenced until the batch's
+    // outer commit publishes the catalog naming it — and the index
+    // appends run in between, so the window is open-ended. The
+    // sentinel exempts it from vacuum's minAge cutoff for stagings of
+    // any duration (Manifest.StagingSentinel); cleared after commit.
+    Manifest.markStaging(spark, Seq(path))
     (kind, path, n)
   }
 
@@ -174,11 +180,28 @@ object Curate {
     * are pulled from. Returns the committed curation version (or the
     * already-committed one when the batch's note is found on a
     * retained version — the replay path). An EMPTY input batch is a
-    * no-op returning the current version (−1 before any commit). */
+    * no-op returning the current version (−1 before any commit).
+    *
+    * `annMaxSegments` / `invMaxSegments` > 0 opt into inline index
+    * auto-compaction AFTER the batch's atomic publish (the
+    * [[graft.streaming.AnnIndexStream]] maxSegments pattern, wired
+    * into the flagship per r18 verdict item 3: the batch loop appends
+    * to both indexes every batch and probe latency degrades with
+    * segment count — 3.4→8.8 s ANN / 7.4→13.7 s BM25 at 1→32
+    * segments, SCALE1000.md r18). Running after the commit keeps
+    * replay semantics untouched: a replayed batch returns at the
+    * curation-note check and never re-compacts; a crash between
+    * commit and compaction just defers compaction to the next batch.
+    * The batch's meta pins the APPEND version (compaction is one
+    * version later on the index's own root) — pinned reads stay valid
+    * under the index retention. Size them to amortize compaction cost
+    * over the probe rate (inverted folds by bucket, ~2-probe payback;
+    * ANN re-clusters against frozen centroids, ~1-2 probes). */
   def runBatch(spark: SparkSession, roots: Roots, batch: DataFrame,
                embeddings: DataFrame, qualityFloor: Double,
                budgetPerSource: Long, annCells: Int = 4,
-               nFiles: Int = 4, note: String = "", retain: Int = 16): Long = {
+               nFiles: Int = 4, note: String = "", retain: Int = 16,
+               annMaxSegments: Int = 0, invMaxSegments: Int = 0): Long = {
     val priorVs = Manifest.versions(spark, roots.curation)
 
     // opt-in stage attribution (r16 verdict item 8: three rounds of
@@ -257,13 +280,55 @@ object Curate {
     val priorState = priorVs.lastOption
       .map(v => spark.read.parquet(subDir(spark, roots.curation, v, "state")))
       .getOrElse(Seq.empty[(String, Long)].toDF("source", "used_tokens"))
-    val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    val budgeted = prof("budget-ckpt") { scored
+    val scoredTok = scored
       .withColumn("n_tokens", TextFunctions.bpeTokenCount(col("text")).cast("long"))
-      .join(broadcast(priorState), Seq("source"), "left")
-      .withColumn("cum",
-        sum(col("n_tokens")).over(wCum) + coalesce(col("used_tokens"), lit(0L)))
-      .localCheckpoint() }
+    // Two-phase cumsum (r18 verdict item 2 — the plain per-source
+    // window was the flagship's last single-task-per-source stage:
+    // 20 sources → at most 20 parallel tasks, ~9-12 s/batch at the
+    // 5M-doc tier). Decomposition: order-preserving doc_id BANDS per
+    // source → per-band partial token sums (map-side combinable) →
+    // exclusive per-source band offsets (tiny: sources × bands rows,
+    // broadcast) → local cumsum within (source, band) + offset.
+    // Bit-exact by construction: long addition regrouped, same
+    // (source, doc_id) order. `spark.graft.curate.budgetTwoPhase=
+    // false` restores the single-window form (the tier A/B lever).
+    val twoPhase = spark.conf
+      .get("spark.graft.curate.budgetTwoPhase", "true") == "true"
+    val budgeted = prof("budget-ckpt") {
+      if (!twoPhase) {
+        val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        scoredTok
+          .join(broadcast(priorState), Seq("source"), "left")
+          .withColumn("cum",
+            sum(col("n_tokens")).over(wCum) +
+              coalesce(col("used_tokens"), lit(0L)))
+          .localCheckpoint()
+      } else {
+        // band bounds from the checkpointed narrow frame (one tiny agg
+        // job); bounds need not be tight, only order-preserving
+        val mm = fresh.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+        val hi = if (mm.isNullAt(1)) lo else mm.getLong(1)
+        val nBands = math.max(spark.sparkContext.defaultParallelism, 1)
+        val width = math.max(1L, (hi - lo) / nBands + 1L)
+        val banded = scoredTok
+          .withColumn("bkt", expr(s"(doc_id - ${lo}L) div ${width}L"))
+        val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        val offsets = banded.groupBy(col("source"), col("bkt"))
+          .agg(sum(col("n_tokens")).as("bt"))
+          .withColumn("off", sum(col("bt")).over(wOff) - col("bt"))
+          .select(col("source"), col("bkt"), col("off"))
+        val wCumB = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("doc_id"))
+        banded
+          .join(broadcast(offsets), Seq("source", "bkt"))
+          .join(broadcast(priorState), Seq("source"), "left")
+          .withColumn("cum",
+            sum(col("n_tokens")).over(wCumB) + col("off") +
+              coalesce(col("used_tokens"), lit(0L)))
+          .localCheckpoint()
+      }
+    }
     val accepted = prof("accept-ckpt") { budgeted.where(col("cum") <= budgetPerSource)
       .select(col("doc_id"), col("source"), col("quality"), col("fp"))
       .localCheckpoint() }
@@ -365,15 +430,34 @@ object Curate {
 
     // ---- stage 6: ONE atomic publish for the batch (catalog + state +
     // meta are all metadata-sized; the data went to _segments/ above)
-    prof("commit") { Manifest.commitWith(spark, roots.curation, retain) { dir =>
-      writeNote(spark, dir, note0)
-      (priorCatalog ++ newEntries)
-        .toDF("kind", "segment", "n_rows")
-        .coalesce(1).write.parquet(s"$dir/catalog")
-      newState.write.parquet(s"$dir/state")
-      Seq((annV, invV, note0)).toDF("ann_version", "inv_version", "batch_note")
-        .coalesce(1).write.parquet(s"$dir/meta")
-    } }
+    val committed = prof("commit") {
+      Manifest.commitWith(spark, roots.curation, retain) { dir =>
+        writeNote(spark, dir, note0)
+        (priorCatalog ++ newEntries)
+          .toDF("kind", "segment", "n_rows")
+          .coalesce(1).write.parquet(s"$dir/catalog")
+        newState.write.parquet(s"$dir/state")
+        Seq((annV, invV, note0)).toDF("ann_version", "inv_version", "batch_note")
+          .coalesce(1).write.parquet(s"$dir/meta")
+      }
+    }
+    Manifest.clearStaging(spark, newEntries.map(_._2))
+
+    // ---- stage 7 (opt-in): index maintenance — compact when the
+    // batch loop's appends have grown the catalogs past the caller's
+    // bound (see the scaladoc; after the commit, so replays and
+    // crash-recovery semantics are untouched)
+    if (annMaxSegments > 0 &&
+        Manifest.currentVersion(spark, roots.ann).isDefined)
+      prof("ann-compact") {
+        AnnIndex.compactIfNeeded(spark, roots.ann, annMaxSegments,
+          nFiles = nFiles) }
+    if (invMaxSegments > 0 &&
+        Manifest.currentVersion(spark, roots.inv).isDefined)
+      prof("inv-compact") {
+        InvertedIndex.compactIfNeeded(spark, roots.inv, invMaxSegments,
+          nFiles = nFiles) }
+    committed
   }
 
   /** The note lands INSIDE the staged dir, so it publishes (or
@@ -423,7 +507,7 @@ object Curate {
       .select(col("ann_version"), col("inv_version"))
       .withColumn("batch_note", lit(s"compaction-of-$nSegs"))
       .localCheckpoint()
-    Manifest.commitWith(spark, roots.curation, retain) { dir =>
+    val v = Manifest.commitWith(spark, roots.curation, retain) { dir =>
       writeNote(spark, dir, s"compaction-of-$nSegs")
       (corpusSeg.toSeq ++ ledgerSeg.toSeq)
         .toDF("kind", "segment", "n_rows")
@@ -431,6 +515,9 @@ object Curate {
       state.write.parquet(s"$dir/state")
       meta.coalesce(1).write.parquet(s"$dir/meta")
     }
+    Manifest.clearStaging(spark,
+      (corpusSeg.toSeq ++ ledgerSeg.toSeq).map(_._2))
+    v
   }
 
   /** Delete segments referenced by NO retained version — the payload
@@ -441,12 +528,13 @@ object Curate {
     * runBatch/compact's freshly staged (not-yet-referenced) segments
     * safe from a racing vacuum ([[Manifest.vacuumUnreferenced]]). */
   def vacuumSegments(spark: SparkSession, roots: Roots,
-                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs)
+                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs,
+                     staleStagingMs: Long = Manifest.DefaultStaleStagingMs)
       : Seq[String] = {
     val referenced = Manifest.versions(spark, roots.curation)
       .flatMap(v => catalogOf(spark, roots.curation, Some(v)).map(_._2))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     Manifest.vacuumUnreferenced(spark, s"${roots.curation}/$SegmentsDir",
-      referenced, minAgeMs)
+      referenced, minAgeMs, staleStagingMs)
   }
 }

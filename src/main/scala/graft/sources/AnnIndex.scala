@@ -128,16 +128,28 @@ object AnnIndex {
         cs
       case None => ""
     }
-    Segment(seg, row.getLong(0),
+    val out = Segment(seg, row.getLong(0),
       if (row.isNullAt(1)) 0.0 else row.getDouble(1), codesSeg)
+    // staging sentinel: complete but unreferenced until the catalog
+    // CAS — exempt from vacuum's minAge for stagings of any duration
+    Manifest.markStaging(spark, segDirs(out))
+    out
   }
 
-  private def commitMeta(spark: SparkSession, root: String,
-                         centroids: Seq[(Int, Array[Float])],
-                         catalog: Seq[Segment],
-                         codebooks: Option[Seq[Seq[(Int, Array[Float])]]],
-                         retain: Int, note: String = ""): Long =
-    Manifest.commitWith(spark, root, retain) { dir =>
+  private def segDirs(g: Segment): Seq[String] =
+    Seq(g.path, g.codesPath).filter(_.nonEmpty)
+
+  /** CAS-publish a catalog version; `catalog` is a THUNK re-evaluated
+    * per attempt so retries merge with concurrent commits instead of
+    * re-staging a stale pre-read catalog (see
+    * [[GrepIndex.commitMeta]] — the r18 lost-update guard). */
+  private[graft] def commitMeta(spark: SparkSession, root: String,
+                                centroids: Seq[(Int, Array[Float])],
+                                catalog: () => Seq[Segment],
+                                codebooks: Option[Seq[Seq[(Int, Array[Float])]]],
+                                retain: Int, note: String = "",
+                                maxRetries: Int = 0): Long =
+    Manifest.commitWith(spark, root, retain, maxRetries) { dir =>
       // the note lands INSIDE the staged dir, so it publishes (or
       // vanishes) atomically with the CAS marker — the anchor
       // streaming ingestion dedupes micro-batch retries against
@@ -150,7 +162,7 @@ object AnnIndex {
       spark.createDataFrame(centroids).toDF("cell", "centroid")
         .coalesce(1).write.parquet(centroidsPath(dir))
       spark.createDataFrame(
-          catalog.map(g => (g.path, g.nRows, g.meanCos, g.codesPath)))
+          catalog().map(g => (g.path, g.nRows, g.meanCos, g.codesPath)))
         .toDF("segment", "n_rows", "mean_cos", "codes_segment")
         .coalesce(1).write.parquet(catalogPath(dir))
       codebooks.foreach { cbs =>
@@ -161,6 +173,39 @@ object AnnIndex {
           .coalesce(1).write.parquet(codebooksPath(dir))
       }
     }
+
+  /** Commit with staged-segment lifecycle: sentinels cleared on
+    * success, this writer's staged dirs discarded on failure. */
+  private def commitStaged(spark: SparkSession, root: String,
+                           staged: Seq[String],
+                           centroids: Seq[(Int, Array[Float])],
+                           catalog: () => Seq[Segment],
+                           codebooks: Option[Seq[Seq[(Int, Array[Float])]]],
+                           retain: Int, note: String,
+                           maxRetries: Int): Long = {
+    val v =
+      try commitMeta(spark, root, centroids, catalog, codebooks, retain,
+        note, maxRetries)
+      catch { case e: Throwable =>
+        Manifest.discardStaged(spark, staged); throw e }
+    Manifest.clearStaging(spark, staged)
+    v
+  }
+
+  /** See [[GrepIndex.mergedCatalog]] — compaction's per-attempt
+    * catalog: concurrent appends survive, a concurrent compaction of
+    * the same segments throws (merging would duplicate rows). */
+  private[graft] def mergedCatalog(current: Seq[Segment],
+                                   foldedKeys: Set[String],
+                                   compacted: Segment): Seq[Segment] = {
+    val present = current.map(_.path).toSet
+    if (!foldedKeys.subsetOf(present))
+      throw new java.util.ConcurrentModificationException(
+        "a concurrent compaction removed folded segments from the " +
+          "catalog - publishing would duplicate their rows; re-run " +
+          "compaction from the current catalog")
+    current.filterNot(s => foldedKeys.contains(s.path)) :+ compacted
+  }
 
   private def dataDirOf(spark: SparkSession, root: String,
                         version: Option[Long]): String = {
@@ -250,7 +295,10 @@ object AnnIndex {
       else None
     val seg = writeSegment(spark, root, corpus, idCol, vecCol, centroids,
       nFiles, codebooks)
-    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain, note)
+    // a build DEFINES the catalog — no merge with concurrent appends,
+    // maxRetries stays 0 (lost CAS throws)
+    commitStaged(spark, root, segDirs(seg), centroids, () => Seq(seg),
+      codebooks, retain, note, maxRetries = 0)
   }
 
   /** Assign `batch` to the EXISTING centroids (no retrain), publish a
@@ -260,7 +308,8 @@ object AnnIndex {
   def append(spark: SparkSession, root: String, batch: DataFrame,
              idCol: String = "vec_id", vecCol: String = "embedding",
              nFiles: Int = 16, driftTolerance: Double = 0.05,
-             retain: Int = 2, note: String = ""): AppendResult = {
+             retain: Int = 2, note: String = "",
+             maxRetries: Int = 0): AppendResult = {
     val centroids = centroidsOf(spark, root)
     val prior = catalogOf(spark, root)
     // the batch inherits the index's code layout: a PQ index keeps
@@ -268,8 +317,11 @@ object AnnIndex {
     val codebooks = codebooksOf(spark, root)
     val seg = writeSegment(spark, root, batch, idCol, vecCol, centroids,
       nFiles, codebooks)
-    val version = commitMeta(spark, root, centroids, prior :+ seg,
-      codebooks, retain, note)
+    // catalog re-read per CAS attempt: a retry after a lost race
+    // merges the concurrent winner's segments instead of dropping them
+    val version = commitStaged(spark, root, segDirs(seg), centroids,
+      () => catalogOf(spark, root) :+ seg, codebooks, retain, note,
+      maxRetries)
     // index mean weighted over PRIOR segments: the baseline the batch
     // is compared against (including the batch would mask its own drift)
     val priorRows = prior.map(_.nRows).sum
@@ -420,7 +472,8 @@ object AnnIndex {
     * layout for the COMPACTED row count — the moment to restore
     * ~1 cell/file after many tiny appends. */
   def compactSegments(spark: SparkSession, root: String,
-                      nFiles: Int = 16, retain: Int = 2): Long = {
+                      nFiles: Int = 16, retain: Int = 2,
+                      maxRetries: Int = 0): Long = {
     val centroids = centroidsOf(spark, root)
     val catalog = catalogOf(spark, root)
     require(catalog.nonEmpty, s"no ANN index at $root")
@@ -429,8 +482,10 @@ object AnnIndex {
       .select(col("vec_id"), col("embedding"))
     val seg = writeSegment(spark, root, union, "vec_id", "embedding",
       centroids, nFiles, codebooks)
-    commitMeta(spark, root, centroids, Seq(seg), codebooks, retain,
-      note = s"compaction-of-${catalog.size}")
+    val foldedKeys = catalog.map(_.path).toSet
+    commitStaged(spark, root, segDirs(seg), centroids,
+      () => mergedCatalog(catalogOf(spark, root), foldedKeys, seg),
+      codebooks, retain, s"compaction-of-${catalog.size}", maxRetries)
   }
 
   /** Compact only when the live catalog exceeds `maxSegments` (r18
@@ -452,13 +507,14 @@ object AnnIndex {
     * `minAgeMs` guards the live race documented at
     * [[Manifest.vacuumUnreferenced]]. Returns the removed paths. */
   def vacuumSegments(spark: SparkSession, root: String,
-                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs)
+                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs,
+                     staleStagingMs: Long = Manifest.DefaultStaleStagingMs)
       : Seq[String] = {
     val referenced = Manifest.versions(spark, root)
       .flatMap(v => catalogOf(spark, root, Some(v))
         .flatMap(g => Seq(g.path, g.codesPath).filter(_.nonEmpty)))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     Manifest.vacuumUnreferenced(spark, s"$root/$SegmentsDir",
-      referenced, minAgeMs)
+      referenced, minAgeMs, staleStagingMs)
   }
 }

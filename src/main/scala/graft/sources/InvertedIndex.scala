@@ -68,10 +68,28 @@ object InvertedIndex {
 
   /** Tokenize `docs` (the bm25Search normalize+split, so index scores
     * replay the in-query retriever exactly), write one bucket-clustered
-    * posting segment + its dictionary, both stats-indexed on bucket. */
+    * posting segment + its dictionary, both stats-indexed on bucket.
+    *
+    * Layout (r18 verdict item 4 — inv-append was the flagship batch
+    * loop's dominant stage at 22-23 s/batch, and `repartitionByRange`
+    * is the suspect: its RangePartitioner samples the child in a
+    * SEPARATE job, so the whole tokenize chain runs TWICE per
+    * segment): `hashLayout = true` hash-partitions on bucket instead
+    * — one tokenize pass, no sampling job. The trade: a hash file
+    * holds the buckets of one pmod class, so its bucket [min, max]
+    * spans wide and file-level StatsIndex pruning degrades for that
+    * segment; ROW-GROUP skipping survives (rows stay sorted by
+    * (bucket, term) within each file), and compaction re-sorts
+    * globally anyway — appends are exactly the segments compaction
+    * folds. Probes are unchanged either way (pruning only skips;
+    * predicates re-apply). `spark.graft.inv.segmentCkpt = true` is
+    * the attribution lever for the range path: localCheckpoint the
+    * tokenized frame before the range partition, paying
+    * materialization to avoid the double tokenize. */
   private def writeSegment(spark: SparkSession, root: String,
                            docs: DataFrame, idCol: String, textCol: String,
-                           nBuckets: Int, nFiles: Int): Segment = {
+                           nBuckets: Int, nFiles: Int,
+                           hashLayout: Boolean = false): Segment = {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val post = s"$root/$SegmentsDir/post-$token"
     val dict = s"$root/$SegmentsDir/dict-$token"
@@ -87,15 +105,25 @@ object InvertedIndex {
     // layout requires. `d0` marks one designated row per doc (the
     // first term entry) so corpus stats re-derive from the written
     // postings by a flat filtered scan, never a 500M-row distinct.
-    toks.select(col("doc_id"), size(col("toks")).as("dl"),
+    val posting0 = toks.select(col("doc_id"), size(col("toks")).as("dl"),
         posexplode(graft.functions.GraftFunctions.termCounts(col("toks"))))
       .select(col("doc_id"), col("dl"),
         col("col.term").as("term"), col("col.tf").as("tf"),
         (col("pos") === 0).as("d0"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .repartitionByRange(math.max(nFiles, 1), col("bucket"), col("term"))
-      .sortWithinPartitions("bucket", "term")
-      .select("bucket", "term", "doc_id", "tf", "dl", "d0")
+    val posting =
+      if (hashLayout || !spark.conf
+            .get("spark.graft.inv.segmentCkpt", "false").toBoolean) posting0
+      else posting0.localCheckpoint()
+    val laid =
+      if (hashLayout)
+        posting.repartition(math.max(nFiles, 1), col("bucket"))
+          .sortWithinPartitions("bucket", "term")
+      else
+        posting
+          .repartitionByRange(math.max(nFiles, 1), col("bucket"), col("term"))
+          .sortWithinPartitions("bucket", "term")
+    laid.select("bucket", "term", "doc_id", "tf", "dl", "d0")
       .write.mode("errorifexists").parquet(post)
     StatsIndex.write(spark, post, Seq("bucket"))
     // dictionary + stats from the WRITTEN postings (one cheap re-agg
@@ -115,14 +143,26 @@ object InvertedIndex {
     // at 5M docs re-shuffled ~500M posting rows
     val stats = written.where(col("d0"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    Segment(post, dict, stats.getLong(0),
+    val seg = Segment(post, dict, stats.getLong(0),
       if (stats.isNullAt(1)) 0L else stats.getLong(1), nBuckets)
+    // staging sentinel: complete but unreferenced until the catalog
+    // CAS — exempt from vacuum's minAge for stagings of any duration
+    Manifest.markStaging(spark, segDirs(seg))
+    seg
   }
 
-  private def commitMeta(spark: SparkSession, root: String,
-                         catalog: Seq[Segment], retain: Int,
-                         note: String = ""): Long =
-    Manifest.commitWith(spark, root, retain) { dir =>
+  private def segDirs(g: Segment): Seq[String] =
+    Seq(g.postings, g.dictionary)
+
+  /** CAS-publish a catalog version; `catalog` is a THUNK re-evaluated
+    * per attempt so retries merge with concurrent commits instead of
+    * re-staging a stale pre-read catalog (see
+    * [[GrepIndex.commitMeta]] — the r18 lost-update guard). */
+  private[graft] def commitMeta(spark: SparkSession, root: String,
+                                catalog: () => Seq[Segment], retain: Int,
+                                note: String = "",
+                                maxRetries: Int = 0): Long =
+    Manifest.commitWith(spark, root, retain, maxRetries) { dir =>
       // the note lands INSIDE the staged dir — published (or lost)
       // atomically with the CAS marker; streaming appends dedupe
       // micro-batch replays against it (AnnIndex discipline)
@@ -132,11 +172,40 @@ object InvertedIndex {
         val o = fs.create(np, false)
         try o.write(note.getBytes("UTF-8")) finally o.close()
       }
-      spark.createDataFrame(catalog.map(g =>
+      spark.createDataFrame(catalog().map(g =>
           (g.postings, g.dictionary, g.nDocs, g.sumDl, g.nBuckets)))
         .toDF("postings", "dictionary", "n_docs", "sum_dl", "n_buckets")
         .coalesce(1).write.parquet(catalogPath(dir))
     }
+
+  /** Commit with staged-segment lifecycle: sentinels cleared on
+    * success, this writer's staged dirs discarded on failure. */
+  private def commitStaged(spark: SparkSession, root: String,
+                           staged: Seq[String],
+                           catalog: () => Seq[Segment], retain: Int,
+                           note: String, maxRetries: Int): Long = {
+    val v =
+      try commitMeta(spark, root, catalog, retain, note, maxRetries)
+      catch { case e: Throwable =>
+        Manifest.discardStaged(spark, staged); throw e }
+    Manifest.clearStaging(spark, staged)
+    v
+  }
+
+  /** See [[GrepIndex.mergedCatalog]] — compaction's per-attempt
+    * catalog: concurrent appends survive, a concurrent compaction of
+    * the same segments throws (merging would duplicate rows). */
+  private[graft] def mergedCatalog(current: Seq[Segment],
+                                   foldedKeys: Set[String],
+                                   compacted: Segment): Seq[Segment] = {
+    val present = current.map(_.postings).toSet
+    if (!foldedKeys.subsetOf(present))
+      throw new java.util.ConcurrentModificationException(
+        "a concurrent compaction removed folded segments from the " +
+          "catalog - publishing would duplicate their rows; re-run " +
+          "compaction from the current catalog")
+    current.filterNot(s => foldedKeys.contains(s.postings)) :+ compacted
+  }
 
   /** The commit note of `version` ("" when none) — set by writers that
     * need replay dedup. */
@@ -178,11 +247,14 @@ object InvertedIndex {
   def build(spark: SparkSession, corpus: DataFrame, root: String,
             idCol: String = "doc_id", textCol: String = "text",
             nBuckets: Int = 16, nFiles: Int = 16, retain: Int = 2,
-            note: String = ""): Long =
-    commitMeta(spark, root,
-      Seq(writeSegment(spark, root, corpus, idCol, textCol, nBuckets,
-        nFiles)),
-      retain, note)
+            note: String = ""): Long = {
+    val seg = writeSegment(spark, root, corpus, idCol, textCol, nBuckets,
+      nFiles)
+    // a build DEFINES the catalog — no merge with concurrent appends,
+    // maxRetries stays 0 (lost CAS throws)
+    commitStaged(spark, root, segDirs(seg), () => Seq(seg), retain, note,
+      maxRetries = 0)
+  }
 
   /** Tokenize only `batch`, publish a new catalog referencing every
     * prior segment plus the new pair. Buckets inherit the existing
@@ -195,12 +267,22 @@ object InvertedIndex {
     * owns arrival uniqueness. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
              idCol: String = "doc_id", textCol: String = "text",
-             nFiles: Int = 16, retain: Int = 2, note: String = ""): Long = {
+             nFiles: Int = 16, retain: Int = 2, note: String = "",
+             maxRetries: Int = 0): Long = {
     val prior = catalogOf(spark, root)
     require(prior.nonEmpty, s"no inverted index at $root")
+    // `spark.graft.inv.appendHashLayout=true` lays the APPEND segment
+    // out by bucket hash (one tokenize pass, no range-sampling job —
+    // see writeSegment; builds and compactions keep the range layout,
+    // and compaction restores it for appended segments)
+    val hashLayout = spark.conf
+      .get("spark.graft.inv.appendHashLayout", "false").toBoolean
     val seg = writeSegment(spark, root, batch, idCol, textCol,
-      prior.head.nBuckets, nFiles)
-    commitMeta(spark, root, prior :+ seg, retain, note)
+      prior.head.nBuckets, nFiles, hashLayout)
+    // catalog re-read per CAS attempt: a retry after a lost race
+    // merges the concurrent winner's segments instead of dropping them
+    commitStaged(spark, root, segDirs(seg),
+      () => catalogOf(spark, root) :+ seg, retain, note, maxRetries)
   }
 
   /** Stats-pruned bucket-filtered read across segment tables — only
@@ -298,7 +380,8 @@ object InvertedIndex {
     * segments fall to [[vacuumSegments]] once retention drops the
     * versions naming them. */
   def compactSegments(spark: SparkSession, root: String,
-                      nFiles: Int = 16, retain: Int = 2): Long = {
+                      nFiles: Int = 16, retain: Int = 2,
+                      maxRetries: Int = 0): Long = {
     val catalog = catalogOf(spark, root)
     require(catalog.nonEmpty, s"no inverted index at $root")
     val nBuckets = catalog.head.nBuckets
@@ -322,7 +405,11 @@ object InvertedIndex {
     // exact stats recompose by integer addition — no rescan needed
     val seg = Segment(post, dict, catalog.map(_.nDocs).sum,
       catalog.map(_.sumDl).sum, nBuckets)
-    commitMeta(spark, root, Seq(seg), retain)
+    Manifest.markStaging(spark, segDirs(seg))
+    val foldedKeys = catalog.map(_.postings).toSet
+    commitStaged(spark, root, segDirs(seg),
+      () => mergedCatalog(catalogOf(spark, root), foldedKeys, seg),
+      retain, "", maxRetries)
   }
 
   /** Compact only when the live catalog exceeds `maxSegments` (r18
@@ -344,13 +431,14 @@ object InvertedIndex {
     * documented at [[Manifest.vacuumUnreferenced]]. Returns removed
     * segment paths. */
   def vacuumSegments(spark: SparkSession, root: String,
-                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs)
+                     minAgeMs: Long = Manifest.DefaultVacuumAgeMs,
+                     staleStagingMs: Long = Manifest.DefaultStaleStagingMs)
       : Seq[String] = {
     val referenced = Manifest.versions(spark, root)
       .flatMap(v => catalogOf(spark, root, Some(v))
         .flatMap(g => Seq(g.postings, g.dictionary)))
       .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
     Manifest.vacuumUnreferenced(spark, s"$root/$SegmentsDir",
-      referenced, minAgeMs)
+      referenced, minAgeMs, staleStagingMs)
   }
 }

@@ -251,8 +251,84 @@ object Manifest {
 
   /** Default minimum age for [[vacuumUnreferenced]] — long enough
     * that any in-flight build/append/compact staged before it has
-    * either CAS-published (now referenced) or died. */
+    * either CAS-published (now referenced) or died. Stagings that can
+    * run LONGER than this are protected by the [[StagingSentinel]]
+    * instead (r18 verdict item 5: a 100 TB build/compaction stages
+    * for hours — no fixed age can cover both that and timely GC of
+    * crashed writers). */
   val DefaultVacuumAgeMs: Long = 20L * 60 * 1000
+
+  /** Sentinel file index writers drop INSIDE each staged segment dir
+    * while its catalog commit is pending, and remove after the CAS
+    * publish. [[vacuumUnreferenced]] exempts a sentineled dir from
+    * the `minAgeMs` cutoff entirely, so a staging of ANY duration is
+    * safe from a default-age vacuum; the exemption expires at
+    * `staleStagingMs` (default 24 h) so a crashed writer's orphans
+    * are still reclaimed eventually. Leading underscore: parquet
+    * readers skip `_`-prefixed files, so the sentinel never perturbs
+    * a read of the dir. */
+  val StagingSentinel = "_STAGING"
+
+  /** How long a [[StagingSentinel]] exempts a staged-but-unpublished
+    * segment dir from vacuum. Must exceed the longest staging (the
+    * window between a segment's last file write and its catalog CAS);
+    * beyond it the dir is treated as a crashed writer's orphan. */
+  val DefaultStaleStagingMs: Long = 24L * 60 * 60 * 1000
+
+  /** Drop the staging sentinel into each dir (writers call this the
+    * moment a segment dir's payload is complete — the sub-second gap
+    * before it is covered by `minAgeMs`). */
+  private[graft] def markStaging(spark: SparkSession,
+                                 dirs: Seq[String]): Unit =
+    dirs.filter(_.nonEmpty).foreach { d =>
+      val p = new Path(d, StagingSentinel)
+      val fs = fsOf(spark, p)
+      val o = fs.create(p, true)
+      o.close()
+    }
+
+  /** Remove the staging sentinels — called right after the catalog
+    * CAS publishes (the dirs are referenced from that instant, so
+    * vacuum skips them regardless; clearing just re-arms eventual GC
+    * for when retention later drops them). */
+  private[graft] def clearStaging(spark: SparkSession,
+                                  dirs: Seq[String]): Unit =
+    dirs.filter(_.nonEmpty).foreach { d =>
+      val p = new Path(d, StagingSentinel)
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+
+  /** Best-effort delete of staged segment dirs after a FAILED commit
+    * (CAS lost with no retries left, or any other publish error):
+    * nothing references them and the writer knows they are its own,
+    * so eager cleanup beats waiting out the stale-staging horizon. */
+  private[graft] def discardStaged(spark: SparkSession,
+                                   dirs: Seq[String]): Unit =
+    dirs.filter(_.nonEmpty).foreach { d =>
+      val p = new Path(d)
+      val fs = fsOf(spark, p)
+      try { if (fs.exists(p)) fs.delete(p, true) }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Newest mtime of any FILE under `dir` (recursive), falling back
+    * to the dir's own status when it holds no files. Dir statuses are
+    * synthetic on object stores — S3A reports mtime 0 for them (r18
+    * advice), which made every freshly staged segment look infinitely
+    * old; file statuses carry real timestamps everywhere. */
+  private def newestFileMtime(fs: FileSystem,
+                              dir: org.apache.hadoop.fs.FileStatus): Long = {
+    var newest = -1L
+    try {
+      val it = fs.listFiles(dir.getPath, true)
+      while (it.hasNext) {
+        val t = it.next().getModificationTime
+        if (t > newest) newest = t
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (newest >= 0) newest else dir.getModificationTime
+  }
 
   /** Delete subdirectories of `segRoot` that are in NO retained
     * catalog (`referenced` = live dir names) AND at least `minAgeMs`
@@ -264,22 +340,38 @@ object Manifest {
     * segment dirs BEFORE the CAS publish, so they are unreferenced
     * at that instant — a zero-age vacuum racing the writer deletes
     * them and the writer then commits a catalog pointing at deleted
-    * directories, corrupting the new version permanently. The
-    * threshold (the Delta VACUUM retention design) makes in-flight
-    * staging unreclaimable; pass `minAgeMs = 0` only under
-    * single-writer exclusivity (tests, maintenance windows). Returns
-    * deleted paths. */
+    * directories, corrupting the new version permanently. Two layers
+    * (r18 verdict item 5 — a fixed age cannot cover multi-hour
+    * 100 TB stagings):
+    *  - dir age is the newest FILE mtime under the dir (object-store
+    *    dir statuses are synthetic; a live writer's newest file also
+    *    keeps advancing while it writes), compared against `minAgeMs`;
+    *  - a dir carrying the [[StagingSentinel]] is exempt from
+    *    `minAgeMs` entirely — writers hold the sentinel from payload
+    *    completion to CAS publish, so a staging of ANY duration is
+    *    unreclaimable until `staleStagingMs` (crashed-writer horizon)
+    *    passes.
+    * Pass `minAgeMs = 0` only under single-writer exclusivity
+    * (tests, maintenance windows). Returns deleted paths. */
   private[graft] def vacuumUnreferenced(spark: SparkSession,
       segRoot: String, referenced: Set[String],
-      minAgeMs: Long): Seq[String] = {
+      minAgeMs: Long,
+      staleStagingMs: Long = DefaultStaleStagingMs): Seq[String] = {
     require(minAgeMs >= 0, s"minAgeMs must be >= 0, got $minAgeMs")
+    require(staleStagingMs >= minAgeMs,
+      s"staleStagingMs ($staleStagingMs) must cover minAgeMs ($minAgeMs)")
     val p = new Path(segRoot)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return Seq.empty
-    val cutoff = System.currentTimeMillis() - minAgeMs
-    val dead = fs.listStatus(p).toSeq.filter(s =>
-      s.isDirectory && !referenced.contains(s.getPath.getName) &&
-        s.getModificationTime <= cutoff)
+    val now = System.currentTimeMillis()
+    val dead = fs.listStatus(p).toSeq.filter { s =>
+      s.isDirectory && !referenced.contains(s.getPath.getName) && {
+        val age = now - newestFileMtime(fs, s)
+        if (fs.exists(new Path(s.getPath, StagingSentinel)))
+          age >= staleStagingMs
+        else age >= minAgeMs
+      }
+    }
     dead.foreach(s => fs.delete(s.getPath, true))
     dead.map(_.getPath.toString)
   }

@@ -53,7 +53,7 @@ object AnnIndexStream {
       // tier, paying for itself within a probe or two; SCALE1000 r18)
       if (maxSegments > 0)
         AnnIndex.compactIfNeeded(spark, root, maxSegments,
-          nFiles = 16, retain = retain)
+          nFiles = nFiles, retain = retain)
       Some(r)
     }
   }

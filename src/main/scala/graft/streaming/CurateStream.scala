@@ -31,11 +31,17 @@ object CurateStream {
 
   /** Run one micro-batch idempotently. Returns the committed curation
     * version, or None when `batchId` already committed (replay) or the
-    * batch is empty. */
+    * batch is empty. `annMaxSegments` / `invMaxSegments` > 0 opt into
+    * inline index auto-compaction after the batch's publish (the
+    * [[Curate.runBatch]] stage-7 policy — bounds probe latency under a
+    * long-running stream; a replayed batch skips before compaction,
+    * which only defers it to the next live batch). */
   def batchOnce(roots: Curate.Roots, batch: DataFrame,
                 embeddings: DataFrame, batchId: Long,
                 qualityFloor: Double, budgetPerSource: Long,
-                annCells: Int = 4, nFiles: Int = 4): Option[Long] = {
+                annCells: Int = 4, nFiles: Int = 4,
+                annMaxSegments: Int = 0,
+                invMaxSegments: Int = 0): Option[Long] = {
     val spark = batch.sparkSession
     val note = s"stream-batch-$batchId"
     val replayed = StreamMarkers.seen(spark, roots.curation, batchId) ||
@@ -44,7 +50,8 @@ object CurateStream {
     if (replayed || batch.isEmpty) None
     else {
       val v = Curate.runBatch(spark, roots, batch, embeddings,
-        qualityFloor, budgetPerSource, annCells, nFiles, note)
+        qualityFloor, budgetPerSource, annCells, nFiles, note,
+        annMaxSegments = annMaxSegments, invMaxSegments = invMaxSegments)
       StreamMarkers.record(spark, roots.curation, batchId)
       Some(v)
     }
@@ -56,11 +63,12 @@ object CurateStream {
   def curateTo(roots: Curate.Roots, docs: DataFrame,
                embeddings: DataFrame, qualityFloor: Double,
                budgetPerSource: Long, annCells: Int = 4, nFiles: Int = 4,
+               annMaxSegments: Int = 0, invMaxSegments: Int = 0,
                onBatch: (Long, Long) => Unit = (_, _) => ())
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batchOnce(roots, batch, embeddings, batchId, qualityFloor,
-        budgetPerSource, annCells, nFiles)
+        budgetPerSource, annCells, nFiles, annMaxSegments, invMaxSegments)
         .foreach(v => onBatch(batchId, v))
     }
 }

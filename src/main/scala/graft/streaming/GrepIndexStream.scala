@@ -55,7 +55,7 @@ object GrepIndexStream {
       StreamMarkers.record(spark, root, batchId)
       if (maxSegments > 0)
         GrepIndex.compactIfNeeded(spark, root, maxSegments,
-          nFiles = 16, retain = retain)
+          nFiles = nFiles, retain = retain)
       Some(v)
     }
   }

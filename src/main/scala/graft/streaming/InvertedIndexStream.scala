@@ -52,7 +52,7 @@ object InvertedIndexStream {
       // for itself within ~2 probes; SCALE1000.md r18)
       if (maxSegments > 0)
         InvertedIndex.compactIfNeeded(spark, root, maxSegments,
-          nFiles = 16, retain = retain)
+          nFiles = nFiles, retain = retain)
       Some(v)
     }
   }

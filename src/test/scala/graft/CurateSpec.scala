@@ -157,6 +157,99 @@ class CurateSpec extends SparkSpec {
     assert(vC >= 0L) // compaction committed a real version
   }
 
+  test("two-phase budget cumsum is bit-equal to the single window") {
+    // r18 verdict item 2: the banded decomposition regroups long
+    // addition only; both forms must cut the same docs at the same
+    // cumulative counts, including the carried state across batches
+    def feed(roots: Curate.Roots): Unit = {
+      // two sources interleaved over a wide doc_id range (so bands
+      // split them), budget cutting mid-stream in both batches
+      Curate.runBatch(spark, roots,
+        docs((1L, "s", "aa bb"), (5L, "t", "cc"), (90L, "s", "dd ee"),
+             (95L, "t", "ff gg"), (180L, "s", "hh")),
+        embs(1L, 5L, 90L, 95L, 180L),
+        qualityFloor = 0.5, budgetPerSource = 4L)
+      Curate.runBatch(spark, roots,
+        docs((200L, "s", "ii"), (260L, "t", "jj"), (320L, "t", "kk ll")),
+        embs(200L, 260L, 320L),
+        qualityFloor = 0.5, budgetPerSource = 4L)
+    }
+    val rootsA = Curate.tempRoots("curate-spec-2ph")
+    feed(rootsA) // default: two-phase
+    spark.conf.set("spark.graft.curate.budgetTwoPhase", "false")
+    val rootsB = Curate.tempRoots("curate-spec-1ph")
+    try feed(rootsB)
+    finally spark.conf.unset("spark.graft.curate.budgetTwoPhase")
+    val a = Curate.readCorpus(spark, rootsA)
+      .as[(Long, String, Double)].collect().toSet
+    val b = Curate.readCorpus(spark, rootsB)
+      .as[(Long, String, Double)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the carried counters agree too (the append==rebuild anchor)
+    def state(r: Curate.Roots) = {
+      val v = Manifest.versions(spark, r.curation).last
+      spark.read.parquet(
+        s"${Manifest.resolvedDataDir(spark, r.curation, v)}/state")
+        .as[(String, Long)].collect().toSet
+    }
+    assert(state(rootsA) === state(rootsB))
+  }
+
+  test("inline index maintenance bounds segment counts, probes unchanged") {
+    // r18 verdict item 3: the flagship appends to both indexes every
+    // batch; annMaxSegments/invMaxSegments opt into compaction after
+    // the commit. Two legs over the same 5 batches — maintained vs
+    // not — must produce identical corpora and index probe results.
+    def feed(roots: Curate.Roots, annMax: Int, invMax: Int): Unit =
+      (0 until 5).foreach { i =>
+        val base = 10L * (i + 1)
+        Curate.runBatch(spark, roots,
+          docs((base, "s", s"alpha beta doc$i"),
+               (base + 1L, "t", s"gamma delta doc$i")),
+          embs(base, base + 1L),
+          qualityFloor = 0.0, budgetPerSource = 10000L,
+          annMaxSegments = annMax, invMaxSegments = invMax)
+      }
+    val plain = Curate.tempRoots("curate-spec-nomaint")
+    val maint = Curate.tempRoots("curate-spec-maint")
+    feed(plain, 0, 0)
+    feed(maint, 2, 2)
+    // unmaintained: one segment per accepting batch; maintained: the
+    // policy folded them down to <= maxSegments (compaction output
+    // can exceed it only until the NEXT trigger; here it compacts on
+    // crossing 2 -> the tail is bounded)
+    assert(graft.sources.AnnIndex.catalogOf(spark, plain.ann).size === 5)
+    assert(graft.sources.InvertedIndex.catalogOf(spark, plain.inv).size === 5)
+    assert(graft.sources.AnnIndex.catalogOf(spark, maint.ann).size <= 2)
+    assert(graft.sources.InvertedIndex.catalogOf(spark, maint.inv).size <= 2)
+    // corpora identical
+    assert(Curate.readCorpus(spark, maint)
+      .as[(Long, String, Double)].collect().toSet ===
+      Curate.readCorpus(spark, plain)
+        .as[(Long, String, Double)].collect().toSet)
+    // probes byte-identical across legs
+    val terms = Seq("alpha", "gamma")
+    def bm(r: Curate.Roots) = graft.sources.InvertedIndex
+      .probe(spark, r.inv, terms, 10)
+      .select("doc_id", "score", "rk")
+      .as[(Long, Double, Int)].collect().toSet
+    assert(bm(maint) === bm(plain))
+    def ann(r: Curate.Roots) = graft.sources.AnnIndex
+      .probe(spark, r.ann, embs(10L, 21L), k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ann(maint) === ann(plain))
+    // replay of a maintained-leg batch is still detected (compaction
+    // versions carry their own notes; batch notes stay visible)
+    val before = Manifest.versions(spark, maint.curation).size
+    Curate.runBatch(spark, maint,
+      docs((10L, "s", "alpha beta doc0"), (11L, "t", "gamma delta doc0")),
+      embs(10L, 11L), qualityFloor = 0.0, budgetPerSource = 10000L,
+      annMaxSegments = 2, invMaxSegments = 2)
+    assert(Manifest.versions(spark, maint.curation).size === before)
+  }
+
   test("each batch is one commit; meta pins index versions; empty batches commit") {
     val roots = Curate.tempRoots("curate-spec-ver")
     Curate.runBatch(spark, roots,

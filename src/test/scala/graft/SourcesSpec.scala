@@ -578,4 +578,47 @@ class SourcesSpec extends SparkSpec {
     assert(spark.conf.get("spark.graft.grep.lastDocsPruned") === "n/a")
     graft.Blocks.freeAll(spark)
   }
+
+  test("GrepIndex: scatter-shaped candidate fetch routes to the scan leg") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("grep-local").toString + "/idx"
+    // 12000 docs; a SCATTERED marker sits in 300 docs spread uniformly
+    // over the id range (>= FetchScatterMinDocs, touches every
+    // clustered docs file — yet rare enough that its posting MASS
+    // stays under the pattern-level scanFraction, so it reaches the
+    // candidate fetch at all), a CLUSTERED marker in 40 contiguous docs
+    val docs = (0L until 12000L).map { i =>
+      val scat = if (i % 40 == 0) " scatmark_xq" else ""
+      val clus = if (i >= 100 && i < 140) " clusmark_zv" else ""
+      (i, s"filler text segment number $i$scat$clus")
+    }.toDF("doc_id", "text")
+    graft.sources.GrepIndex.build(spark, docs, "doc_id", "text", root,
+      nFiles = 8)
+    def wanted(p: String): Set[(Long, Long)] =
+      docs.where(col("text").contains(p)).select(col("doc_id"))
+        .as[Long].collect().map(d => (0L, d)).toSet
+    // scattered: 300 candidates across all 8 docs files -> scan leg
+    val gotScat = graft.sources.GrepIndex.probe(spark, root,
+      Seq((0L, "scatmark_xq"))).as[(Long, Long)].collect().toSet
+    assert(gotScat === wanted("scatmark_xq"))
+    assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "scan")
+    // clustered: 40 candidates in one id range -> point fetch, pruned
+    val gotClus = graft.sources.GrepIndex.probe(spark, root,
+      Seq((0L, "clusmark_zv"))).as[(Long, Long)].collect().toSet
+    assert(gotClus === wanted("clusmark_zv"))
+    assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "point")
+    val Array(k, t) = spark.conf.get("spark.graft.grep.lastDocsPruned")
+      .split("/").map(_.toInt)
+    assert(k < t, s"clustered fetch must prune docs files ($k/$t)")
+    // forcing the fraction above 1 restores the point path for the
+    // scattered sweep - results identical either way (exactness is
+    // never routing-dependent)
+    spark.conf.set("spark.graft.grep.fetchLocalityFraction", "1.1")
+    val gotForced = graft.sources.GrepIndex.probe(spark, root,
+      Seq((0L, "scatmark_xq"))).as[(Long, Long)].collect().toSet
+    assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "point")
+    assert(gotForced === gotScat)
+    spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
+    graft.Blocks.freeAll(spark)
+  }
 }

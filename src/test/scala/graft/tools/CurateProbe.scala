@@ -28,14 +28,27 @@ import graft.operators.{Curate, Similarity}
   * rows carry wall + task_ms + shuffle/spill (StageMetrics) + the
   * per-stage walls runBatch records in `spark.graft.curate.prof.*`.
   *
+  * r19 adds the LONGRUN mode (r18 verdict item 3): ≥32 batches
+  * through the REAL [[Curate.runBatch]] twice — leg A without index
+  * maintenance, leg B with `annMaxSegments`/`invMaxSegments` = 8 —
+  * probing BM25 + ANN every few batches. The artifact shows probe
+  * latency growing unbounded on leg A and bounded on leg B, with the
+  * corpora and the final probe results identical across legs
+  * (compaction is an access-path rewrite, never semantics).
+  *
   * Usage: Test/runMain graft.tools.CurateProbe /root/testdata/sf0.1
   *        Test/runMain graft.tools.CurateProbe tier /tmp/sf1000x [outJson]
+  *        Test/runMain graft.tools.CurateProbe longrun /root/testdata/sf0.1 [outJson]
   */
 object CurateProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("tier")) {
       tierMain(args.lift(1).getOrElse("/tmp/sf1000x"), args.lift(2))
+      return
+    }
+    if (args.headOption.contains("longrun")) {
+      longrunMain(args.lift(1).getOrElse("/root/testdata/sf0.1"), args.lift(2))
       return
     }
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -135,7 +148,7 @@ object CurateProbe {
   /** Stage labels [[Curate.runBatch]] profiles, in pipeline order. */
   private val StageLabels = Seq("note-derive", "dedup-quality-ckpt",
     "budget-ckpt", "accept-ckpt", "segments", "ann-append", "inv-append",
-    "commit")
+    "commit", "ann-compact", "inv-compact")
 
   private def tierMain(dir: String, outPath: Option[String]): Unit = {
     val spark = SparkSession.builder()
@@ -153,6 +166,17 @@ object CurateProbe {
     // semi join on for the A/B leg
     if (sys.env.get("CURATEPROBE_ANNBLOOM").contains("1"))
       spark.conf.set("spark.graft.curate.annBloomPrune", "true")
+    // r19 A/B levers: CURATEPROBE_BUDGET1PHASE=1 restores the r18
+    // single-window budget cumsum (baseline leg for verdict item 2);
+    // CURATEPROBE_INVHASH=1 flips the append hash layout on,
+    // CURATEPROBE_INVCKPT=1 the tokenize-checkpoint attribution lever
+    // (the inv-append decomposition, verdict item 4)
+    if (sys.env.get("CURATEPROBE_BUDGET1PHASE").contains("1"))
+      spark.conf.set("spark.graft.curate.budgetTwoPhase", "false")
+    if (sys.env.get("CURATEPROBE_INVHASH").contains("1"))
+      spark.conf.set("spark.graft.inv.appendHashLayout", "true")
+    if (sys.env.get("CURATEPROBE_INVCKPT").contains("1"))
+      spark.conf.set("spark.graft.inv.segmentCkpt", "true")
     val metrics = new Scale100.StageMetrics
     spark.sparkContext.addSparkListener(metrics)
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -214,8 +238,17 @@ object CurateProbe {
           emb, qualityFloor = 0.615, budgetPerSource = 6000000L)
       }
     }
-    run("curate_tier_read_corpus") {
-      Curate.readCorpus(spark, roots).count()
+    // corpus content digest rides the row as `extra` so A/B legs can
+    // assert BYTE-identity (the r18 budgeted-re-filter discipline):
+    // order-independent sum of per-row xxhash64 over all columns
+    var corpusHash = 0L
+    run("curate_tier_read_corpus", s""""corpus_hash":$corpusHash""") {
+      val c = Curate.readCorpus(spark, roots)
+      val r = c.agg(sum(xxhash64(col("doc_id"), col("source"),
+        col("quality"))).as("h"), count(lit(1)).as("n")).head
+      corpusHash = if (r.isNullAt(0)) 0L else r.getLong(0)
+      println(s"CURATEPROBE_NOTE corpus_hash=$corpusHash")
+      r.getLong(1)
     }
     // the curated indexes answer (cost of a post-ingest probe at tier)
     run("curate_tier_bm25_probe") {
@@ -230,6 +263,100 @@ object CurateProbe {
       graft.sources.AnnIndex.probe(spark, roots.ann, queries,
         k = 5, nprobe = 4).count()
     }
+
+    outPath.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        out.toString)
+    }
+    println("CURATEPROBE done")
+    spark.stop()
+  }
+
+  /** 36-batch flagship loop, A/B on index maintenance (see object
+    * doc). sf0.1-sized: the segment-count GROWTH mechanics are
+    * scale-free (probe cost per segment is per-file/per-stats
+    * overhead), and the tier economics of one compaction are already
+    * measured (SCALE1000_r18_segments.json). */
+  private def longrunMain(dir: String, outPath: Option[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+              sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val out = new StringBuilder
+    def emit(line: String): Unit = {
+      println("CURATEPROBE " + line); out.append(line).append('\n')
+    }
+
+    val docs = Tables.documents(spark, dir).localCheckpoint()
+    val emb = Tables.embeddings(spark, dir)
+    val (lo, hi) = {
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val nBatches = 36
+    val width = (hi - lo) / nBatches + 1
+    val terms = Seq("spark", "window", "merge")
+
+    def leg(name: String, annMax: Int, invMax: Int)
+        : (Long, Set[(Long, Double, Int)], Set[(Long, Long, Int)]) = {
+      val roots = Curate.tempRoots(s"graft-curate-longrun-$name")
+      (0 until nBatches).foreach { i =>
+        val t0 = System.nanoTime()
+        Curate.runBatch(spark, roots,
+          docs.where(col("doc_id") >= lo + i * width &&
+                     col("doc_id") < lo + (i + 1) * width),
+          emb, qualityFloor = 0.3, budgetPerSource = 100000000L,
+          annMaxSegments = annMax, invMaxSegments = invMax)
+        val batchSec = (System.nanoTime() - t0) / 1e9
+        // probe latency every 6 batches — the bounded-vs-unbounded
+        // curve the maintenance policy exists for
+        if (i % 6 == 5) {
+          val annSegs = graft.sources.AnnIndex.catalogOf(spark, roots.ann).size
+          val invSegs = graft.sources.InvertedIndex.catalogOf(spark, roots.inv).size
+          val tb = System.nanoTime()
+          graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10).count()
+          val bmSec = (System.nanoTime() - tb) / 1e9
+          val ta = System.nanoTime()
+          val q = emb.orderBy(col("vec_id")).limit(3)
+          graft.sources.AnnIndex.probe(spark, roots.ann, q, k = 5,
+            nprobe = 4).count()
+          val annSec = (System.nanoTime() - ta) / 1e9
+          emit(f"""{"query":"longrun_${name}_probe","batch":${i + 1},""" +
+            f""""ann_segments":$annSegs,"inv_segments":$invSegs,""" +
+            f""""bm25_probe_sec":$bmSec%.2f,"ann_probe_sec":$annSec%.2f,""" +
+            f""""batch_sec":$batchSec%.2f}""")
+        }
+        Blocks.freeAll(spark)
+      }
+      import spark.implicits._
+      val ch = Curate.readCorpus(spark, roots)
+        .agg(sum(xxhash64(col("doc_id"), col("source"), col("quality"))))
+        .head.getLong(0)
+      val bm = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
+        .select("doc_id", "score", "rk").as[(Long, Double, Int)]
+        .collect().toSet
+      val q = emb.orderBy(col("vec_id")).limit(3)
+      val ann = graft.sources.AnnIndex.probe(spark, roots.ann, q, k = 5,
+          nprobe = 4)
+        .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
+        .collect().toSet
+      (ch, bm, ann)
+    }
+
+    val (hA, bmA, annA) = leg("nocompact", 0, 0)
+    val (hB, bmB, annB) = leg("maintained", 8, 8)
+    emit(s"""{"query":"longrun_equality","corpus_hash_equal":${hA == hB},""" +
+      s""""bm25_identical":${bmA == bmB},"ann_identical":${annA == annB}}""")
+    assert(hA == hB, "maintained leg changed the corpus")
+    assert(bmA == bmB, "maintained leg changed BM25 probe results")
+    assert(annA == annB, "maintained leg changed ANN probe results")
 
     outPath.foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),

@@ -81,7 +81,14 @@ object GrepProbe {
         .select(col("doc_id"),
           concat(repeat(concat(col("text"), lit(" ")), 16), salts,
             when(col("doc_id") >= 777000000L && col("doc_id") < 777005000L,
-              lit(" zq9xv7_kwq3jp")).otherwise(lit(""))).as("text"))
+              lit(" zq9xv7_kwq3jp")).otherwise(lit("")),
+            // r19 (verdict item 7): a SECOND needle planted UNIFORMLY
+            // over the id space (~1 in 5k) — the r17 honest-negative
+            // shape, now a routed case: its candidates touch ~every
+            // clustered docs file, so the fetch locality router must
+            // send it down the scan leg instead of the point fetch
+            when(pmod(xxhash64(col("doc_id"), lit(99)), lit(5000L)) === 0L,
+              lit(" qv8wz_scat")).otherwise(lit(""))).as("text"))
         .write.mode("overwrite").parquet(saltedPath)
       spark.read.parquet(saltedPath).count()
     }
@@ -121,11 +128,54 @@ object GrepProbe {
         .matches("\\d+/\\d+"), "index route must record postings prune")
       assert(spark.conf.get("spark.graft.grep.lastDocsPruned") != "n/a",
         "index route fetch must record docs prune")
+      // r19 (verdict item 7): the batch-local needle's candidates are
+      // CLUSTERED - the locality router must keep the point fetch
+      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "point",
+        "clustered-needle fetch must stay on the point path")
       println("GREPPROBE_NOTE auto route " +
         spark.conf.get("spark.graft.grep.lastRoute", "n/a") +
         " prune " + spark.conf.get("spark.graft.grep.lastPruned", "n/a") +
         " docsPrune " +
-        spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a"))
+        spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a") +
+        " fetchRoute " +
+        spark.conf.get("spark.graft.grep.lastFetchRoute", "n/a"))
+      g.size.toLong
+    }
+
+    // r19 (verdict item 7): the uniformly-scattered needle — the r17
+    // honest negative (point fetch won CPU 2.4x but LOST wall 5.17 vs
+    // 2.86 s because its candidates touched every clustered range).
+    // The locality router now sees candidate-files-kept/total before
+    // fetching and routes the fetch through the sequential scan leg;
+    // the forced point leg is the A/B denominator. Results identical.
+    var gotScat: Set[(Long, Long)] = null
+    run("grep_scatter_probe_auto") {
+      import spark.implicits._
+      val g = graft.sources.GrepIndex.probe(spark, root,
+          Seq((0L, "qv8wz_scat")))
+        .as[(Long, Long)].collect().toSet
+      gotScat = g
+      assert(spark.conf.get("spark.graft.grep.lastRoute") == "index",
+        "scattered needle is still posting-rare - index route")
+      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "scan",
+        "scattered candidates must route the fetch to the scan leg")
+      println("GREPPROBE_NOTE scatter docsPrune " +
+        spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a") +
+        " fetchRoute " +
+        spark.conf.get("spark.graft.grep.lastFetchRoute", "n/a"))
+      g.size.toLong
+    }
+    run("grep_scatter_point_forced") {
+      import spark.implicits._
+      spark.conf.set("spark.graft.grep.fetchLocalityFraction", "1.1")
+      val g = try graft.sources.GrepIndex.probe(spark, root,
+            Seq((0L, "qv8wz_scat")))
+          .as[(Long, Long)].collect().toSet
+        finally spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
+      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "point")
+      val same = gotScat != null && g == gotScat
+      println(s"GREPPROBE_NOTE scatter route equality: $same")
+      assert(same, "scatter scan-fetch must equal the forced point fetch")
       g.size.toLong
     }
     run("grep_salted_probe_scan_forced") {
