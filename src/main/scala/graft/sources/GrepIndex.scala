@@ -648,12 +648,29 @@ object GrepIndex {
     def docsAll = spark.read.parquet(segs.map(_.docs): _*)
     def emptyResult =
       pat.select(col("pattern_id"), lit(0L).as("doc_id")).limit(0)
+    // ONE pass over the docs with every scan pattern as a LITERAL
+    // regex: Spark's RLike compiles a literal pattern once at codegen,
+    // while the previous crossJoin form carried the pattern as a
+    // COLUMN — a fresh Pattern.compile per (doc × pattern) row, an
+    // allocation storm that is the one load-sensitive (GC-bound)
+    // structure this query had (r18 verdict item 1: grep_regex_probe
+    // 26.6 s in the contended driver window while the adjacent
+    // contains-based grep_index_probe stayed at 2.4 s; deliberate
+    // CPU+IO+memory co-loads reproduce 1.4-1.8x, never 11x — this
+    // removes the structural suspect and is the right shape anyway:
+    // P patterns in one scan with zero per-row compiles, no P-way
+    // crossJoin row duplication)
     def scanLeg(ps: Seq[(Long, String)]): DataFrame =
       if (ps.isEmpty) emptyResult
-      else docsAll
-        .crossJoin(broadcast(ps.toDF("pattern_id", "pattern")))
-        .where(expr("regexp_like(text, pattern)"))
-        .select(col("pattern_id"), col("doc_id"))
+      else {
+        val hits = array(ps.map { case (pid, re) =>
+          when(regexp_like(col("text"), lit(re)), lit(pid))
+            .otherwise(lit(null).cast("long")) }: _*)
+        docsAll
+          .select(col("doc_id"),
+            explode(filter(hits, h => h.isNotNull)).as("pattern_id"))
+          .select(col("pattern_id"), col("doc_id"))
+      }
     val analyzed = patterns.map { case (pid, re) =>
       (pid, re, RegexGrams.requiredLiterals(re, 3, maxBranches)) }
     val scanPats = analyzed.collect { case (pid, re, None) => (pid, re) }
