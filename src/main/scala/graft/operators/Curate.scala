@@ -283,17 +283,31 @@ object Curate {
     val scoredTok = scored
       .withColumn("n_tokens", TextFunctions.bpeTokenCount(col("text")).cast("long"))
     // Two-phase cumsum (r18 verdict item 2 — the plain per-source
-    // window was the flagship's last single-task-per-source stage:
-    // 20 sources → at most 20 parallel tasks, ~9-12 s/batch at the
-    // 5M-doc tier). Decomposition: order-preserving doc_id BANDS per
-    // source → per-band partial token sums (map-side combinable) →
-    // exclusive per-source band offsets (tiny: sources × bands rows,
-    // broadcast) → local cumsum within (source, band) + offset.
-    // Bit-exact by construction: long addition regrouped, same
-    // (source, doc_id) order. `spark.graft.curate.budgetTwoPhase=
-    // false` restores the single-window form (the tier A/B lever).
+    // window is the flagship's last single-task-per-source stage:
+    // 20 sources → at most 20 parallel tasks). Decomposition:
+    // tokenize ONCE into a NARROW (text-free) checkpoint (a first cut
+    // computed band sums and the window off the UNcheckpointed
+    // tokenize and measured 15.7-18.8 s/batch at tier — the
+    // shared-subtree double eval), then order-preserving doc_id BANDS
+    // per source → per-band partial sums over the MATERIALIZED ints →
+    // exclusive per-source band offsets (tiny, broadcast) → local
+    // cumsum within (source, band) + offset. Bit-exact by
+    // construction: long addition regrouped, same (source, doc_id)
+    // order — tier-verified corpus-hash-identical at 5M docs
+    // (SCALE1000_r19_curate_2ph vs _1ph).
+    //
+    // DEFAULT OFF (the r17 refute-with-artifact precedent): at the
+    // 20-source tier the back-to-back A/B measured a WASH — budget
+    // stage 25.8 → 24.2 s over 3 batches, but the window re-eval
+    // moved ~+4.8 s into accept-ckpt and task time rose 1603 → 2026 s
+    // (SCALE1000_r19 rows). r18's decomposition already showed the
+    // stage is tokenize-bound (window alone 0.86 s of ~10 s). Flip
+    // `spark.graft.curate.budgetTwoPhase=true` when rows-per-source
+    // grows until the single-task window rivals tokenize time — the
+    // known escape at extreme per-source cardinality, measured and
+    // ready rather than hypothesized.
     val twoPhase = spark.conf
-      .get("spark.graft.curate.budgetTwoPhase", "true") == "true"
+      .get("spark.graft.curate.budgetTwoPhase", "false") == "true"
     val budgeted = prof("budget-ckpt") {
       if (!twoPhase) {
         val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
@@ -304,14 +318,21 @@ object Curate {
               coalesce(col("used_tokens"), lit(0L)))
           .localCheckpoint()
       } else {
-        // band bounds from the checkpointed narrow frame (one tiny agg
-        // job); bounds need not be tight, only order-preserving
-        val mm = fresh.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        // NARROW materialization: tokenize once into a text-free
+        // checkpoint (doc_id, source, fp, quality, n_tokens — the
+        // 1-phase form checkpoints the full row WITH text, the
+        // pipeline's second text copy after `fresh`; the accepted
+        // texts come off the fresh checkpoint downstream instead)
+        val tok = scoredTok
+          .select(col("doc_id"), col("source"), col("fp"),
+            col("quality"), col("n_tokens"))
+          .localCheckpoint()
+        val mm = tok.agg(min(col("doc_id")), max(col("doc_id"))).head()
         val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
         val hi = if (mm.isNullAt(1)) lo else mm.getLong(1)
         val nBands = math.max(spark.sparkContext.defaultParallelism, 1)
         val width = math.max(1L, (hi - lo) / nBands + 1L)
-        val banded = scoredTok
+        val banded = tok
           .withColumn("bkt", expr(s"(doc_id - ${lo}L) div ${width}L"))
         val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
         val offsets = banded.groupBy(col("source"), col("bkt"))
@@ -320,13 +341,17 @@ object Curate {
           .select(col("source"), col("bkt"), col("off"))
         val wCumB = Window.partitionBy(col("source"), col("bkt"))
           .orderBy(col("doc_id"))
+        // NOT re-checkpointed: downstream consumers re-run only the
+        // broadcast joins + the (source, band)-parallel window over
+        // the narrow checkpoint (r18 measured the window alone at
+        // 0.86 s over 0.9M tier rows — re-evaluation of a text-free
+        // frame is far cheaper than a second text materialization)
         banded
           .join(broadcast(offsets), Seq("source", "bkt"))
           .join(broadcast(priorState), Seq("source"), "left")
           .withColumn("cum",
             sum(col("n_tokens")).over(wCumB) + col("off") +
               coalesce(col("used_tokens"), lit(0L)))
-          .localCheckpoint()
       }
     }
     val accepted = prof("accept-ckpt") { budgeted.where(col("cum") <= budgetPerSource)
@@ -405,14 +430,24 @@ object Curate {
           annBatch.select(col("vec_id"), col("embedding")),
           nFiles = nFiles, note = note0).version
     } } }
-    // accepted texts come off the budgeted CHECKPOINT, not a re-join
-    // of the raw batch: the old batch⋈accepted form shuffled the
-    // batch's full text column every time (r18 tier probe: ~1 GB
-    // shuffle per 1.67M-doc batch inside the dominant inv-append
-    // stage); re-filtering the materialized frame is join-free and
-    // also immune to duplicate doc_ids in the caller's batch
-    val invBatch = budgeted.where(col("cum") <= budgetPerSource)
-      .select(col("doc_id"), col("text"))
+    // accepted texts come off a CHECKPOINT, never a re-join of the raw
+    // batch: the old batch⋈accepted form shuffled the batch's full
+    // text column every time (r18 tier probe: ~1 GB shuffle per
+    // 1.67M-doc batch inside the dominant inv-append stage). 1-phase:
+    // re-filter the budgeted checkpoint (join-free). 2-phase: budgeted
+    // is text-free, so join the fresh checkpoint with the accepted ids
+    // — `accepted` is materialized, so AQE sizes the join (broadcasts
+    // the id side at batch scale) and the text column never exchanges.
+    val invBatch =
+      if (twoPhase)
+        // explicit broadcast: AQE cannot size a checkpoint scan (the
+        // r19 A/B showed the unhinted join shuffling ~150 MB of text
+        // per tier batch); accepted ids are 8 bytes/doc — bound the
+        // batch size accordingly when enabling two-phase
+        fresh.join(broadcast(accepted.select(col("doc_id"))), "doc_id")
+          .select(col("doc_id"), col("text"))
+      else budgeted.where(col("cum") <= budgetPerSource)
+        .select(col("doc_id"), col("text"))
     val invF = Future { prof("inv-append") { notedVersion(roots.inv,
         v => InvertedIndex.noteOf(spark, roots.inv, Some(v))).getOrElse {
       val exists = Manifest.currentVersion(spark, roots.inv).isDefined

@@ -105,11 +105,26 @@ object GrepIndex {
     * [[FetchLocalityFraction]] of the files AND there are at least
     * [[FetchScatterMinDocs]] of them (few matches point-fetch fine
     * no matter how scattered), the sweep is scatter-shaped and rides
-    * a sequential scan + broadcast join instead. Override per sweep
-    * via `spark.graft.grep.fetchLocalityFraction` /
-    * `.fetchScatterMinDocs`; the decision lands in
-    * `spark.graft.grep.lastFetchRoute` ("point" | "scan"). */
-  val FetchLocalityFraction = 0.5
+    * a sequential scan + broadcast join instead.
+    *
+    * DEFAULT OFF (fraction 2.0 never fires — the refute-with-artifact
+    * discipline applied to the router itself): the r19 tier A/B
+    * re-measured the scattered case on the CURRENT fetch path and the
+    * point fetch now WINS it — 4.96 s / 81 task-s forced-point vs
+    * 6.75 s / 96 task-s scan-routed for a 1,016-doc uniform plant
+    * touching 32/32 docs files (SCALE1000_r19_grep.json). The r17
+    * negative predates the 8 MB docs row groups + bounded candidate
+    * broadcast; with row-group skipping a scattered point fetch reads
+    * ~candidates × one row group, which beats the full sequential
+    * scan whenever candidates × rowGroup ≪ corpus — and the
+    * FetchPruneMax bound already diverts match-dense sweeps to the
+    * plain join. Asymptotically (ranged object-store GETs at 100 TB)
+    * point is the right default; opt the router in per sweep via
+    * `spark.graft.grep.fetchLocalityFraction` (e.g. 0.5) where
+    * scattered point reads do lose (cold stores, tiny row groups).
+    * The decision lands in `spark.graft.grep.lastFetchRoute`
+    * ("point" | "scan"). */
+  val FetchLocalityFraction = 2.0
   val FetchScatterMinDocs = 256
 
   /** One immutable posting+stats+docs segment triple with its exact

@@ -174,12 +174,12 @@ class CurateSpec extends SparkSpec {
         embs(200L, 260L, 320L),
         qualityFloor = 0.5, budgetPerSource = 4L)
     }
+    spark.conf.set("spark.graft.curate.budgetTwoPhase", "true")
     val rootsA = Curate.tempRoots("curate-spec-2ph")
-    feed(rootsA) // default: two-phase
-    spark.conf.set("spark.graft.curate.budgetTwoPhase", "false")
-    val rootsB = Curate.tempRoots("curate-spec-1ph")
-    try feed(rootsB)
+    try feed(rootsA)
     finally spark.conf.unset("spark.graft.curate.budgetTwoPhase")
+    val rootsB = Curate.tempRoots("curate-spec-1ph")
+    feed(rootsB) // default: single window
     val a = Curate.readCorpus(spark, rootsA)
       .as[(Long, String, Double)].collect().toSet
     val b = Curate.readCorpus(spark, rootsB)

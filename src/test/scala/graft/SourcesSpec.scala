@@ -597,28 +597,32 @@ class SourcesSpec extends SparkSpec {
     def wanted(p: String): Set[(Long, Long)] =
       docs.where(col("text").contains(p)).select(col("doc_id"))
         .as[Long].collect().map(d => (0L, d)).toSet
-    // scattered: 300 candidates across all 8 docs files -> scan leg
+    // scattered, DEFAULT config: the point fetch stays (the r19 tier
+    // A/B measured it beating the scan leg even at 32/32 files kept —
+    // the router defaults off, GrepIndex.FetchLocalityFraction doc)
     val gotScat = graft.sources.GrepIndex.probe(spark, root,
       Seq((0L, "scatmark_xq"))).as[(Long, Long)].collect().toSet
     assert(gotScat === wanted("scatmark_xq"))
+    assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "point")
+    // opted in: 300 candidates across all 8 docs files -> scan leg,
+    // results identical (exactness is never routing-dependent)
+    spark.conf.set("spark.graft.grep.fetchLocalityFraction", "0.5")
+    val gotRouted = try graft.sources.GrepIndex.probe(spark, root,
+        Seq((0L, "scatmark_xq"))).as[(Long, Long)].collect().toSet
+      finally spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
     assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "scan")
-    // clustered: 40 candidates in one id range -> point fetch, pruned
-    val gotClus = graft.sources.GrepIndex.probe(spark, root,
-      Seq((0L, "clusmark_zv"))).as[(Long, Long)].collect().toSet
+    assert(gotRouted === gotScat)
+    // clustered: 40 candidates in one id range -> point fetch, pruned,
+    // router or not
+    spark.conf.set("spark.graft.grep.fetchLocalityFraction", "0.5")
+    val gotClus = try graft.sources.GrepIndex.probe(spark, root,
+        Seq((0L, "clusmark_zv"))).as[(Long, Long)].collect().toSet
+      finally spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
     assert(gotClus === wanted("clusmark_zv"))
     assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "point")
     val Array(k, t) = spark.conf.get("spark.graft.grep.lastDocsPruned")
       .split("/").map(_.toInt)
     assert(k < t, s"clustered fetch must prune docs files ($k/$t)")
-    // forcing the fraction above 1 restores the point path for the
-    // scattered sweep - results identical either way (exactness is
-    // never routing-dependent)
-    spark.conf.set("spark.graft.grep.fetchLocalityFraction", "1.1")
-    val gotForced = graft.sources.GrepIndex.probe(spark, root,
-      Seq((0L, "scatmark_xq"))).as[(Long, Long)].collect().toSet
-    assert(spark.conf.get("spark.graft.grep.lastFetchRoute") === "point")
-    assert(gotForced === gotScat)
-    spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
     graft.Blocks.freeAll(spark)
   }
 }

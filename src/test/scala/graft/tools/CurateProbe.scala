@@ -244,9 +244,14 @@ object CurateProbe {
     var corpusHash = 0L
     run("curate_tier_read_corpus", s""""corpus_hash":$corpusHash""") {
       val c = Curate.readCorpus(spark, roots)
+      // decimal sum: a LONG sum of 5M xxhash64 values overflows and
+      // Spark 4's ANSI mode makes that an error, not a wrap
       val r = c.agg(sum(xxhash64(col("doc_id"), col("source"),
-        col("quality"))).as("h"), count(lit(1)).as("n")).head
-      corpusHash = if (r.isNullAt(0)) 0L else r.getLong(0)
+          col("quality")).cast("decimal(38,0)")).as("h"),
+        count(lit(1)).as("n")).head
+      corpusHash = if (r.isNullAt(0)) 0L
+        else r.getDecimal(0).remainder(new java.math.BigDecimal(1L << 62))
+          .longValue()
       println(s"CURATEPROBE_NOTE corpus_hash=$corpusHash")
       r.getLong(1)
     }
@@ -305,7 +310,7 @@ object CurateProbe {
     val terms = Seq("spark", "window", "merge")
 
     def leg(name: String, annMax: Int, invMax: Int)
-        : (Long, Set[(Long, Double, Int)], Set[(Long, Long, Int)]) = {
+        : (String, Set[(Long, Double, Int)], Set[(Long, Long, Int)]) = {
       val roots = Curate.tempRoots(s"graft-curate-longrun-$name")
       (0 until nBatches).foreach { i =>
         val t0 = System.nanoTime()
@@ -337,8 +342,9 @@ object CurateProbe {
       }
       import spark.implicits._
       val ch = Curate.readCorpus(spark, roots)
-        .agg(sum(xxhash64(col("doc_id"), col("source"), col("quality"))))
-        .head.getLong(0)
+        .agg(sum(xxhash64(col("doc_id"), col("source"), col("quality"))
+          .cast("decimal(38,0)")))
+        .head.getDecimal(0).toString
       val bm = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
         .select("doc_id", "score", "rk").as[(Long, Double, Int)]
         .collect().toSet

@@ -88,7 +88,7 @@ object GrepProbe {
             // clustered docs file, so the fetch locality router must
             // send it down the scan leg instead of the point fetch
             when(pmod(xxhash64(col("doc_id"), lit(99)), lit(5000L)) === 0L,
-              lit(" qv8wz_scat")).otherwise(lit(""))).as("text"))
+              lit(" qv8wzxq7k")).otherwise(lit(""))).as("text"))
         .write.mode("overwrite").parquet(saltedPath)
       spark.read.parquet(saltedPath).count()
     }
@@ -143,39 +143,43 @@ object GrepProbe {
     }
 
     // r19 (verdict item 7): the uniformly-scattered needle — the r17
-    // honest negative (point fetch won CPU 2.4x but LOST wall 5.17 vs
-    // 2.86 s because its candidates touched every clustered range).
-    // The locality router now sees candidate-files-kept/total before
-    // fetching and routes the fetch through the sequential scan leg;
-    // the forced point leg is the A/B denominator. Results identical.
+    // honest negative (point fetch won CPU 2.4x but LOST wall then).
+    // The locality router sees candidate-files-kept/total before
+    // fetching; the A/B re-measured BOTH legs on the current fetch
+    // path and the POINT fetch now wins even fully scattered (8 MB
+    // row-group skipping: ~candidates x one group read vs the full
+    // sequential scan), so the router defaults OFF — the default leg
+    // asserts point, the conf-opted leg exercises the scan route.
+    // Results identical either way.
     var gotScat: Set[(Long, Long)] = null
     run("grep_scatter_probe_auto") {
       import spark.implicits._
       val g = graft.sources.GrepIndex.probe(spark, root,
-          Seq((0L, "qv8wz_scat")))
+          Seq((0L, "qv8wzxq7k")))
         .as[(Long, Long)].collect().toSet
       gotScat = g
       assert(spark.conf.get("spark.graft.grep.lastRoute") == "index",
         "scattered needle is still posting-rare - index route")
-      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "scan",
-        "scattered candidates must route the fetch to the scan leg")
+      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "point",
+        "default keeps the point fetch (the measured winner)")
       println("GREPPROBE_NOTE scatter docsPrune " +
         spark.conf.get("spark.graft.grep.lastDocsPruned", "n/a") +
         " fetchRoute " +
         spark.conf.get("spark.graft.grep.lastFetchRoute", "n/a"))
       g.size.toLong
     }
-    run("grep_scatter_point_forced") {
+    run("grep_scatter_scan_routed") {
       import spark.implicits._
-      spark.conf.set("spark.graft.grep.fetchLocalityFraction", "1.1")
+      spark.conf.set("spark.graft.grep.fetchLocalityFraction", "0.5")
       val g = try graft.sources.GrepIndex.probe(spark, root,
-            Seq((0L, "qv8wz_scat")))
+            Seq((0L, "qv8wzxq7k")))
           .as[(Long, Long)].collect().toSet
         finally spark.conf.unset("spark.graft.grep.fetchLocalityFraction")
-      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "point")
+      assert(spark.conf.get("spark.graft.grep.lastFetchRoute") == "scan",
+        "opted-in router must take the scan leg on 32/32 candidates")
       val same = gotScat != null && g == gotScat
       println(s"GREPPROBE_NOTE scatter route equality: $same")
-      assert(same, "scatter scan-fetch must equal the forced point fetch")
+      assert(same, "scan-routed fetch must equal the point fetch")
       g.size.toLong
     }
     run("grep_salted_probe_scan_forced") {

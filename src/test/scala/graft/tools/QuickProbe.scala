@@ -34,6 +34,25 @@ object QuickProbe {
               }: _*)).as("pid"))
             .where(col("pid").isNotNull)
             .groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        case "inv_gen_only" =>
+          // r19 inv-append decomposition: the posting-stream GENERATION
+          // (normalize + split + termCounts + posexplode) over the tier
+          // batch-0 slice, consumed by a fold — no shuffle, no write.
+          // Compares against the full append stage to apportion
+          // generation vs layout+write cost.
+          val b = spark.read.parquet(s"$dir/__docs_curate_salted")
+          val cut = b.agg(expr("percentile_approx(doc_id, 0.3333, 100000)"))
+            .head.getLong(0)
+          b.where(col("doc_id") <= cut)
+            .select(col("doc_id"),
+              split(graft.functions.TextFunctions.normalize(col("text")),
+                " ").as("toks"))
+            .select(col("doc_id"), size(col("toks")).as("dl"),
+              posexplode(graft.functions.GraftFunctions.termCounts(col("toks"))))
+            .select(col("doc_id"), col("dl"),
+              col("col.term").as("term"), col("col.tf").as("tf"))
+            .agg(count(lit(1)).as("n"),
+              sum(xxhash64(col("term")).cast("decimal(38,0)")).as("h"))
         case other => Queries.all(other)(spark, dir)
       }
       val t0 = System.nanoTime()
