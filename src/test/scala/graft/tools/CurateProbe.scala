@@ -299,7 +299,11 @@ object CurateProbe {
       println("CURATEPROBE " + line); out.append(line).append('\n')
     }
 
-    val docs = Tables.documents(spark, dir).localCheckpoint()
+    // NOT localCheckpoint'd: the per-batch Blocks.freeAll below frees
+    // every persisted block, and a freed local checkpoint is
+    // unrecomputable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on batch 2) —
+    // a plain parquet re-read per batch is the production shape anyway
+    val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)
     val (lo, hi) = {
       val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head
@@ -309,55 +313,64 @@ object CurateProbe {
     val width = (hi - lo) / nBatches + 1
     val terms = Seq("spark", "window", "merge")
 
-    def leg(name: String, annMax: Int, invMax: Int)
-        : (String, Set[(Long, Double, Int)], Set[(Long, Long, Int)]) = {
+    // the two legs run INTERLEAVED batch-by-batch (A's batch i, then
+    // B's batch i) so JIT warm-up, page-cache state, and ambient
+    // drift hit both equally — a sequential A-then-B run hands leg B
+    // a warm JVM and the comparison inherits the order confound the
+    // r19 fetch-locality A/B hit
+    case class Leg(name: String, annMax: Int, invMax: Int) {
       val roots = Curate.tempRoots(s"graft-curate-longrun-$name")
-      (0 until nBatches).foreach { i =>
+    }
+    val legs = Seq(Leg("nocompact", 0, 0), Leg("maintained", 8, 8))
+    (0 until nBatches).foreach { i =>
+      legs.foreach { leg =>
         val t0 = System.nanoTime()
-        Curate.runBatch(spark, roots,
+        Curate.runBatch(spark, leg.roots,
           docs.where(col("doc_id") >= lo + i * width &&
                      col("doc_id") < lo + (i + 1) * width),
           emb, qualityFloor = 0.3, budgetPerSource = 100000000L,
-          annMaxSegments = annMax, invMaxSegments = invMax)
+          annMaxSegments = leg.annMax, invMaxSegments = leg.invMax)
         val batchSec = (System.nanoTime() - t0) / 1e9
         // probe latency every 6 batches — the bounded-vs-unbounded
         // curve the maintenance policy exists for
         if (i % 6 == 5) {
-          val annSegs = graft.sources.AnnIndex.catalogOf(spark, roots.ann).size
-          val invSegs = graft.sources.InvertedIndex.catalogOf(spark, roots.inv).size
+          val annSegs = graft.sources.AnnIndex.catalogOf(spark, leg.roots.ann).size
+          val invSegs = graft.sources.InvertedIndex.catalogOf(spark, leg.roots.inv).size
           val tb = System.nanoTime()
-          graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10).count()
+          graft.sources.InvertedIndex.probe(spark, leg.roots.inv, terms, 10).count()
           val bmSec = (System.nanoTime() - tb) / 1e9
           val ta = System.nanoTime()
           val q = emb.orderBy(col("vec_id")).limit(3)
-          graft.sources.AnnIndex.probe(spark, roots.ann, q, k = 5,
+          graft.sources.AnnIndex.probe(spark, leg.roots.ann, q, k = 5,
             nprobe = 4).count()
           val annSec = (System.nanoTime() - ta) / 1e9
-          emit(f"""{"query":"longrun_${name}_probe","batch":${i + 1},""" +
+          emit(f"""{"query":"longrun_${leg.name}_probe","batch":${i + 1},""" +
             f""""ann_segments":$annSegs,"inv_segments":$invSegs,""" +
             f""""bm25_probe_sec":$bmSec%.2f,"ann_probe_sec":$annSec%.2f,""" +
             f""""batch_sec":$batchSec%.2f}""")
         }
         Blocks.freeAll(spark)
       }
+    }
+    def summarize(leg: Leg)
+        : (String, Set[(Long, Double, Int)], Set[(Long, Long, Int)]) = {
       import spark.implicits._
-      val ch = Curate.readCorpus(spark, roots)
+      val ch = Curate.readCorpus(spark, leg.roots)
         .agg(sum(xxhash64(col("doc_id"), col("source"), col("quality"))
           .cast("decimal(38,0)")))
         .head.getDecimal(0).toString
-      val bm = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
+      val bm = graft.sources.InvertedIndex.probe(spark, leg.roots.inv, terms, 10)
         .select("doc_id", "score", "rk").as[(Long, Double, Int)]
         .collect().toSet
       val q = emb.orderBy(col("vec_id")).limit(3)
-      val ann = graft.sources.AnnIndex.probe(spark, roots.ann, q, k = 5,
+      val ann = graft.sources.AnnIndex.probe(spark, leg.roots.ann, q, k = 5,
           nprobe = 4)
         .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)]
         .collect().toSet
       (ch, bm, ann)
     }
-
-    val (hA, bmA, annA) = leg("nocompact", 0, 0)
-    val (hB, bmB, annB) = leg("maintained", 8, 8)
+    val (hA, bmA, annA) = summarize(legs(0))
+    val (hB, bmB, annB) = summarize(legs(1))
     emit(s"""{"query":"longrun_equality","corpus_hash_equal":${hA == hB},""" +
       s""""bm25_identical":${bmA == bmB},"ann_identical":${annA == annB}}""")
     assert(hA == hB, "maintained leg changed the corpus")
