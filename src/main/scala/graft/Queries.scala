@@ -857,6 +857,59 @@ object Queries {
       |    AND top_bigram_char_frac <= 0.2e0 AS keep
       |FROM s""".stripMargin
 
+  // --------------------- C4 blocklist gate (#31d, graft_multi_match)
+
+  /** The blocklist gate's lexicon: a bounded literal list (the C4
+    * "bad words" shape — Raffel et al. 2020 §2.2 drop any doc whose
+    * text contains a curated lexicon entry). Mixed by construction:
+    * present phrases, absent words (`crash`, `leak` — the automaton
+    * must not phantom-match), and the self-overlapping `"a a"` whose
+    * position-count differs from non-overlapping `replace()`
+    * arithmetic — the oracle's generate_series formulation counts
+    * POSITIONS, pinning the overlap semantics independently. */
+  private[graft] val BlocklistLexicon = Seq(
+    "slow merge", "crash", "a a", "leak", "slow scan", "big batch",
+    "spark window")
+
+  /** C4-style blocklist filter (#31d): one Aho-Corasick pass tags
+    * every doc with its lexicon hit count and matched entries; docs
+    * with zero hits are `kept`. The composed alternative — one
+    * `contains()` column per entry — rescans each text P times, so a
+    * several-hundred-entry production lexicon pays O(P·n) per doc;
+    * the automaton pays O(n + matches) regardless of P
+    * ([[graft.functions.expressions.MultiPatternHits]]). Narrow
+    * projection, zero shuffle, stays inside WholeStageCodegen. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    val hits = graft.functions.GraftFunctions.multiMatch(
+      col("text"), BlocklistLexicon)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hits.as("h"))
+      .select(
+        col("doc_id"),
+        coalesce(aggregate(col("h"), lit(0L),
+          (acc, x) => acc + x.getField("hits")), lit(0L)).as("n_hits"),
+        array_join(transform(col("h"), x => x.getField("pattern")), ",")
+          .as("matched"),
+        (size(col("h")) === 0).as("kept"))
+  }
+
+  private val blocklistFilterSql =
+    """WITH w(w, ord) AS (VALUES ('slow merge', 1), ('crash', 2),
+      |    ('a a', 3), ('leak', 4), ('slow scan', 5), ('big batch', 6),
+      |    ('spark window', 7)),
+      |hits AS (SELECT d.doc_id, w.ord, w.w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents d, w,
+      |    UNNEST(generate_series(1, len(d.text) - len(w.w) + 1)) AS s(i)
+      |  WHERE substr(d.text, CAST(i AS INTEGER), len(w.w)) = w.w
+      |  GROUP BY 1, 2, 3),
+      |ag AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_hits,
+      |    string_agg(w, ',' ORDER BY ord) AS matched
+      |  FROM hits GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(a.n_hits, 0) AS n_hits,
+      |  COALESCE(a.matched, '') AS matched,
+      |  a.doc_id IS NULL AS kept
+      |FROM documents d LEFT JOIN ag a ON d.doc_id = a.doc_id""".stripMargin
+
   // ------------------------------------------------- dedup/ANN (#23-29)
 
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
@@ -6929,6 +6982,7 @@ object Queries {
     "text_lang_id"             -> (textLangId _),
     "text_quality"             -> (textQuality _),
     "gopher_quality"           -> (gopherQuality _),
+    "blocklist_filter"         -> (blocklistFilter _),
     "text_fingerprint"         -> (textFingerprint _),
     "dedup_exact"              -> (dedupExact _),
     "dedup_keep_best"          -> (dedupKeepBest _),
@@ -7150,6 +7204,7 @@ object Queries {
     "text_lang_id"             -> textLangIdSql,
     "text_quality"             -> textQualitySql,
     "gopher_quality"           -> gopherQualitySql,
+    "blocklist_filter"         -> blocklistFilterSql,
     "text_fingerprint"         -> textFingerprintSql,
     "dedup_exact"              -> dedupExactSql,
     "dedup_keep_best"          -> dedupKeepBestSql,

@@ -33,6 +33,7 @@ object GraftFunctions {
   val CharGramHashesName = "graft_char_gram_hashes"
   val WordGramHashesName = "graft_word_gram_hashes"
   val TokenSegmentsName = "graft_token_segments"
+  val MultiMatchName = "graft_multi_match"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -138,7 +139,11 @@ object GraftFunctions {
       (c0: Seq[Expression]) => { val c = arity(TokenSegmentsName,
           "text, segTokens", 2, c0)
         graft.functions.expressions.TokenSegments(
-          c(0), evalIntConst(TokenSegmentsName, "segTokens", c(1))) }))
+          c(0), evalIntConst(TokenSegmentsName, "segTokens", c(1))) }),
+    (MultiMatchName, classOf[graft.functions.expressions.MultiPatternHits],
+      (c0: Seq[Expression]) => { val c = arity(MultiMatchName,
+          "text, patterns", 2, c0)
+        graft.functions.expressions.MultiPatternHits(c(0), c(1)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -304,6 +309,14 @@ object GraftFunctions {
   def tokenSegments(text: Column, segTokens: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(TokenSegmentsName, text, lit(segTokens))
+  }
+
+  /** All-lexicon substring occurrence counts in one Aho-Corasick text
+    * pass (O(n + matches) for ANY pattern count) — see
+    * [[graft.functions.expressions.MultiPatternHits]]. */
+  def multiMatch(text: Column, patterns: Seq[String]): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(MultiMatchName, text, lit(patterns.toArray))
   }
 
   /** Let-binding for Column trees: evaluates `c` ONCE per row and

@@ -356,6 +356,73 @@ class ExpressionSpec extends SparkSpec {
     assert(nat1.exceptAll(hof1).isEmpty && hof1.exceptAll(nat1).isEmpty)
   }
 
+  test("graft_multi_match equals the per-pattern substring-position count") {
+    // overlap-heavy additions: "aa" in "aaaa" has THREE positions
+    // (the non-overlapping replace() count would say two) — the
+    // automaton's position semantics must match the brute-force
+    // position scan, not greedy-replace arithmetic
+    val docs = gramEdgeDocs.unionAll(Seq(
+      "aaaa", "abab ababab", "xyxyx", "päivää päivää").toDF("text"))
+    val lexicon = Seq("aa", "ab", "päivää", "space", "zz-never", "a b")
+    val native = docs.select(col("text"),
+      GraftFunctions.multiMatch(col("text"), lexicon).as("h"))
+    lexicon.zipWithIndex.foreach { case (p, _) =>
+      val lp = p.replace("'", "''")
+      val got = native.select(col("text"),
+        coalesce(element_at(
+          map_from_entries(col("h")), lit(p)), lit(0L)).as("n"))
+      val want = docs.select(col("text"), expr(
+        s"""aggregate(sequence(1, greatest(length(text) - length('$lp') + 1, 0)),
+           |  0L, (acc, i) ->
+           |  acc + if(substring(text, i, length('$lp')) = '$lp', 1L, 0L))"""
+          .stripMargin).as("n"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"pattern '$p' count mismatch")
+    }
+    // compaction: zero-hit patterns are ABSENT, order is declaration
+    // order of the surviving patterns
+    import spark.implicits._
+    val one = Seq("abab aa cd").toDF("text").select(
+      GraftFunctions.multiMatch(col("text"),
+        Seq("zz", "ab", "aa", "qq", "cd")).as("h"))
+      .selectExpr("transform(h, x -> x.pattern)")
+      .as[Seq[String]].head()
+    assert(one === Seq("ab", "aa", "cd"))
+  }
+
+  test("graft_multi_match rejects empty, duplicate, and non-literal lexicons") {
+    import spark.implicits._
+    val df = Seq("text").toDF("text")
+    val empty = intercept[Exception] {
+      df.select(GraftFunctions.multiMatch(col("text"), Seq("a", ""))).collect()
+    }
+    assert(empty.getMessage.contains("empty pattern") ||
+      Option(empty.getCause).exists(_.getMessage.contains("empty pattern")))
+    val dup = intercept[Exception] {
+      df.select(GraftFunctions.multiMatch(col("text"), Seq("a", "a"))).collect()
+    }
+    assert(dup.getMessage.contains("duplicate") ||
+      Option(dup.getCause).exists(_.getMessage.contains("duplicate")))
+    // a per-row (non-foldable) pattern array must be rejected at
+    // analysis: the automaton is built once per JVM, not per row
+    val nf = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function(GraftFunctions.MultiMatchName,
+        col("text"), array(col("text")))).collect()
+    }
+    assert(nf.getMessage.contains("foldable"))
+  }
+
+  test("graft_multi_match SQL registration agrees with the Column API") {
+    GraftFunctions.register(spark)
+    val docs = gramEdgeDocs
+    val viaSql = docs.selectExpr(
+      "text",
+      "graft_multi_match(text, array('aa', 'space', 'ö å')) AS h")
+    val viaCol = docs.select(col("text"),
+      GraftFunctions.multiMatch(col("text"), Seq("aa", "space", "ö å")).as("h"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("graft_token_segments equals the concat_ws/slice segment grid") {
     val st = 8
     val hof = gramEdgeDocs

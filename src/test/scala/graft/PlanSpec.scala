@@ -313,7 +313,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("hot scans stay inside WholeStageCodegen") {
-    for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality")) {
+    for (q <- Seq("q1_pricing_summary", "derive_recipe", "text_quality",
+                  "blocklist_filter")) {
       // AQE prints codegen spans only once stages have executed —
       // collect() materializes THIS queryExecution (count() would
       // build a separate one and leave this plan unexecuted)
