@@ -428,7 +428,8 @@ object GrepIndex {
     * mass exceeds `scanFraction` × corpus docs — the degenerate
     * regime of a tiny-vocabulary corpus where its trigrams are
     * near-universal, measured at 1000×: index probe 70 s vs 20 s for
-    * the plain scan — rides ONE shared exact `contains()` scan leg
+    * the plain scan — rides ONE shared exact scan leg (a single
+    * Aho-Corasick pass answering every scan-routed pattern at once)
     * over the doc-clustered table; the rest probe the index. Both
     * legs return the same exact result; the union is the sweep. The
     * outcome lands in `spark.graft.grep.lastRoute` ("index" | "scan"
@@ -498,12 +499,33 @@ object GrepIndex {
     spark.conf.set("spark.graft.grep.lastRoute",
       if (scanPids.isEmpty) "index"
       else if (idxSel.isEmpty) "scan" else "split")
-    def scanLeg =
+    // one Aho-Corasick pass answers EVERY scan-routed pattern per doc
+    // (r19: the previous form crossJoined docs × patterns — P-way row
+    // duplication and P contains() rescans per doc; a decontamination
+    // sweep routes MANY common-trigram needles here and paid O(P·n)).
+    // The automaton runs over the DISTINCT pattern strings; the
+    // broadcast join maps matched strings back to ids — it, not a map
+    // literal, because callers may legally probe the same string
+    // under two pattern_ids and the join yields every id. Fallback to
+    // the crossJoin form only past the automaton's dense-table bound.
+    def scanLeg = {
+      val lex = scanPatterns.map(_._2).distinct
       if (scanPatterns.isEmpty) emptyResult
+      else if (lex.map(_.getBytes("UTF-8").length.toLong).sum <=
+                 graft.functions.expressions.MultiPatternHits.MaxPatternBytes)
+        docsAll
+          .select(col("doc_id"),
+            GraftFunctions.multiMatch(col("text"), lex).as("h"))
+          .select(col("doc_id"),
+            explode(expr("transform(h, x -> x.pattern)")).as("pattern"))
+          .join(broadcast(scanPatterns.toDF("pattern_id", "pattern")),
+            "pattern")
+          .select(col("pattern_id"), col("doc_id"))
       else docsAll
         .crossJoin(broadcast(scanPatterns.toDF("pattern_id", "pattern")))
         .where(col("text").contains(col("pattern")))
         .select(col("pattern_id"), col("doc_id"))
+    }
     if (idxSel.isEmpty) {
       if (scanPids.isEmpty)
         spark.conf.set("spark.graft.grep.lastPruned", "0/0")
