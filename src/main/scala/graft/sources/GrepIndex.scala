@@ -512,7 +512,9 @@ object GrepIndex {
       val lex = scanPatterns.map(_._2).distinct
       if (scanPatterns.isEmpty) emptyResult
       else if (lex.map(_.getBytes("UTF-8").length.toLong).sum <=
-                 graft.functions.expressions.MultiPatternHits.MaxPatternBytes)
+                 graft.functions.expressions.MultiPatternHits.MaxPatternBytes &&
+               spark.conf.get("spark.graft.grep.scanAhoCorasick",
+                 "true") == "true")
         docsAll
           .select(col("doc_id"),
             GraftFunctions.multiMatch(col("text"), lex).as("h"))

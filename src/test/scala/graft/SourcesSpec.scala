@@ -498,6 +498,23 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(spark.conf.get("spark.graft.grep.lastRoute") === "scan")
     assert(gotScan === want)
+    // r19: the scan leg's default is ONE Aho-Corasick pass; the
+    // crossJoin+contains fallback (conf-off, and the over-byte-bound
+    // path) must produce the identical set — including the duplicate
+    // pattern-STRING case the automaton dedupes and the join fans
+    // back out to every pattern_id
+    val dupPats = pats :+ (5L, "abc")
+    val wantDup = want ++ want.filter(_._1 == 4L).map(t => (5L, t._2))
+    val gotScanAc = graft.sources.GrepIndex.probe(spark, root, dupPats,
+        scanFraction = -1.0)
+      .as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.grep.scanAhoCorasick", "false")
+    val gotScanCj = try graft.sources.GrepIndex.probe(spark, root, dupPats,
+          scanFraction = -1.0)
+        .as[(Long, Long)].collect().toSet
+      finally spark.conf.unset("spark.graft.grep.scanAhoCorasick")
+    assert(gotScanAc === wantDup)
+    assert(gotScanCj === wantDup)
     // default auto-route picks one of the two and stays exact
     val gotAuto = graft.sources.GrepIndex.probe(spark, root, pats)
       .as[(Long, Long)].collect().toSet

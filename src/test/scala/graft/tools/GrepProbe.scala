@@ -249,6 +249,47 @@ object GrepProbe {
       g.size.toLong
     }
 
+    // r19: the many-needle scan leg A/B — ONE Aho-Corasick pass vs
+    // the P-way crossJoin+contains it replaced. The lexicon is the
+    // corpus's own common vocabulary (every pattern posting-heavy, so
+    // the router would scan them all anyway; scanFraction = -1 makes
+    // it deterministic) — the decontamination shape where HUNDREDS of
+    // needles ride the shared scan. Equality is digest-based (count +
+    // order-independent xxhash64 sum): the match set here is
+    // ~P_common × corpus and must never be collect()ed.
+    val lex64 = salted.limit(2000)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 4)
+      .groupBy("w").count().orderBy(desc("count"), asc("w"))
+      .limit(64).collect().map(_.getString(0)).toSeq
+    val spats = lex64.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    println(s"GREPPROBE_NOTE scan-leg lexicon: ${lex64.size} patterns")
+    def scanDigest(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("pattern_id"), col("doc_id"))
+          .cast("decimal(38,0)"))).head
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(_.toString).getOrElse("0"))
+    }
+    var acDigest: (Long, String) = null
+    run("grep_scan64_aho_corasick") {
+      val d = scanDigest(graft.sources.GrepIndex.probe(spark, root,
+        spats, scanFraction = -1.0))
+      acDigest = d
+      d._1
+    }
+    run("grep_scan64_crossjoin") {
+      spark.conf.set("spark.graft.grep.scanAhoCorasick", "false")
+      val d = try scanDigest(graft.sources.GrepIndex.probe(spark, root,
+          spats, scanFraction = -1.0))
+        finally spark.conf.unset("spark.graft.grep.scanAhoCorasick")
+      val same = acDigest != null && d == acDigest
+      println(s"GREPPROBE_NOTE scan64 equality: $same " +
+        s"(rows ${d._1} vs ${if (acDigest == null) -1 else acDigest._1})")
+      assert(same, "AC scan leg must match the crossJoin leg exactly")
+      d._1
+    }
+
     // regex sweep over the same index (#39e): the needle templated as
     // a pattern — branch literal runs "zq9xv7_k" / "3jp" constrain
     // candidates, regexp_like verifies; vs the forced regex scan
