@@ -492,10 +492,29 @@ object GrepIndex {
     val massOf = selected.groupBy(_._1).view
       .mapValues(_.map(_._2).distinct.map(dfOf(_)).sum).toMap
     val scanPids = massOf.filter(_._2 > scanFraction * nDocs).keySet
-    val idxSel = selected.filterNot(t => scanPids(t._1))
-    val scanPatterns = patterns.filter(p => scanPids(p._1))
+    val idxSel0 = selected.filterNot(t => scanPids(t._1))
+    // fold-all (r19): once ANY pattern's posting mass demands the
+    // corpus scan, that pass is being paid — the Aho-Corasick leg
+    // answers every ADDITIONAL literal for ~free (a few automaton
+    // states), while index-probing the rest would ADD stats/prune/
+    // fetch jobs on top of the scan. Tier-measured on the 5M-doc
+    // salted corpus (warm, SCALE1000_r19_grep_ac): folded 17.6 s wall
+    // / 361 task-s vs split 22.2 s / 336 vs all-index 32.3 s / 548 —
+    // wall −20% at CPU parity, and the fold is asymptotically strict
+    // (the dropped index legs cost jobs; the automaton costs bytes).
+    // df-0-settled patterns fold too: their trigram is absent from
+    // the corpus, so the automaton provably finds nothing. `lastSplit`
+    // keeps the per-pattern ROUTING verdict; `lastScanFolded` records
+    // how many index-routed patterns the fold pulled onto the scan.
+    val foldAll = scanPids.nonEmpty && idxSel0.nonEmpty &&
+      spark.conf.get("spark.graft.grep.scanFoldAll", "true") == "true"
+    val idxSel = if (foldAll) Seq.empty[(Long, Long)] else idxSel0
+    val scanPatterns =
+      if (foldAll) patterns else patterns.filter(p => scanPids(p._1))
     spark.conf.set("spark.graft.grep.lastSplit",
       s"index=${patterns.size - scanPids.size} scan=${scanPids.size}")
+    spark.conf.set("spark.graft.grep.lastScanFolded",
+      if (foldAll) (patterns.size - scanPids.size).toString else "0")
     spark.conf.set("spark.graft.grep.lastRoute",
       if (scanPids.isEmpty) "index"
       else if (idxSel.isEmpty) "scan" else "split")
@@ -565,6 +584,7 @@ object GrepIndex {
     spark.conf.set("spark.graft.grep.lastPruned", "n/a")
     spark.conf.set("spark.graft.grep.lastDocsPruned", "n/a")
     spark.conf.set("spark.graft.grep.lastSplit", "n/a")
+    spark.conf.set("spark.graft.grep.lastScanFolded", "n/a")
     // a plain probe() must not leave a previous probeRegex's split
     // hanging (r18 advice — the same cross-probe staleness class this
     // helper exists to fix); probeRegex overwrites it immediately

@@ -574,14 +574,30 @@ class SourcesSpec extends SparkSpec {
         .as[Long].collect().map(d => (pid, d))
     }.toSet
     // threshold 0.5x201 docs: pattern 0's mass (~8 grams x df 200)
-    // exceeds it, the needles' (~df 1) do not
+    // exceeds it, the needles' (~df 1) do not. DEFAULT behavior since
+    // r19 is fold-all: the routing verdict still says index=2 scan=1,
+    // but because one pattern pays the corpus scan, the automaton
+    // answers the needles too and the index legs are dropped
     val got = graft.sources.GrepIndex.probe(spark, root, pats,
         scanFraction = 0.5)
       .as[(Long, Long)].collect().toSet
     assert(got === want)
+    assert(spark.conf.get("spark.graft.grep.lastRoute") === "scan")
+    assert(spark.conf.get("spark.graft.grep.lastSplit") ===
+      "index=2 scan=1")
+    assert(spark.conf.get("spark.graft.grep.lastScanFolded") === "2")
+    // conf-off restores the true split: needles keep the index leg,
+    // and that leg really runs pruned (not the old all-scan route)
+    spark.conf.set("spark.graft.grep.scanFoldAll", "false")
+    val gotSplit = try graft.sources.GrepIndex.probe(spark, root, pats,
+          scanFraction = 0.5)
+        .as[(Long, Long)].collect().toSet
+      finally spark.conf.unset("spark.graft.grep.scanFoldAll")
+    assert(gotSplit === want)
     assert(spark.conf.get("spark.graft.grep.lastRoute") === "split")
     assert(spark.conf.get("spark.graft.grep.lastSplit") ===
       "index=2 scan=1")
+    assert(spark.conf.get("spark.graft.grep.lastScanFolded") === "0")
     // the index leg really ran pruned (not the old all-scan route)
     assert(spark.conf.get("spark.graft.grep.lastPruned").matches("\\d+/\\d+"))
     // conf hygiene: an early-exit probe (df-0 settle) reports n/a for

@@ -215,17 +215,41 @@ object GrepProbe {
     val mixed = pats :+ (3L, common)
     println(s"GREPPROBE_NOTE mixed common literal: '$common'")
     var gotMixed: Set[(Long, Long)] = null
-    run("grep_mixed_probe_split") {
+    // DEFAULT since the r19 Aho-Corasick leg: the common literal pays
+    // the corpus scan, so the router FOLDS the rare needles onto the
+    // automaton (free states) instead of running the index legs
+    // alongside — the routing verdict is still per-pattern, the
+    // execution is one pass
+    run("grep_mixed_probe_folded") {
       import spark.implicits._
       val g = graft.sources.GrepIndex.probe(spark, root, mixed)
         .as[(Long, Long)].collect().toSet
       gotMixed = g
       val route = spark.conf.get("spark.graft.grep.lastRoute")
       val split = spark.conf.get("spark.graft.grep.lastSplit")
-      println(s"GREPPROBE_NOTE mixed route $route split $split")
-      assert(route == "split", s"mixed sweep must split, got $route")
+      val folded = spark.conf.get("spark.graft.grep.lastScanFolded")
+      println(s"GREPPROBE_NOTE mixed route $route split $split folded $folded")
+      assert(route == "scan", s"folded sweep executes as scan, got $route")
+      assert(split == "index=3 scan=1",
+        s"routing verdict stays per-pattern, got $split")
+      assert(folded == "3", s"three needles folded, got $folded")
+      g.size.toLong
+    }
+    run("grep_mixed_split_routed") {
+      import spark.implicits._
+      spark.conf.set("spark.graft.grep.scanFoldAll", "false")
+      val g = try graft.sources.GrepIndex.probe(spark, root, mixed)
+          .as[(Long, Long)].collect().toSet
+        finally spark.conf.unset("spark.graft.grep.scanFoldAll")
+      val route = spark.conf.get("spark.graft.grep.lastRoute")
+      val split = spark.conf.get("spark.graft.grep.lastSplit")
+      println(s"GREPPROBE_NOTE mixed split-routed route $route split $split")
+      assert(route == "split", s"conf-off mixed sweep must split, got $route")
       assert(split == "index=3 scan=1",
         s"only the common literal scans, got $split")
+      val same = gotMixed != null && g == gotMixed
+      println(s"GREPPROBE_NOTE mixed fold equality: $same")
+      assert(same, "folded result must equal the split route")
       g.size.toLong
     }
     run("grep_mixed_scan_forced") {
