@@ -2308,6 +2308,99 @@ object Queries {
       |        '\+[0-9][0-9-]+', '<PHONE>', 'g')) AS red_md5
       |FROM s""".stripMargin
 
+  /** Checksum-validated PII redaction (#37b): credit-card-shaped
+    * digit runs are only redacted when they PASS the Luhn checksum
+    * (ISO/IEC 7812) — the false-positive cut that keeps order ids,
+    * timestamps, and hashes out of `<CARD>` masks. Planting: each doc
+    * gets a 16-digit number whose check digit is computed by the
+    * parity-shifted closed form (valid by construction) and/or a
+    * sibling with check+5 (invalid by construction), varied by
+    * doc_id%3 so the counts carry signal. Validation and redaction
+    * use the STANDARD Luhn formulation over every 13-19-digit run —
+    * independently formulated from the planting arithmetic, so the
+    * oracle cross-checks both. Pure per-row HOFs, zero shuffle. */
+  def piiRedactLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val doubled = (d: String) => s"IF(2*($d) > 9, 2*($d) - 9, 2*($d))"
+    val dig = "(ascii(substr(reverse(base15), i, 1)) - 48)"
+    Tables.documents(spark, dir)
+      .withColumn("base15", concat(lit("4"),
+        lpad(pmod(col("doc_id"), lit(99999999999999L)).cast("string"),
+          14, "0")))
+      // check digit: full = base15 || c reverses to c || reverse(base15),
+      // so base digit at reverse-position i is doubled when i is ODD —
+      // the parity-shifted closed form
+      .withColumn("chk", expr(
+        s"""(10 - aggregate(sequence(1, 15), 0L, (acc, i) ->
+           |  acc + CASE WHEN i % 2 = 1 THEN ${doubled(dig)}
+           |        ELSE $dig END) % 10) % 10""".stripMargin))
+      .withColumn("synth", expr(
+        """concat(text,
+          |  CASE WHEN doc_id % 3 < 2
+          |    THEN concat(' pay ', base15, chk) ELSE '' END,
+          |  CASE WHEN doc_id % 3 > 0
+          |    THEN concat(' ref ', base15, (chk + 5) % 10) ELSE '' END)"""
+          .stripMargin))
+      .withColumn("cands", expr(
+        "regexp_extract_all(synth, '[0-9]{13,19}', 0)"))
+      // standard Luhn over each candidate: double at EVEN reverse pos
+      .withColumn("valids", expr(
+        """filter(cands, c -> aggregate(sequence(1, length(c)), 0L,
+          |  (acc, i) -> acc + CASE WHEN i % 2 = 0
+          |    THEN IF(2*(ascii(substr(reverse(c), i, 1)) - 48) > 9,
+          |            2*(ascii(substr(reverse(c), i, 1)) - 48) - 9,
+          |            2*(ascii(substr(reverse(c), i, 1)) - 48))
+          |    ELSE ascii(substr(reverse(c), i, 1)) - 48 END) % 10 = 0)"""
+          .stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("cands")).as("n_candidates"),
+        size(col("valids")).as("n_valid"),
+        md5(expr(
+          "aggregate(valids, synth, (acc, c) -> replace(acc, c, '<CARD>'))"))
+          .as("red_md5"))
+  }
+
+  private val piiRedactLuhnSql =
+    """WITH p AS (SELECT doc_id, text,
+      |    '4' || lpad(CAST(doc_id % 99999999999999 AS VARCHAR), 14, '0')
+      |      AS base15
+      |  FROM documents),
+      |k AS (SELECT doc_id, text, base15,
+      |    (10 - list_sum(list_transform(generate_series(1, 15), i ->
+      |       CASE WHEN i % 2 = 1 THEN
+      |         CASE WHEN 2*CAST(substr(reverse(base15), CAST(i AS INTEGER), 1) AS INTEGER) > 9
+      |              THEN 2*CAST(substr(reverse(base15), CAST(i AS INTEGER), 1) AS INTEGER) - 9
+      |              ELSE 2*CAST(substr(reverse(base15), CAST(i AS INTEGER), 1) AS INTEGER) END
+      |       ELSE CAST(substr(reverse(base15), CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10) % 10
+      |      AS chk
+      |  FROM p),
+      |s AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 < 2
+      |      THEN ' pay ' || base15 || CAST(chk AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 3 > 0
+      |      THEN ' ref ' || base15 || CAST((chk + 5) % 10 AS VARCHAR) ELSE '' END
+      |      AS synth
+      |  FROM k),
+      |c AS (SELECT doc_id, synth,
+      |    regexp_extract_all(synth, '[0-9]{13,19}') AS cands
+      |  FROM s),
+      |v AS (SELECT doc_id, synth, cands,
+      |    list_filter(cands, cc ->
+      |      list_sum(list_transform(generate_series(1, len(cc)), i ->
+      |        CASE WHEN i % 2 = 0 THEN
+      |          CASE WHEN 2*CAST(substr(reverse(cc), CAST(i AS INTEGER), 1) AS INTEGER) > 9
+      |               THEN 2*CAST(substr(reverse(cc), CAST(i AS INTEGER), 1) AS INTEGER) - 9
+      |               ELSE 2*CAST(substr(reverse(cc), CAST(i AS INTEGER), 1) AS INTEGER) END
+      |        ELSE CAST(substr(reverse(cc), CAST(i AS INTEGER), 1) AS INTEGER) END)) % 10 = 0)
+      |      AS valids
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(len(cands) AS INTEGER) AS n_candidates,
+      |  CAST(len(valids) AS INTEGER) AS n_valid,
+      |  md5(list_reduce(list_prepend(synth, valids),
+      |    (acc, cc) -> replace(acc, cc, '<CARD>'))) AS red_md5
+      |FROM v""".stripMargin
+
   /** Corpus vocabulary: top-20 words by frequency (explode → count →
     * global top-k; the word-count groupBy is partial-aggregated so the
     * exploded stream never shuffles raw tokens). */
@@ -7048,6 +7141,7 @@ object Queries {
     "median_price"             -> (medianPrice _),
     "split_train_test"         -> (splitTrainTest _),
     "pii_redact"               -> (piiRedact _),
+    "pii_redact_luhn"          -> (piiRedactLuhn _),
     "vocab_top_words"          -> (vocabTopWords _),
     "tfidf_top_term"           -> (tfidfTopTerm _),
     "embedding_norm_quant"     -> (embeddingNormQuant _),
@@ -7258,6 +7352,7 @@ object Queries {
     "median_price"             -> medianPriceSql,
     "split_train_test"         -> splitTrainTestSql,
     "pii_redact"               -> piiRedactSql,
+    "pii_redact_luhn"          -> piiRedactLuhnSql,
     "vocab_top_words"          -> vocabTopWordsSql,
     "tfidf_top_term"           -> tfidfTopTermSql,
     "embedding_norm_quant"     -> embeddingNormQuantSql,
