@@ -1,0 +1,178 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+
+/** r19 optimization-round probe (test scope, sbt-free via spark-submit):
+  *
+  *   plans <outdir> <sfdir> <suffix> <q1,q2,...>
+  *     write `.explain("formatted")` of each named query to
+  *     `<outdir>/<query>_<suffix>.txt` (driver-only; no execution).
+  *
+  *   time <sfdir> <passes> <q1,q2,...>
+  *     bench-methodology timing (count() action, min across passes)
+  *     with BOTH wall and executor task CPU (the r19 primary
+  *     comparator) per query.
+  *
+  *   substr <sfdir>
+  *     stage decomposition of Corpus.exciseDupSubstrings(Xx) with
+  *     task-CPU attribution per sub-action.
+  */
+object OptProbe {
+
+  final class CpuClock extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { runMs.addAndGet(m.executorRunTime); cpuNs.addAndGet(m.executorCpuTime) }
+    }
+  }
+
+  private def drain(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus").get.invoke(sc)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .get.invoke(bus)
+    } catch { case _: Throwable => Thread.sleep(100) }
+
+  def session(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    args.headOption.getOrElse("help") match {
+      case "plans" =>
+        val Array(_, outDir, sfDir, suffix, qs) = args.take(5)
+        val spark = session(cpus)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        qs.split(",").foreach { q =>
+          try {
+            val df = Queries.all(q)(spark, sfDir)
+            // capture formatted plan text (same as df.explain("formatted"))
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"),
+              txt.getBytes("UTF-8"))
+            println(s"PLAN $q -> $outDir/${q}_$suffix.txt")
+          } catch { case t: Throwable =>
+            println(s"PLAN FAIL $q: ${t.getClass.getSimpleName}: ${t.getMessage}") }
+          Blocks.freeAll(spark)
+        }
+        spark.stop()
+
+      case "time" =>
+        val sfDir = args(1); val passes = args(2).toInt
+        val qs = args(3).split(",").toSeq
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        // warmup (mirrors Bench)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        val rows = (1 to passes).flatMap { p =>
+          qs.map { q =>
+            val c0 = clock.cpuNs.get(); val r0 = clock.runMs.get()
+            val t0 = System.nanoTime()
+            val n = Queries.all(q)(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Blocks.freeAll(spark)
+            drain(spark)
+            val cpu = (clock.cpuNs.get() - c0) / 1e9
+            val run = (clock.runMs.get() - r0) / 1e3
+            println(f"TIME pass=$p $q%-28s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f run=$run%8.3f")
+            (q, wall, cpu, run)
+          }
+        }
+        qs.foreach { q =>
+          val rs = rows.filter(_._1 == q)
+          println(f"BEST $q%-28s wall=${rs.map(_._2).min}%8.3f cpu=${rs.map(_._3).min}%8.3f run=${rs.map(_._4).min}%8.3f")
+        }
+        spark.stop()
+
+      case "substr" =>
+        val sfDir = args(1)
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def t(label: String)(body: => Long): Unit = {
+          val c0 = clock.cpuNs.get(); val r0 = clock.runMs.get()
+          val t0 = System.nanoTime()
+          val n = body
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(spark)
+          val cpu = (clock.cpuNs.get() - c0) / 1e9
+          val run = (clock.runMs.get() - r0) / 1e3
+          println(f"SUBSTR $label%-26s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f run=$run%8.3f")
+        }
+        import graft.functions.TextFunctions
+        val k = 20
+        val docs = Tables.documents(spark, sfDir)
+        val normed = docs.select(col("doc_id"),
+          TextFunctions.normalize(col("text")).as("__t"))
+        val texts = normed
+          .groupBy(md5(col("__t")).as("__fp"), col("__t"))
+          .agg(count(lit(1)).as("__w"))
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+        t("collapse+ckpt") { val c = texts.localCheckpoint(); c.count() }
+        val textsC = texts.localCheckpoint()
+        for ((tag, gcol) <- Seq(
+            ("md5", expr(s"transform(sequence(1, length(__t) - ${k - 1}), " +
+                         s"i -> md5(substring(__t, i, $k)))")),
+            ("xx", graft.functions.GraftFunctions.charGramHashes(col("__t"), k)))) {
+          val withG = textsC.where(length(col("__t")) >= k)
+            .select(col("__fp"), col("__w"), gcol.as("__gs"))
+          t(s"grams_$tag")(withG.select(explode(col("__gs"))).count())
+          val dup = withG
+            .select(col("__w"), explode(array_distinct(col("__gs"))).as("__g"))
+            .groupBy(col("__g")).agg(sum(col("__w")).as("__c"))
+            .where(col("__c") >= 2).select(col("__g"))
+          t(s"dup_table_$tag")(dup.count())
+          val pos = withG.select(col("__fp"), posexplode(col("__gs")))
+            .toDF("__fp", "__i0", "__g")
+          val dupStarts = pos.join(dup, "__g")
+            .groupBy(col("__fp"))
+            .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
+          t(s"dup_starts_$tag")(dupStarts.count())
+          Blocks.freeAll(spark)
+        }
+        t("full_md5") {
+          graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k).count()
+        }
+        Blocks.freeAll(spark)
+        t("full_md5_2") {
+          graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k).count()
+        }
+        Blocks.freeAll(spark)
+        t("full_xx") {
+          graft.operators.Corpus.exciseDupSubstringsXx(docs, "doc_id", "text", k).count()
+        }
+        Blocks.freeAll(spark)
+        t("full_xx_2") {
+          graft.operators.Corpus.exciseDupSubstringsXx(docs, "doc_id", "text", k).count()
+        }
+        spark.stop()
+
+      case other =>
+        println(s"unknown mode $other; modes: plans time substr")
+    }
+  }
+}
