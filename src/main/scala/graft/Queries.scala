@@ -4929,18 +4929,38 @@ object Queries {
         emb, qualityFloor = 0.615, budgetPerSource = 550L)
     }
     val corpus = Curate.readCorpus(spark, roots).localCheckpoint()
+    // r19 gate-overhead trim (guide §2.6 — overlap independent jobs;
+    // zero change to what the query computes): each `A.except(B)
+    // .isEmpty && B.except(A).isEmpty` check was FOUR driver-serial
+    // actions, each re-deriving its inputs (the ANN probe and the
+    // brute force each ran twice, likewise both BM25 sides). Both
+    // compare sides are now materialized once (localCheckpoint), the
+    // two excepts fuse into ONE union'd action per check, and the two
+    // independent checks (separate index roots, disjoint inputs)
+    // submit from two driver threads — the runBatch index-append
+    // overlap pattern applied to the verify stage. Booleans identical
+    // by construction: same set-equality predicate over the same rows.
+    def sameRows(a: DataFrame, b: DataFrame): Boolean = {
+      val ac = a.localCheckpoint(); val bc = b.localCheckpoint()
+      ac.except(bc).union(bc.except(ac)).isEmpty
+    }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // ANN: the thrice-appended index probed losslessly must equal
     // brute force over exactly the curated vectors
-    val finalVecs = emb
-      .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
-      .select(col("vec_id"), col("embedding")).localCheckpoint()
-    val queries = finalVecs.orderBy(col("vec_id")).limit(5).localCheckpoint()
-    val probed = graft.sources.AnnIndex
-      .probe(spark, roots.ann, queries, k = 5, nprobe = 4)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
-    val bf = Similarity.bruteForceTopK(queries, finalVecs, 5)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
-    val annOk = probed.except(bf).isEmpty && bf.except(probed).isEmpty
+    val annOkF = Future {
+      val finalVecs = emb
+        .join(corpus.select(col("doc_id").as("vec_id")), "vec_id")
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val queries = finalVecs.orderBy(col("vec_id")).limit(5).localCheckpoint()
+      val probed = graft.sources.AnnIndex
+        .probe(spark, roots.ann, queries, k = 5, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+      val bf = Similarity.bruteForceTopK(queries, finalVecs, 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"))
+      sameRows(probed, bf)
+    }
     // BM25: the thrice-appended index probed must row-exactly match
     // the DIRECT (index-free) recompute over the final corpus — the
     // bm25_search computation, itself oracle-gated. r17 verdict item
@@ -4948,13 +4968,17 @@ object Queries {
     // verify spent ~17% of this gate on second-index writes; the
     // probe-vs-independent-recompute is the same append==rebuild
     // strength (stronger on tokenization identity) with zero writes.
-    val finalDocs = derived
-      .join(corpus.select(col("doc_id")), "doc_id")
-      .select(col("doc_id"), col("text"))
-    val terms = Seq("spark", "window", "merge")
-    val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
-    val pD = bm25DirectTopK(finalDocs, terms, 10)
-    val bm25Ok = pA.except(pD).isEmpty && pD.except(pA).isEmpty
+    val bm25OkF = Future {
+      val finalDocs = derived
+        .join(corpus.select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("text"))
+      val terms = Seq("spark", "window", "merge")
+      val pA = graft.sources.InvertedIndex.probe(spark, roots.inv, terms, 10)
+      val pD = bm25DirectTopK(finalDocs, terms, 10)
+      sameRows(pA, pD)
+    }
+    val annOk = Await.result(annOkF, Duration.Inf)
+    val bm25Ok = Await.result(bm25OkF, Duration.Inf)
     corpus.select(col("doc_id"), col("source"), col("quality"))
       .withColumn("ann_probe_ok", lit(annOk))
       .withColumn("bm25_probe_ok", lit(bm25Ok))

@@ -31,6 +31,7 @@ object GraftFunctions {
   val DoubleBitsName = "graft_double_bits"
   val BitsDoubleName = "graft_bits_double"
   val CharGramHashesName = "graft_char_gram_hashes"
+  val CharGramMd5Name = "graft_char_gram_md5"
   val WordGramHashesName = "graft_word_gram_hashes"
   val TokenSegmentsName = "graft_token_segments"
   val MultiMatchName = "graft_multi_match"
@@ -130,6 +131,11 @@ object GraftFunctions {
           "text, k", 2, c0)
         graft.functions.expressions.CharGramHashes(
           c(0), evalIntConst(CharGramHashesName, "k", c(1))) }),
+    (CharGramMd5Name, classOf[graft.functions.expressions.CharGramMd5],
+      (c0: Seq[Expression]) => { val c = arity(CharGramMd5Name,
+          "text, k", 2, c0)
+        graft.functions.expressions.CharGramMd5(
+          c(0), evalIntConst(CharGramMd5Name, "k", c(1))) }),
     (WordGramHashesName, classOf[graft.functions.expressions.WordGramHashes],
       (c0: Seq[Expression]) => { val c = arity(WordGramHashesName,
           "text, n", 2, c0)
@@ -292,6 +298,16 @@ object GraftFunctions {
   def charGramHashes(text: Column, k: Int): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(CharGramHashesName, text, lit(k))
+  }
+
+  /** Every k-code-point gram's lowercase-hex MD5, one boundary pass —
+    * the md5 EVALUATION twin of [[charGramHashes]], value-identical
+    * to `transform(sequence(1, length(s)-k+1), i -> md5(substring(s,
+    * i, k)))` for `length(s) >= k`; see
+    * [[graft.functions.expressions.CharGramMd5]]. */
+  def charGramMd5(text: Column, k: Int): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(CharGramMd5Name, text, lit(k))
   }
 
   /** Every word n-gram's xxhash64 (seed 42), zero-copy via the

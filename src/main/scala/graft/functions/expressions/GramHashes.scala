@@ -160,6 +160,89 @@ case class CharGramHashes(child: Expression, k: Int)
   }
 }
 
+/** Lowercase-hex MD5 of every k-code-point gram of `child`, as
+  * `array<string>` — VALUE-IDENTICAL to the interpreted HOF
+  * `transform(sequence(1, length(s) - k + 1), i -> md5(substring(s, i,
+  * k)))` wherever `length(s) >= k` (pinned in ExpressionSpec), built
+  * the [[CharGramHashes]] way: ONE boundary pass instead of one
+  * `UTF8String.substring` re-walk per position (the O(len²)
+  * winnow/r15 wall), one reused MessageDigest instead of a
+  * DigestUtils allocation per gram, and zero lambda interpretation.
+  * This keeps `Corpus.exciseDupSubstrings`' md5 EVALUATION form —
+  * the DuckDB twin computes the same md5(substr(...)) keys — while
+  * removing the expression-interpretation tax the r19 probe measured
+  * at ~9 task-cpu-s per walk at sf0.1 (the native walk: ~3.4).
+  * Fewer than one gram (numChars < k) ⇒ empty array. */
+case class CharGramMd5(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"gram too short to mean anything: k=$k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_char_gram_md5 expects a string column, got ${child.dataType.simpleString}")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramMd5 =
+    copy(child = newChild)
+
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Public so generated code can call it. */
+  def doHash(u: UTF8String): ArrayData = {
+    val nChars = u.numChars()
+    val grams = nChars - k + 1
+    if (grams < 1) return new GenericArrayData(Array.empty[AnyRef])
+    // one private byte copy per ROW (not per gram): MessageDigest
+    // needs a heap array, and getBytes returns the string's own array
+    // when it is already exactly heap-backed
+    val bytes = u.getBytes
+    val offs = Grams.charBoundaryOffsets(UTF8String.fromBytes(bytes), nChars)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[UTF8String](grams)
+    var i = 0
+    while (i < grams) {
+      md.reset()
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexDigits((d(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexDigits(d(j) & 0xf)
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    doHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cgm", this, classOf[CharGramMd5].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+         |${childGen.code}
+         |boolean ${ev.isNull} = ${childGen.isNull};
+         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $self.doHash(${childGen.value});
+         |}
+       """
+    ev.copy(code = code)
+  }
+}
+
 /** xxhash64 (seed 42) of every word n-gram of a single-space-tokenized
   * string, as `array<bigint>` — value-identical to
   * `transform(sequence(0, greatest(size(toks) - n, 0)), i ->

@@ -267,9 +267,18 @@ object Corpus {
     * through the batch path on a foreachBatch boundary instead. */
   def exciseDupSubstrings(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 20): DataFrame =
-    exciseImpl(docs, idCol, textCol, k, t => expr(
-      s"transform(sequence(1, length(${t}) - ${k - 1}), " +
-      s"i -> md5(substring(${t}, i, $k)))"))
+    // r19 (guide §1.2 step 2 — per-task work): the gram walk is the
+    // native one-boundary-pass CharGramMd5, VALUE-IDENTICAL to the
+    // interpreted `transform(sequence(1, length-k+1), i ->
+    // md5(substring(t, i, k)))` it replaces (ExpressionSpec pins it)
+    // — same md5-hex keys as the DuckDB twin, so this stays the
+    // EVALUATION form, minus the O(len²) substring re-walk + per-gram
+    // DigestUtils allocation + lambda interpretation that made this
+    // the suite's #1 task-CPU row (r19 probe: ~9 task-cpu-s per walk
+    // at sf0.1, walked twice — the dup-table branch and the position
+    // branch each evaluate the gram array).
+    exciseImpl(docs, idCol, textCol, k,
+      t => graft.functions.GraftFunctions.charGramMd5(col(t), k))
 
   /** [[exciseDupSubstrings]] with the PRODUCTION gram digest: zero-copy
     * xxhash64 char-grams ([[graft.functions.expressions.CharGramHashes]])

@@ -339,6 +339,21 @@ class ExpressionSpec extends SparkSpec {
       .as[Seq[Long]].head().isEmpty)
   }
 
+  test("graft_char_gram_md5 equals md5 over substring grams") {
+    val k = 20
+    val docs = gramEdgeDocs.where(length(col("text")) >= k)
+    val hof = docs.select(col("text"), expr(
+      s"transform(sequence(1, length(text) - ${k - 1}), " +
+      s"i -> md5(substring(text, i, $k)))").as("hs"))
+    val nat = docs.select(col("text"),
+      GraftFunctions.charGramMd5(col("text"), k).as("hs"))
+    assert(nat.exceptAll(hof).isEmpty && hof.exceptAll(nat).isEmpty)
+    // fewer than one gram -> empty array
+    assert(Seq("short").toDF("text")
+      .select(GraftFunctions.charGramMd5(col("text"), k))
+      .as[Seq[String]].head().isEmpty)
+  }
+
   test("graft_word_gram_hashes equals xxhash64 over concat_ws/slice shingle windows") {
     val n = 8
     def windows(nn: Int) = gramEdgeDocs.select(col("text"),

@@ -24,10 +24,12 @@ object OptProbe {
   final class CpuClock extends org.apache.spark.scheduler.SparkListener {
     val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) { runMs.addAndGet(m.executorRunTime); cpuNs.addAndGet(m.executorCpuTime) }
+      if (m != null) { runMs.addAndGet(m.executorRunTime); cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime) }
     }
   }
 
@@ -48,6 +50,8 @@ object OptProbe {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,6 +93,7 @@ object OptProbe {
         val rows = (1 to passes).flatMap { p =>
           qs.map { q =>
             val c0 = clock.cpuNs.get(); val r0 = clock.runMs.get()
+            val g0 = clock.gcMs.get()
             val t0 = System.nanoTime()
             val n = Queries.all(q)(spark, sfDir).count()
             val wall = (System.nanoTime() - t0) / 1e9
@@ -96,7 +101,16 @@ object OptProbe {
             drain(spark)
             val cpu = (clock.cpuNs.get() - c0) / 1e9
             val run = (clock.runMs.get() - r0) / 1e3
-            println(f"TIME pass=$p $q%-28s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f run=$run%8.3f")
+            val gc = (clock.gcMs.get() - g0) / 1e3
+            import scala.jdk.CollectionConverters._
+            val ccUsed = java.lang.management.ManagementFactory
+              .getMemoryPoolMXBeans.asScala
+              .filter(_.getName.startsWith("CodeHeap"))
+              .map(b => s"${b.getName.replace("CodeHeap '", "").replace("'", "").replace(" ", "")}=${b.getUsage.getUsed / (1 << 20)}M")
+              .mkString(",")
+            val compMs = java.lang.management.ManagementFactory
+              .getCompilationMXBean.getTotalCompilationTime
+            println(f"TIME pass=$p $q%-28s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f run=$run%8.3f gc=$gc%8.3f comp=${compMs / 1000.0}%8.1f cc=$ccUsed")
             (q, wall, cpu, run)
           }
         }
@@ -152,7 +166,6 @@ object OptProbe {
             .groupBy(col("__fp"))
             .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
           t(s"dup_starts_$tag")(dupStarts.count())
-          Blocks.freeAll(spark)
         }
         t("full_md5") {
           graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k).count()
@@ -171,8 +184,159 @@ object OptProbe {
         }
         spark.stop()
 
+      case "tri" =>
+        val sfDir = args(1)
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def t(label: String)(body: => Long): Unit = {
+          val c0 = clock.cpuNs.get(); val t0 = System.nanoTime()
+          val n = body
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(spark)
+          val cpu = (clock.cpuNs.get() - c0) / 1e9
+          println(f"TRI $label%-26s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f")
+        }
+        import graft.operators.Graph
+        val li = Tables.lineitem(spark, sfDir).where(col("l_orderkey") < 1000000)
+        t("distinct_pairs_src") {
+          li.select(col("l_orderkey").as("__g"),
+            col("l_suppkey").cast("long").as("__i")).distinct().count()
+        }
+        val weighted = Graph.coOccurrencePairs(li, "l_orderkey", "l_suppkey")
+        t("co_pairs")(weighted.count())
+        val weighted2 = Graph.coOccurrencePairs(li, "l_orderkey", "l_suppkey")
+        val edges = Graph.topKEdges(weighted2, 20)
+        t("co_pairs+topk")(edges.count())
+        val weighted3 = Graph.coOccurrencePairs(li, "l_orderkey", "l_suppkey")
+        t("full")(Graph.triangleCounts(Graph.topKEdges(weighted3, 20)).count())
+        Blocks.freeAll(spark)
+        t("full_2")(Graph.triangleCounts(Graph.topKEdges(
+          Graph.coOccurrencePairs(li, "l_orderkey", "l_suppkey"), 20)).count())
+        spark.stop()
+
+      case "jac" =>
+        val sfDir = args(1)
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def t(label: String)(body: => Long): Unit = {
+          val c0 = clock.cpuNs.get(); val t0 = System.nanoTime()
+          val n = body
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(spark)
+          val cpu = (clock.cpuNs.get() - c0) / 1e9
+          println(f"JAC $label%-26s rows=$n%10d wall=$wall%8.3f cpu=$cpu%8.3f")
+        }
+        val docs = Tables.documents(spark, sfDir).where(col("doc_id") < 2000)
+        val (tauNum, tauDen) = (9, 10)
+        val toks = docs.select(col("doc_id").as("id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .localCheckpoint(true)
+        t("toks_ckpt")(toks.count())
+        val dfc = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val sz = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("df"), col("tok"))
+        val prefLen = col("sz") -
+          floor((col("sz") * tauNum + tauDen - 1) / tauDen) + 1
+        val prefix = toks.join(dfc, "tok").join(sz, "id")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= prefLen)
+          .select(col("id"), col("tok"), col("sz"))
+        t("prefix")(prefix.count())
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            col("b.sz") * tauDen >= col("a.sz") * tauNum &&
+            col("a.sz") * tauDen >= col("b.sz") * tauNum)
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+                  col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+          .distinct()
+        t("candidates")(cand.count())
+        t("full")(graft.operators.SetJoin.prefixJaccardSelfJoin(
+          docs, "doc_id", "text", 9, 10).count())
+        Blocks.freeAll(spark)
+        t("full_2")(graft.operators.SetJoin.prefixJaccardSelfJoin(
+          docs, "doc_id", "text", 9, 10).count())
+        spark.stop()
+
+      case "jacplan" =>
+        val sfDir = args(1); val passes = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        (1 to passes).foreach { p =>
+          val c0 = clock.cpuNs.get()
+          val t0 = System.nanoTime()
+          val df = Queries.all("jaccard_join_exact")(spark, sfDir)
+          val n = df.count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(spark)
+          val cpu = (clock.cpuNs.get() - c0) / 1e9
+          println(f"JACPLAN pass=$p rows=$n wall=$wall%8.3f cpu=$cpu%8.3f")
+          // final adaptive plan: collect join/agg node names
+          def walk(pl: org.apache.spark.sql.execution.SparkPlan): Unit = {
+            val name = pl.getClass.getSimpleName
+            if (name.contains("Join") || name.contains("Aggregate") ||
+                name.contains("Exchange") || name.contains("Sort"))
+              println(s"  NODE pass=$p $name")
+            pl match {
+              case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+                walk(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+                walk(q.plan)
+              case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+                walk(r.child)
+              case _ => pl.children.foreach(walk)
+            }
+          }
+          walk(df.queryExecution.executedPlan)
+          Blocks.freeAll(spark)
+          drain(spark)
+        }
+        spark.stop()
+
+      case "substrplan" =>
+        val sfDir = args(1)
+        val spark = session(cpus)
+        import graft.functions.TextFunctions
+        val k = 20
+        val docs = Tables.documents(spark, sfDir)
+        val normed = docs.select(col("doc_id"),
+          TextFunctions.normalize(col("text")).as("__t"))
+        val textsC = normed
+          .groupBy(md5(col("__t")).as("__fp"), col("__t"))
+          .agg(count(lit(1)).as("__w"))
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .localCheckpoint()
+        for ((tag, gcol) <- Seq(
+            ("md5", graft.functions.GraftFunctions.charGramMd5(col("__t"), k)),
+            ("xx", graft.functions.GraftFunctions.charGramHashes(col("__t"), k)))) {
+          val withG = textsC.where(length(col("__t")) >= k)
+            .select(col("__fp"), col("__w"), gcol.as("__gs"))
+          val dup = withG
+            .select(col("__w"), explode(array_distinct(col("__gs"))).as("__g"))
+            .groupBy(col("__g")).agg(sum(col("__w")).as("__c"))
+            .where(col("__c") >= 2).select(col("__g"))
+          val pos = withG.select(col("__fp"), posexplode(col("__gs")))
+            .toDF("__fp", "__i0", "__g")
+          val dupStarts = pos.join(dup, "__g")
+            .groupBy(col("__fp"))
+            .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
+          dupStarts.count()
+          println(s"==== dupStarts $tag final plan ====")
+          println(dupStarts.queryExecution.executedPlan.toString.take(4000))
+        }
+        spark.stop()
+
       case other =>
-        println(s"unknown mode $other; modes: plans time substr")
+        println(s"unknown mode $other; modes: plans time substr tri jac jacplan substrplan")
     }
   }
 }
