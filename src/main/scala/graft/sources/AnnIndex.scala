@@ -98,8 +98,13 @@ object AnnIndex {
       .select(col("nc").getField("cell").as("cell"),
         col("vec_id"), col("embedding"),
         col("nc").getField("score").as("ccos"))
-    assigned
-      .repartitionByRange(math.max(nFiles, 1), col("cell"))
+    // cell-range clustering WITHOUT the RangePartitioner sampling
+    // pass (r19, guide §2.4): cells are an enumerable [0, nCells)
+    // domain, so boundaries need no sampling — repartitionByRange ran
+    // the nearest-centroid assignment TWICE per segment (once for the
+    // sampler, once for the write)
+    Layout.repartitionByKeyRange(assigned, col("cell"),
+        centroids.size, math.max(nFiles, 1))
       .sortWithinPartitions("cell")
       .write.mode("errorifexists")
       .parquet(seg)
@@ -116,12 +121,14 @@ object AnnIndex {
         // vector files — and reads ~dim·32/(m·log2 ksub) times fewer
         // bytes per surviving file
         val cs = s"$seg-codes"
-        Similarity.pqEncode(
-            spark.read.parquet(seg).select(col("cell"), col("vec_id"),
-              col("embedding")),
-            "embedding", cbs)
-          .select(col("cell"), col("vec_id"), col("codes"))
-          .repartitionByRange(math.max(nFiles, 1), col("cell"))
+        // enumerated cell layout — the range sampler re-ran pqEncode
+        Layout.repartitionByKeyRange(
+            Similarity.pqEncode(
+              spark.read.parquet(seg).select(col("cell"), col("vec_id"),
+                col("embedding")),
+              "embedding", cbs)
+              .select(col("cell"), col("vec_id"), col("codes")),
+            col("cell"), centroids.size, math.max(nFiles, 1))
           .sortWithinPartitions("cell")
           .write.mode("errorifexists").parquet(cs)
         StatsIndex.write(spark, cs, Seq("cell"))

@@ -190,7 +190,12 @@ object GrepIndex {
     // never needed); at 4 MB the same probe touches ~16 groups of
     // ~400k rows. Bulk writers keep the big default; index segments
     // are the one layout whose reader is always selective.
-    postings.repartitionByRange(math.max(nFiles, 1), col("h"))
+    // h-range clustering WITHOUT the RangePartitioner sampling pass
+    // (r19, guide §2.4): trigram hashes are xxhash64-uniform, so
+    // fixed-width ranges of the long domain replace sampled
+    // boundaries — repartitionByRange ran the whole gram-explode
+    // chain TWICE per segment (once for the sampler, once to write)
+    Layout.repartitionByHashRange(postings, col("h"), math.max(nFiles, 1))
       .sortWithinPartitions("h")
       .write.option("parquet.block.size", 4 * 1024 * 1024)
       .mode("overwrite").parquet(post)
@@ -198,23 +203,34 @@ object GrepIndex {
     // df from the WRITTEN postings (one cheap re-agg of persisted
     // data, never a recompute of the gram pass): postings carry one
     // row per (doc, gram), so count = the segment's df
-    spark.read.parquet(post)
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .repartitionByRange(math.max(nFiles, 1), col("h"))
+    Layout.repartitionByHashRange(
+        spark.read.parquet(post)
+          .groupBy(col("h")).agg(count(lit(1)).as("df")),
+        col("h"), math.max(nFiles, 1))
       .sortWithinPartitions("h")
       .write.mode("errorifexists").parquet(stat)
     // docs get 8 MB groups for the same reason: the verify fetch
     // reads candidate RANGES (file prune + pushed range), and a
     // smaller group bounds how much non-candidate text decompresses
     // around each hit
+    // doc count rides the write's own execution (observe — the Curate
+    // r14 discipline): an exact integer count, identical to the
+    // post-write re-read count() it replaces, minus one scan job per
+    // segment (build + append each write one)
+    // NOTE the observe sits DOWNSTREAM of the range exchange: the
+    // RangePartitioner's sampling pass executes the exchange's CHILD
+    // a second time, and a CollectMetrics below the exchange would
+    // double-count through the sampler
+    val obs = org.apache.spark.sql.Observation()
     docs.select(col(idCol).cast("long").as("doc_id"),
                 col(textCol).as("text"))
       .repartitionByRange(math.max(nFiles, 1), col("doc_id"))
       .sortWithinPartitions("doc_id")
+      .observe(obs, count(lit(1)).as("n"))
       .write.option("parquet.block.size", 8 * 1024 * 1024)
       .mode("overwrite").parquet(dcs)
     StatsIndex.write(spark, dcs, Seq("doc_id"))
-    val seg = Segment(post, stat, dcs, spark.read.parquet(dcs).count())
+    val seg = Segment(post, stat, dcs, obs.get("n").asInstanceOf[Long])
     // staging sentinel: the dirs are complete but unreferenced until
     // the catalog CAS lands — the sentinel exempts them from vacuum's
     // minAge cutoff for stagings of ANY duration (Manifest.StagingSentinel)
@@ -329,15 +345,17 @@ object GrepIndex {
     val post = s"$root/$SegmentsDir/post-$token"
     val stat = s"$root/$SegmentsDir/stats-$token"
     val dcs = s"$root/$SegmentsDir/docs-$token"
-    spark.read.parquet(catalog.map(_.postings): _*)
-      .repartitionByRange(math.max(nFiles, 1), col("h"))
+    Layout.repartitionByHashRange(
+        spark.read.parquet(catalog.map(_.postings): _*),
+        col("h"), math.max(nFiles, 1))
       .sortWithinPartitions("h")
       .write.option("parquet.block.size", 4 * 1024 * 1024)
       .mode("overwrite").parquet(post)
     StatsIndex.write(spark, post, Seq("h"))
-    spark.read.parquet(catalog.map(_.stats): _*)
-      .groupBy(col("h")).agg(sum(col("df")).as("df"))
-      .repartitionByRange(math.max(nFiles, 1), col("h"))
+    Layout.repartitionByHashRange(
+        spark.read.parquet(catalog.map(_.stats): _*)
+          .groupBy(col("h")).agg(sum(col("df")).as("df")),
+        col("h"), math.max(nFiles, 1))
       .sortWithinPartitions("h")
       .write.mode("errorifexists").parquet(stat)
     spark.read.parquet(catalog.map(_.docs): _*)

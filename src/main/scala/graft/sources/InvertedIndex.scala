@@ -120,31 +120,49 @@ object InvertedIndex {
         posting.repartition(math.max(nFiles, 1), col("bucket"))
           .sortWithinPartitions("bucket", "term")
       else
-        posting
-          .repartitionByRange(math.max(nFiles, 1), col("bucket"), col("term"))
+        // bucket-range clustering WITHOUT the RangePartitioner
+        // sampling pass (r19, guide §2.4 — the r18-verdict-item-4
+        // residual closed structurally): buckets are an enumerable
+        // [0, nBuckets) domain, so boundaries need no sampling —
+        // repartitionByRange ran the whole tokenize+term-count chain
+        // TWICE per segment (once for the sampler, once for the
+        // write). Files hold contiguous whole buckets, so StatsIndex
+        // file pruning is as tight as the range layout's (tighter: a
+        // bucket never straddles files) and probes are unchanged.
+        Layout.repartitionByKeyRange(posting, col("bucket"), nBuckets,
+            math.max(nFiles, 1))
           .sortWithinPartitions("bucket", "term")
+    // segment stats ride the write's own execution via observe (the
+    // Curate.writeSegment r14 discipline, applied here in r19): n_docs
+    // and sum_dl are exact INTEGER sums — order-independent, so the
+    // observed values are byte-identical to the old post-write
+    // `where(d0).agg(...)` re-read they replace, minus one scan job
+    // per segment (this path runs twice per bm25_index_incremental
+    // and once per curate batch).
+    val obs = org.apache.spark.sql.Observation()
     laid.select("bucket", "term", "doc_id", "tf", "dl", "d0")
+      .observe(obs,
+        count(when(col("d0"), lit(1))).as("n"),
+        sum(when(col("d0"), col("dl"))).as("s"))
       .write.mode("errorifexists").parquet(post)
     StatsIndex.write(spark, post, Seq("bucket"))
     // dictionary + stats from the WRITTEN postings (one cheap re-agg
     // of what was persisted, never a recompute of the tokenization):
     // postings carry one row per (doc, term), so count = df
     val written = spark.read.parquet(post)
-    written.groupBy(col("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .repartitionByRange(math.max(math.min(nFiles, nBuckets), 1),
-        col("bucket"), col("term"))
+    Layout.repartitionByKeyRange(
+        written.groupBy(col("bucket"), col("term"))
+          .agg(count(lit(1)).as("df")),
+        col("bucket"), nBuckets, math.max(math.min(nFiles, nBuckets), 1))
       .sortWithinPartitions("bucket", "term")
       .write.mode("errorifexists").parquet(dict)
     StatsIndex.write(spark, dict, Seq("bucket"))
     // exactly one d0=true row per doc (every doc has >= 1 token: split
-    // of even an empty string yields [""]), so n_docs/sum_dl come from
-    // a flat pushed-filter scan — not a (doc_id, dl) distinct, which
-    // at 5M docs re-shuffled ~500M posting rows
-    val stats = written.where(col("d0"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
-    val seg = Segment(post, dict, stats.getLong(0),
-      if (stats.isNullAt(1)) 0L else stats.getLong(1), nBuckets)
+    // of even an empty string yields [""]), so n_docs/sum_dl are the
+    // observed flat sums over exactly the written rows
+    val n = obs.get("n").asInstanceOf[Long]
+    val s = obs.get("s") match { case null => 0L; case v => v.asInstanceOf[Long] }
+    val seg = Segment(post, dict, n, s, nBuckets)
     // staging sentinel: complete but unreferenced until the catalog
     // CAS — exempt from vacuum's minAge for stagings of any duration
     Manifest.markStaging(spark, segDirs(seg))
@@ -388,17 +406,18 @@ object InvertedIndex {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val post = s"$root/$SegmentsDir/post-$token"
     val dict = s"$root/$SegmentsDir/dict-$token"
-    spark.read.parquet(catalog.map(_.postings): _*)
-      .repartitionByRange(math.max(nFiles, 1), col("bucket"), col("term"))
+    Layout.repartitionByKeyRange(
+        spark.read.parquet(catalog.map(_.postings): _*),
+        col("bucket"), nBuckets, math.max(nFiles, 1))
       .sortWithinPartitions("bucket", "term")
       .select("bucket", "term", "doc_id", "tf", "dl")
       .write.mode("errorifexists").parquet(post)
     StatsIndex.write(spark, post, Seq("bucket"))
     val written = spark.read.parquet(post)
-    written.groupBy(col("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .repartitionByRange(math.max(math.min(nFiles, nBuckets), 1),
-        col("bucket"), col("term"))
+    Layout.repartitionByKeyRange(
+        written.groupBy(col("bucket"), col("term"))
+          .agg(count(lit(1)).as("df")),
+        col("bucket"), nBuckets, math.max(math.min(nFiles, nBuckets), 1))
       .sortWithinPartitions("bucket", "term")
       .write.mode("errorifexists").parquet(dict)
     StatsIndex.write(spark, dict, Seq("bucket"))

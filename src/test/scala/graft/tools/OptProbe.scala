@@ -149,8 +149,9 @@ object OptProbe {
         t("collapse+ckpt") { val c = texts.localCheckpoint(); c.count() }
         val textsC = texts.localCheckpoint()
         for ((tag, gcol) <- Seq(
-            ("md5", expr(s"transform(sequence(1, length(__t) - ${k - 1}), " +
+            ("md5hof", expr(s"transform(sequence(1, length(__t) - ${k - 1}), " +
                          s"i -> md5(substring(__t, i, $k)))")),
+            ("md5nat", graft.functions.GraftFunctions.charGramMd5(col("__t"), k)),
             ("xx", graft.functions.GraftFunctions.charGramHashes(col("__t"), k)))) {
           val withG = textsC.where(length(col("__t")) >= k)
             .select(col("__fp"), col("__w"), gcol.as("__gs"))

@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Generate the OPTIMIZATION_r19 appendix: every registered query with
+before (round-start) vs after (post-optimization) bench numbers.
+Usage: opt_checklist.py BEFORE.json AFTER.json"""
+import json
+import sys
+
+before = json.load(open(sys.argv[1]))
+after = json.load(open(sys.argv[2]))
+bc, ac = before["task_cpu_ms"], after["task_cpu_ms"]
+bw, aw = before["queries"], after["queries"]
+
+# queries with targeted structural changes this round
+targeted = {
+    "dedup_substring": "native md5 gram walk (CharGramMd5)",
+    "dedup_substring_xx": "shares exciseImpl; Finding 0",
+    "curate_incremental": "gate checks fused+overlapped; enumerated layout in appends",
+    "ann_index_probe": "enumerated cell layout in build",
+    "ann_index_append": "enumerated cell layout in build+append",
+    "ann_index_pq": "enumerated cell layout incl. code table",
+    "bm25_index_probe": "enumerated bucket layout; observe stats",
+    "bm25_index_incremental": "enumerated bucket layout; observe stats",
+    "grep_index_probe": "hash-range posting layout; observe doc count",
+    "grep_index_append": "hash-range posting layout; observe doc count",
+    "grep_regex_probe": "hash-range posting layout; observe doc count",
+}
+
+print("| query | cpu_s before | cpu_s after | wall_s before | wall_s after | disposition |")
+print("|---|---|---|---|---|---|")
+for q in sorted(set(bw) | set(aw)):
+    b_c = bc.get(q, -1) / 1000
+    a_c = ac.get(q, -1) / 1000
+    b_w = bw.get(q, -1)
+    a_w = aw.get(q, -1)
+    if q in targeted:
+        disp = "OPTIMIZED: " + targeted[q]
+    else:
+        disp = "examined; Finding 0 (warm codegen) applies; shape left alone"
+    print(f"| {q} | {b_c:.2f} | {a_c:.2f} | {b_w:.2f} | {a_w:.2f} | {disp} |")
