@@ -142,6 +142,19 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split("\\s+").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    // Hypervisor steal over the bench window (r19): this sandbox
+    // measured ~18% of ticks stolen under full 32-core load in one
+    // window and near zero in another — the failure mode behind the
+    // r18 driver anomaly. (steal_ticks, total_ticks) from /proc/stat;
+    // the emitted steal_pct makes a contended capture self-evident
+    // instead of needing forensic reconstruction.
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    val (steal0, ticks0) = cpuTicks()
     val loadBefore = loadavg()
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -186,6 +199,10 @@ object Bench {
                else runs.map(_._4).min)
     }
     val loadAfter = loadavg()
+    val (steal1, ticks1) = cpuTicks()
+    val stealPct =
+      if (ticks1 > ticks0) 100.0 * (steal1 - steal0) / (ticks1 - ticks0)
+      else -1.0
     // Machine self-calibration (r16 verdict item 5: the r16 bench
     // story needed a hand-derived 1.35× control band; this makes it
     // structural). The five control rows are queries whose code has
@@ -245,14 +262,14 @@ object Bench {
       }.mkString("[", ",", "]")
       s"\"" + name + "\":" + rows
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_cpu_total_sec":${fmt(cpuTotalSec)},"task_total_sec":${fmt(taskTotalSec)},"task_ms_drained":$listenerDrainOk,"queries":${qsJson(results)},"task_cpu_ms":$cpuJson,"task_ms":$taskJson,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",$calJson}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_cpu_total_sec":${fmt(cpuTotalSec)},"task_total_sec":${fmt(taskTotalSec)},"task_ms_drained":$listenerDrainOk,"queries":${qsJson(results)},"task_cpu_ms":$cpuJson,"task_ms":$taskJson,"per_pass":$passJson,"sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","steal_pct":${fmt(stealPct)},$calJson}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_results.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case scala.util.control.NonFatal(_) => () }
     val failed = results.filter(_._2 < 0)
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_cpu_total_sec":${fmt(cpuTotalSec)},"task_total_sec":${fmt(taskTotalSec)},"task_ms_drained":$listenerDrainOk,"n_queries":${results.size},"n_failed":${failed.size},"machine_factor":${fmt(machineFactor)},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","task_cpu_total_sec":${fmt(cpuTotalSec)},"task_total_sec":${fmt(taskTotalSec)},"task_ms_drained":$listenerDrainOk,"n_queries":${results.size},"n_failed":${failed.size},"machine_factor":${fmt(machineFactor)},"queries":${qsJson(failed ++ slowest)},"full":"bench_results.json","sf":"$sfDir","passes":$passes,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter","steal_pct":${fmt(stealPct)}}"""
     println(line)
     spark.stop()
   }

@@ -5726,10 +5726,13 @@ object Queries {
     val partSup = baskets
       .select(explode(col("parts")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("sup"))
+    // r19 batch 3 (guide §1.2 step 2): native flat pair loop — same
+    // pairs in the same order as the nested transform/slice HOF it
+    // replaces (ExpressionSpec pins value-identity), minus two
+    // interpreted lambda layers and a slice copy per element.
     val pairSup = baskets
-      .select(explode(flatten(transform(col("parts"), (x, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
-          struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .select(explode(graft.functions.GraftFunctions.orderedPairs(
+        col("parts"))).as("p"))
       .groupBy(col("p.pa").as("part_a"), col("p.pb").as("part_b"))
       .agg(count(lit(1)).as("n_ab"))
     val top = pairSup

@@ -35,6 +35,8 @@ object GraftFunctions {
   val WordGramHashesName = "graft_word_gram_hashes"
   val TokenSegmentsName = "graft_token_segments"
   val MultiMatchName = "graft_multi_match"
+  val SortedIntersectCountName = "graft_sorted_intersect_count"
+  val OrderedPairsName = "graft_ordered_pairs"
 
   /** Arity gate for SQL-side calls: without it a wrong argument count
     * surfaces as IndexOutOfBoundsException from inside the registry
@@ -149,7 +151,16 @@ object GraftFunctions {
     (MultiMatchName, classOf[graft.functions.expressions.MultiPatternHits],
       (c0: Seq[Expression]) => { val c = arity(MultiMatchName,
           "text, patterns", 2, c0)
-        graft.functions.expressions.MultiPatternHits(c(0), c(1)) }))
+        graft.functions.expressions.MultiPatternHits(c(0), c(1)) }),
+    (SortedIntersectCountName,
+      classOf[graft.functions.expressions.SortedIntersectCount],
+      (c0: Seq[Expression]) => { val c = arity(SortedIntersectCountName,
+          "sortedA, sortedB", 2, c0)
+        graft.functions.expressions.SortedIntersectCount(c(0), c(1)) }),
+    (OrderedPairsName, classOf[graft.functions.expressions.OrderedPairs],
+      (c0: Seq[Expression]) => { val c = arity(OrderedPairsName,
+          "xs", 1, c0)
+        graft.functions.expressions.OrderedPairs(c(0)) }))
 
   /** The k argument must be a foldable int — accept INT/BIGINT
     * literals and constant expressions, reject the rest with a clear
@@ -333,6 +344,24 @@ object GraftFunctions {
   def multiMatch(text: Column, patterns: Seq[String]): Column = {
     SparkSession.getActiveSession.foreach(register)
     call_function(MultiMatchName, text, lit(patterns.toArray))
+  }
+
+  /** Distinct-intersection cardinality of two SORTED string arrays —
+    * value-identical to `size(array_intersect(a, b))` for sorted
+    * inputs, zero allocation per row; see
+    * [[graft.functions.expressions.SortedIntersectCount]]. */
+  def sortedIntersectCount(sortedA: Column, sortedB: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(SortedIntersectCountName, sortedA, sortedB)
+  }
+
+  /** Every ordered index pair (i < j) of an array as
+    * `array<struct<pa, pb>>`, one flat loop — value-identical to the
+    * nested transform/slice HOF expansion; see
+    * [[graft.functions.expressions.OrderedPairs]]. */
+  def orderedPairs(xs: Column): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    call_function(OrderedPairsName, xs)
   }
 
   /** Let-binding for Column trees: evaluates `c` ONCE per row and

@@ -201,21 +201,29 @@ case class CharGramMd5(child: Expression, k: Int)
     if (grams < 1) return new GenericArrayData(Array.empty[AnyRef])
     // one private byte copy per ROW (not per gram): MessageDigest
     // needs a heap array, and getBytes returns the string's own array
-    // when it is already exactly heap-backed
+    // when it is already exactly heap-backed.
+    // Why MessageDigest and not a hand-rolled compress: HotSpot
+    // intrinsifies MD5.implCompress (JDK 16+), so the JCA digest runs
+    // hand-optimized assembly even before JIT warmup — the r19 batch-3
+    // hand-rolled RFC 1321 port measured 2.2× WORSE warm (33.7 vs 15.3
+    // task-cpu-s on dedup_substring) and ~8× worse cold, and was
+    // reverted. The digest into a caller buffer (digest(buf, 0, 16))
+    // avoids the per-gram 16-byte allocation the r19 probe charged to
+    // this loop.
     val bytes = u.getBytes
     val offs = Grams.charBoundaryOffsets(UTF8String.fromBytes(bytes), nChars)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
     val out = new Array[UTF8String](grams)
     var i = 0
     while (i < grams) {
-      md.reset()
       md.update(bytes, offs(i), offs(i + k) - offs(i))
-      val d = md.digest()
+      md.digest(dig, 0, 16)
       val hex = new Array[Byte](32)
       var j = 0
       while (j < 16) {
-        hex(2 * j) = hexDigits((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = hexDigits(d(j) & 0xf)
+        hex(2 * j) = hexDigits((dig(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexDigits(dig(j) & 0xf)
         j += 1
       }
       out(i) = UTF8String.fromBytes(hex)

@@ -74,18 +74,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
     copy(child = newChild)
 
-  @transient private lazy val digest =
-    new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
-  /** First 60 bits of the md5: bytes 0..6, then the high nibble of
-    * byte 7 — exactly parseLong(hex.take(15), 16). */
-  private def md5Top60(bytes: Array[Byte]): Long = {
-    val md = digest.get()
-    md.reset()
-    val d = md.digest(bytes)
+  /** First 60 bits of the md5 digest: bytes 0..6, then the high
+    * nibble of byte 7 — exactly parseLong(hex.take(15), 16). */
+  private def top60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -97,10 +88,27 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val nChars = u.numChars()
     val grams = nChars - k + 1
     if (grams - w + 1 < 1) return new GenericArrayData(Array.empty[Long])
+    // r19 batch 3: the gram walk joins the zero-copy discipline the xx
+    // form already had — ONE boundary pass + byte-range updates over
+    // one private copy, instead of a per-gram `UTF8String.substring`
+    // re-walk that re-counts code points from the string head and
+    // allocates a string + byte array per gram (the O(len²) r15 wall,
+    // still paid here until now). The digest stays MessageDigest —
+    // HotSpot intrinsifies MD5.implCompress, and the r19 hand-rolled
+    // replacement measured 2.2× worse warm and was reverted — but
+    // digests into a reusable buffer instead of allocating 16 bytes
+    // per gram. Same bytes, same md5, same fingerprint stream
+    // (ExpressionSpec's HOF parity pins it).
+    val bytes = u.getBytes
+    val offs = Grams.charBoundaryOffsets(UTF8String.fromBytes(bytes), nChars)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
     val hs = new Array[Long](grams)
     var i = 0
     while (i < grams) {
-      hs(i) = md5Top60(u.substring(i, i + k).getBytes)
+      md.update(bytes, offs(i), offs(i + k) - offs(i))
+      md.digest(dig, 0, 16)
+      hs(i) = top60(dig)
       i += 1
     }
     WinnowFingerprints.winnowStream(hs, w)

@@ -80,12 +80,16 @@ object Corpus {
     val perText = exploded.join(counts, "seg")
       .withColumn("kept", col("n_docs") <= maxDocs)
       .groupBy(col("__fp"))
+      // r19 batch 3: dropped segments never enter the reassembly
+      // buffer — collect_list skips the nulls `when(kept, …)` yields,
+      // so the filter() pass disappears and each buffered struct
+      // drops the kept flag; seg_idx is unique within a text (a
+      // posexplode index), so sorting kept structs alone reproduces
+      // the old sort-then-filter order exactly (oracle-gated).
       .agg(
         concat_ws(" ", transform(
-          filter(
-            array_sort(collect_list(struct(col("seg_idx"), col("kept"),
-                                           col("seg")))),
-            s => s("kept")),
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
           s => s("seg"))).as("clean_text"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
@@ -143,12 +147,11 @@ object Corpus {
       .withColumn("kept",
         col("__seg_docs") * den < col("__src_docs") * num)
       .groupBy(col(sourceCol), col("__fp"))
+      // kept-only reassembly buffer — see dedupLines (same r19 trim)
       .agg(
         concat_ws(" ", transform(
-          filter(
-            array_sort(collect_list(struct(col("seg_idx"), col("kept"),
-                                           col("seg")))),
-            s => s("kept")),
+          array_sort(collect_list(when(col("kept"),
+            struct(col("seg_idx"), col("seg"))))),
           s => s("seg"))).as("clean_text"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))

@@ -69,8 +69,15 @@ object SetJoin {
     spread
       .join(arrs.select(col("id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(arrs.select(col("id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      // r19 batch 3 (guide §1.2 step 2): ta/tb are sort_array'd
+      // collect_set outputs, so the distinct-intersection size is a
+      // zero-allocation merge walk — value-identical to
+      // size(array_intersect(ta, tb)) on sorted inputs (ExpressionSpec
+      // pins it), minus the per-pair hash set + materialized
+      // intersection array the built-in pays only to be size()'d.
       .withColumn("inter",
-        size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        graft.functions.GraftFunctions.sortedIntersectCount(
+          col("ta"), col("tb")).cast("long"))
       .where(col("inter") * tauDen >=
         (col("sz_a") + col("sz_b") - col("inter")) * tauNum)
       .select(col("doc_a"), col("doc_b"), col("inter"),

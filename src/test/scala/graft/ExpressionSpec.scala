@@ -354,6 +354,56 @@ class ExpressionSpec extends SparkSpec {
       .as[Seq[String]].head().isEmpty)
   }
 
+  test("graft_sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    // corpus-derived sorted token sets (the SetJoin verify shape) ...
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select(sort_array(array_distinct(split(col("text"), " "))).as("ta"))
+    val pairs = docs.crossJoin(
+      docs.limit(40).withColumnRenamed("ta", "tb"))
+    val checked = pairs.select(
+      GraftFunctions.sortedIntersectCount(col("ta"), col("tb")).as("nat"),
+      size(array_intersect(col("ta"), col("tb"))).as("ref"))
+    assert(checked.where(col("nat") =!= col("ref")).isEmpty)
+    // ... plus hand-built edges: duplicates inside a sorted array,
+    // empty sides, disjoint, identical, and a shared null (sorts
+    // first; array_intersect counts it once)
+    val edge = Seq(
+      (Seq("a", "a", "b", "c"), Seq("a", "b", "b", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("ta", "tb")
+      .unionAll(Seq((Seq(null, "a", "b"), Seq(null, "b", "x")))
+        .toDF("ta", "tb"))
+    val echecked = edge.select(
+      GraftFunctions.sortedIntersectCount(col("ta"), col("tb")).as("nat"),
+      size(array_intersect(col("ta"), col("tb"))).as("ref"))
+    assert(echecked.where(col("nat") =!= col("ref")).isEmpty)
+  }
+
+  test("graft_ordered_pairs equals the nested transform/slice pair expansion") {
+    // the basket_affinity shape: sorted distinct long arrays
+    val baskets = Tables.lineitem(spark, sfDir).limit(5000)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    def hofPairs(c: org.apache.spark.sql.Column) =
+      flatten(transform(c, (x, i) =>
+        transform(slice(c, i + 2, size(c)), y =>
+          struct(x.as("pa"), y.as("pb")))))
+    val checked = baskets.select(
+      GraftFunctions.orderedPairs(col("parts")).as("nat"),
+      hofPairs(col("parts")).as("ref"))
+    assert(checked.where(col("nat") =!= col("ref")).isEmpty)
+    // degenerates: empty and single-element arrays -> zero pairs
+    val edges = Seq(Seq.empty[Long], Seq(7L), Seq(1L, 2L, 3L)).toDF("parts")
+    val out = edges.select(
+      GraftFunctions.orderedPairs(col("parts")).as("nat"),
+      hofPairs(col("parts")).as("ref"))
+    assert(out.where(col("nat") =!= col("ref")).isEmpty)
+    assert(edges.select(size(GraftFunctions.orderedPairs(col("parts"))))
+      .as[Int].collect().sorted.toSeq === Seq(0, 0, 3))
+  }
+
   test("graft_word_gram_hashes equals xxhash64 over concat_ws/slice shingle windows") {
     val n = 8
     def windows(nn: Int) = gramEdgeDocs.select(col("text"),

@@ -336,8 +336,239 @@ object OptProbe {
         }
         spark.stop()
 
+      case "ab3" =>
+        // r19 batch-3 interleaved expression A/Bs: the sandbox has
+        // TIME-VARYING hypervisor steal (measured ~18% of ticks under
+        // full load), so cross-run comparisons are invalid — variants
+        // alternate WITHIN each round in one JVM and the per-variant
+        // min/median across rounds is the decision signal.
+        val sfDir = args(1); val rounds = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def run(body: => Unit): Double = {
+          val c0 = clock.cpuNs.get()
+          body
+          drain(spark)
+          (clock.cpuNs.get() - c0) / 1e9
+        }
+        import graft.functions.GraftFunctions
+        // --- jaccard verify input: the real candidate (ta, tb) pairs ---
+        val docs = Tables.documents(spark, sfDir)
+        val toks = docs.select(col("doc_id").as("id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val arrs = toks.groupBy(col("id"))
+          .agg(sort_array(collect_set(col("tok"))).as("toks"))
+        val pairs = arrs.as("a").join(arrs.as("b"),
+            col("a.id") < col("b.id") &&
+            pmod(col("a.id") + col("b.id"), lit(600)) === 0)
+          .select(col("a.toks").as("ta"), col("b.toks").as("tb"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"AB3 pairs=${pairs.count()}")
+        // --- basket pair-explode input ---
+        val baskets = Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"AB3 baskets=${baskets.count()}")
+        // --- md5 gram walk input: distinct normalized texts ---
+        val textsC = docs
+          .select(graft.functions.TextFunctions.normalize(col("text")).as("__t"))
+          .distinct().where(length(col("__t")) >= 20)
+          .repartition(32)
+          .localCheckpoint()
+        println(s"AB3 texts=${textsC.count()}")
+        val variants: Seq[(String, () => Unit)] = Seq(
+          ("inter_builtin", () =>
+            pairs.agg(sum(size(array_intersect(col("ta"), col("tb")))))
+              .collect()),
+          ("inter_native", () =>
+            pairs.agg(sum(GraftFunctions.sortedIntersectCount(
+              col("ta"), col("tb")))).collect()),
+          ("pairs_hof", () =>
+            baskets.select(explode(flatten(transform(col("parts"), (x, i) =>
+              transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
+                struct(x.as("pa"), y.as("pb")))))).as("p"))
+              .agg(sum(col("p.pa"))).collect()),
+          ("pairs_native", () =>
+            baskets.select(explode(GraftFunctions.orderedPairs(
+              col("parts"))).as("p"))
+              .agg(sum(col("p.pa"))).collect()),
+          ("md5walk_hof", () =>
+            textsC.select(explode(expr("transform(sequence(1, length(__t) - 19), " +
+              "i -> md5(substring(__t, i, 20)))").as("gs")).as("g"))
+              .agg(count(lit(1))).collect()),
+          ("md5walk_native", () =>
+            textsC.select(explode(GraftFunctions.charGramMd5(col("__t"), 20)).as("g"))
+              .agg(count(lit(1))).collect()),
+          ("winnow_native", () =>
+            docs.where(length(col("text")) >= 11)
+              .select(explode(GraftFunctions.winnow(col("text"), 8, 4)))
+              .agg(count(lit(1))).collect()))
+        val results = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        (1 to rounds).foreach { r =>
+          val order = if (r % 2 == 1) variants else variants.reverse
+          order.foreach { case (name, body) =>
+            val cpu = run(body())
+            results(name) = cpu :: results(name)
+            println(f"AB3 round=$r $name%-16s cpu=$cpu%8.3f")
+          }
+        }
+        variants.foreach { case (name, _) =>
+          val rs = results(name)
+          val sorted = rs.sorted
+          println(f"AB3SUMMARY $name%-16s min=${sorted.head}%8.3f med=${sorted(sorted.size / 2)}%8.3f")
+        }
+        spark.stop()
+
+      case "ab4" =>
+        // dedup_substring (md5 evaluation form): do the dup-gram table
+        // and position join get cheaper when the 32-char hex keys are
+        // unhex'd to 16-byte binary through the explode/agg/join?
+        // unhex is INJECTIVE on valid hex, so groups and matches are
+        // identical — this is a key-representation A/B only.
+        val sfDir = args(1); val rounds = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def runC(body: => Unit): Double = {
+          val c0 = clock.cpuNs.get()
+          body
+          drain(spark)
+          (clock.cpuNs.get() - c0) / 1e9
+        }
+        import graft.functions.TextFunctions
+        val k = 20
+        val docs = Tables.documents(spark, sfDir)
+        val textsC = docs
+          .select(col("doc_id"), TextFunctions.normalize(col("text")).as("__t"))
+          .groupBy(md5(col("__t")).as("__fp"), col("__t"))
+          .agg(count(lit(1)).as("__w"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"AB4 texts=${textsC.count()}")
+        def dupStarts(gramKey: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Unit = {
+          val withG = textsC.where(length(col("__t")) >= k)
+            .select(col("__fp"), col("__w"),
+              graft.functions.GraftFunctions.charGramMd5(col("__t"), k).as("__gs"))
+          val dup = withG
+            .select(col("__w"), explode(array_distinct(col("__gs"))).as("__g0"))
+            .select(col("__w"), gramKey(col("__g0")).as("__g"))
+            .groupBy(col("__g")).agg(sum(col("__w")).as("__c"))
+            .where(col("__c") >= 2).select(col("__g"))
+          val pos = withG.select(col("__fp"), posexplode(col("__gs")))
+            .toDF("__fp", "__i0", "__g")
+            .select(col("__fp"), col("__i0"), gramKey(col("__g")).as("__g"))
+          pos.join(dup, "__g")
+            .groupBy(col("__fp"))
+            .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
+            .agg(count(lit(1)), sum(size(col("__ds")))).collect()
+        }
+        val variants4: Seq[(String, () => Unit)] = Seq(
+          ("hexkeys", () => dupStarts(identity)),
+          ("binkeys", () => dupStarts(unhex)))
+        val results4 = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        (1 to rounds).foreach { r =>
+          val order = if (r % 2 == 1) variants4 else variants4.reverse
+          order.foreach { case (name, body) =>
+            val cpu = runC(body())
+            results4(name) = cpu :: results4(name)
+            println(f"AB4 round=$r $name%-10s cpu=$cpu%8.3f")
+          }
+        }
+        variants4.foreach { case (name, _) =>
+          val sorted = results4(name).sorted
+          println(f"AB4SUMMARY $name%-10s min=${sorted.head}%8.3f med=${sorted(sorted.size / 2)}%8.3f")
+        }
+        spark.stop()
+
+      case "ab5" =>
+        // dedupLines reassembly agg: full-buffer collect + sort +
+        // filter (old) vs kept-only collect via when() (new), over the
+        // real exploded segment table at sf0.1.
+        val sfDir = args(1); val rounds = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def runC(body: => Unit): Double = {
+          val c0 = clock.cpuNs.get()
+          body
+          drain(spark)
+          (clock.cpuNs.get() - c0) / 1e9
+        }
+        import graft.functions.TextFunctions
+        val segTokens = 8; val maxDocs = 2
+        val docs = Tables.documents(spark, sfDir)
+        val uniq = docs
+          .select(TextFunctions.fingerprint(col("text")).as("__fp"), col("text"))
+          .groupBy(col("__fp"))
+          .agg(min(col("text")).as("text"), count(lit(1)).as("__copies"))
+          .repartition(32)
+        val exploded = uniq
+          .select(col("__fp"), col("__copies"),
+            posexplode(graft.functions.GraftFunctions.tokenSegments(
+              TextFunctions.normalize(col("text")), segTokens)))
+          .toDF("__fp", "__copies", "seg_idx", "seg")
+        val counts5 = exploded
+          .select(col("__fp"), col("__copies"), col("seg")).distinct()
+          .groupBy(col("seg")).agg(sum(col("__copies")).as("n_docs"))
+        val joined = exploded.join(counts5, "seg")
+          .withColumn("kept", col("n_docs") <= maxDocs)
+          .select(col("__fp"), col("seg_idx"), col("seg"), col("kept"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"AB5 segrows=${joined.count()}")
+        def sink(df: org.apache.spark.sql.DataFrame): Unit =
+          df.agg(sum(length(col("clean_text"))), sum(col("n_kept")),
+            sum(col("n_dropped"))).collect()
+        val variants5: Seq[(String, () => Unit)] = Seq(
+          ("full_buffer", () => sink(joined
+            .groupBy(col("__fp"))
+            .agg(
+              concat_ws(" ", transform(
+                filter(
+                  array_sort(collect_list(struct(col("seg_idx"), col("kept"),
+                                                 col("seg")))),
+                  s => s("kept")),
+                s => s("seg"))).as("clean_text"),
+              sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+              sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped")))),
+          ("kept_only", () => sink(joined
+            .groupBy(col("__fp"))
+            .agg(
+              concat_ws(" ", transform(
+                array_sort(collect_list(when(col("kept"),
+                  struct(col("seg_idx"), col("seg"))))),
+                s => s("seg"))).as("clean_text"),
+              sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+              sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped")))))
+        val results5 = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        (1 to rounds).foreach { r =>
+          val order = if (r % 2 == 1) variants5 else variants5.reverse
+          order.foreach { case (name, body) =>
+            val cpu = runC(body())
+            results5(name) = cpu :: results5(name)
+            println(f"AB5 round=$r $name%-12s cpu=$cpu%8.3f")
+          }
+        }
+        variants5.foreach { case (name, _) =>
+          val sorted = results5(name).sorted
+          println(f"AB5SUMMARY $name%-12s min=${sorted.head}%8.3f med=${sorted(sorted.size / 2)}%8.3f")
+        }
+        spark.stop()
+
       case other =>
-        println(s"unknown mode $other; modes: plans time substr tri jac jacplan substrplan")
+        println(s"unknown mode $other; modes: plans time substr tri jac jacplan substrplan ab3 ab4 ab5")
     }
   }
 }

@@ -12,8 +12,13 @@ bw, aw = before["queries"], after["queries"]
 
 # queries with targeted structural changes this round
 targeted = {
-    "dedup_substring": "native md5 gram walk (CharGramMd5)",
+    "dedup_substring": "native md5 gram walk (CharGramMd5); digest-into-buffer",
     "dedup_substring_xx": "shares exciseImpl; Finding 0",
+    "winnow_fingerprint": "O(len^2) substring walk removed (boundary offsets); digest-into-buffer",
+    "jaccard_join_exact": "verify via zero-alloc SortedIntersectCount",
+    "basket_affinity": "native OrderedPairs explode replaces nested HOF",
+    "dedup_lines": "kept-only reassembly buffer (collect_list skips nulls)",
+    "strip_boilerplate": "kept-only reassembly buffer (collect_list skips nulls)",
     "curate_incremental": "gate checks fused+overlapped; enumerated layout in appends",
     "ann_index_probe": "enumerated cell layout in build",
     "ann_index_append": "enumerated cell layout in build+append",
