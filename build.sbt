@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r20: the bench/verify mains print ONE machine-readable JSON line;
+// under sbt's default LoggedOutput every program line gets an
+// "[info] " prefix, which breaks line-oriented JSON parsers reading
+// the run's stdout (every driver capture since r1 records
+// parsed:null despite the line being present). StdoutOutput lets the
+// forked JVM inherit stdout/stderr so the line arrives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

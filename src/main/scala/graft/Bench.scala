@@ -152,7 +152,10 @@ object Bench {
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
           .trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        // r19 advice: the kernel folds guest/guest_nice (fields 9-10)
+        // into user/nice already — summing all fields would inflate the
+        // steal_pct denominator on guest-reporting hosts
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } catch { case _: Throwable => (0L, 0L) }
     val (steal0, ticks0) = cpuTicks()
     val loadBefore = loadavg()

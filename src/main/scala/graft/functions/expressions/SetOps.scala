@@ -61,6 +61,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var n = if (i > 0 && j > 0) 1 else 0
     var last: UTF8String = null
     while (i < na && j < nb) {
+      // r19 advice: a null AFTER a non-null element violates the
+      // sorted-input contract (nulls sort first) — without this guard
+      // it would NPE on compareTo deep in generated code with no hint
+      // of the cause. Current producers (sort_array over collect_set)
+      // never hit it.
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "graft_sorted_intersect_count: null element after a non-null " +
+            "one - inputs must be sorted ascending (nulls first), e.g. " +
+            "sort_array output")
       val ua = a.getUTF8String(i)
       val ub = b.getUTF8String(j)
       val c = ua.compareTo(ub)
@@ -129,16 +139,34 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
     val et = elemType
     val n = arr.numElements()
     val total = n.toLong * (n - 1) / 2
-    require(total <= Int.MaxValue, s"graft_ordered_pairs: $n elements overflow")
+    // r19 advice: name the function and the remedy instead of a terse
+    // require message — a 65536-element basket is analyzable user data,
+    // not an internal invariant breach.
+    if (total > Int.MaxValue)
+      throw new org.apache.spark.SparkException(
+        s"graft_ordered_pairs: input array of $n elements expands to " +
+          s"$total pairs, past the 2^31-1 array limit - filter oversized " +
+          "groups (e.g. size(col) < 65536) before expanding pairs")
+    // r19 advice: UTF8String/binary results of arr.get are VIEWS into
+    // the input buffer; copy them so the emitted structs stay valid
+    // under a buffering consumer (numeric elements are value types and
+    // need no copy).
+    val copyViews = et == StringType || et == BinaryType
+    def elem(idx: Int): Any =
+      if (arr.isNullAt(idx)) null
+      else arr.get(idx, et) match {
+        case u: UTF8String if copyViews => u.clone()
+        case b: Array[Byte] if copyViews => b.clone()
+        case v => v
+      }
     val out = new Array[AnyRef](total.toInt)
     var p = 0
     var i = 0
     while (i < n) {
-      val a = if (arr.isNullAt(i)) null else arr.get(i, et)
+      val a = elem(i)
       var j = i + 1
       while (j < n) {
-        val b = if (arr.isNullAt(j)) null else arr.get(j, et)
-        out(p) = new GenericInternalRow(Array[Any](a, b)): InternalRow
+        out(p) = new GenericInternalRow(Array[Any](a, elem(j))): InternalRow
         p += 1
         j += 1
       }

@@ -380,8 +380,10 @@ object AnnIndex {
     * results. Records "kept/total" in `spark.graft.ann.lastPruned`. */
   private def prunedCellRead(spark: SparkSession, segPaths: Seq[String],
                              probeCells: Seq[Long]): DataFrame = {
-    val pruned = segPaths.map(s =>
-      StatsIndex.prunedFilesIn(spark, s, "cell", probeCells))
+    // one metadata scan for ALL segments (r20) — the per-segment form
+    // cost one driver-serial job per segment per probe
+    val pruned = StatsIndex.prunedFilesInMany(spark, segPaths, "cell",
+      probeCells)
     val kept = pruned.flatMap(_._1)
     val total = pruned.map(_._2.size).sum
     spark.conf.set("spark.graft.ann.lastPruned", s"${kept.size}/$total")

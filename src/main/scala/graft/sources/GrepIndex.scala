@@ -574,8 +574,10 @@ object GrepIndex {
     val need = idxSel.groupBy(_._1).map { case (pid, rs) =>
       (pid, rs.length.toLong) }.toSeq.toDF("pattern_id", "need")
     val pgDf = idxSel.toDF("pattern_id", "h")
-    val pruned = segs.map(s =>
-      StatsIndex.prunedFilesIn(spark, s.postings, "h", hs))
+    // one metadata scan for ALL segments (r20) — the per-segment form
+    // cost one driver-serial job per segment per probe
+    val pruned = StatsIndex.prunedFilesInMany(
+      spark, segs.map(_.postings), "h", hs)
     val kept = pruned.flatMap(_._1)
     val total = pruned.map(_._2.size).sum
     spark.conf.set("spark.graft.grep.lastPruned", s"${kept.size}/$total")
@@ -640,8 +642,8 @@ object GrepIndex {
       if (candLocal.length <= FetchPruneMax) {
         val candSeq = candLocal.map(r => (r.getLong(0), r.getLong(1))).toSeq
         val ids = candSeq.map(_._1).distinct.sorted
-        val prunedD = segs.map(s =>
-          StatsIndex.prunedFilesIn(spark, s.docs, "doc_id", ids))
+        val prunedD = StatsIndex.prunedFilesInMany(
+          spark, segs.map(_.docs), "doc_id", ids)
         val keptD = prunedD.flatMap(_._1)
         val totalD = prunedD.map(_._2.size).sum
         spark.conf.set("spark.graft.grep.lastDocsPruned",
@@ -808,8 +810,8 @@ object GrepIndex {
     val bgDf = liveIdx.toDF("bkey", "h")
     val bmap = liveIdx.map(_._1).distinct
       .map(bk => (bk, bk >> 7)).toDF("bkey", "pattern_id")
-    val pruned = segs.map(s =>
-      StatsIndex.prunedFilesIn(spark, s.postings, "h", hs))
+    val pruned = StatsIndex.prunedFilesInMany(
+      spark, segs.map(_.postings), "h", hs)
     val kept = pruned.flatMap(_._1)
     spark.conf.set("spark.graft.grep.lastPruned",
       s"${kept.size}/${pruned.map(_._2.size).sum}")

@@ -310,8 +310,10 @@ object InvertedIndex {
     * Records "kept/total" in `spark.graft.inv.lastPruned`. */
   private def prunedBucketRead(spark: SparkSession, segPaths: Seq[String],
                                buckets: Seq[Long]): DataFrame = {
-    val pruned = segPaths.map(s =>
-      StatsIndex.prunedFilesIn(spark, s, "bucket", buckets))
+    // one metadata scan for ALL segments (r20) — the per-segment form
+    // cost one driver-serial job per segment per probe
+    val pruned = StatsIndex.prunedFilesInMany(spark, segPaths, "bucket",
+      buckets)
     val kept = pruned.flatMap(_._1)
     val total = pruned.map(_._2.size).sum
     spark.conf.set("spark.graft.inv.lastPruned", s"${kept.size}/$total")

@@ -179,19 +179,48 @@ object StatsIndex {
     * exactly those paths. `values` is a bounded probe/delete request,
     * fine as a plan literal. */
   def prunedFilesIn(spark: SparkSession, table: String, c: String,
-                    values: Seq[Long]): (Seq[String], Seq[String]) = {
+                    values: Seq[Long]): (Seq[String], Seq[String]) =
+    prunedFilesInMany(spark, Seq(table), c, values).head
+
+  /** Batched [[prunedFilesIn]] over MANY segment tables: every probe
+    * of a multi-segment index (ANN cells, inverted-index buckets, grep
+    * trigrams) needs the same set-membership prune per segment, and
+    * the per-table form costs one driver-serial Spark job EACH — a
+    * 32-segment streamed index paid 32 scheduling round-trips per
+    * probe before any data work (r20, guide §2.6: the wall of the
+    * index rows is driver-serial small jobs). This form reads every
+    * table's stats index in ONE scan (the index is file-count-bounded
+    * metadata by design — see [[write]]) and decides driver-side.
+    * Results are positionally aligned with `tables` and IDENTICAL to
+    * per-table [[prunedFilesIn]] calls: a file absent from its index,
+    * or without numeric stats for `c`, is KEPT (conservative); callers
+    * re-apply their predicate. */
+  def prunedFilesInMany(spark: SparkSession, tables: Seq[String], c: String,
+                        values: Seq[Long])
+      : Seq[(Seq[String], Seq[String])] = {
     require(values.nonEmpty, "no values to prune by")
-    import spark.implicits._
-    val all = listDataFiles(spark, table)
-    val keysLit = typedLit(values)
-    val idxC = read(spark, table).where(col("col") === c)
-      .select(col("file"), col("min_num"), col("max_num"))
-    val kept = spark.createDataset(all).toDF("file")
-      .join(idxC, Seq("file"), "left")
-      .where(col("min_num").isNull || col("max_num").isNull ||
-        exists(keysLit, k => k >= col("min_num") && k <= col("max_num")))
-      .select("file").as[String].collect().toSeq
-    (kept, all)
+    val all = tables.map(listDataFiles(spark, _))
+    // one metadata scan for every index dir; grouped because a file
+    // may carry several stats rows — kept if ANY row passes (matches
+    // the join semantics of the per-table form)
+    val stats: Map[String, Array[(Option[Double], Option[Double])]] =
+      spark.read.parquet(tables.map(t => s"$t/$IndexDir"): _*)
+        .where(col("col") === c)
+        .select(col("file"), col("min_num"), col("max_num"))
+        .collect()
+        .map(r => (r.getString(0),
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+           if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .groupBy(_._1).map { case (f, rs) => (f, rs.map(_._2)) }
+    def keepFile(f: String): Boolean = stats.get(f) match {
+      case None => true // not indexed (stale index) — scan it
+      case Some(rows) => rows.exists {
+        case (Some(mn), Some(mx)) =>
+          values.exists(v => v >= mn && v <= mx)
+        case _ => true // no usable stats — scan it
+      }
+    }
+    all.map(files => (files.filter(keepFile), files))
   }
 
   /** Targeted delete (GDPR / right-to-be-forgotten): remove every row

@@ -410,6 +410,48 @@ class SourcesSpec extends SparkSpec {
     assert(viaBloom.exceptAll(direct).isEmpty)
   }
 
+  test("StatsIndex.prunedFilesInMany matches per-table semantics in one pass") {
+    val tmp = Files.createTempDirectory("statsmany").toString
+    val orders = Tables.orders(spark, sfDir)
+    val keys = orders.select("o_orderkey").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+    val mid = keys(keys.length / 2)
+    // two disjoint key-range tables, both key-clustered
+    Lake.writeSorted(orders.where(col("o_orderkey") < mid),
+      s"$tmp/lo", "o_orderkey", nFiles = 4)
+    Lake.writeSorted(orders.where(col("o_orderkey") >= mid),
+      s"$tmp/hi", "o_orderkey", nFiles = 4)
+    StatsIndex.write(spark, s"$tmp/lo", Seq("o_orderkey"))
+    StatsIndex.write(spark, s"$tmp/hi", Seq("o_orderkey"))
+    val probe = Seq(keys.head, keys.head + 1)
+    val many = StatsIndex.prunedFilesInMany(
+      spark, Seq(s"$tmp/lo", s"$tmp/hi"), "o_orderkey", probe)
+    // positional alignment + per-table totals
+    assert(many.size === 2)
+    assert(many(0)._2.size === 4 && many(1)._2.size === 4)
+    // the low table prunes to the file(s) holding the head key; the
+    // high table (disjoint range) keeps nothing
+    assert(many(0)._1.nonEmpty && many(0)._1.size < 4)
+    assert(many(1)._1.isEmpty)
+    // conservative correctness: every probed row is inside kept files
+    val hits = spark.read.parquet(many(0)._1: _*)
+      .where(col("o_orderkey").isin(probe: _*)).count()
+    val truth = orders.where(col("o_orderkey").isin(probe: _*)).count()
+    assert(hits === truth)
+    // the single-table wrapper returns the identical decision
+    val single = StatsIndex.prunedFilesIn(spark, s"$tmp/lo", "o_orderkey", probe)
+    assert(single._1.toSet === many(0)._1.toSet && single._2.size === 4)
+    // a file written AFTER the index (stale) is conservatively kept
+    orders.limit(1).write.mode("append").parquet(s"$tmp/hi")
+    val afterStale = StatsIndex.prunedFilesInMany(
+      spark, Seq(s"$tmp/lo", s"$tmp/hi"), "o_orderkey", probe)
+    assert(afterStale(1)._2.size === 5 && afterStale(1)._1.size === 1)
+    // a column with no stats rows keeps every file (no numeric claim)
+    val noStats = StatsIndex.prunedFilesInMany(
+      spark, Seq(s"$tmp/lo"), "o_custkey", probe)
+    assert(noStats(0)._1.size === noStats(0)._2.size)
+  }
+
   test("StatsIndex.deleteByKeys rewrites only the files holding the keys") {
     val tmp = Files.createTempDirectory("delkeys").toString
     val orders = Tables.orders(spark, sfDir)

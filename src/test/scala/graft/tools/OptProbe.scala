@@ -550,7 +550,19 @@ object OptProbe {
                   struct(col("seg_idx"), col("seg"))))),
                 s => s("seg"))).as("clean_text"),
               sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-              sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped")))))
+              sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped")))),
+          // r20 lower bound: the same groupBy WITHOUT any reassembly —
+          // the counts-only agg. (kept_only − no_reassembly) bounds
+          // what a native reassembly aggregate could save.
+          ("no_reassembly", () => joined
+            .groupBy(col("__fp"))
+            .agg(
+              sum(when(col("kept"), length(col("seg"))).otherwise(0L))
+                .as("len_proxy"),
+              sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+              sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"))
+            .agg(sum(col("len_proxy")), sum(col("n_kept")),
+              sum(col("n_dropped"))).collect()))
         val results5 = scala.collection.mutable.Map[String, List[Double]]()
           .withDefaultValue(Nil)
         (1 to rounds).foreach { r =>
@@ -567,8 +579,151 @@ object OptProbe {
         }
         spark.stop()
 
+      case "jobs" =>
+        // r20: Spark-job census per query — the wall of the index
+        // lifecycle rows is DRIVER-SERIAL SMALL JOBS, so the honest,
+        // steal-proof before/after evidence for a job-elision change
+        // is the job count itself (deterministic), with wall/cpu as
+        // context.
+        val sfDir = args(1); val passes = args(2).toInt
+        val qs = args(3).split(",").toSeq
+        val spark = session(cpus)
+        val clock = new CpuClock
+        val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(clock)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs.incrementAndGet()
+          })
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        (1 to passes).foreach { p =>
+          qs.foreach { q =>
+            val j0 = jobs.get(); val c0 = clock.cpuNs.get()
+            val t0 = System.nanoTime()
+            val n = Queries.all(q)(spark, sfDir).count()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Blocks.freeAll(spark)
+            drain(spark)
+            val cpu = (clock.cpuNs.get() - c0) / 1e9
+            println(f"JOBS pass=$p $q%-28s rows=$n%9d njobs=${jobs.get() - j0}%4d wall=$wall%8.3f cpu=$cpu%8.3f")
+          }
+        }
+        spark.stop()
+
+      case "storm" =>
+        // r20: root-cause the allocation-storm variance class (r19's #1
+        // unresolved finding — same-plan task CPU intermittently 5-400×
+        // on allocation-heavy rows). Loops storm-prone reproducers in
+        // ONE JVM and records, per round: task CPU, task-attributed GC,
+        // JVM GC-bean deltas (per collector: count, ms), JIT total
+        // compilation-time delta, code-heap occupancy, and /proc/stat
+        // steal delta. Launch this main under different JVM flags
+        // (collector, heap, code cache) and compare STORM FREQUENCY
+        // (rounds > 3× per-variant min) — frequency is robust to the
+        // sandbox's time-varying hypervisor steal where absolute
+        // cross-JVM numbers are not.
+        val sfDir = args(1); val rounds = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        import java.lang.management.ManagementFactory
+        import scala.jdk.CollectionConverters._
+        def gcStats(): Map[String, (Long, Long)] =
+          ManagementFactory.getGarbageCollectorMXBeans.asScala
+            .map(b => b.getName -> (b.getCollectionCount, b.getCollectionTime))
+            .toMap
+        def stealTicks(): Long =
+          try {
+            val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+              .trim.split("\\s+").drop(1).map(_.toLong)
+            if (f.length > 7) f(7) else 0L
+          } catch { case _: Throwable => 0L }
+        def codeHeapMb(): Long =
+          ManagementFactory.getMemoryPoolMXBeans.asScala
+            .filter(_.getName.startsWith("CodeHeap"))
+            .map(_.getUsage.getUsed).sum / (1 << 20)
+        def heapUsedMb(): Long =
+          ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1 << 20)
+        import graft.functions.GraftFunctions
+        val docs = Tables.documents(spark, sfDir)
+        // storm-prone reproducers, each with a counterpart class note:
+        //   pairs_hof     interpreted nested HOF explode   (ab3 stormer)
+        //   inter_builtin array_intersect materialization  (ab3 stormer)
+        //   cdc_merge     full-outer merge join, no HOFs   (bench stormer
+        //                 r19 batch-3 capture: 3.2 vs 34.2 cpu-s passes)
+        //   scd2          window + union dimension build   (bench stormer)
+        val baskets = Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"STORM baskets=${baskets.count()}")
+        val toks = docs.select(col("doc_id").as("id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val arrs = toks.groupBy(col("id"))
+          .agg(sort_array(collect_set(col("tok"))).as("toks"))
+        val pairs = arrs.as("a").join(arrs.as("b"),
+            col("a.id") < col("b.id") &&
+            pmod(col("a.id") + col("b.id"), lit(600)) === 0)
+          .select(col("a.toks").as("ta"), col("b.toks").as("tb"))
+          .repartition(32)
+          .localCheckpoint()
+        println(s"STORM pairs=${pairs.count()}")
+        val variants: Seq[(String, () => Unit)] = Seq(
+          ("pairs_hof", () =>
+            baskets.select(explode(flatten(transform(col("parts"), (x, i) =>
+              transform(slice(col("parts"), i + 2, size(col("parts"))), y =>
+                struct(x.as("pa"), y.as("pb")))))).as("p"))
+              .agg(sum(col("p.pa"))).collect()),
+          ("inter_builtin", () =>
+            pairs.agg(sum(size(array_intersect(col("ta"), col("tb")))))
+              .collect()),
+          ("cdc_merge", () =>
+            { Queries.all("cdc_merge_apply")(spark, sfDir).count(); () }),
+          ("scd2", () =>
+            { Queries.all("scd2_dimension")(spark, sfDir).count(); () }))
+        val hist = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        (1 to rounds).foreach { r =>
+          val order = if (r % 2 == 1) variants else variants.reverse
+          order.foreach { case (name, body) =>
+            val gc0 = gcStats(); val st0 = stealTicks()
+            val comp0 = ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+            val c0 = clock.cpuNs.get(); val r0 = clock.runMs.get()
+            val g0 = clock.gcMs.get()
+            val t0 = System.nanoTime()
+            body()
+            val wall = (System.nanoTime() - t0) / 1e9
+            Blocks.freeAll(spark)
+            drain(spark)
+            val cpu = (clock.cpuNs.get() - c0) / 1e9
+            val run = (clock.runMs.get() - r0) / 1e3
+            val tgc = (clock.gcMs.get() - g0) / 1e3
+            val comp = (ManagementFactory.getCompilationMXBean
+              .getTotalCompilationTime - comp0) / 1e3
+            val st = stealTicks() - st0
+            val gcd = gcStats().map { case (k, (c, t)) =>
+              val (pc, pt) = gc0.getOrElse(k, (0L, 0L))
+              f"${k.replace(" ", "")}=${c - pc}/${(t - pt) / 1e3}%.1fs"
+            }.mkString(",")
+            hist(name) = cpu :: hist(name)
+            println(f"STORM round=$r $name%-14s wall=$wall%7.2f cpu=$cpu%8.2f run=$run%8.2f taskgc=$tgc%7.2f comp=$comp%6.1f steal=$st%5d heap=${heapUsedMb()}%5dM cc=${codeHeapMb()}%4dM gc[$gcd]")
+          }
+        }
+        variants.foreach { case (name, _) =>
+          val rs = hist(name).sorted
+          val mn = rs.head
+          val storms = rs.count(_ > 3 * mn)
+          println(f"STORMSUMMARY $name%-14s min=$mn%8.2f med=${rs(rs.size / 2)}%8.2f max=${rs.last}%8.2f storms=$storms/${rs.size}")
+        }
+        spark.stop()
+
       case other =>
-        println(s"unknown mode $other; modes: plans time substr tri jac jacplan substrplan ab3 ab4 ab5")
+        println(s"unknown mode $other; modes: plans time substr tri jac jacplan substrplan ab3 ab4 ab5 storm")
     }
   }
 }
