@@ -72,10 +72,19 @@ object Corpus {
           TextFunctions.normalize(col(textCol)), segTokens)))
       .toDF("__fp", "__copies", "seg_idx", "seg")
     // corpus frequency: distinct docs containing seg = sum of copy
-    // counts over the unique texts containing it (per-unique distinct
-    // first: a seg repeated inside one text counts its docs once)
-    val counts = exploded
-      .select(col("__fp"), col("__copies"), col("seg")).distinct()
+    // counts over the unique texts containing it. r20: the per-unique
+    // distinct moved INTO the row (array_distinct before the explode)
+    // — the old distinct() + groupBy pair shuffled the seg strings
+    // twice (once keyed with __fp for the dedup, once for the sum);
+    // this form partial-aggregates map-side into ONE exchange and the
+    // fingerprint never reaches the wire (guide §2.2: shuffle fewer
+    // bytes). Value-identical: __fp is unique per uniq row, so
+    // per-row array_distinct = per-(fp, seg) distinct (probe
+    // LINESCHECK; oracle-gated).
+    val counts = uniq
+      .select(col("__copies"),
+        explode(array_distinct(graft.functions.GraftFunctions.tokenSegments(
+          TextFunctions.normalize(col(textCol)), segTokens))).as("seg"))
       .groupBy(col("seg")).agg(sum(col("__copies")).as("n_docs"))
     val perText = exploded.join(counts, "seg")
       .withColumn("kept", col("n_docs") <= maxDocs)
@@ -137,9 +146,14 @@ object Corpus {
         posexplode(graft.functions.GraftFunctions.tokenSegments(
           TextFunctions.normalize(col(textCol)), segTokens)))
       .toDF(sourceCol, "__fp", "__copies", "seg_idx", "seg")
-    val counts = exploded
-      .select(col(sourceCol), col("__fp"), col("__copies"), col("seg"))
-      .distinct()
+    // one-exchange per-source frequency — see dedupLines (same r20
+    // array_distinct-before-explode rewrite; uniq key here is
+    // (source, fp) so the per-row distinct equals the old
+    // per-(source, fp, seg) distinct)
+    val counts = uniq
+      .select(col(sourceCol), col("__copies"),
+        explode(array_distinct(graft.functions.GraftFunctions.tokenSegments(
+          TextFunctions.normalize(col(textCol)), segTokens))).as("seg"))
       .groupBy(col(sourceCol), col("seg"))
       .agg(sum(col("__copies")).as("__seg_docs"))
     val perText = exploded.join(counts, Seq(sourceCol, "seg"))

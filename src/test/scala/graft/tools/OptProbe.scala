@@ -167,6 +167,16 @@ object OptProbe {
             .groupBy(col("__fp"))
             .agg(sort_array(collect_list(col("__i0") + 1)).as("__ds"))
           t(s"dup_starts_$tag")(dupStarts.count())
+          // r20: warm repeat (JIT) + collect-free control — the delta
+          // (warm dup_starts − nocollect) is the share the
+          // sort_array(collect_list) chain could ever give back to a
+          // native primitive-buffer aggregate.
+          t(s"dup_starts2_$tag")(dupStarts.count())
+          val dupStartsNc = pos.join(dup, "__g")
+            .groupBy(col("__fp"))
+            .agg(max(col("__i0") + 1).as("__m"), count(lit(1)).as("__n"))
+          t(s"dup_starts_nc_$tag")(dupStartsNc.count())
+          t(s"dup_starts_nc2_$tag")(dupStartsNc.count())
         }
         t("full_md5") {
           graft.operators.Corpus.exciseDupSubstrings(docs, "doc_id", "text", k).count()
@@ -516,7 +526,7 @@ object OptProbe {
         val exploded = uniq
           .select(col("__fp"), col("__copies"),
             posexplode(graft.functions.GraftFunctions.tokenSegments(
-              TextFunctions.normalize(col("text")), segTokens)))
+              graft.functions.TextFunctions.normalize(col("text")), segTokens)))
           .toDF("__fp", "__copies", "seg_idx", "seg")
         val counts5 = exploded
           .select(col("__fp"), col("__copies"), col("seg")).distinct()
@@ -576,6 +586,110 @@ object OptProbe {
         variants5.foreach { case (name, _) =>
           val sorted = results5(name).sorted
           println(f"AB5SUMMARY $name%-12s min=${sorted.head}%8.3f med=${sorted(sorted.size / 2)}%8.3f")
+        }
+        spark.stop()
+
+      case "lines" =>
+        // r20: decompose dedupLines (and by shared machinery
+        // stripBoilerplate) to decide whether the reassembly chain —
+        // collect_list(struct) → array_sort → interpreted transform →
+        // concat_ws — is worth a native TypedImperativeAggregate.
+        // Stages nest: each variant adds one stage on the previous, so
+        // consecutive deltas attribute CPU to the added stage.
+        //   grid      fingerprint+normalize+tokenSegments+posexplode
+        //   counts    + per-unique distinct + seg frequency agg
+        //   joined    + join back + groupBy(fp) with CHEAP agg (sums only)
+        //   full      + the real reassembly chain
+        val sfDir = args(1); val rounds = args(2).toInt
+        val spark = session(cpus)
+        val clock = new CpuClock
+        spark.sparkContext.addSparkListener(clock)
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        def runC(body: => Unit): Double = {
+          val c0 = clock.cpuNs.get()
+          body; Blocks.freeAll(spark); drain(spark)
+          (clock.cpuNs.get() - c0) / 1e9
+        }
+        val docs = Tables.documents(spark, sfDir)
+        val segTokens = 8; val maxDocs = 2
+        def uniq0 = docs
+          .select(graft.functions.TextFunctions.fingerprint(col("text")).as("__fp"),
+            col("text"))
+          .groupBy(col("__fp"))
+          .agg(min(col("text")).as("text"), count(lit(1)).as("__copies"))
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+        def exploded0 = uniq0
+          .select(col("__fp"), col("__copies"),
+            posexplode(graft.functions.GraftFunctions.tokenSegments(
+              graft.functions.TextFunctions.normalize(col("text")), segTokens)))
+          .toDF("__fp", "__copies", "seg_idx", "seg")
+        def counts0 = exploded0
+          .select(col("__fp"), col("__copies"), col("seg")).distinct()
+          .groupBy(col("seg")).agg(sum(col("__copies")).as("n_docs"))
+        def joined0 = exploded0.join(counts0, "seg")
+          .withColumn("kept", col("n_docs") <= maxDocs)
+        // B variant: per-text distinct via array_distinct BEFORE the
+        // explode — one exchange (map-side partial sum on seg) instead
+        // of distinct-exchange + agg-exchange, and __fp never shuffles
+        def counts2 = uniq0
+          .select(col("__copies"),
+            explode(array_distinct(graft.functions.GraftFunctions.tokenSegments(
+              graft.functions.TextFunctions.normalize(col("text")), segTokens)))
+              .as("seg"))
+          .groupBy(col("seg")).agg(sum(col("__copies")).as("n_docs"))
+        def joined2 = exploded0.join(counts2, "seg")
+          .withColumn("kept", col("n_docs") <= maxDocs)
+        val variantsL: Seq[(String, () => Unit)] = Seq(
+          ("grid", () =>
+            { exploded0.agg(count(col("seg")), sum(col("seg_idx"))).collect(); () }),
+          ("counts", () =>
+            { counts0.agg(sum(col("n_docs")), count(lit(1))).collect(); () }),
+          ("counts2", () =>
+            { counts2.agg(sum(col("n_docs")), count(lit(1))).collect(); () }),
+          ("joined", () =>
+            { joined0.groupBy(col("__fp"))
+                .agg(sum(when(col("kept"), length(col("seg"))).otherwise(0L)),
+                  sum(when(col("kept"), 1L).otherwise(0L)))
+                .agg(count(lit(1))).collect(); () }),
+          ("full", () =>
+            { joined0.groupBy(col("__fp"))
+                .agg(
+                  concat_ws(" ", transform(
+                    array_sort(collect_list(when(col("kept"),
+                      struct(col("seg_idx"), col("seg"))))),
+                    s => s("seg"))).as("clean_text"),
+                  sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+                .agg(sum(length(col("clean_text"))), count(lit(1)))
+                .collect(); () }),
+          ("full2", () =>
+            { joined2.groupBy(col("__fp"))
+                .agg(
+                  concat_ws(" ", transform(
+                    array_sort(collect_list(when(col("kept"),
+                      struct(col("seg_idx"), col("seg"))))),
+                    s => s("seg"))).as("clean_text"),
+                  sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+                .agg(sum(length(col("clean_text"))), count(lit(1)))
+                .collect(); () }),
+          ("query", () =>
+            { Queries.all("dedup_lines")(spark, sfDir).count(); () }))
+        val chk1 = counts0.agg(sum(col("n_docs")), count(lit(1))).head()
+        val chk2 = counts2.agg(sum(col("n_docs")), count(lit(1))).head()
+        println(s"LINESCHECK counts=$chk1 counts2=$chk2 equal=${chk1 == chk2}")
+        val histL = scala.collection.mutable.Map[String, List[Double]]()
+          .withDefaultValue(Nil)
+        (1 to rounds).foreach { r =>
+          val order = if (r % 2 == 1) variantsL else variantsL.reverse
+          order.foreach { case (name, body) =>
+            val cpu = runC(body())
+            histL(name) = cpu :: histL(name)
+            println(f"LINES round=$r $name%-8s cpu=$cpu%8.3f")
+          }
+        }
+        variantsL.foreach { case (name, _) =>
+          val rs = histL(name).sorted
+          println(f"LINESSUMMARY $name%-8s min=${rs.head}%8.3f med=${rs(rs.size / 2)}%8.3f")
         }
         spark.stop()
 
@@ -673,6 +787,17 @@ object OptProbe {
           .repartition(32)
           .localCheckpoint()
         println(s"STORM pairs=${pairs.count()}")
+        // the two reproducer inputs are localCheckpoint'd (so their
+        // prep CPU never pollutes a variant's round) — pin their RDD
+        // ids; freeing them between rounds would make round 2 throw
+        // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (lineage is truncated).
+        val pinned = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        def freeOthers(): Unit = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => pinned(id) }
+            .values.foreach(_.unpersist(blocking = true))
+        }
         val variants: Seq[(String, () => Unit)] = Seq(
           ("pairs_hof", () =>
             baskets.select(explode(flatten(transform(col("parts"), (x, i) =>
@@ -698,7 +823,7 @@ object OptProbe {
             val t0 = System.nanoTime()
             body()
             val wall = (System.nanoTime() - t0) / 1e9
-            Blocks.freeAll(spark)
+            freeOthers()
             drain(spark)
             val cpu = (clock.cpuNs.get() - c0) / 1e9
             val run = (clock.runMs.get() - r0) / 1e3
