@@ -146,14 +146,15 @@ object Corpus {
         posexplode(graft.functions.GraftFunctions.tokenSegments(
           TextFunctions.normalize(col(textCol)), segTokens)))
       .toDF(sourceCol, "__fp", "__copies", "seg_idx", "seg")
-    // one-exchange per-source frequency — see dedupLines (same r20
-    // array_distinct-before-explode rewrite; uniq key here is
-    // (source, fp) so the per-row distinct equals the old
-    // per-(source, fp, seg) distinct)
-    val counts = uniq
-      .select(col(sourceCol), col("__copies"),
-        explode(array_distinct(graft.functions.GraftFunctions.tokenSegments(
-          TextFunctions.normalize(col(textCol)), segTokens))).as("seg"))
+    // NOTE (r20): dedupLines's one-exchange counts rewrite was tried
+    // here too and REVERTED — the per-source variant measured
+    // CONSISTENTLY worse at the 5M-doc tier (task_ms 936/1009k before
+    // vs 1333/1460k rewritten across two alternating A/B pairs,
+    // SCALE1000_r20_lines.json) while the same rewrite wins on
+    // dedupLines (−12/−28%). The distinct()+agg pair stays.
+    val counts = exploded
+      .select(col(sourceCol), col("__fp"), col("__copies"), col("seg"))
+      .distinct()
       .groupBy(col(sourceCol), col("seg"))
       .agg(sum(col("__copies")).as("__seg_docs"))
     val perText = exploded.join(counts, Seq(sourceCol, "seg"))
