@@ -727,6 +727,65 @@ object OptProbe {
         }
         spark.stop()
 
+      case "segjobs" =>
+        // r20: is the per-probe driver job count FLAT in segment count
+        // after the batched stats-prune? Builds the SAME corpus as a
+        // 1-segment and a 32-segment ANN index, probes each with a job
+        // counter, and asserts result parity. Before the batch, each
+        // probe paid one prune job PER SEGMENT (linear); after, one
+        // prune job per pruned TABLE-SET (constant).
+        val sfDir = args(1)
+        val spark = session(cpus)
+        val jobs2 = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              jobs2.incrementAndGet()
+          })
+        spark.range(1000000).selectExpr("sum(id)").collect()
+        drain(spark)
+        val emb = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint()
+        val n = emb.count()
+        val qs = emb.orderBy(col("vec_id")).limit(5).localCheckpoint()
+        qs.count()
+        def mkIndex(nSegs: Int): String = {
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-segjobs-$nSegs").toString + "/idx"
+          val bands = 1 to nSegs
+          val width = n / nSegs + 1
+          graft.sources.AnnIndex.build(spark,
+            emb.where(col("vec_id") < width), root, cells = 4, nFiles = 2,
+            note = "b0")
+          bands.drop(1).foreach { b =>
+            val lo = (b - 1).toLong * width; val hi = b.toLong * width
+            graft.sources.AnnIndex.append(spark, root,
+              emb.where(col("vec_id") >= lo && col("vec_id") < hi),
+              nFiles = 2, note = s"b$b")
+          }
+          root
+        }
+        val roots = Seq(1, 8, 32).map(s => s -> mkIndex(s))
+        var parity: Option[String] = None
+        roots.foreach { case (nSegs, root) =>
+          // warm probe (codegen/JIT), then counted probe
+          graft.sources.AnnIndex.probe(spark, root, qs, k = 10,
+            nprobe = 4).collect()
+          drain(spark)
+          val j0 = jobs2.get()
+          val t0 = System.nanoTime()
+          val res = graft.sources.AnnIndex.probe(spark, root, qs, k = 10,
+            nprobe = 4).collect()
+          val wall = (System.nanoTime() - t0) / 1e9
+          drain(spark)
+          val sig = res.map(_.toString).sorted.mkString("|").hashCode
+          parity.foreach(p => println(s"SEGJOBS parity_with_first=${p == sig.toString}"))
+          if (parity.isEmpty) parity = Some(sig.toString)
+          println(f"SEGJOBS segs=$nSegs%2d probe_jobs=${jobs2.get() - j0}%3d wall=$wall%7.3f sig=$sig")
+        }
+        spark.stop()
+
       case "storm" =>
         // r20: root-cause the allocation-storm variance class (r19's #1
         // unresolved finding — same-plan task CPU intermittently 5-400×
